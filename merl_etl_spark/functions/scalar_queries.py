@@ -1,0 +1,179 @@
+"""Driver-checkable queries exercising the scalar library (SURVEY.md §2.I).
+
+Each suite runs a projection over fixture tables and is paired with an
+ANSI-SQL oracle whose expressions render byte-identically in DuckDB —
+decimal-backed formatting, explicit string concatenation, and md5-derived
+synthetic addresses keep every output engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from merl_etl_spark.functions import scalar as S
+from merl_etl_spark.operators.joins import TS_FMT_DUCK, TS_FMT_SPARK
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+
+@register(
+    "fn-string-suite",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS name_lower,
+           '0x' || md5(c_name) AS addr,
+           substr('0x' || md5(c_name), 1, 6) || '…' ||
+             substr('0x' || md5(c_name), length('0x' || md5(c_name)) - 3, 4) AS addr_short,
+           upper(hex(unhex(substr(md5(c_name), 1, 32)))) AS addr_hex_roundtrip,
+           printf('<a href="%s/address/%s">%s</a>', 'https://scan.example',
+                  '0x' || md5(c_name),
+                  substr('0x' || md5(c_name), 1, 6) || '…' ||
+                    substr('0x' || md5(c_name), length('0x' || md5(c_name)) - 3, 4)
+                  ) AS link
+    FROM customer
+    WHERE c_custkey <= 200
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn-lower, fn-substr-short, fn-hex-decode (roundtrip), fn-html-link.
+    A synthetic 0x-address is derived from md5(c_name) so the hex-decode
+    path (sql/top100_from_latest_bucket.sql:106-117) is exercised on data
+    that has no real addresses."""
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    addr = F.concat(F.lit("0x"), F.md5(F.col("c_name")))
+    return customer.select(
+        "c_custkey",
+        S.lower_addr(F.col("c_name")).alias("name_lower"),
+        addr.alias("addr"),
+        S.short_addr(addr).alias("addr_short"),
+        F.hex(S.hex_decode_addr(addr)).alias("addr_hex_roundtrip"),
+        S.html_link("https://scan.example", addr, S.short_addr(addr)).alias("link"),
+    )
+
+
+@register(
+    "fn-numeric-suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_raw,
+           CAST(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,2))
+                * CAST(0.01 AS DECIMAL(4,2)) AS DECIMAL(38,18)) AS price_scaled,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(38,2)) AS price_2dp,
+           CAST(GREATEST(CAST(l_extendedprice AS DECIMAL(18,6)),
+                         CAST(l_quantity * 1000 AS DECIMAL(18,6))) AS DECIMAL(18,6))
+             AS bigger_flow,
+           COALESCE(TRY_CAST(l_returnflag AS BIGINT), -1) AS flag_int,
+           CASE WHEN l_discount >= 0.05 THEN 'high' ELSE 'low' END AS discount_band
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def fn_numeric_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn-pow-scale (exact decimal rescale of integer base units),
+    fn-two-dec, fn-greatest, fn-trycast-int, fn-case, fn-cast.
+    price_raw plays quantity_raw (integer base units); price_scaled is the
+    generated-column scaling (schema.sql:51-52)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    raw = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        raw.alias("price_raw"),
+        (raw.cast(T.DecimalType(38, 18)) / 100)
+        .cast(T.DecimalType(38, 18))
+        .alias("price_scaled"),
+        S.two_dec(F.col("l_extendedprice").cast("decimal(18,6)")).alias("price_2dp"),
+        F.greatest(
+            F.col("l_extendedprice").cast("decimal(18,6)"),
+            (F.col("l_quantity") * 1000).cast("decimal(18,6)"),
+        ).alias("bigger_flow"),
+        S.try_int(F.col("l_returnflag"), -1).alias("flag_int"),
+        F.when(F.col("l_discount") >= 0.05, F.lit("high"))
+        .otherwise("low")
+        .alias("discount_band"),
+    )
+
+
+@register(
+    "fn-datetime-suite",
+    oracle=f"""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M"Z"') AS ts_tochar,
+           strftime(to_timestamp(((epoch_us(ts) // 1000000) // 21600) * 21600),
+                    '{TS_FMT_DUCK}') AS bucket_6h,
+           strftime(to_timestamp(((epoch_us(ts) // 1000000) // 21600) * 21600),
+                    '%Y/%m/%d-%H:%M') AS trigger_id,
+           (epoch_us(ts) // 1000000) AS ts_unix,
+           strftime(to_timestamp((epoch_us(ts) // 1000000)), '{TS_FMT_DUCK}') AS ts_roundtrip,
+           strftime(ts - INTERVAL 60 MINUTE, '{TS_FMT_DUCK}') AS ts_minus_60m
+    FROM events
+    WHERE event_id < 500
+    """,
+)
+def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn-tochar-ts, fn-floor-6h, trigger-id format, fn-from-unixtime
+    (unix→ts roundtrip), fn-interval-arith.  All rendered as strings so
+    the comparison is tz-representation-proof."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    unix = F.unix_timestamp(F.col("ts"))
+    return events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm'\"Z\"'").alias("ts_tochar"),
+        F.date_format(S.floor_6h(F.col("ts")), TS_FMT_SPARK).alias("bucket_6h"),
+        S.trigger_id(S.floor_6h(F.col("ts"))).alias("trigger_id"),
+        unix.alias("ts_unix"),
+        F.date_format(S.from_unix(unix), TS_FMT_SPARK).alias("ts_roundtrip"),
+        F.date_format(
+            F.col("ts") - F.expr("INTERVAL 60 MINUTES"), TS_FMT_SPARK
+        ).alias("ts_minus_60m"),
+    )
+
+
+@register(
+    "fn-format-suite",
+    oracle="""
+    WITH c AS (
+      SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer
+      WHERE c_custkey <= 300
+    ),
+    f AS (
+      SELECT *,
+             CASE WHEN cents < 0 THEN '-' ELSE '' END ||
+               format('{:,}', abs(cents) // 100) || '.' ||
+               lpad(CAST(abs(cents) % 100 AS VARCHAR), 2, '0') AS bal_commified
+      FROM c
+    )
+    SELECT c_custkey,
+           bal_commified,
+           CAST(replace(bal_commified, ',', '') AS DECIMAL(38,2)) AS bal_reparsed,
+           CASE
+             WHEN abs(c_acctbal) >= 1000000.0
+               THEN CAST(CAST(round(c_acctbal / 1000000.0, 2) AS DECIMAL(18,2)) AS VARCHAR) || 'M'
+             WHEN abs(c_acctbal) >= 1000.0
+               THEN CAST(CAST(round(c_acctbal / 1000.0, 2) AS DECIMAL(18,2)) AS VARCHAR) || 'K'
+             ELSE CAST(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS VARCHAR)
+           END AS bal_human,
+           regexp_replace(c_mktsegment, '([_*\\[\\]()~`>#+=|{}.!\\\\-])', '\\\\\\1', 'g')
+             AS seg_md_escaped,
+           '{"wallet":' || c_custkey || ',"txs":' || c_nationkey || '}' AS stats_json
+    FROM f
+    """,
+)
+def fn_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn-commify, fn-commas-strip (reparse roundtrip), fn-humanize,
+    fn-md-escape, fn-json-build (scripts/lib_fmt.sh:6-58,
+    scripts/notify_telegram.sh:14, merlin_etl.py:151)."""
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    commified = S.commify(F.col("c_acctbal"))
+    return customer.select(
+        "c_custkey",
+        commified.alias("bal_commified"),
+        S.strip_commas(commified).cast(T.DecimalType(38, 2)).alias("bal_reparsed"),
+        S.humanize(F.col("c_acctbal")).alias("bal_human"),
+        S.md_escape(F.col("c_mktsegment")).alias("seg_md_escaped"),
+        S.json_stats(
+            ("wallet", F.col("c_custkey")), ("txs", F.col("c_nationkey"))
+        ).alias("stats_json"),
+    )

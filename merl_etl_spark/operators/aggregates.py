@@ -1,0 +1,188 @@
+"""Aggregation operators (SURVEY.md §2.E).
+
+The centerpiece is the reference's hourly whale-activity aggregation
+(scripts/ingest_activity_and_report.sh:20-101): sliding 60-minute
+event-time window → per-wallet conditional inflow/outflow sums → scalar
+rollup (active wallets, tx rows, in, out, net).
+
+Scale notes: groupBy aggregations are partial-aggregated map-side by Spark
+(HashAggregate → Exchange → HashAggregate), so the shuffle carries one row
+per (group, partition) not per event.  All money sums are DecimalType —
+exact, and therefore order-insensitive across partitions, which both keeps
+results deterministic at any parallelism and lets the oracle hash match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+from merl_etl_spark.operators.joins import TS_FMT_DUCK, TS_FMT_SPARK
+
+DEC = "decimal(18,6)"
+DEC_SUM = "decimal(38,6)"
+
+
+def dec_sum(col: Column) -> Column:
+    """Exact decimal sum of a double column (deterministic at any DOP)."""
+    return F.sum(col.cast(DEC)).cast(DEC_SUM)
+
+
+@register(
+    "agg-max-scalar",
+    oracle=f"""
+    SELECT strftime(max(ts), '{TS_FMT_DUCK}') AS max_ts,
+           max(event_id) AS max_event_id
+    FROM events
+    """,
+)
+def agg_max_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar max aggregate — the latest-bucket discovery
+    (sql/top100_compute.sql:5; scripts/run_holders_and_report.sh:19,43)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.date_format(F.max("ts"), TS_FMT_SPARK).alias("max_ts"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+@register(
+    "agg-count-rows",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    """,
+)
+def agg_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(*) rowcounts (scripts/run_holders_and_report.sh:25-28) plus
+    distinct counts (engine extension beyond the reference, §2.E absent)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def conditional_flow(events: DataFrame) -> DataFrame:
+    """Per-wallet conditional in/out sums over the last-60-minutes window.
+
+    Mirrors scripts/ingest_activity_and_report.sh:39-46: ``SUM(CASE WHEN
+    wallet = to_address THEN value ELSE 0 END) AS in_amt`` etc., with
+    'purchase' events playing inflow and 'error' events playing outflow,
+    and the frozen asof = max(ts) playing now().
+    """
+    asof = F.broadcast(events.agg(F.max("ts").alias("asof")))
+    w = events.crossJoin(asof).filter(
+        F.col("ts") >= F.col("asof") - F.expr("INTERVAL 60 MINUTES")
+    )
+    return w.groupBy("user_id").agg(
+        dec_sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0)).alias(
+            "in_amt"
+        ),
+        dec_sum(F.when(F.col("event_type") == "error", F.col("value")).otherwise(0)).alias(
+            "out_amt"
+        ),
+        F.count("*").alias("txs"),
+    )
+
+
+FLOW_ORACLE_CTE = """
+    WITH asf AS (SELECT max(ts) AS asof_ts FROM events),
+    w AS (
+      SELECT e.* FROM events e, asf a
+      WHERE e.ts >= a.asof_ts - INTERVAL 60 MINUTE
+    ),
+    agg_per_wallet AS (
+      SELECT user_id,
+             CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+                      AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS in_amt,
+             CAST(SUM(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0 END
+                      AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS out_amt,
+             count(*) AS txs
+      FROM w GROUP BY user_id
+    )
+"""
+
+
+@register(
+    "agg-conditional-flow",
+    oracle=FLOW_ORACLE_CTE + "SELECT user_id, in_amt, out_amt, txs FROM agg_per_wallet",
+)
+def agg_conditional_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return conditional_flow(events).select("user_id", "in_amt", "out_amt", "txs")
+
+
+@register(
+    "agg-scalar-rollup",
+    oracle=FLOW_ORACLE_CTE
+    + """
+    SELECT count(*) AS active_wallets,
+           CAST(COALESCE(SUM(txs), 0) AS BIGINT) AS tx_rows,
+           CAST(COALESCE(SUM(in_amt), 0) AS DECIMAL(38,6)) AS total_in,
+           CAST(COALESCE(SUM(out_amt), 0) AS DECIMAL(38,6)) AS total_out,
+           CAST(COALESCE(SUM(in_amt), 0) - COALESCE(SUM(out_amt), 0)
+                AS DECIMAL(38,6)) AS net
+    FROM agg_per_wallet
+    """,
+)
+def agg_scalar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand totals over the per-wallet aggregate — active wallets, tx rows,
+    total in/out, net (scripts/ingest_activity_and_report.sh:47-54),
+    including the COALESCE(...,0) null-defaulting nuance."""
+    events = load_table(spark, sf_dir, "events")
+    per_wallet = conditional_flow(events)
+    return per_wallet.agg(
+        F.count("*").alias("active_wallets"),
+        F.coalesce(F.sum("txs"), F.lit(0)).cast("bigint").alias("tx_rows"),
+        F.coalesce(F.sum("in_amt"), F.lit(0)).cast(DEC_SUM).alias("total_in"),
+        F.coalesce(F.sum("out_amt"), F.lit(0)).cast(DEC_SUM).alias("total_out"),
+        (F.coalesce(F.sum("in_amt"), F.lit(0)) - F.coalesce(F.sum("out_amt"), F.lit(0)))
+        .cast(DEC_SUM)
+        .alias("net"),
+    )
+
+
+@register(
+    "agg-greatest-rowwise",
+    oracle=FLOW_ORACLE_CTE
+    + """
+    SELECT user_id, in_amt, out_amt, txs,
+           CAST(GREATEST(in_amt, out_amt) AS DECIMAL(38,6)) AS max_flow
+    FROM agg_per_wallet
+    """,
+)
+def agg_greatest_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise GREATEST(in, out) AS max_flow — the movers ranking key
+    (scripts/ingest_activity_and_report.sh:92-96)."""
+    events = load_table(spark, sf_dir, "events")
+    return conditional_flow(events).withColumn(
+        "max_flow", F.greatest(F.col("in_amt"), F.col("out_amt"))
+    )
+
+
+@register(
+    "agg-running-max",
+    oracle="""
+    SELECT user_id AS stream,
+           max(event_id) AS last_scanned_block,
+           count(*) AS pages
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running max of block number per stream → the resume-cursor value
+    (merlin_etl.py:435,463); count plays the page counter
+    (agg-running-count, merlin_etl.py:249-250)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.col("user_id").alias("stream")).agg(
+        F.max("event_id").alias("last_scanned_block"),
+        F.count("*").alias("pages"),
+    )

@@ -1,0 +1,58 @@
+"""Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+
+At 100 TB these would be partitioned parquet/lakehouse datasets; a plain
+``spark.read.parquet`` keeps partition pruning, predicate pushdown, and
+column pruning intact because every downstream operator expresses its
+filters/projections declaratively (Catalyst pushes them into the scan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as
+# nanosecond longs (spark.sql.legacy.parquet.nanosAsLong) and we truncate
+# to microsecond TimestampType here — same floor-truncation DuckDB applies,
+# so oracle comparisons agree.
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL API.
+
+    Mirrors the reference's compatibility view pattern
+    (CREATE OR REPLACE VIEW, schema.sql:34-35 → sink-view).
+    """
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
