@@ -1,0 +1,160 @@
+"""Scalable backward as-of join (SURVEY.md §2.D join-asof-blocktime,
+generalized).
+
+The reference resolves "timestamp → closest block before" via an explorer
+API call (merlin_etl.py:199-236).  In-engine, that is a backward as-of
+join: for every left row, the right row with the greatest right_ts <=
+left_ts.  Spark has no built-in as-of join; a naive range join is O(n·m)
+and a single global window is a 1-partition sort.  This implementation is
+the scalable composition:
+
+1. bucket both sides by a coarse tumbling time bucket (shuffle key);
+2. within each bucket, union left+right and run one window pass
+   (partitioned by bucket — parallel, bounded memory) where each left row
+   picks up the last right row at-or-before it;
+3. rows whose match is in an earlier bucket are resolved from a tiny
+   per-bucket "closing value" summary (one row per bucket) — computed with
+   a window over the summary (thousands of rows, not the fact table) and
+   broadcast back.
+
+Wall-clock scales with fact-table partitions; no global sort, no driver
+loop.  Bucket width trades shuffle skew vs summary size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from merl_etl_spark.operators.joins import TS_FMT_DUCK, TS_FMT_SPARK
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Backward as-of join: left + the right row with max(right_ts) <= left_ts.
+
+    ``right`` must be deduplicated to one row per ``right_ts`` by the caller
+    (ties would make the match nondeterministic).  Returns all left columns
+    plus ``right_cols`` (null when no earlier right row exists).
+    """
+    bucket = lambda c: (F.unix_timestamp(F.col(c)) / bucket_seconds).cast("bigint")  # noqa: E731
+
+    l_tag = left.withColumn("__bucket", bucket(left_ts)).withColumn("__is_left", F.lit(1))
+    r_tag = (
+        right.withColumn("__bucket", bucket(right_ts)).withColumn("__is_left", F.lit(0))
+    )
+
+    l_cols = left.columns
+    unioned = l_tag.select(
+        F.col(left_ts).alias("__ts"),
+        "__bucket",
+        "__is_left",
+        *[F.col(c).alias(f"__l_{c}") for c in l_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    ).unionByName(
+        r_tag.select(
+            F.col(right_ts).alias("__ts"),
+            "__bucket",
+            "__is_left",
+            *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in l_cols],
+            *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        )
+    )
+
+    # In-bucket pass: right rows sort before left rows at equal ts, so a
+    # left row at t matches a right row at exactly t (<= semantics).
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    in_bucket = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w_in).alias(f"__in_{c}")
+            for c in right_cols
+        ],
+    ).filter(F.col("__is_left") == 1)
+
+    # Per-bucket closing values (one row per bucket → tiny), carried forward
+    # across buckets with a summary-level window, then lagged one bucket so a
+    # left row only sees strictly-earlier buckets.
+    w_ts = Window.partitionBy("__bucket").orderBy(F.col(right_ts).desc())
+    closing = (
+        r_tag.withColumn("__rn", F.row_number().over(w_ts))
+        .filter(F.col("__rn") == 1)
+        .select("__bucket", *[F.col(c).alias(f"__close_{c}") for c in right_cols])
+    )
+    all_buckets = in_bucket.select("__bucket").distinct().unionByName(
+        closing.select("__bucket")
+    ).distinct()
+    w_carry = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prev = all_buckets.join(closing, "__bucket", "left").select(
+        "__bucket",
+        *[
+            F.last(F.col(f"__close_{c}"), ignorenulls=True)
+            .over(w_carry)
+            .alias(f"__prev_{c}")
+            for c in right_cols
+        ],
+    )
+
+    joined = in_bucket.join(F.broadcast(prev), "__bucket", "left")
+    return joined.select(
+        *[F.col(f"__l_{c}").alias(c) for c in l_cols],
+        *[
+            F.coalesce(F.col(f"__in_{c}"), F.col(f"__prev_{c}")).alias(c)
+            for c in right_cols
+        ],
+    )
+
+
+@register(
+    "join-asof",
+    oracle=f"""
+    WITH l AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT ts AS c_ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY ts
+    )
+    SELECT l.purchase_id, l.user_id,
+           strftime(l.p_ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           r.click_id,
+           strftime(r.c_ts, '{TS_FMT_DUCK}') AS click_ts
+    FROM l ASOF LEFT JOIN r ON r.c_ts <= l.p_ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every purchase event matched to the latest click
+    event at-or-before it (the generalized timestamp→block 'closest before'
+    lookup, merlin_etl.py:199-236).  Oracle uses DuckDB's native ASOF JOIN."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(F.col("ts").alias("c_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    matched = asof_join_backward(
+        purchases, clicks, left_ts="p_ts", right_ts="c_ts", right_cols=["click_id", "c_ts"]
+    )
+    return matched.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("p_ts", TS_FMT_SPARK).alias("purchase_ts"),
+        "click_id",
+        F.date_format("c_ts", TS_FMT_SPARK).alias("click_ts"),
+    )

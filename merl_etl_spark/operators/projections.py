@@ -1,0 +1,103 @@
+"""Projection / filter / normalization operators (SURVEY.md §2.C, src-field-drift).
+
+The reference normalizes at write time — lowercase addresses, tolerant
+casts, derived scaled columns, source→target column renames
+(merlin_etl.py:276-301,390-434).  Expressed declaratively these stay
+sargable: Catalyst pushes the equality/null filters into the parquet scan
+and prunes unreferenced columns, which is what makes the same plan work
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merl_etl_spark.operators.joins import TS_FMT_DUCK, TS_FMT_SPARK
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+
+@register(
+    "filter-eq-token",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE lower(event_type) = 'purchase'
+    """,
+)
+def filter_eq_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality predicate on a lowercased token key (filter-eq-token;
+    sql/top100_compute.sql:7,21).  The lower() sits on the literal-compare
+    side at write time in the reference; here it demonstrates the sargable
+    normalized-equality scan."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.lower(F.col("event_type")) == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+
+
+@register(
+    "filter-nonnull-fields",
+    oracle="""
+    SELECT event_id, user_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE props IS NOT NULL
+      AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    """,
+)
+def filter_nonnull_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop ingest rows missing required fields (merlin_etl.py:291-292:
+    holder/quantity null guard), applied to a JSON-extracted field so the
+    null path is actually exercised."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
+    return (
+        events.withColumn("k", k)
+        .filter(F.col("props").isNotNull() & F.col("k").isNotNull())
+        .select("event_id", "user_id", "k")
+    )
+
+
+@register(
+    "proj-normalize",
+    oracle=f"""
+    SELECT event_id AS block_number,
+           lower(event_type) AS tx_kind,
+           CAST(user_id AS VARCHAR) AS wallet_address,
+           strftime(ts, '{TS_FMT_DUCK}') AS block_time_utc,
+           (epoch_us(ts) // 1000000) AS block_time_unix,
+           CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS value_raw,
+           CAST(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(18,2))
+                * CAST(0.01 AS DECIMAL(4,2)) AS DECIMAL(38,18)) AS value_18d,
+           COALESCE(json_extract_string(props, '$.k'),
+                    json_extract_string(props, '$.key'),
+                    'missing') AS drift_field
+    FROM events
+    WHERE event_id < 2000
+    """,
+)
+def proj_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 23-tuple ingestion normalization in miniature (proj-normalize +
+    proj-rename-map + src-field-drift; merlin_etl.py:276-301,390-434):
+    source→target renames, lowercase canonicalization, unix/UTC time
+    derivation, raw-string amount + exact scaled decimal (schema.sql
+    generated columns), and tolerant multi-candidate field extraction
+    (merlin_etl.py:276-289) via COALESCE over JSON paths."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    raw_cents = F.round(F.col("value") * 100).cast("bigint")
+    return events.select(
+        F.col("event_id").alias("block_number"),
+        F.lower(F.col("event_type")).alias("tx_kind"),
+        F.col("user_id").cast("string").alias("wallet_address"),
+        F.date_format("ts", TS_FMT_SPARK).alias("block_time_utc"),
+        F.unix_timestamp("ts").alias("block_time_unix"),
+        raw_cents.cast("string").alias("value_raw"),
+        (raw_cents.cast("decimal(38,18)") / 100).cast("decimal(38,18)").alias("value_18d"),
+        F.coalesce(
+            F.get_json_object("props", "$.k"),
+            F.get_json_object("props", "$.key"),
+            F.lit("missing"),
+        ).alias("drift_field"),
+    )

@@ -48,6 +48,8 @@ def load_all() -> None:
     import merl_etl_spark.operators.sorts  # noqa: F401
     import merl_etl_spark.functions.scalar_queries  # noqa: F401
     import merl_etl_spark.operators.windows_time  # noqa: F401
+    import merl_etl_spark.operators.projections  # noqa: F401
+    import merl_etl_spark.operators.asof  # noqa: F401
     import merl_etl_spark.operators.dedup  # noqa: F401
     import merl_etl_spark.operators.similarity  # noqa: F401
     import merl_etl_spark.operators.text_analysis  # noqa: F401

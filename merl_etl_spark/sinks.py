@@ -1,1 +1,195 @@
-"""Placeholder — filled in a later milestone."""
+"""Idempotent write patterns (SURVEY.md §2.B) — the reference's signature
+trait re-expressed for immutable columnar storage.
+
+Postgres gave the reference ON CONFLICT upserts keyed by unique indexes
+(schema.sql:29,55,123).  On parquet the equivalents are:
+
+- last-wins upsert  → window dedup (row_number over key, newest first)
+- insert-ignore     → in-batch dedup + left-anti join against the target
+- snapshot replace  → dynamic partition overwrite (the semantically clean
+  variant of the reference's delete+insert, sql/top100_from_latest_bucket.sql)
+- cursor merge      → groupBy-max (GREATEST monotonic merge, merlin_etl.py:164-171)
+
+All are pure shuffles on the conflict key — no driver round-trips — and
+partition overwrite touches only the (contract, bucket) partitions being
+replaced, so a 100 TB table rewrites only the affected slice.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+
+def upsert_last_wins(batch: DataFrame, keys: Sequence[str], order_by: Sequence[Column]) -> DataFrame:
+    """Keep the newest row per conflict key — the holders-snapshot upsert
+    (sink-upsert-holders; merlin_etl.py:304-318, key schema.sql:55).
+    ``order_by`` must be a total order (include a unique tie-break)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def insert_ignore(batch: DataFrame, existing: DataFrame, keys: Sequence[str],
+                  tie_break: Sequence[Column]) -> DataFrame:
+    """Rows to append: in-batch dedup (first by ``tie_break``) then anti-join
+    against the target on the conflict key — INSERT … ON CONFLICT DO NOTHING
+    (sink-insert-ignore-tx; merlin_etl.py:438-450, key schema.sql:123)."""
+    deduped = upsert_last_wins(batch, keys, tie_break)
+    return deduped.join(existing.select(*keys).distinct(), list(keys), "left_anti")
+
+
+def cursor_merge(*cursor_snapshots: DataFrame) -> DataFrame:
+    """Monotonic cursor merge: GREATEST of old/new block & page per stream
+    (sink-upsert-cursor; merlin_etl.py:159-175).  Union + max is associative
+    and idempotent — replaying a snapshot can never move a cursor backward."""
+    cols = ["stream", "last_scanned_block", "last_page"]
+    merged = cursor_snapshots[0].select(*cols)
+    for s in cursor_snapshots[1:]:
+        merged = merged.unionByName(s.select(*cols))
+    return merged.groupBy("stream").agg(
+        F.max("last_scanned_block").alias("last_scanned_block"),
+        F.max("last_page").alias("last_page"),
+    )
+
+
+def snapshot_replace(df: DataFrame, path: str, partition_cols: Sequence[str]) -> None:
+    """True snapshot replace via dynamic partition overwrite — only the
+    partitions present in ``df`` are rewritten (sink-delete-insert-top100;
+    sql/top100_from_latest_bucket.sql:119-158).  This is the *correct*
+    variant: the upsert form leaves stale rows for holders that dropped out
+    of the Top-100 on re-run (SURVEY.md §7.3)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable batch forms of the dedup semantics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink-upsert-holders",
+    oracle="""
+    SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def sink_upsert_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-wins upsert as a query: newest row per (user, type) conflict key
+    — replayed pages collapse to one winner (merlin_etl.py:310-314)."""
+    events = load_table(spark, sf_dir, "events")
+    return upsert_last_wins(
+        events, ["user_id", "event_type"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register(
+    "sink-insert-ignore-tx",
+    oracle="""
+    WITH existing AS (
+      SELECT DISTINCT user_id, event_type FROM events WHERE event_id % 3 = 0
+    ),
+    batch AS (SELECT * FROM events WHERE event_id % 3 <> 0),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY event_id ASC) AS rn
+        FROM batch
+      ) WHERE rn = 1
+    )
+    SELECT d.user_id, d.event_type, d.event_id
+    FROM dedup d
+    WHERE NOT EXISTS (SELECT 1 FROM existing e
+                      WHERE e.user_id = d.user_id AND e.event_type = d.event_type)
+    """,
+)
+def sink_insert_ignore_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-ignore as a query: a replayed batch deduped in-batch, then
+    anti-joined against already-ingested keys (merlin_etl.py:438-450)."""
+    events = load_table(spark, sf_dir, "events")
+    existing = events.filter(F.col("event_id") % 3 == 0)
+    batch = events.filter(F.col("event_id") % 3 != 0)
+    return insert_ignore(
+        batch, existing, ["user_id", "event_type"], [F.col("event_id").asc()]
+    ).select("user_id", "event_type", "event_id")
+
+
+@register(
+    "sink-upsert-cursor",
+    oracle="""
+    WITH snap1 AS (
+      SELECT user_id AS stream, max(event_id) AS last_scanned_block,
+             count(*) AS last_page
+      FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+    ),
+    snap2 AS (
+      SELECT user_id AS stream, max(event_id) AS last_scanned_block,
+             count(*) AS last_page
+      FROM events WHERE event_id % 2 = 1 GROUP BY user_id
+    ),
+    unioned AS (
+      SELECT * FROM snap1 UNION ALL SELECT * FROM snap2
+    )
+    SELECT stream, max(last_scanned_block) AS last_scanned_block,
+           max(last_page) AS last_page
+    FROM unioned GROUP BY stream
+    """,
+)
+def sink_upsert_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREATEST-merge of two overlapping cursor snapshots — the crash-replay
+    case where an older snapshot arrives after a newer one
+    (merlin_etl.py:164-171)."""
+    events = load_table(spark, sf_dir, "events")
+
+    def snap(pred) -> DataFrame:
+        return (
+            events.filter(pred)
+            .groupBy(F.col("user_id").alias("stream"))
+            .agg(
+                F.max("event_id").alias("last_scanned_block"),
+                F.count("*").alias("last_page"),
+            )
+        )
+
+    return cursor_merge(snap(F.col("event_id") % 2 == 0), snap(F.col("event_id") % 2 == 1))
+
+
+@register(
+    "sink-view",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sink_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compatibility view + temp-table staging (sink-view, sink-temp-table;
+    schema.sql:34-35, sql/top100_from_latest_bucket.sql:4-31): register the
+    table as a view and query it through the SQL API."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("v_events_compat")
+    return spark.sql(
+        "SELECT event_type, count(*) AS n FROM v_events_compat GROUP BY event_type"
+    )
