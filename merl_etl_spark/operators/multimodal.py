@@ -1,1 +1,161 @@
-"""Placeholder — filled in a later milestone."""
+"""Multimodal column plumbing (BASELINE.json north star): image/audio/video
+as opaque ``binary`` payloads + typed metadata, with decode / feature
+extraction as Arrow-batched Pandas UDFs.
+
+The container has no image/audio libraries, so the *decode kernel* is a
+deterministic fake behind ``decode_frames`` (clearly marked; a real
+deployment swaps in PIL/ffmpeg/torchvision per batch).  Everything
+Spark-side — schema, BinaryType handling, mapInPandas batch shape,
+partitioning — is real and oracle-checked.
+
+Scale notes: payloads never shuffle in these plans (metadata extraction is
+a map; grouping happens on the small metadata columns).  At 100 TB keep
+payloads in their own column chunk (parquet does this for free) so
+metadata-only queries never read the bytes — column pruning is the whole
+game for multimodal tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+
+def binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-cast as an opaque binary payload column — the
+    fixture stand-in for an image/audio blob table."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.col("source").alias("media_source"),
+    )
+
+
+@register(
+    "mm-binary-meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           (octet_length(encode(text)) + 15) // 16 AS n_chunks,
+           octet_length(encode(text)) % 640 AS fake_width,
+           octet_length(encode(text)) % 480 AS fake_height
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payloads: byte length, content digest,
+    fixed-size chunk count (the frame/tile partitioning unit), and the
+    deterministic fake decode dimensions.  All computed on BinaryType
+    columns JVM-side."""
+    b = binary_docs(spark, sf_dir)
+    n = F.octet_length(F.col("payload"))
+    return b.select(
+        "doc_id",
+        n.alias("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+        ((n + 15) / 16).cast("bigint").alias("n_chunks"),
+        (n % 640).alias("fake_width"),
+        (n % 480).alias("fake_height"),
+    )
+
+
+FRAME_SCHEMA = "doc_id long, frame_id int, frame_bytes int, frame_md5 string"
+
+
+def decode_frames(payload: bytes, real: bool = False) -> list[bytes]:
+    """STUB decode: split the payload into deterministic 64-byte 'frames'.
+
+    A real deployment replaces this with an actual decoder (PIL image
+    tiles, ffmpeg frame samples, torchaudio windows) — the surrounding
+    Spark plumbing (batch iteration, schema, output shape) is unchanged.
+    """
+    if real:
+        raise NotImplementedError(
+            "real media decoding requires image/audio libraries not present "
+            "in this environment; the deterministic fake below preserves the "
+            "dataflow shape"
+        )
+    return [payload[i : i + 64] for i in range(0, len(payload), 64)]
+
+
+@register(
+    "mm-frame-sample",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, (octet_length(encode(text)) + 63) // 64)) AS i
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id,
+             CAST(i AS INT) AS frame_id,
+             octet_length(encode(substr(text, 1 + (i - 1) * 64, 64))) AS frame_bytes,
+             md5(substr(text, 1 + (i - 1) * 64, 64)) AS frame_md5
+      FROM idx
+    )
+    SELECT doc_id, frame_id - 1 AS frame_id, frame_bytes, frame_md5
+    FROM frames
+    WHERE (frame_id - 1) % 4 = 0
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + frame-sample via mapInPandas: each Arrow batch of payloads is
+    'decoded' into frames (stub), every 4th frame kept (stride sampling),
+    each frame digested.  This is the exact shape of a video frame-sampling
+    or audio-windowing pipeline — per-batch Python with vectorizable
+    kernels, schema declared up front, no payload shuffle."""
+
+    from merl_etl_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "frame_bytes": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_frames(bytes(payload))
+                for fid in range(0, len(frames), 4):  # stride-4 sampling
+                    fb = frames[fid]
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(fid)
+                    out["frame_bytes"].append(len(fb))
+                    out["frame_md5"].append(hashlib.md5(fb).hexdigest())
+            yield pd.DataFrame(out)
+
+    return binary_docs(spark, sf_dir).mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+@register(
+    "mm-feature-extract",
+    oracle="""
+    SELECT source AS media_source,
+           count(*) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(SUM((octet_length(encode(text)) + 63) // 64) AS BIGINT) AS total_frames,
+           max(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    GROUP BY source
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rollup of extracted media features — the
+    metadata-aggregation stage after decode.  Groups on small metadata
+    columns only; payload bytes never cross the shuffle."""
+    b = binary_docs(spark, sf_dir)
+    n = F.octet_length(F.col("payload"))
+    return b.groupBy("media_source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n).cast("bigint").alias("total_bytes"),
+        F.sum(((n + 63) / 64).cast("bigint")).cast("bigint").alias("total_frames"),
+        F.max(n).alias("max_bytes"),
+    )

@@ -1,1 +1,204 @@
-"""Placeholder — filled in a later milestone."""
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north star): language ID, quality scoring, token counting, document
+fingerprinting.  All pure column expressions — JVM-side, codegen'd, no
+Python in the hot path — so a 100 TB corpus scan is one pass with zero
+shuffles (these are all per-row maps; only downstream groupings shuffle).
+
+Determinism: scores are rational arithmetic over integer counts (no
+transcendentals — libm implementations differ in the last ulp across
+engines), so doubles are bit-identical between Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+# marker stopwords per language for the n-gram/stopword langid heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "de": ["und", "der", "nicht"],
+    "es": ["el", "los", "que"],
+    "fr": ["le", "les", "est"],
+    "zh": ["的", "是", "了"],
+}
+
+
+def _count_word(engine: str, word: str) -> str:
+    pat = rf"\b{word}\b"
+    if engine == "spark":
+        return f"size(regexp_extract_all(text, '{pat}', 0))"
+    return f"len(regexp_extract_all(text, '{pat}'))"
+
+
+def _lang_scores(engine: str) -> str:
+    return ",\n           ".join(
+        f"({' + '.join(_count_word(engine, w) for w in words)}) AS score_{lang}"
+        for lang, words in LANG_MARKERS.items()
+    )
+
+
+def _argmax_lang() -> str:
+    # deterministic priority order on ties: en > de > es > fr > zh
+    expr = "'zh'"
+    langs = list(LANG_MARKERS)
+    for lang in reversed(langs[:-1]):
+        later = [f"score_{l2}" for l2 in langs[langs.index(lang) + 1 :]]
+        cond = " AND ".join(f"score_{lang} >= {s}" for s in later)
+        expr = f"CASE WHEN {cond} THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+@register(
+    "text-langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+           {_lang_scores("duck")}
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           {_argmax_lang()} AS predicted_lang,
+           (lang = {_argmax_lang()}) AS is_match
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: count per-language marker words, argmax
+    with a fixed priority tie-break.  (On this synthetic shared-vocabulary
+    corpus every doc scores as 'en' — the operator's dataflow, not its
+    linguistics, is what scales.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.expr(" + ".join(_count_word("spark", w) for w in words)).alias(f"score_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    pred = F.expr(_argmax_lang())
+    return scored.select(
+        "doc_id", "lang", pred.alias("predicted_lang"), (F.col("lang") == pred).alias("is_match")
+    )
+
+
+@register(
+    "text-tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_re_tokens,
+           length(text) AS n_chars,
+           length(replace(text, ' ', '')) AS n_nonspace_chars
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish regex tokenization
+    (letter runs / digit runs / single punctuation) — the pretokenizer shape
+    GPT-style BPE vocabularies assume."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0))
+        ).alias("n_re_tokens"),
+        F.length("text").alias("n_chars"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace_chars"),
+    )
+
+
+@register(
+    "text-quality",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+             len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+           CAST(n_digits AS DOUBLE) / n_chars AS digit_ratio,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           (CAST(n_distinct AS DOUBLE) / n_tokens)
+             * (1.0 - CAST(n_digits AS DOUBLE) / n_chars)
+             * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+             * (CAST(n_tokens AS DOUBLE) / (n_tokens + 20.0)) AS quality_score
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score from length / punctuation / digit / stopword
+    / vocabulary-diversity ratios (the C4/Gopher-rule family).  Pure
+    rational arithmetic over integer counts — bit-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0))).alias("n_digits"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), F.lit(0))).alias(
+            "n_punct"
+        ),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\b(the|a|of|and|is)\b"), F.lit(0))
+        ).alias("n_stop"),
+    )
+    dr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    dig = F.col("n_digits").cast("double") / F.col("n_chars")
+    pr = F.col("n_punct").cast("double") / F.col("n_chars")
+    sr = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        dr.alias("distinct_ratio"),
+        dig.alias("digit_ratio"),
+        pr.alias("punct_ratio"),
+        sr.alias("stopword_ratio"),
+        (
+            dr * (1.0 - dig) * (1.0 - pr)
+            * (F.col("n_tokens").cast("double") / (F.col("n_tokens") + 20.0))
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "text-fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_fp,
+           md5(substr(text, 1, 64)) AS prefix_fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS bow_fp,
+           length(text) // 100 AS len_bucket
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: normalized content hash, 64-char prefix hash
+    (rolling-hash stand-in: cheap partial-match key), sorted bag-of-words
+    hash (word-order-insensitive dup key), and a length bucket — the usual
+    composite key set for staged dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_fp"),
+        F.md5(F.substring("text", 1, 64)).alias("prefix_fp"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")).alias(
+            "bow_fp"
+        ),
+        (F.length("text") / 100).cast("bigint").alias("len_bucket"),
+    )
