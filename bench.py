@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side collect cost).  Session startup is excluded; per-query times
+are wall-clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from merl_etl_spark import registry  # noqa: E402
+from merl_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family — rank windows, broadcast joins,
+# semi joins, conditional aggs, top-k sorts, event-time windows, as-of,
+# dedup tiers, similarity, text, multimodal.
+HEADLINE = [
+    "win-rank-top100",
+    "plan-top100-derive",
+    "join-semi-top100",
+    "join-latest-bucket",
+    "join-asof",
+    "agg-conditional-flow",
+    "agg-scalar-rollup",
+    "sort-movers-multi",
+    "stream-tumbling-6h",
+    "stream-sliding-60m",
+    "stream-cursor-resume",
+    "dedup-exact",
+    "dedup-minhash-lsh",
+    "dedup-simhash",
+    "text-quality",
+    "text-fingerprint",
+    "sim-topk-cosine",
+    "sim-lsh-bucketed",
+    "mm-feature-extract",
+]
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("merl_etl_spark_bench")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 3)
+
+    # one warmup pass on the flagship to absorb JVM/codegen warmup
+    run("win-rank-top100")
+
+    times = {name: run(name) for name in HEADLINE}
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline operator suite wall-clock",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

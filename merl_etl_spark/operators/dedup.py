@@ -68,22 +68,34 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MH_PRIME = 4294967291  # largest prime < 2^32
+
+
 def _minhash_oracle() -> str:
+    """Kirsch–Mitzenmacher: one md5 per shingle split into two 32-bit
+    halves h1,h2; the k-th hash is (h1 + k*h2) mod p — 8× fewer digests
+    for the same LSH guarantees."""
     mh_cols = ",\n             ".join(
-        f"min(md5('{k}|' || sh)) AS mh{k}" for k in range(N_HASHES)
+        f"min((h1 + {k} * h2) % {MH_PRIME}) AS mh{k}" for k in range(N_HASHES)
     )
     band_selects = "\n      UNION ALL\n      ".join(
-        f"SELECT doc_id, {b} AS band_id, md5(mh{2 * b} || mh{2 * b + 1}) AS h FROM mins"
+        f"SELECT doc_id, {b} AS band_id, mh{2 * b} || '|' || mh{2 * b + 1} AS h FROM mins"
         for b in range(N_BANDS)
     )
     return f"""
     WITH sh AS (
-      SELECT doc_id, unnest({DUCK_SHINGLES}) AS sh FROM documents
+      SELECT doc_id, md5(unnest({DUCK_SHINGLES})) AS m FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(m, 1, 8))::BIGINT AS h1,
+             ('0x' || substr(m, 9, 8))::BIGINT AS h2
+      FROM sh
     ),
     mins AS (
       SELECT doc_id,
              {mh_cols}
-      FROM sh GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     ),
     bands AS (
       {band_selects}
@@ -107,30 +119,55 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a bucket with >B docs is a degenerate near-identical cluster —
     aggregate it directly instead of pair-exploding)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("sh"))
-    mins = sh.groupBy("doc_id").agg(
+    # split once; shingling is a per-row flatMap over the cached words array
+    words_shingles = (
+        "transform(sequence(1, greatest(size(words) - 2, 0)), "
+        "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1), "
+        "element_at(words, i + 2)))"
+    )
+    sh = docs.withColumn("words", F.split("text", " ")).select(
+        "doc_id", F.explode(F.expr(words_shingles)).alias("sh")
+    )
+    m = F.md5("sh")
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
+    mins = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"mh{k}")
+            F.min((F.col("h1") + k * F.col("h2")) % MH_PRIME).alias(f"mh{k}")
             for k in range(N_HASHES)
         ]
     )
-    bands = None
-    for b in range(N_BANDS):
-        part = mins.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias("h"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a, b_ = bands.alias("a"), bands.alias("b")
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws("|", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("h"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.h")
+    # pair generation inside buckets via collect_set — signatures computed
+    # once, one shuffle on the bucket key, no self-join re-evaluating the DAG
+    buckets = (
+        bands.groupBy("band_id", "h")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(ds, (a, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"
+    )
     return (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

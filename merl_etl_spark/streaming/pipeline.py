@@ -1,0 +1,133 @@
+"""Structured Streaming forms of the reference's incremental semantics
+(SURVEY.md §2.J).
+
+The reference is cron-driven micro-batch: per-stream block cursors
+(merlin_etl.py:353-357,462-463), 6h tumbling snapshot buckets
+(merlin_etl.py:190-194), hourly sliding 60-minute lookbacks
+(scripts/ingest_activity_and_report.sh:36), keyed dedup absorbing replays
+(schema.sql:29,55,123), and job_runs audit rows (merlin_etl.py:133-152).
+Structured Streaming gives each a first-class equivalent:
+
+| reference behavior        | streaming form here                          |
+|---------------------------|----------------------------------------------|
+| cursor resume / GREATEST  | checkpointLocation offsets (monotone by
+|                           | construction) + foreachBatch cursor table    |
+| 6h tumbling snapshot      | window(ts, '6 hours') agg + watermark        |
+| 60m sliding lookback      | window(ts, '60m', '15m') agg + watermark     |
+| keyed replay dedup        | withWatermark + dropDuplicates(keys)         |
+| single-writer flock       | one streaming query per checkpoint dir       |
+| job audit rows            | foreachBatch audit append per micro-batch    |
+
+Everything uses ``Trigger.AvailableNow``-style processing (process all
+available input, then stop) — the exact semantics of the reference's cron
+runs, and the mode that scales to a real cluster unchanged.  The batch
+twins in operators/windows_time.py share the same column logic, and tests
+assert stream == batch output (stream-batch parity is the correctness
+argument Structured Streaming is designed around).
+"""
+
+from __future__ import annotations
+
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from merl_etl_spark.operators.aggregates import dec_sum
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+EVENTS_NANOS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the events fixture — the micro-batch analog
+    of the reference's paged REST source (src-tokentx-paged): bounded
+    batches (maxFilesPerTrigger ↔ page size), resumable via checkpoint
+    (↔ ingestion_cursors)."""
+    # file streams take a directory; glob-filter selects just the events table
+    raw = (
+        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # nanos → micros, same truncation as the batch loader (sources/tables.py)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_6h_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """6h tumbling snapshot aggregation with late-data watermark — the
+    streaming twin of stream-tumbling-6h."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), dec_sum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_60m_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding 60-minute / 15-minute windows — streaming twin of
+    stream-sliding-60m."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "60 minutes", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dec_sum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Replay-absorbing keyed dedup: withWatermark + dropDuplicates on the
+    conflict key — the streaming form of INSERT … ON CONFLICT DO NOTHING
+    (stream-late-data; merlin_etl.py:446).  State for a key is dropped once
+    the watermark passes it, so state size is bounded by the lateness
+    horizon, not the stream length."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["event_id", "user_id", "event_type"]
+    )
+
+
+def run_ingestion_job(
+    spark: SparkSession,
+    events: DataFrame,
+    checkpoint_dir: str,
+    output_dir: str,
+    cursor_accumulator: list,
+    audit_accumulator: list,
+) -> StreamingQuery:
+    """The §3.1 ingestion job as a streaming query: per micro-batch —
+    append new rows to the target, advance per-stream cursors (max block,
+    GREATEST-merged by construction since maxes only grow), and write a
+    job_runs-style audit record (stream-audit).
+
+    The checkpoint directory IS the ingestion_cursors table of the
+    reference: offsets only move forward, and a crashed job resumes from
+    the last committed batch (stream-monotonic-watermark /
+    stream-cursor-resume)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.count()
+        batch_df.write.mode("append").parquet(output_dir)
+        cursors = (
+            batch_df.groupBy(F.col("user_id").alias("stream"))
+            .agg(F.max("event_id").alias("last_scanned_block"), F.count("*").alias("last_page"))
+            .collect()
+        )
+        cursor_accumulator.append({r.stream: r.last_scanned_block for r in cursors})
+        audit_accumulator.append(
+            {"batch_id": batch_id, "rows": rows, "status": "success"}
+        )
+
+    return (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
