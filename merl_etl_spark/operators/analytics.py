@@ -1,0 +1,258 @@
+"""Analytical breadth beyond the reference surface: multi-way star joins,
+grouped pricing summaries, pivot, rollup/cube grouping sets, outer/anti
+joins, and exact percentiles — the capabilities a user migrating real
+workloads onto this engine expects, all with DuckDB oracles.
+
+These double as the engine's TPC-H-style showcase on the fixture star
+schema (SURVEY.md §2.H/§2.E 'absent' rows become present here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merl_etl_spark.operators.aggregates import dec_sum
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+DEC = "decimal(18,6)"
+DEC_SUM = "decimal(38,6)"
+
+
+@register(
+    "analytics-pricing-summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,12)))
+                AS DECIMAL(38,12)) AS sum_disc_price,
+           count(*) AS count_order,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def analytics_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: multi-aggregate groupBy with exact
+    decimal sums and a derived average (double division of exact sums —
+    deterministic).  Two-phase HashAggregate; shuffle carries 6 aggregates
+    per (flag, status) per partition."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    disc_price = (
+        F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    ).cast("decimal(38,12)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        F.sum(disc_price).cast("decimal(38,12)").alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+        (
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC_SUM).cast("double")
+            / F.count("*")
+        ).alias("avg_qty"),
+    )
+
+
+@register(
+    "analytics-shipping-priority",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS DECIMAL(38,12)))
+                AS DECIMAL(38,12)) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: 3-way star join with selective
+    dimension filters, revenue aggregation, deterministic top-10.  The
+    customer filter broadcasts; lineitem only shuffles for the final
+    aggregation key."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    rev = (
+        F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    ).cast("decimal(38,12)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("decimal(38,12)").alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "analytics-regional-volume",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS volume,
+           count(*) AS n_orders
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def analytics_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style regional volume: 4-way snowflake join.  The region →
+    nation → customer dimension chain collapses into broadcasts; only
+    orders (the fact) streams."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    dims = F.broadcast(
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+            F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+        )
+    )
+    return (
+        o.join(dims, o["o_custkey"] == dims["c_custkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            dec_sum(F.col("o_totalprice")).alias("volume"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "agg-pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS click,
+           CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS view,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS purchase,
+           CAST(SUM(CAST(CASE WHEN event_type = 'signup' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS signup,
+           CAST(SUM(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event types to columns — the generalized form of the
+    reference's conditional in/out sums (§2.E agg-conditional-flow is a
+    2-column pivot).  Explicit value list keeps the plan single-pass."""
+    events = load_table(spark, sf_dir, "events")
+    piv = (
+        events.withColumn("v", F.col("value").cast(DEC))
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .sum("v")
+    )
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast(DEC_SUM).alias(t)
+            for t in ["click", "view", "purchase", "signup", "error"]
+        ],
+    )
+
+
+@register(
+    "agg-rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping sets (ROLLUP): per-(flag,status), per-flag,
+    and grand-total rows in one pass — subtotal semantics the reference
+    computed with separate scalar queries (§2.E agg-scalar-rollup)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dec_sum(F.col("l_quantity")).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "agg-cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-set cube over two dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dec_sum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+@register(
+    "join-outer-anti",
+    oracle="""
+    SELECT 'outer_null' AS op, count(*) AS n
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'anti' AS op, count(*) AS n
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_outer_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer and anti join parity: customers with no orders counted both
+    ways (left-outer null-probe vs left-anti) — must agree."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    outer_null = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .filter(F.col("o_orderkey").isNull())
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("outer_null").alias("op"), "n")
+    )
+    anti = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("anti").alias("op"), "n")
+    )
+    return outer_null.unionAll(anti)
+
+
+@register("agg-approx-sketches")
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches: HyperLogLog distinct counts and approximate
+    percentiles per event type — the constant-memory path for 100 TB
+    cardinality/quantile estimation.  Sketch algorithms differ across
+    engines, so this is registered rows-only; the pytest suite bounds the
+    estimates against exact values instead."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").alias(
+            "value_quantiles"
+        ),
+        F.count("*").alias("n"),
+    )

@@ -1,0 +1,113 @@
+"""Analytic window functions + sessionization (engine extensions — the
+reference's only window is the rank (§2.F); these complete the window
+surface a migrating user expects: lag/lead/ntile, sliding frames, and
+session windows).
+
+Scale shape: all of these shuffle once on the window partition key
+(user/stream), then run in-partition sorted passes — the same cost class
+as the reference's rank derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from merl_etl_spark.operators.joins import TS_FMT_DUCK, TS_FMT_SPARK
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+DEC = "decimal(18,6)"
+DEC_SUM = "decimal(38,6)"
+
+
+@register(
+    "win-analytic-suite",
+    oracle=f"""
+    SELECT event_id, user_id,
+           lag(event_id) OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           row_number() OVER w AS rn,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS type_rank,
+           ntile(4) OVER w AS quartile,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,6)) AS moving_sum3,
+           strftime(COALESCE(lag(ts) OVER w, ts), '{TS_FMT_DUCK}') AS prev_ts
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def win_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / row_number / dense_rank / ntile / bounded-frame moving
+    sum per stream, ordered by block — the §2.F '(frame specs) none'
+    gap filled."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    frame3 = w.rowsBetween(-2, 0)
+    prev_ts = F.lag("ts").over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.row_number().over(w).alias("rn"),
+        F.dense_rank()
+        .over(Window.partitionBy("user_id").orderBy("event_type"))
+        .alias("type_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.sum(F.col("value").cast(DEC)).over(frame3).cast(DEC_SUM).alias("moving_sum3"),
+        F.date_format(F.coalesce(prev_ts, F.col("ts")), TS_FMT_SPARK).alias("prev_ts"),
+    )
+
+
+@register(
+    "win-sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) > 1800 * 1000000
+                  THEN 1 ELSE CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                        IS NULL THEN 1 ELSE 0 END END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts), '{TS_FMT_DUCK}') AS session_last_event,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap via Spark's native
+    ``session_window`` (dynamic-length event-time windows — also valid
+    under Structured Streaming with a watermark).  The oracle derives the
+    identical sessions with the classic gaps-and-islands SQL."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("s_min"),
+            F.max("ts").alias("s_max"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast(DEC_SUM).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("s_min", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("s_max", TS_FMT_SPARK).alias("session_last_event"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -75,6 +75,44 @@ def snapshot_replace(df: DataFrame, path: str, partition_cols: Sequence[str]) ->
     )
 
 
+def run_with_audit(job_name: str, scheduled_for, body, audit_log: list):
+    """Job audit wrapper (sink-audit-jobrun; merlin_etl.py:133-152): run
+    ``body()`` (returning (result, stats)), append a job_runs-shaped audit
+    row to ``audit_log`` either way, re-raise on error — the reference's
+    start-row / finish-update / error-audit-and-reraise discipline
+    (merlin_etl.py:472-475)."""
+    import datetime as dt
+    import json as _json
+
+    started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    row = {
+        "job_name": job_name,
+        "scheduled_for": scheduled_for,
+        "started_at": started,
+        "finished_at": None,
+        "status": None,
+        "stats": None,
+        "error": None,
+    }
+    try:
+        result, stats = body()
+    except Exception as exc:
+        row.update(
+            finished_at=dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+            status="error",
+            error=str(exc),
+        )
+        audit_log.append(row)
+        raise
+    row.update(
+        finished_at=dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+        status="success",
+        stats=_json.dumps(stats),
+    )
+    audit_log.append(row)
+    return result
+
+
 # ---------------------------------------------------------------------------
 # Driver-checkable batch forms of the dedup semantics
 # ---------------------------------------------------------------------------
