@@ -18,6 +18,7 @@ is chosen to also be the right default on a large cluster:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -43,6 +44,11 @@ def get_spark(app_name: str = "merl_etl_spark", cpus: str | None = None) -> Spar
         # Fixture parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
         # read as long and convert in the loader (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # catalog home for bucketed tables (static conf — must be set here)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), f"merl_spark_warehouse_{os.getpid()}"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
