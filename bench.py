@@ -48,6 +48,11 @@ HEADLINE = [
     "sim-topk-cosine",
     "sim-lsh-bucketed",
     "mm-feature-extract",
+    "analytics-pricing-summary",
+    "analytics-shipping-priority",
+    "analytics-regional-volume",
+    "win-sessionize",
+    "join-asof-blocktime",
 ]
 
 

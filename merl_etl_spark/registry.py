@@ -47,6 +47,8 @@ def load_all() -> None:
     import merl_etl_spark.operators.aggregates  # noqa: F401
     import merl_etl_spark.operators.sorts  # noqa: F401
     import merl_etl_spark.functions.scalar_queries  # noqa: F401
+    import merl_etl_spark.functions.json_queries  # noqa: F401
+    import merl_etl_spark.functions.uint256  # noqa: F401
     import merl_etl_spark.operators.windows_time  # noqa: F401
     import merl_etl_spark.operators.projections  # noqa: F401
     import merl_etl_spark.operators.asof  # noqa: F401
