@@ -212,20 +212,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming ball — dedup becomes a fingerprint groupBy / banded lookup
     instead of pairwise comparison."""
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).distinct()
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .withColumn("m", F.md5("w"))  # hash once; 16 parity extracts below
+    )
     votes = words.groupBy("doc_id").agg(
         *[
             F.sum(
                 2
-                * (
-                    (
-                        F.expr(f"instr('0123456789abcdef', substr(md5(w), {j + 1}, 1))")
-                        - 1
-                    )
-                    % 2
-                )
+                * ((F.expr(f"instr('0123456789abcdef', substr(m, {j + 1}, 1))") - 1) % 2)
                 - 1
             ).alias(f"v{j}")
             for j in range(N_SIM_BITS)

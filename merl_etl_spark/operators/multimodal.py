@@ -56,7 +56,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic fake decode dimensions.  All computed on BinaryType
     columns JVM-side."""
     b = binary_docs(spark, sf_dir)
-    n = F.octet_length(F.col("payload"))
+    n = F.octet_length(F.col("payload")).cast("long")
     return b.select(
         "doc_id",
         n.alias("n_bytes"),
@@ -67,7 +67,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FRAME_SCHEMA = "doc_id long, frame_id int, frame_bytes int, frame_md5 string"
+FRAME_SCHEMA = "doc_id long, frame_id int, frame_bytes long, frame_md5 string"
 
 
 def decode_frames(payload: bytes, real: bool = False) -> list[bytes]:
@@ -152,7 +152,7 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-aggregation stage after decode.  Groups on small metadata
     columns only; payload bytes never cross the shuffle."""
     b = binary_docs(spark, sf_dir)
-    n = F.octet_length(F.col("payload"))
+    n = F.octet_length(F.col("payload")).cast("long")
     return b.groupBy("media_source").agg(
         F.count("*").alias("n_docs"),
         F.sum(n).cast("bigint").alias("total_bytes"),

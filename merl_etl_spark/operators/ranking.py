@@ -42,7 +42,8 @@ def rank_top_k(
     w = (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()).orderBy(
         *order_by
     )
-    return df.withColumn(rank_col, F.rank().over(w)).filter(F.col(rank_col) <= k)
+    # long: SQL engines type RANK() as 64-bit; keeps oracle schemas aligned
+    return df.withColumn(rank_col, F.rank().over(w).cast("long")).filter(F.col(rank_col) <= k)
 
 
 @register(

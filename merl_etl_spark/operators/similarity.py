@@ -108,7 +108,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )

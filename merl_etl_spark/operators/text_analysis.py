@@ -104,12 +104,16 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
         F.size(
             F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0))
-        ).alias("n_re_tokens"),
-        F.length("text").alias("n_chars"),
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace_chars"),
+        )
+        .cast("long")
+        .alias("n_re_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias(
+            "n_nonspace_chars"
+        ),
     )
 
 
@@ -162,8 +166,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sr = F.col("n_stop").cast("double") / F.col("n_tokens")
     return m.select(
         "doc_id",
-        "n_chars",
-        "n_tokens",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
         dr.alias("distinct_ratio"),
         dig.alias("digit_ratio"),
         pr.alias("punct_ratio"),

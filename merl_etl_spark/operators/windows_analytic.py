@@ -53,11 +53,12 @@ def win_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.lag("event_id").over(w).alias("prev_event"),
         F.lead("event_id").over(w).alias("next_event"),
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("long").alias("rn"),
         F.dense_rank()
         .over(Window.partitionBy("user_id").orderBy("event_type"))
+        .cast("long")
         .alias("type_rank"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.sum(F.col("value").cast(DEC)).over(frame3).cast(DEC_SUM).alias("moving_sum3"),
         F.date_format(F.coalesce(prev_ts, F.col("ts")), TS_FMT_SPARK).alias("prev_ts"),
     )

@@ -75,6 +75,27 @@ def snapshot_replace(df: DataFrame, path: str, partition_cols: Sequence[str]) ->
     )
 
 
+def write_partitioned(df: DataFrame, path: str, partition_cols: Sequence[str]) -> None:
+    """Write a dataset in the engine's canonical layout:
+    ``partitionBy(contract_address, bucket_date)`` replaces the reference's
+    B-tree indexes (SURVEY.md §1.4; schema.sql:57-62,125-130).  Equality
+    predicates on the partition columns then prune whole directories at
+    plan time — at 100 TB a one-token/one-bucket query reads one
+    partition's files, not the table."""
+    df.write.mode("append").partitionBy(*partition_cols).parquet(path)
+
+
+def partition_pruning_proof(spark: SparkSession, path: str, predicate: str) -> tuple[int, int]:
+    """Plan probe: (partitions scanned under predicate, total partitions).
+    Used by tests and as a deploy-time layout check."""
+    df = spark.read.parquet(path)
+
+    def files_read(d) -> int:
+        return d.select(F.input_file_name().alias("f")).distinct().count()
+
+    return files_read(df.filter(predicate)), files_read(df)
+
+
 def run_with_audit(job_name: str, scheduled_for, body, audit_log: list):
     """Job audit wrapper (sink-audit-jobrun; merlin_etl.py:133-152): run
     ``body()`` (returning (result, stats)), append a job_runs-shaped audit
