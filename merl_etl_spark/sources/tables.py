@@ -35,8 +35,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # so oracle comparisons agree.
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
+# Runtime session requirements.  The external driver hands queries its OWN
+# SparkSession (built without this engine's session.py), so every entry
+# point must self-configure:
+# - nanosAsLong: without it the events table errors with PARQUET_TYPE_ILLEGAL;
+# - UTC session tz: all reference semantics and formatted outputs are UTC;
+# - ANSI off: the documented decimal overflow→NULL policy (SURVEY §1.3).
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
