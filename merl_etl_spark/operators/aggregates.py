@@ -120,6 +120,52 @@ def agg_conditional_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg-conditional-flow-coalesce",
+    oracle="""
+    WITH asf AS (SELECT max(ts) AS asof_ts FROM events),
+    w AS (
+      SELECT e.* FROM events e, asf a
+      WHERE e.ts >= a.asof_ts - INTERVAL 60 MINUTE
+    )
+    SELECT user_id,
+           CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END
+                        AS DECIMAL(18,6))), 0) AS DECIMAL(38,6)) AS in_amt,
+           CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'error' THEN value END
+                        AS DECIMAL(18,6))), 0) AS DECIMAL(38,6)) AS out_amt,
+           count(*) AS txs
+    FROM w GROUP BY user_id
+    """,
+)
+def agg_conditional_flow_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SECOND conditional-agg form: CASE with no ELSE (sum
+    over NULLs) wrapped in COALESCE(...,0) — scripts/ingest_activity_and_
+    report.sh:84-91, vs the ELSE-0 form at :39-46 (agg-conditional-flow).
+    Same totals on this data; the NULL-vs-0 distinction matters for wallets
+    with zero qualifying rows inside a group (SUM→NULL→0 vs SUM of 0s),
+    and SURVEY §7.3 requires both encodings pinned."""
+    events = load_table(spark, sf_dir, "events")
+    asof = F.broadcast(events.agg(F.max("ts").alias("asof")))
+    w = events.crossJoin(asof).filter(
+        F.col("ts") >= F.col("asof") - F.expr("INTERVAL 60 MINUTES")
+    )
+    return w.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).cast(DEC)),
+            F.lit(0),
+        )
+        .cast(DEC_SUM)
+        .alias("in_amt"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "error", F.col("value")).cast(DEC)),
+            F.lit(0),
+        )
+        .cast(DEC_SUM)
+        .alias("out_amt"),
+        F.count("*").alias("txs"),
+    )
+
+
+@register(
     "agg-scalar-rollup",
     oracle=FLOW_ORACLE_CTE
     + """
