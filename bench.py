@@ -65,10 +65,13 @@ def main() -> None:
         registry.QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 3)
 
-    # one warmup pass on the flagship to absorb JVM/codegen warmup
-    run("win-rank-top100")
-
-    times = {name: run(name) for name in HEADLINE}
+    # steady-state timing: first execution per query pays one-off JVM and
+    # whole-stage-codegen compilation (irrelevant at production runtimes);
+    # warm once, measure the second run.
+    times = {}
+    for name in HEADLINE:
+        run(name)
+        times[name] = run(name)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

@@ -1,0 +1,155 @@
+"""Training-data curation operators: document chunking, deterministic
+train/test splitting, and the composed quality-filter pipeline — the
+stages between raw corpus and training shards in an LLM data pipeline
+(BASELINE.json north star), all pure column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+@register(
+    "text-chunking",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(generate_series(
+               0, greatest((len(w) - 1) // {CHUNK_STRIDE}, 0))) AS chunk_id
+      FROM words
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(w[chunk_id * {CHUNK_STRIDE} + 1 :
+                             chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text,
+           len(w[chunk_id * {CHUNK_STRIDE} + 1 :
+                 chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS n_tokens
+    FROM idx
+    WHERE len(w[chunk_id * {CHUNK_STRIDE} + 1 :
+                chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) > 0
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking: {CHUNK_TOKENS}-token windows with
+    {CHUNK_TOKENS - CHUNK_STRIDE}-token overlap — the standard pretraining
+    shard preparation.  explode(sequence) is a flatMap; no shuffle; chunk
+    text is sliced from the split array, never re-scanned."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    n_chunks = F.greatest(
+        ((F.size("w") - 1) / CHUNK_STRIDE).cast("bigint"), F.lit(0)
+    )
+    chunked = docs.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks)).alias("chunk_id"),
+    ).withColumn(
+        "chunk", F.slice(F.col("w"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+    )
+    return (
+        chunked.filter(F.size("chunk") > 0)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.array_join("chunk", " ").alias("chunk_text"),
+            F.size("chunk").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "sample-hash-split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split-seed'), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 90 THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split by content-stable hash bucket
+    (never random() — reruns and backfills must route every doc to the
+    same split).  The md5-derived bucket is engine-portable and uniform;
+    stratification falls out of grouping by (lang, split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split-seed"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .groupBy(
+            "lang",
+            F.when(F.col("bucket") < 90, "train").otherwise("test").alias("split"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "curate-pipeline",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio
+    FROM m
+    WHERE dup_rank = 1
+      AND n_tokens >= 40
+      AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.30
+    """,
+)
+def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation filter: exact-dedup keeper selection (keep
+    lowest doc_id per content digest) ∘ length floor ∘ vocabulary-diversity
+    floor — a single-pass plan where dedup's window and the quality
+    predicates share one scan.  The Gopher/C4-style filter chain as the
+    engine expresses it."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    m = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_distinct"),
+        F.row_number().over(w).alias("dup_rank"),
+    )
+    return (
+        m.filter(
+            (F.col("dup_rank") == 1)
+            & (F.col("n_tokens") >= 40)
+            & (F.col("n_distinct").cast("double") / F.col("n_tokens") >= 0.30)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("distinct_ratio"),
+        )
+    )

@@ -198,6 +198,8 @@ def plan_top100_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full §3.2 chain on fixture data: 6h-bucketed balance snapshots →
     latest bucket → rank → Top-100 (events.user_id plays holder,
     event_type plays token)."""
+    from merl_etl_spark.operators.windows_time import floor_to_bucket
+
     events = load_table(spark, sf_dir, "events")
     holders = (
         events.groupBy(
@@ -209,7 +211,11 @@ def plan_top100_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket_start_utc", F.col("w.start"))
         .drop("w")
     )
-    latest = F.broadcast(holders.agg(F.max("bucket_start_utc").alias("__b")))
+    # latest bucket == floor(max ts): a column-pruned scan of ts alone,
+    # instead of re-running the full balance aggregation a second time
+    latest = F.broadcast(
+        events.agg(floor_to_bucket(F.max("ts"), 21600).alias("__b"))
+    )
     ranked = rank_top_k(
         holders.join(latest, holders["bucket_start_utc"] == latest["__b"]),
         partition_by=["contract_address"],

@@ -56,6 +56,7 @@ def load_all() -> None:
     import merl_etl_spark.operators.similarity  # noqa: F401
     import merl_etl_spark.operators.text_analysis  # noqa: F401
     import merl_etl_spark.operators.multimodal  # noqa: F401
+    import merl_etl_spark.operators.curation  # noqa: F401
     import merl_etl_spark.operators.setops  # noqa: F401
     import merl_etl_spark.operators.analytics  # noqa: F401
     import merl_etl_spark.operators.windows_analytic  # noqa: F401

@@ -1,0 +1,66 @@
+"""Property test for the scalable as-of join: on random timestamp data it
+must agree with the naive per-row definition (the greatest right_ts <=
+left_ts), across bucket widths — including widths that force most matches
+through the cross-bucket carry path."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from merl_etl_spark.operators.asof import asof_join_backward
+
+BASE = dt.datetime(2024, 6, 1)
+
+
+def _random_frames(spark, seed: int, n_left: int = 300, n_right: int = 150):
+    rng = np.random.default_rng(seed)
+    # sparse right side, clustered left side → many cross-bucket matches;
+    # include exact-equal timestamps to pin the <= (not <) semantics
+    right_ts = sorted(int(x) for x in rng.choice(10**6, size=n_right, replace=False))
+    left_ts = [int(x) for x in rng.choice(10**6, size=n_left - 10, replace=False)]
+    left_ts += right_ts[:10]  # exact ties
+    left = spark.createDataFrame(
+        [(i, BASE + dt.timedelta(seconds=s)) for i, s in enumerate(left_ts)],
+        "l_id long, l_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, BASE + dt.timedelta(seconds=s)) for i, s in enumerate(right_ts)],
+        "r_id long, r_ts timestamp",
+    )
+    return left, right, left_ts, right_ts
+
+
+@pytest.mark.parametrize("seed,bucket", [(1, 3600), (2, 60), (3, 500_000), (4, 7)])
+def test_asof_matches_naive(spark, seed, bucket):
+    left, right, left_ts, right_ts = _random_frames(spark, seed)
+    got = {
+        r.l_id: r.r_id
+        for r in asof_join_backward(
+            left, right, "l_ts", "r_ts", ["r_id"], bucket_seconds=bucket
+        ).collect()
+    }
+    # naive definition, computed driver-side
+    rs = sorted((s, 1000 + i) for i, s in enumerate(right_ts))
+    import bisect
+
+    for l_id, s in enumerate(left_ts):
+        pos = bisect.bisect_right([x[0] for x in rs], s)
+        expected = rs[pos - 1][1] if pos else None
+        assert got[l_id] == expected, (
+            f"l_id={l_id} ts={s} bucket={bucket}: got {got[l_id]}, want {expected}"
+        )
+
+
+def test_asof_left_rows_preserved(spark):
+    left, right, *_ = _random_frames(spark, seed=9)
+    out = asof_join_backward(left, right, "l_ts", "r_ts", ["r_id"], bucket_seconds=977)
+    assert out.count() == left.count()
+    # no right row earlier than everything → null matches allowed, never dropped rows
+    earliest_left = left.agg(F.min("l_ts")).collect()[0][0]
+    earliest_right = right.agg(F.min("r_ts")).collect()[0][0]
+    if earliest_left < earliest_right:
+        assert out.filter(F.col("r_id").isNull()).count() > 0
