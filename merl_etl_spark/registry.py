@@ -57,6 +57,7 @@ def load_all() -> None:
     import merl_etl_spark.operators.text_analysis  # noqa: F401
     import merl_etl_spark.operators.multimodal  # noqa: F401
     import merl_etl_spark.operators.curation  # noqa: F401
+    import merl_etl_spark.operators.sql_api  # noqa: F401
     import merl_etl_spark.operators.setops  # noqa: F401
     import merl_etl_spark.operators.analytics  # noqa: F401
     import merl_etl_spark.operators.windows_analytic  # noqa: F401

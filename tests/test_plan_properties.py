@@ -1,0 +1,54 @@
+"""Plan-property regression tests (ARCHITECTURE.md 'plan evidence'):
+the physical plans that make these operators scale must not silently
+regress — filters must reach the parquet scan, small sides must
+broadcast, rank-filters must compile to WindowGroupLimit, sorts+limits to
+TakeOrderedAndProject, and the flagship's SQL and DataFrame forms must
+produce identical results."""
+
+from __future__ import annotations
+
+import pytest
+
+from merl_etl_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+CASES = [
+    ("filter-blockrange", ["PushedFilters: [IsNotNull(event_id)", "GreaterThanOrEqual(event_id,1000)"]),
+    ("win-rank-top100", ["WindowGroupLimit"]),
+    ("sql-api-top100", ["WindowGroupLimit"]),
+    ("join-latest-bucket", ["BroadcastHashJoin"]),
+    ("join-semi-top100", ["BroadcastHashJoin LeftSemi"]),
+    ("sort-movers-multi", ["TakeOrderedAndProject"]),
+    ("sort-limit-top10", ["WindowGroupLimit", "TakeOrderedAndProject"]),
+    ("agg-conditional-flow", ["HashAggregate"]),
+    ("dedup-exact", ["HashAggregate"]),
+]
+
+
+@pytest.mark.parametrize("name,needles", CASES)
+def test_plan_contains(spark, sf_dir, name, needles):
+    plan = _plan(spark, name, sf_dir)
+    for needle in needles:
+        assert needle in plan, f"{name}: expected {needle!r} in physical plan"
+
+
+def test_column_pruning_on_projection(spark, sf_dir):
+    """A 4-column projection over events must not read props (the widest
+    column) — ReadSchema is the scan's actual column set."""
+    plan = _plan(spark, "filter-blockrange", sf_dir)
+    assert "props" not in plan
+
+
+def test_sql_and_dataframe_forms_agree(spark, sf_dir):
+    a = sorted(map(tuple, QUERIES["win-rank-top100"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["sql-api-top100"](spark, sf_dir).collect()))
+    assert a == b
