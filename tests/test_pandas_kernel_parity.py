@@ -1,0 +1,27 @@
+"""The numpy-kernel top-k (rows-only in the driver) must agree with the
+expression-based top-k: identical neighbor sets per query, similarities
+equal to float tolerance — the check the DuckDB hash cannot express."""
+
+from __future__ import annotations
+
+import pytest
+
+from merl_etl_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_pandas_topk_matches_expression_topk(spark, sf_dir):
+    expr = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.cos_sim)
+        for r in QUERIES["sim-topk-cosine"](spark, sf_dir).collect()
+    }
+    kern = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.cos_sim)
+        for r in QUERIES["sim-topk-pandas"](spark, sf_dir).collect()
+    }
+    assert set(expr) == set(kern)
+    for key, (nid, sim) in expr.items():
+        knid, ksim = kern[key]
+        assert knid == nid, f"{key}: neighbor {knid} != {nid}"
+        assert ksim == pytest.approx(sim, abs=1e-9)
