@@ -117,6 +117,72 @@ def asof_join_backward(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Forward as-of join: left + the right row with min(right_ts) >=
+    left_ts — the explorer's ``closest=after`` lookup (merlin_etl.py:199-213,
+    schema.sql:24) as a full join operator.  Implemented by time-negating
+    both sides and running the backward join: negation reverses order, so
+    'latest at-or-before' becomes 'earliest at-or-after'.  Same scale shape."""
+    # negate at microsecond precision — unix_timestamp() would truncate to
+    # seconds and scramble sub-second ordering
+    neg = lambda c: F.timestamp_micros(-F.unix_micros(F.col(c)))  # noqa: E731
+    l_neg = left.withColumn("__negts", neg(left_ts))
+    r_neg = right.withColumn("__negts_r", neg(right_ts))
+    out = asof_join_backward(
+        l_neg, r_neg, "__negts", "__negts_r", right_cols, bucket_seconds=bucket_seconds
+    )
+    return out.drop("__negts")
+
+
+@register(
+    "join-asof-forward",
+    oracle=f"""
+    WITH l AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT ts AS c_ts, min(event_id) AS signup_id
+      FROM events WHERE event_type = 'signup' GROUP BY ts
+    )
+    SELECT l.purchase_id, l.user_id,
+           strftime(l.p_ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           r.signup_id,
+           strftime(r.c_ts, '{TS_FMT_DUCK}') AS signup_ts
+    FROM l ASOF LEFT JOIN r ON r.c_ts >= l.p_ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase matched to the earliest signup event
+    at-or-after it (the 'closest after' block lookup generalized)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy(F.col("ts").alias("c_ts"))
+        .agg(F.min("event_id").alias("signup_id"))
+    )
+    matched = asof_join_forward(
+        purchases, signups, left_ts="p_ts", right_ts="c_ts", right_cols=["signup_id", "c_ts"]
+    )
+    return matched.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("p_ts", TS_FMT_SPARK).alias("purchase_ts"),
+        "signup_id",
+        F.date_format("c_ts", TS_FMT_SPARK).alias("signup_ts"),
+    )
+
+
 @register(
     "join-asof",
     oracle=f"""

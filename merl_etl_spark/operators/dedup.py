@@ -33,10 +33,12 @@ from merl_etl_spark.sources.tables import load_table
 # shared shingle expressions (Spark SQL + DuckDB twins)
 # --------------------------------------------------------------------------
 
-SPARK_SHINGLES = (
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), "
-    "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-    "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2)))"
+# 3-gram shingles over a pre-split `words` array column (split once —
+# splitting inside the per-shingle lambda would be O(words²) per doc)
+WORDS_SHINGLES = (
+    "transform(sequence(1, greatest(size(words) - 2, 0)), "
+    "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1), "
+    "element_at(words, i + 2)))"
 )
 DUCK_SHINGLES = (
     "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)), "
@@ -120,13 +122,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate it directly instead of pair-exploding)."""
     docs = load_table(spark, sf_dir, "documents")
     # split once; shingling is a per-row flatMap over the cached words array
-    words_shingles = (
-        "transform(sequence(1, greatest(size(words) - 2, 0)), "
-        "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1), "
-        "element_at(words, i + 2)))"
-    )
     sh = docs.withColumn("words", F.split("text", " ")).select(
-        "doc_id", F.explode(F.expr(words_shingles)).alias("sh")
+        "doc_id", F.explode(F.expr(WORDS_SHINGLES)).alias("sh")
     )
     m = F.md5("sh")
     hashed = sh.select(
@@ -259,9 +256,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     *verification* stage after dedup-minhash-lsh, never run all-pairs at
     100 TB).  Integer set sizes divide in IEEE double — deterministic."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sh = docs.select(
-        "doc_id", "lang", F.explode(F.expr(SPARK_SHINGLES)).alias("sh")
-    ).distinct()
+    sh = (
+        docs.withColumn("words", F.split("text", " "))
+        .select("doc_id", "lang", F.explode(F.expr(WORDS_SHINGLES)).alias("sh"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.countDistinct("sh").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -143,6 +143,58 @@ def join_semi_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CAMPAIGNS = [
+    ("launch", "1995-01-01", "1996-07-01"),
+    ("growth", "1996-07-01", "1999-01-01"),
+    ("mature", "1999-01-01", "2002-01-01"),
+]
+
+
+@register(
+    "join-range-interval",
+    oracle="""
+    WITH campaigns(name, start_ts, end_ts) AS (
+      VALUES ('launch', TIMESTAMP '1995-01-01', TIMESTAMP '1996-07-01'),
+             ('growth', TIMESTAMP '1996-07-01', TIMESTAMP '1999-01-01'),
+             ('mature', TIMESTAMP '1999-01-01', TIMESTAMP '2002-01-01')
+    )
+    SELECT c.name AS campaign,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS volume
+    FROM orders o
+    JOIN campaigns c ON o.o_orderdate >= c.start_ts AND o.o_orderdate < c.end_ts
+    GROUP BY c.name
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: facts against a small table of half-open time
+    ranges via a non-equi broadcast join (BroadcastNestedLoop — fine
+    because the range side is tiny and broadcast; a large-large interval
+    join would bucket both sides first, as operators/asof.py does).
+    Generalizes the reference's interval predicates
+    (scripts/ingest_activity_and_report.sh:36) to named range dimensions."""
+    orders = load_table(spark, sf_dir, "orders")
+    campaigns = F.broadcast(
+        spark.createDataFrame(CAMPAIGNS, "name string, start_ts string, end_ts string")
+        .withColumn("start_ts", F.col("start_ts").cast("timestamp"))
+        .withColumn("end_ts", F.col("end_ts").cast("timestamp"))
+    )
+    return (
+        orders.join(
+            campaigns,
+            (orders["o_orderdate"] >= campaigns["start_ts"])
+            & (orders["o_orderdate"] < campaigns["end_ts"]),
+        )
+        .groupBy(F.col("name").alias("campaign"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("volume"),
+        )
+    )
+
+
 @register(
     "join-asof-blocktime",
     oracle=f"""

@@ -55,6 +55,29 @@ def test_asof_matches_naive(spark, seed, bucket):
         )
 
 
+@pytest.mark.parametrize("seed,bucket", [(5, 3600), (6, 41)])
+def test_asof_forward_matches_naive(spark, seed, bucket):
+    from merl_etl_spark.operators.asof import asof_join_forward
+
+    left, right, left_ts, right_ts = _random_frames(spark, seed)
+    got = {
+        r.l_id: r.r_id
+        for r in asof_join_forward(
+            left, right, "l_ts", "r_ts", ["r_id"], bucket_seconds=bucket
+        ).collect()
+    }
+    rs = sorted((s, 1000 + i) for i, s in enumerate(right_ts))
+    import bisect
+
+    keys = [x[0] for x in rs]
+    for l_id, s in enumerate(left_ts):
+        pos = bisect.bisect_left(keys, s)
+        expected = rs[pos][1] if pos < len(rs) else None
+        assert got[l_id] == expected, (
+            f"l_id={l_id} ts={s} bucket={bucket}: got {got[l_id]}, want {expected}"
+        )
+
+
 def test_asof_left_rows_preserved(spark):
     left, right, *_ = _random_frames(spark, seed=9)
     out = asof_join_backward(left, right, "l_ts", "r_ts", ["r_id"], bucket_seconds=977)
