@@ -94,6 +94,86 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def run_top100_maintenance(
+    spark: SparkSession,
+    holders_stream: DataFrame,
+    token: str,
+    state_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous Top-100 maintenance: the §3.2 cron job as a streaming
+    pipeline, correct under ARBITRARY batching (a bucket's snapshot may
+    arrive split across micro-batches, with replays).  Per micro-batch:
+
+    1. append the batch to the holders state table (partitioned by
+       contract/bucket — the engine's canonical layout);
+    2. re-derive the Top-100 for exactly the (contract, bucket) slices the
+       batch touched, reading the FULL state for those slices (partition
+       pruning keeps this proportional to the touched buckets, not the
+       table) with last-wins replay dedup (merlin_etl.py:310-314);
+    3. dynamic-partition-overwrite those output slices — the idempotent
+       delete+insert semantics (sql/top100_from_latest_bucket.sql:119-158).
+
+    Deriving from the batch alone would silently produce partial Top-100s
+    whenever a bucket spans batches — state-then-derive is the correct
+    incremental-view-maintenance shape at any scale."""
+    from merl_etl_spark.operators.ranking import rank_top_k
+    from merl_etl_spark.sinks import upsert_last_wins
+    from pyspark.sql import types as T
+
+    token_l = token.lower()
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.filter(F.col("contract_address") == token_l)
+        if batch.isEmpty():
+            return
+        batch.write.mode("append").partitionBy(
+            "contract_address", "bucket_start_utc"
+        ).parquet(state_dir)
+        touched = [r.bucket_start_utc for r in batch.select("bucket_start_utc").distinct().collect()]
+        state = (
+            spark.read.parquet(state_dir)
+            .filter(F.col("contract_address") == token_l)
+            .filter(F.col("bucket_start_utc").isin(touched))
+        )
+        deduped = upsert_last_wins(
+            state,
+            ["bucket_start_utc", "contract_address", "holder_address"],
+            [F.col("updated_at").desc(), F.col("quantity_raw").desc()],
+        )
+        scaled = deduped.withColumn(
+            "balance",
+            (
+                F.col("quantity_raw").cast(T.DecimalType(38, 0)).cast(T.DecimalType(38, 6))
+                / F.pow(F.lit(10.0), F.col("token_decimal").cast("double")).cast(
+                    T.DecimalType(20, 0)
+                )
+            ).cast(T.DecimalType(38, 6)),
+        )
+        top = rank_top_k(
+            scaled,
+            partition_by=["contract_address", "bucket_start_utc"],
+            order_by=[F.col("balance").desc(), F.col("holder_address").asc()],
+            k=100,
+        ).select(
+            "bucket_start_utc", "contract_address", "rnk", "holder_address", "balance"
+        )
+        (
+            top.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("contract_address", "bucket_start_utc")
+            .parquet(output_dir)
+        )
+
+    return (
+        holders_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_ingestion_job(
     spark: SparkSession,
     events: DataFrame,
