@@ -180,6 +180,118 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text-ngram-counts",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bigrams AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM words
+    ),
+    counted AS (
+      SELECT bigram, count(*) AS n FROM bigrams GROUP BY bigram
+    )
+    SELECT bigram, n, rnk
+    FROM (
+      SELECT bigram, n,
+             row_number() OVER (ORDER BY n DESC, bigram ASC) AS rnk
+      FROM counted
+    )
+    WHERE rnk <= 50
+    """,
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table, top-50 — the LM-preprocessing
+    statistic behind vocabulary building and contamination checks.  At
+    100 TB: explode is a flatMap, the count is a two-phase HashAggregate on
+    the bigram key (shuffle carries (bigram, partial count), not text), and
+    the top-k is a TakeOrdered merge."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigram_expr = (
+        "transform(sequence(1, greatest(size(words) - 1, 0)), "
+        "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1)))"
+    )
+    counted = (
+        docs.withColumn("words", F.split("text", " "))
+        .select(F.explode(F.expr(bigram_expr)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    # TakeOrderedAndProject does the global top-k scalably (per-partition
+    # heaps + driver merge); the rank window then runs on ≤50 rows — a
+    # global window over ALL distinct bigrams would single-partition the
+    # whole vocabulary
+    top = counted.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(50)
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "bigram", "n", "rnk"
+    )
+
+
+PII_EMAIL = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
+PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+@register(
+    "text-pii-scrub",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or 555-' ||
+               lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5,
+           regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{PII_PHONE}', '<PHONE>', 'g') LIKE '%<EMAIL>%' AS has_redaction
+    FROM synth
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, phone numbers) as pure regexp
+    column ops — the compliance scrub every training corpus pass needs.
+    The fixture corpus is synthetic, so deterministic PII is injected per
+    doc first; the digest of the scrubbed text proves byte-exact redaction
+    across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    return synth.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        scrubbed.contains("<EMAIL>").alias("has_redaction"),
+    )
+
+
+@register(
     "text-fingerprint",
     oracle="""
     SELECT doc_id,
