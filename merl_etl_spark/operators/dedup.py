@@ -169,6 +169,69 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    min-label propagation: every node repeatedly adopts the smallest label
+    among itself and its neighbors until a fixed point.  Returns
+    (doc_id, cluster_id) where cluster_id = min doc_id of the component —
+    the canonical keeper.
+
+    Scale shape: each iteration is one join + groupBy-min on the edge list
+    (shuffles keyed by doc_id); iterations needed = graph diameter, which
+    for near-dup clusters is tiny (near-dups of near-dups are near-dups).
+    The loop runs on the driver but every step is distributed — no edge
+    list ever collects.  Convergence is checked with a count aggregate.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .unionByName(pairs.select(F.col(b).alias("x"), F.col(a).alias("y")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["y"] == labels["node"])
+            .groupBy(F.col("x").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@register("dedup-clusters")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH candidate pairs → connected
+    components → per-cluster canonical keeper (min doc_id) — the decision
+    stage that turns pair lists into actual drop/keep actions.  Iterative
+    fixed-point algorithm ⇒ registered rows-only; the pytest suite
+    verifies against a driver-side union-find."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    comp = connected_components(pairs)
+    return comp.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+
+
 N_SIM_BITS = 16
 
 

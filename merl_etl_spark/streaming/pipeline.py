@@ -94,6 +94,36 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def activity_stream(
+    events: DataFrame,
+    top_wallets: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The §3.3 hourly activity report as a LIVE query: stream-static
+    semi-join against the (small, static) Top-100 wallet list, then
+    windowed conditional in/out flow per (window, wallet).  The static
+    side broadcasts into every micro-batch — the streaming form of
+    ``wallet_address IN (SELECT holder_address …)``
+    (scripts/ingest_activity_and_report.sh:37).  Emits one row per
+    closed (60-minute window, wallet)."""
+    wallets = F.broadcast(top_wallets.select(F.col("user_id")).distinct())
+    return (
+        events.withWatermark("ts", watermark)
+        .join(wallets, "user_id", "left_semi")
+        .groupBy(F.window("ts", "60 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            dec_sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0)
+            ).alias("in_amt"),
+            dec_sum(
+                F.when(F.col("event_type") == "error", F.col("value")).otherwise(0)
+            ).alias("out_amt"),
+            F.count("*").alias("txs"),
+        )
+        .select(F.col("w.start").alias("window_start"), "user_id", "in_amt", "out_amt", "txs")
+    )
+
+
 def run_top100_maintenance(
     spark: SparkSession,
     holders_stream: DataFrame,
