@@ -53,6 +53,10 @@ HEADLINE = [
     "analytics-regional-volume",
     "win-sessionize",
     "join-asof-blocktime",
+    "text-ngram-counts",
+    "text-pii-scrub",
+    "curate-pipeline",
+    "uint256-exact-sum",
 ]
 
 

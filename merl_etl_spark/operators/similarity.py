@@ -168,6 +168,62 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim-ivf-ann")
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a KMeans coarse quantizer (k=16, fixed
+    seed) partitions the corpus into cells; each query probes only the
+    nprobe=4 nearest cells and scores exact cosine inside them.  The
+    100 TB shape: centroids are tiny (broadcast), cell assignment is a
+    map, and scoring touches nprobe/k of the corpus — the recall/cost dial
+    every production vector index exposes.  KMeans training is iterative ⇒
+    registered rows-only; the pytest suite checks recall against brute
+    force instead."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("arr")
+    )
+    vecs = emb.withColumn("features", array_to_vector("arr"))
+    model = KMeans(k=16, seed=42, featuresCol="features").fit(vecs)
+    centers = model.clusterCenters()
+
+    assigned = model.transform(vecs).select(
+        "vec_id", "arr", F.col("prediction").alias("cell")
+    )
+
+    # queries = vec_id < 5; probe the 4 nearest cells per query (computed
+    # driver-side over the 16-row centroid table — broadcast-scale data)
+    queries = assigned.filter(F.col("vec_id") < 5).collect()
+    probe_rows = []
+    for q in queries:
+        qv = np.array(q.arr)
+        qn = qv / np.linalg.norm(qv)
+        sims = [
+            (ci, float(qn @ (c / np.linalg.norm(c)))) for ci, c in enumerate(centers)
+        ]
+        for cell, _ in sorted(sims, key=lambda t: -t[1])[:4]:
+            probe_rows.append((q.vec_id, q.arr, cell))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, cell int"
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine("qv", "arr"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rnk")
+    )
+
+
 @register("sim-topk-pandas")
 def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vectorized kernel variant of sim-topk-cosine: queries broadcast to
