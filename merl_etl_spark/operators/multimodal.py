@@ -136,6 +136,51 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm-resize-plan",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 640 + 1 AS src_w,
+             octet_length(encode(text)) % 480 + 1 AS src_h
+      FROM documents
+    )
+    SELECT doc_id, src_w, src_h,
+           CAST(floor(src_w * least(224.0 / src_w, 224.0 / src_h)) AS BIGINT) AS dst_w,
+           CAST(floor(src_h * least(224.0 / src_w, 224.0 / src_h)) AS BIGINT) AS dst_h,
+           (224 - CAST(floor(src_w * least(224.0 / src_w, 224.0 / src_h)) AS BIGINT)) // 2
+             AS pad_left,
+           (224 - CAST(floor(src_h * least(224.0 / src_w, 224.0 / src_h)) AS BIGINT)) // 2
+             AS pad_top
+    FROM dims
+    """,
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning: aspect-preserving fit of each (fake) image into a
+    224×224 letterbox — target dims + centering pads as pure integer/
+    rational arithmetic.  The actual pixel resample belongs in the decode
+    kernel (mm-frame-sample's mapInPandas); planning the geometry as
+    columns keeps the expensive Python step minimal and the metadata
+    queryable without touching bytes."""
+    b = binary_docs(spark, sf_dir)
+    n = F.octet_length(F.col("payload")).cast("long")
+    src_w = (n % 640 + 1).alias("src_w")
+    src_h = (n % 480 + 1).alias("src_h")
+    d = b.select("doc_id", src_w, src_h)
+    scale = F.least(224.0 / F.col("src_w"), 224.0 / F.col("src_h"))
+    dst_w = F.floor(F.col("src_w") * scale).cast("long")
+    dst_h = F.floor(F.col("src_h") * scale).cast("long")
+    return d.select(
+        "doc_id",
+        "src_w",
+        "src_h",
+        dst_w.alias("dst_w"),
+        dst_h.alias("dst_h"),
+        F.floor((224 - dst_w) / 2).cast("long").alias("pad_left"),
+        F.floor((224 - dst_h) / 2).cast("long").alias("pad_top"),
+    )
+
+
+@register(
     "mm-feature-extract",
     oracle="""
     SELECT source AS media_source,
