@@ -75,6 +75,56 @@ def snapshot_replace(df: DataFrame, path: str, partition_cols: Sequence[str]) ->
     )
 
 
+def merge_into_parquet(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    partition_cols: Sequence[str] | None = None,
+) -> None:
+    """MERGE (upsert) into a plain-parquet table: union target + updates,
+    keep the winning row per conflict key, rewrite.  This is the
+    table-format-free equivalent of Delta/Iceberg MERGE the reference's
+    ON CONFLICT DO UPDATE maps to (merlin_etl.py:304-318).
+
+    With ``partition_cols``, only the partitions present in ``updates``
+    are read and rewritten (partition pruning on read, dynamic overwrite
+    on write) — at 100 TB a bucket-scoped upsert touches one partition.
+    Without them, the whole table rewrites (fine for small control tables
+    like cursors; use a real lakehouse format when row-level merge on huge
+    unpartitioned tables is routine)."""
+    import os
+
+    target_exists = os.path.exists(target_path)
+    if target_exists and partition_cols:
+        parts = updates.select(*partition_cols).distinct()
+        existing = spark.read.parquet(target_path).join(
+            F.broadcast(parts), list(partition_cols), "left_semi"
+        )
+    elif target_exists:
+        existing = spark.read.parquet(target_path)
+    else:
+        existing = updates.limit(0)
+    merged = upsert_last_wins(
+        existing.unionByName(updates, allowMissingColumns=False), keys, order_by
+    )
+    # Spark refuses to overwrite a path its own plan reads from; stage the
+    # merged result, then write target from the staged copy.
+    import shutil
+
+    staging = target_path.rstrip("/") + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    writer = staged.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
+            *partition_cols
+        )
+    writer.parquet(target_path)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: Sequence[str]) -> None:
     """Write a dataset in the engine's canonical layout:
     ``partitionBy(contract_address, bucket_date)`` replaces the reference's

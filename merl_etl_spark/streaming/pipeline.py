@@ -94,6 +94,45 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def purchase_click_attribution_stream(
+    events: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream join: each purchase attributed to the
+    same user's clicks in the preceding attribution window — the
+    two-stream correlation pattern (billing events × usage events) the
+    reference handles by batch re-query, expressed as a true streaming
+    join.  State on both sides is bounded by the watermark + the explicit
+    time-range condition (Spark evicts rows whose join window has passed)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {attribution_window}")),
+        "inner",
+    ).select("purchase_id", "user_id", "p_ts", "purchase_value", "click_id", "c_ts")
+
+
 def activity_stream(
     events: DataFrame,
     top_wallets: DataFrame,
