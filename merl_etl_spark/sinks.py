@@ -91,38 +91,64 @@ def merge_into_parquet(
     With ``partition_cols``, only the partitions present in ``updates``
     are read and rewritten (partition pruning on read, dynamic overwrite
     on write) — at 100 TB a bucket-scoped upsert touches one partition.
-    Without them, the whole table rewrites (fine for small control tables
-    like cursors; use a real lakehouse format when row-level merge on huge
-    unpartitioned tables is routine)."""
-    import os
+    CONTRACT: every partition column must be functionally determined by
+    the merge keys and immutable across versions of a key — an update
+    that moves a key to a different partition would leave the stale row
+    in the old partition (the classic MERGE-on-partitioned-path hazard);
+    use a lakehouse format if keys migrate between partitions.
 
-    target_exists = os.path.exists(target_path)
+    Without ``partition_cols`` the whole table rewrites (fine for small
+    control tables like cursors).  Crash safety: the merged result is
+    staged first; the staging copy is deleted only after the target write
+    succeeds, so a crash mid-overwrite leaves the staging directory as
+    the recovery source.  Single-writer discipline per target path is the
+    caller's job (the reference used flock, scripts/ingest_tokentx_top100
+    .sh:13-18); staging paths are unique per run so concurrent writers
+    cannot corrupt each other's staging."""
+    import uuid
+
+    # scheme-aware existence check: probe for committed parquet data via a
+    # read attempt (os.path.exists would be wrong for s3a://, hdfs://,
+    # file: URIs, and for directories wrecked by a crashed first write —
+    # both are treated as "no committed table", which self-heals)
+    try:
+        target = spark.read.parquet(target_path)
+        _ = target.schema
+        target_exists = True
+    except Exception:
+        target_exists = False
+
     if target_exists and partition_cols:
         parts = updates.select(*partition_cols).distinct()
-        existing = spark.read.parquet(target_path).join(
-            F.broadcast(parts), list(partition_cols), "left_semi"
-        )
+        existing = target.join(F.broadcast(parts), list(partition_cols), "left_semi")
     elif target_exists:
-        existing = spark.read.parquet(target_path)
+        existing = target
     else:
         existing = updates.limit(0)
     merged = upsert_last_wins(
         existing.unionByName(updates, allowMissingColumns=False), keys, order_by
     )
     # Spark refuses to overwrite a path its own plan reads from; stage the
-    # merged result, then write target from the staged copy.
-    import shutil
-
-    staging = target_path.rstrip("/") + ".staging"
+    # merged result (unique per run), then write target from the staging
+    # copy and drop staging only on success.
+    staging = f"{target_path.rstrip('/')}.staging-{uuid.uuid4().hex[:12]}"
     merged.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
-    writer = staged.write.mode("overwrite")
     if partition_cols:
-        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
-            *partition_cols
-        )
-    writer.parquet(target_path)
-    shutil.rmtree(staging, ignore_errors=True)
+        snapshot_replace(staged, target_path, partition_cols)
+    else:
+        staged.write.mode("overwrite").parquet(target_path)
+    _delete_path(spark, staging)
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Scheme-aware recursive delete through the Hadoop filesystem layer
+    (works for local paths, file:, hdfs://, s3a:// alike)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    fs.delete(jpath, True)
 
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: Sequence[str]) -> None:

@@ -64,3 +64,23 @@ def test_merge_partitioned_touches_only_update_partitions(spark, tmp_path):
         ("t1", "h3"): 50,
         ("t2", "h1"): 300,
     }
+
+
+def test_merge_staging_cleaned_and_wrecked_dir_self_heals(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "t")
+    merge_into_parquet(
+        spark, path, _cursors(spark, [("a", 1, 1)]), ["stream"], _order()
+    )
+    # staging dirs are unique-per-run and removed on success
+    assert not [d for d in os.listdir(str(tmp_path)) if ".staging-" in d]
+
+    # a directory with no committed parquet (crashed first write) must not
+    # wedge the merge — it reads as "no table" and the next merge succeeds
+    wrecked = str(tmp_path / "w")
+    os.makedirs(os.path.join(wrecked, "_temporary"))
+    merge_into_parquet(
+        spark, wrecked, _cursors(spark, [("x", 9, 1)]), ["stream"], _order()
+    )
+    assert {r.stream for r in spark.read.parquet(wrecked).collect()} == {"x"}
