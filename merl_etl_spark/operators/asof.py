@@ -53,19 +53,25 @@ def asof_join_backward(
     )
 
     l_cols = left.columns
+    # The matched right row travels as ONE struct so the window carry and
+    # the cross-bucket coalesce stay row-atomic: per-column
+    # last(ignorenulls) would tear rows whenever a right column is
+    # legitimately NULL (mixing values from different right rows).
+    r_struct = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    r_struct_type = r_tag.select(r_struct.alias("s")).schema["s"].dataType
     unioned = l_tag.select(
         F.col(left_ts).alias("__ts"),
         "__bucket",
         "__is_left",
         *[F.col(c).alias(f"__l_{c}") for c in l_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     ).unionByName(
         r_tag.select(
             F.col(right_ts).alias("__ts"),
             "__bucket",
             "__is_left",
             *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in l_cols],
-            *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+            r_struct.alias("__r"),
         )
     )
 
@@ -77,11 +83,7 @@ def asof_join_backward(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     in_bucket = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w_in).alias(f"__in_{c}")
-            for c in right_cols
-        ],
+        "*", F.last(F.col("__r"), ignorenulls=True).over(w_in).alias("__in")
     ).filter(F.col("__is_left") == 1)
 
     # Per-bucket closing values (one row per bucket → tiny), carried forward
@@ -91,7 +93,7 @@ def asof_join_backward(
     closing = (
         r_tag.withColumn("__rn", F.row_number().over(w_ts))
         .filter(F.col("__rn") == 1)
-        .select("__bucket", *[F.col(c).alias(f"__close_{c}") for c in right_cols])
+        .select("__bucket", r_struct.alias("__close"))
     )
     all_buckets = in_bucket.select("__bucket").distinct().unionByName(
         closing.select("__bucket")
@@ -99,21 +101,15 @@ def asof_join_backward(
     w_carry = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     prev = all_buckets.join(closing, "__bucket", "left").select(
         "__bucket",
-        *[
-            F.last(F.col(f"__close_{c}"), ignorenulls=True)
-            .over(w_carry)
-            .alias(f"__prev_{c}")
-            for c in right_cols
-        ],
+        F.last(F.col("__close"), ignorenulls=True).over(w_carry).alias("__prev"),
     )
 
-    joined = in_bucket.join(F.broadcast(prev), "__bucket", "left")
+    joined = in_bucket.join(F.broadcast(prev), "__bucket", "left").withColumn(
+        "__match", F.coalesce(F.col("__in"), F.col("__prev"))
+    )
     return joined.select(
         *[F.col(f"__l_{c}").alias(c) for c in l_cols],
-        *[
-            F.coalesce(F.col(f"__in_{c}"), F.col(f"__prev_{c}")).alias(c)
-            for c in right_cols
-        ],
+        *[F.col("__match").getField(c).alias(c) for c in right_cols],
     )
 
 

@@ -34,11 +34,16 @@ from merl_etl_spark.sources.tables import load_table
 # --------------------------------------------------------------------------
 
 # 3-gram shingles over a pre-split `words` array column (split once —
-# splitting inside the per-shingle lambda would be O(words²) per doc)
+# splitting inside the per-shingle lambda would be O(words²) per doc).
+# Guarded: Spark's sequence(1, 0) yields a DESCENDING [1, 0] and
+# element_at(words, 0) throws, so docs with < 3 words must short-circuit
+# to an empty array (the DuckDB generate_series(1, 0) is empty already).
 WORDS_SHINGLES = (
-    "transform(sequence(1, greatest(size(words) - 2, 0)), "
+    "CASE WHEN size(words) >= 3 THEN "
+    "transform(sequence(1, size(words) - 2), "
     "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1), "
-    "element_at(words, i + 2)))"
+    "element_at(words, i + 2))) "
+    "ELSE array() END"
 )
 DUCK_SHINGLES = (
     "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)), "
@@ -208,6 +213,9 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
                 ),
             )
         )
+        # truncate lineage: without this, iteration k re-executes all k-1
+        # previous joins (quadratic recompute + unbounded plan depth)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -235,15 +243,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SIM_BITS = 16
 
 
-def _simhash_exprs(engine: str) -> str:
-    """Per-bit parity of the j-th md5 hex digit, summed as ±1 votes."""
-    pos = "instr('0123456789abcdef', substr(md5(w), {j}, 1))" if engine == "spark" else (
-        "strpos('0123456789abcdef', substr(md5(w), {j}, 1))"
-    )
-    votes = ",\n             ".join(
-        f"sum(2 * (({pos.format(j=j + 1)} - 1) % 2) - 1) AS v{j}" for j in range(N_SIM_BITS)
-    )
-    return votes
+def _simhash_votes(digest_expr: str, pos_fn: str) -> list[str]:
+    """Per-bit parity of the j-th hex digit of ``digest_expr``, summed as
+    ±1 votes — ONE template instantiated for both engines (Spark: the
+    hoisted column ``m`` with instr; DuckDB: ``md5(w)`` with strpos) so
+    the vote formula cannot drift between query and oracle."""
+    return [
+        f"sum(2 * (({pos_fn}('0123456789abcdef', substr({digest_expr}, {j + 1}, 1)) - 1) % 2) - 1)"
+        f" AS v{j}"
+        for j in range(N_SIM_BITS)
+    ]
+
+
+_SIMHASH_DUCK_VOTES = ",\n             ".join(_simhash_votes("md5(w)", "strpos"))
 
 
 def _simhash_fingerprint() -> str:
@@ -258,7 +270,7 @@ def _simhash_fingerprint() -> str:
     ),
     votes AS (
       SELECT doc_id,
-             {_simhash_exprs("duck")}
+             {_SIMHASH_DUCK_VOTES}
       FROM words GROUP BY doc_id
     )
     SELECT doc_id, CAST({_simhash_fingerprint()} AS BIGINT) AS simhash
@@ -278,14 +290,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("m", F.md5("w"))  # hash once; 16 parity extracts below
     )
     votes = words.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                2
-                * ((F.expr(f"instr('0123456789abcdef', substr(m, {j + 1}, 1))") - 1) % 2)
-                - 1
-            ).alias(f"v{j}")
-            for j in range(N_SIM_BITS)
-        ]
+        *[F.expr(v) for v in _simhash_votes("m", "instr")]
     )
     return votes.select(
         "doc_id", F.expr(_simhash_fingerprint()).cast("bigint").alias("simhash")

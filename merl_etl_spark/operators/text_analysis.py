@@ -211,9 +211,12 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # guarded like dedup.WORDS_SHINGLES: sequence(1, 0) descends in Spark
     bigram_expr = (
-        "transform(sequence(1, greatest(size(words) - 1, 0)), "
-        "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1)))"
+        "CASE WHEN size(words) >= 2 THEN "
+        "transform(sequence(1, size(words) - 1), "
+        "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1))) "
+        "ELSE array() END"
     )
     counted = (
         docs.withColumn("words", F.split("text", " "))

@@ -25,6 +25,30 @@ from merl_etl_spark.sources.tables import load_table
 TRANSFER_DEDUP_KEYS = ["tx_hash", "contract_address", "wallet_address", "value_raw", "tx_index_key"]
 
 
+def scale_and_rank_top100(snapshots: DataFrame, k: int = 100) -> DataFrame:
+    """Shared §3.2 derivation core: per-row ``quantity_raw /
+    10^token_decimal`` scaled balance (sql/top100_compute.sql:16) + the
+    deterministic rank window + top-k filter, over whatever (contract,
+    bucket) slices are present.  Both the batch job (derive_top100) and
+    the streaming maintenance (run_top100_maintenance) call this — one
+    canonical implementation keeps stream==batch parity structural."""
+    scaled = snapshots.withColumn(
+        "balance",
+        (
+            F.col("quantity_raw").cast(T.DecimalType(38, 0)).cast(T.DecimalType(38, 6))
+            / F.pow(F.lit(10.0), F.col("token_decimal").cast("double")).cast(
+                T.DecimalType(20, 0)
+            )
+        ).cast(T.DecimalType(38, 6)),
+    )
+    return rank_top_k(
+        scaled,
+        partition_by=["contract_address", "bucket_start_utc"],
+        order_by=[F.col("balance").desc(), F.col("holder_address").asc()],
+        k=k,
+    )
+
+
 def derive_top100(holders: DataFrame, token: str, k: int = 100) -> DataFrame:
     """§3.2 derivation: holders snapshot → latest bucket → scaled balance →
     rank window → Top-k (sql/top100_compute.sql:4-29).
@@ -39,25 +63,10 @@ def derive_top100(holders: DataFrame, token: str, k: int = 100) -> DataFrame:
     token_l = token.lower()
     filtered = holders.filter(F.col("contract_address") == token_l)
     latest = F.broadcast(filtered.agg(F.max("bucket_start_utc").alias("__latest")))
-    scaled = (
-        filtered.join(latest, filtered["bucket_start_utc"] == latest["__latest"])
-        .drop("__latest")
-        .withColumn(
-            "balance",
-            (
-                F.col("quantity_raw").cast(T.DecimalType(38, 0)).cast(T.DecimalType(38, 6))
-                / F.pow(F.lit(10.0), F.col("token_decimal").cast("double")).cast(
-                    T.DecimalType(20, 0)
-                )
-            ).cast(T.DecimalType(38, 6)),
-        )
-    )
-    ranked = rank_top_k(
-        scaled,
-        partition_by=["contract_address", "bucket_start_utc"],
-        order_by=[F.col("balance").desc(), F.col("holder_address").asc()],
-        k=k,
-    )
+    snapshot = filtered.join(
+        latest, filtered["bucket_start_utc"] == latest["__latest"]
+    ).drop("__latest")
+    ranked = scale_and_rank_top100(snapshot, k=k)
     return ranked.select(
         "bucket_start_utc",
         "contract_address",
@@ -120,7 +129,12 @@ def activity_report(
     wallets = top100.select(F.col("holder_address").alias("wallet_address")).distinct()
     w = (
         transfers.filter(
-            (F.col("contract_address") == token_l) & (F.col("block_time_utc") >= window_lo)
+            (F.col("contract_address") == token_l)
+            & (F.col("block_time_utc") >= window_lo)
+            # upper bound: the reference's now() is implicitly the data
+            # horizon; re-deriving a historical hour over a table that has
+            # since grown must not leak post-asof transfers in
+            & (F.col("block_time_utc") <= F.lit(asof))
         )
         .join(F.broadcast(wallets), "wallet_address", "left_semi")
     )

@@ -50,6 +50,9 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
     of the reference's paged REST source (src-tokentx-paged): bounded
     batches (maxFilesPerTrigger ↔ page size), resumable via checkpoint
     (↔ ingestion_cursors)."""
+    from merl_etl_spark.sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)  # vanilla sessions need nanosAsLong/UTC too
     # file streams take a directory; glob-filter selects just the events table
     raw = (
         spark.readStream.schema(EVENTS_NANOS_SCHEMA)
@@ -84,12 +87,15 @@ def sliding_60m_stream(events: DataFrame, watermark: str = "1 hour") -> DataFram
 
 
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Replay-absorbing keyed dedup: withWatermark + dropDuplicates on the
-    conflict key — the streaming form of INSERT … ON CONFLICT DO NOTHING
-    (stream-late-data; merlin_etl.py:446).  State for a key is dropped once
-    the watermark passes it, so state size is bounded by the lateness
-    horizon, not the stream length."""
-    return events.withWatermark("ts", watermark).dropDuplicates(
+    """Replay-absorbing keyed dedup: withWatermark +
+    dropDuplicatesWithinWatermark on the conflict key — the streaming form
+    of INSERT … ON CONFLICT DO NOTHING (stream-late-data;
+    merlin_etl.py:446).  The WithinWatermark variant is what actually
+    bounds state: plain dropDuplicates only evicts state when the
+    event-time column is part of the key subset, otherwise it grows
+    forever; here state for a key is dropped once the watermark passes
+    it, so memory is bounded by the lateness horizon, not stream length."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id", "user_id", "event_type"]
     )
 
@@ -187,9 +193,8 @@ def run_top100_maintenance(
     Deriving from the batch alone would silently produce partial Top-100s
     whenever a bucket spans batches — state-then-derive is the correct
     incremental-view-maintenance shape at any scale."""
-    from merl_etl_spark.operators.ranking import rank_top_k
+    from merl_etl_spark.plans.jobs import scale_and_rank_top100
     from merl_etl_spark.sinks import upsert_last_wins
-    from pyspark.sql import types as T
 
     token_l = token.lower()
 
@@ -211,21 +216,7 @@ def run_top100_maintenance(
             ["bucket_start_utc", "contract_address", "holder_address"],
             [F.col("updated_at").desc(), F.col("quantity_raw").desc()],
         )
-        scaled = deduped.withColumn(
-            "balance",
-            (
-                F.col("quantity_raw").cast(T.DecimalType(38, 0)).cast(T.DecimalType(38, 6))
-                / F.pow(F.lit(10.0), F.col("token_decimal").cast("double")).cast(
-                    T.DecimalType(20, 0)
-                )
-            ).cast(T.DecimalType(38, 6)),
-        )
-        top = rank_top_k(
-            scaled,
-            partition_by=["contract_address", "bucket_start_utc"],
-            order_by=[F.col("balance").desc(), F.col("holder_address").asc()],
-            k=100,
-        ).select(
+        top = scale_and_rank_top100(deduped).select(
             "bucket_start_utc", "contract_address", "rnk", "holder_address", "balance"
         )
         (
@@ -263,7 +254,12 @@ def run_ingestion_job(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.count()
-        batch_df.write.mode("append").parquet(output_dir)
+        # foreachBatch is at-least-once: a crash between write and
+        # checkpoint commit re-runs the batch.  Writing each batch to its
+        # own subdirectory with overwrite makes the replay idempotent
+        # (the re-run replaces its own partial output instead of
+        # appending duplicates).
+        batch_df.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
         cursors = (
             batch_df.groupBy(F.col("user_id").alias("stream"))
             .agg(F.max("event_id").alias("last_scanned_block"), F.count("*").alias("last_page"))

@@ -35,23 +35,10 @@ def test_streaming_top100_converges_to_batch(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "top100"))
     # streamed output covers every bucket, not just the latest: compare
     # per-bucket against the batch rank over the full snapshot table
-    from merl_etl_spark.operators.ranking import rank_top_k
-    from pyspark.sql import types as T
+    from merl_etl_spark.plans.jobs import scale_and_rank_top100
 
-    scaled = holders.filter(F.col("contract_address") == TOKENS[0]).withColumn(
-        "balance",
-        (
-            F.col("quantity_raw").cast(T.DecimalType(38, 0)).cast(T.DecimalType(38, 6))
-            / F.pow(F.lit(10.0), F.col("token_decimal").cast("double")).cast(
-                T.DecimalType(20, 0)
-            )
-        ).cast(T.DecimalType(38, 6)),
-    )
-    want = rank_top_k(
-        scaled,
-        partition_by=["contract_address", "bucket_start_utc"],
-        order_by=[F.col("balance").desc(), F.col("holder_address").asc()],
-        k=100,
+    want = scale_and_rank_top100(
+        holders.filter(F.col("contract_address") == TOKENS[0])
     ).select("bucket_start_utc", "contract_address", "rnk", "holder_address", "balance")
 
     canon = lambda df: sorted(  # noqa: E731
