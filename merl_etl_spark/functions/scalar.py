@@ -9,6 +9,8 @@ reference's SQL scalar functions and its Bash/Python formatting helpers
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -32,14 +34,41 @@ def scale_18d(raw: Column) -> Column:
     """Exact fixed-scale variant: raw base units → 18-decimal human units
     as DECIMAL(38,18), mirroring the stored generated columns
     (schema.sql:51-52,109-110: ``quantity_raw / 10^18`` regardless of
-    token_decimal — the reference's own scaling inconsistency, SURVEY §1.3)."""
-    return (raw.cast(T.DecimalType(38, 18)) / F.lit(10) ** 18).cast(T.DecimalType(38, 18))
+    token_decimal — the reference's own scaling inconsistency, SURVEY §1.3).
+
+    Exactness: a naive decimal division routes through double (POWER) or
+    Spark's scale-6 quotient adjustment, both of which silently drop
+    low-order digits for raws beyond ~2^53.  Instead the value is split
+    exactly: frac = raw mod 10^18 (exact decimal pmod), whole = the exact
+    integral quotient of (raw - frac), recombined at scale 18.  Exact for
+    any raw < 10^38 (human units < 10^20, SURVEY §1.3's documented range);
+    beyond that → NULL (ANSI-off overflow policy)."""
+    ten18 = F.lit(Decimal(10) ** 18)  # DecimalType(19,0)
+    raw_dec = raw.cast(T.DecimalType(38, 0))
+    frac = F.pmod(raw_dec, ten18)  # exact: 0 ≤ frac < 10^18
+    # (raw - frac)/10^18 is an integral exact quotient (the scale-6
+    # adjustment cannot lose digits of an integral value).  Recombining
+    # with decimal ADDITION would hit Spark's precision-39 scale
+    # adjustment (drops the 18th fraction digit), so the digits are
+    # assembled as a string — exact by construction — and parsed once.
+    whole = ((raw_dec - frac) / ten18).cast(T.DecimalType(20, 0))
+    return F.concat(
+        whole.cast("string"), F.lit("."), F.lpad(frac.cast("string"), 18, "0")
+    ).cast(T.DecimalType(38, 18))
+
+
+def floor_to_bucket(ts: Column, seconds: int) -> Column:
+    """Floor a timestamp to a tumbling bucket of ``seconds``.  True floor
+    (F.floor), not cast-truncation: cast('bigint') truncates toward zero,
+    which buckets pre-1970 timestamps to the boundary AFTER the event and
+    diverges from SQL ``//`` floor division."""
+    return F.timestamp_seconds(F.floor(F.unix_timestamp(ts) / seconds).cast("bigint") * seconds)
 
 
 def floor_6h(ts: Column) -> Column:
     """Floor a timestamp to the 6-hour UTC grid 00/06/12/18 (fn-floor-6h;
     merlin_etl.py:190-194)."""
-    return F.timestamp_seconds((F.unix_timestamp(ts) / 21600).cast("bigint") * 21600)
+    return floor_to_bucket(ts, 21600)
 
 
 def trigger_id(ts: Column) -> Column:
@@ -96,8 +125,10 @@ def humanize(col: Column) -> Column:
     v = col.cast("double")
 
     def fmt(scaled: Column, suffix: str) -> Column:
+        # (38,2): an (18,2) cast overflows to NULL for uint256-scale
+        # magnitudes (e.g. 2e28/1e12 = 2e16 > 10^16)
         return F.concat(
-            F.round(scaled, 2).cast(T.DecimalType(18, 2)).cast("string"), F.lit(suffix)
+            F.round(scaled, 2).cast(T.DecimalType(38, 2)).cast("string"), F.lit(suffix)
         )
 
     return (
@@ -105,7 +136,7 @@ def humanize(col: Column) -> Column:
         .when(F.abs(v) >= 1e9, fmt(v / 1e9, "B"))
         .when(F.abs(v) >= 1e6, fmt(v / 1e6, "M"))
         .when(F.abs(v) >= 1e3, fmt(v / 1e3, "K"))
-        .otherwise(F.round(v, 2).cast(T.DecimalType(18, 2)).cast("string"))
+        .otherwise(F.round(v, 2).cast(T.DecimalType(38, 2)).cast("string"))
     )
 
 
@@ -121,15 +152,24 @@ def hex_decode_addr(col: Column) -> Column:
     return F.unhex(F.substr(col, F.lit(3)))
 
 
-def json_stats(*pairs: tuple[str, Column]) -> Column:
+def json_stats(*pairs: tuple[str, Column], string_keys: frozenset[str] | set[str] = frozenset()) -> Column:
     """Build a deterministic JSON stats object from (key, string-castable
     column) pairs (fn-json-build; merlin_etl.py:151,174 json.dumps).
-    Rendered by concatenation so the byte output is engine-portable."""
+    Rendered by concatenation so the byte output is engine-portable.
+    NULL values render as JSON ``null`` (bare concat would null the whole
+    object); keys named in ``string_keys`` are JSON-quoted with escaping —
+    numeric values are emitted bare like json.dumps does."""
     parts: list[Column] = [F.lit("{")]
     for i, (k, v) in enumerate(pairs):
         if i:
             parts.append(F.lit(","))
         parts.append(F.lit(f'"{k}":'))
-        parts.append(v.cast("string"))
+        s = v.cast("string")
+        if k in string_keys:
+            escaped = F.regexp_replace(
+                F.regexp_replace(s, r"\\", r"\\\\"), '"', r"\\\""
+            )
+            s = F.concat(F.lit('"'), escaped, F.lit('"'))
+        parts.append(F.coalesce(s, F.lit("null")))
     parts.append(F.lit("}"))
     return F.concat(*parts)

@@ -20,12 +20,6 @@ TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
 
-def latest_bucket(df: DataFrame, bucket_col: str) -> DataFrame:
-    """1-row DataFrame holding max(bucket) — the reference's ``latest`` CTE
-    (sql/top100_compute.sql:4-8).  Always broadcast-joined by Catalyst."""
-    return df.agg(F.max(bucket_col).alias(bucket_col))
-
-
 @register(
     "join-latest-bucket",
     oracle="""

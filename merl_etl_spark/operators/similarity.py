@@ -241,16 +241,26 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qrows = emb.filter(F.col("vec_id") < 5).collect()  # tiny query set (driver-side by design)
+    if not qrows:  # empty query set: return an empty, correctly-typed frame
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rnk long"
+        )
     q_ids = np.array([r.vec_id for r in qrows])
     q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm = q_mat / np.clip(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300, None)
     bc = spark.sparkContext.broadcast((q_ids, q_norm))
 
     def score(batches):
         ids, qn = bc.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             n_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            n_norm = n_mat / np.linalg.norm(n_mat, axis=1, keepdims=True)
+            # clip: a zero-norm vector would produce NaN rows that rank
+            # unpredictably (the expression variant yields NULL instead)
+            n_norm = n_mat / np.clip(
+                np.linalg.norm(n_mat, axis=1, keepdims=True), 1e-300, None
+            )
             sims = qn @ n_norm.T  # (n_queries, batch)
             for qi, qid in enumerate(ids):
                 yield pd.DataFrame(

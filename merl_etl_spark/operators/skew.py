@@ -42,6 +42,10 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
+    if "__salt" in large.columns or "__salt" in small.columns:
+        raise ValueError(
+            "salted_join reserves the '__salt' column name; rename the input column"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(n_salts))
     big = large.withColumn("__salt", salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")

@@ -25,12 +25,9 @@ from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
 
 
-def floor_to_bucket(ts: Column, seconds: int) -> Column:
-    """Floor a timestamp to a tumbling bucket of ``seconds`` — the 6h
-    bucket normalization (merlin_etl.py:190-194: 00/06/12/18 UTC)."""
-    return F.timestamp_seconds(
-        (F.unix_timestamp(ts) / seconds).cast("bigint") * seconds
-    )
+# re-exported for callers; one canonical implementation (fn-floor-6h's
+# generalization) lives in the scalar library
+from merl_etl_spark.functions.scalar import floor_to_bucket  # noqa: E402, F401
 
 
 @register(

@@ -48,7 +48,10 @@ class RateLimiter:
         wait = (self._last + 1.0 / self.qps) - now
         if wait > 0:
             self.sleep(wait)
-            now = now + wait
+            # re-read the clock: recording the SCHEDULED wake time would
+            # let the next acquire burst early after an oversleep
+            # (merlin_etl.py re-reads time after sleeping too)
+            now = self.clock()
         self._last = now
 
 

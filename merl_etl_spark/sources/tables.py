@@ -45,6 +45,10 @@ _REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
+    # Arrow: pandas interchange for the UDF kernels and fixture frames
+    # (vanilla sessions default it off, where nullable-int pandas columns
+    # fail row-wise type verification)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 

@@ -28,6 +28,64 @@ def test_shingles_short_documents_no_crash(spark):
     assert by_id[3] == ["three words here"]
 
 
+def test_scale_18d_exact_beyond_double(spark):
+    """scale_18d must be digit-exact past 2^53 (the old implementation
+    routed through double POWER and zeroed low-order digits)."""
+    from decimal import Decimal
+
+    from merl_etl_spark.functions.scalar import scale_18d
+
+    vals = [
+        "1000000000000000001",
+        "12345678901234567891",
+        "999999999999999999999999999",
+        "5",
+    ]
+    out = spark.createDataFrame([(v,) for v in vals], "raw string").select(
+        "raw", scale_18d(F.col("raw")).alias("s")
+    ).collect()
+    import decimal
+
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        for r in out:
+            assert r.s == Decimal(r.raw) / Decimal(10**18), (r.raw, r.s)
+
+
+def test_humanize_uint256_scale_and_floor_pre_1970(spark):
+    from merl_etl_spark.functions.scalar import floor_6h, humanize
+
+    df = spark.createDataFrame([(2e28,)], "v double")
+    h = df.select(humanize(F.col("v")).alias("h")).collect()[0].h
+    assert h is not None and h.endswith("T")  # (18,2) cast used to NULL out
+
+    # pre-1970: truncation-toward-zero bucketed events FORWARD in time
+    ts = dt.datetime(1969, 12, 31, 21, 0)
+    b = (
+        spark.createDataFrame([(ts,)], "ts timestamp")
+        .select(floor_6h(F.col("ts")).alias("b"))
+        .collect()[0]
+        .b
+    )
+    assert b == dt.datetime(1969, 12, 31, 18, 0), b
+
+
+def test_json_stats_null_and_string_values(spark):
+    from merl_etl_spark.functions.scalar import json_stats
+
+    df = spark.createDataFrame([(1, None, 'say "hi"')], "a long, b string, c string")
+    out = df.select(
+        json_stats(
+            ("a", F.col("a")), ("b", F.col("b")), ("c", F.col("c")),
+            string_keys={"b", "c"},
+        ).alias("j")
+    ).collect()[0].j
+    import json
+
+    parsed = json.loads(out)
+    assert parsed == {"a": 1, "b": None, "c": 'say "hi"'}
+
+
 def test_asof_null_right_columns_stay_atomic(spark):
     """Right rows (09:00, id=5, extra='x') and (09:10, id=7, extra=NULL):
     a left row at 09:20 must get (7, NULL), never the torn (7, 'x')."""
