@@ -48,8 +48,11 @@ def _uint_scale_down_py(raw: pd.Series, decimals: pd.Series) -> pd.Series:
             continue
         n, d = int(v), int(d)
         scale = 10**d
-        whole, frac = divmod(n, scale)
-        out.append(f"{whole}.{frac:0{d}d}" if d else str(whole))
+        # divmod on negatives floors (divmod(-150,100) = (-2, 50) → the
+        # wrong '-2.50' for -1.5); split sign first
+        sign = "-" if n < 0 else ""
+        whole, frac = divmod(abs(n), scale)
+        out.append(f"{sign}{whole}.{frac:0{d}d}" if d else f"{sign}{whole}")
     return pd.Series(out)
 
 

