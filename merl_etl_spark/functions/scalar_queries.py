@@ -101,12 +101,12 @@ def fn_numeric_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_id,
            strftime(ts, '%Y-%m-%d %H:%M"Z"') AS ts_tochar,
-           strftime(to_timestamp(((epoch_us(ts) // 1000000) // 21600) * 21600),
+           strftime(to_timestamp(CAST(floor(CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) / 21600.0) AS BIGINT) * 21600),
                     '{TS_FMT_DUCK}') AS bucket_6h,
-           strftime(to_timestamp(((epoch_us(ts) // 1000000) // 21600) * 21600),
+           strftime(to_timestamp(CAST(floor(CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) / 21600.0) AS BIGINT) * 21600),
                     '%Y/%m/%d-%H:%M') AS trigger_id,
-           (epoch_us(ts) // 1000000) AS ts_unix,
-           strftime(to_timestamp((epoch_us(ts) // 1000000)), '{TS_FMT_DUCK}') AS ts_roundtrip,
+           CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS ts_unix,
+           strftime(to_timestamp(CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT)), '{TS_FMT_DUCK}') AS ts_roundtrip,
            strftime(ts - INTERVAL 60 MINUTE, '{TS_FMT_DUCK}') AS ts_minus_60m
     FROM events
     WHERE event_id < 500
@@ -149,11 +149,15 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            bal_commified,
            CAST(replace(bal_commified, ',', '') AS DECIMAL(38,2)) AS bal_reparsed,
            CASE
+             WHEN abs(c_acctbal) >= 1000000000000.0
+               THEN CAST(CAST(round(c_acctbal / 1000000000000.0, 2) AS DECIMAL(38,2)) AS VARCHAR) || 'T'
+             WHEN abs(c_acctbal) >= 1000000000.0
+               THEN CAST(CAST(round(c_acctbal / 1000000000.0, 2) AS DECIMAL(38,2)) AS VARCHAR) || 'B'
              WHEN abs(c_acctbal) >= 1000000.0
-               THEN CAST(CAST(round(c_acctbal / 1000000.0, 2) AS DECIMAL(18,2)) AS VARCHAR) || 'M'
+               THEN CAST(CAST(round(c_acctbal / 1000000.0, 2) AS DECIMAL(38,2)) AS VARCHAR) || 'M'
              WHEN abs(c_acctbal) >= 1000.0
-               THEN CAST(CAST(round(c_acctbal / 1000.0, 2) AS DECIMAL(18,2)) AS VARCHAR) || 'K'
-             ELSE CAST(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS VARCHAR)
+               THEN CAST(CAST(round(c_acctbal / 1000.0, 2) AS DECIMAL(38,2)) AS VARCHAR) || 'K'
+             ELSE CAST(CAST(round(c_acctbal, 2) AS DECIMAL(38,2)) AS VARCHAR)
            END AS bal_human,
            regexp_replace(c_mktsegment, '([_*\\[\\]()~`>#+=|{}.!\\\\-])', '\\\\\\1', 'g')
              AS seg_md_escaped,

@@ -39,10 +39,10 @@ CHUNK_STRIDE = 48  # 16-token overlap
     """,
 )
 def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-size overlapping chunking: {CHUNK_TOKENS}-token windows with
-    {CHUNK_TOKENS - CHUNK_STRIDE}-token overlap — the standard pretraining
-    shard preparation.  explode(sequence) is a flatMap; no shuffle; chunk
-    text is sliced from the split array, never re-scanned."""
+    """Fixed-size overlapping chunking: CHUNK_TOKENS(=64)-token windows
+    sliding by CHUNK_STRIDE(=48) — 16-token overlap, the standard
+    pretraining shard preparation.  explode(sequence) is a flatMap; no
+    shuffle; chunk text is sliced from the split array, never re-scanned."""
     docs = load_table(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
     n_chunks = F.greatest(
         ((F.size("w") - 1) / CHUNK_STRIDE).cast("bigint"), F.lit(0)
@@ -70,7 +70,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH assigned AS (
       SELECT doc_id, lang,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split-seed'), 1, 8))::BIGINT
+             ('0x' || substr(md5(text || '|split-seed'), 1, 8))::BIGINT
                % 100 AS bucket
       FROM documents
     )
@@ -84,12 +84,15 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/10 train/test split by content-stable hash bucket
     (never random() — reruns and backfills must route every doc to the
-    same split).  The md5-derived bucket is engine-portable and uniform;
-    stratification falls out of grouping by (lang, split)."""
+    same split).  The bucket hashes the document TEXT, not its id: ids can
+    be re-assigned by a backfill, which would silently migrate documents
+    across the train/test boundary (test contamination); content cannot.
+    The md5-derived bucket is engine-portable and uniform; stratification
+    falls out of grouping by (lang, split)."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
         F.conv(
-            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split-seed"))), 1, 8),
+            F.substring(F.md5(F.concat(F.col("text"), F.lit("|split-seed"))), 1, 8),
             16,
             10,
         ).cast("bigint")

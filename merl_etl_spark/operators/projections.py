@@ -67,7 +67,7 @@ def filter_nonnull_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
            lower(event_type) AS tx_kind,
            CAST(user_id AS VARCHAR) AS wallet_address,
            strftime(ts, '{TS_FMT_DUCK}') AS block_time_utc,
-           (epoch_us(ts) // 1000000) AS block_time_unix,
+           CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS block_time_unix,
            CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS value_raw,
            CAST(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(18,2))
                 * CAST(0.01 AS DECIMAL(4,2)) AS DECIMAL(38,18)) AS value_18d,

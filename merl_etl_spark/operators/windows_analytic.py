@@ -13,12 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from merl_etl_spark.operators.aggregates import DEC, DEC_SUM, dec_sum
 from merl_etl_spark.operators.joins import TS_FMT_DUCK, TS_FMT_SPARK
 from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
-
-DEC = "decimal(18,6)"
-DEC_SUM = "decimal(38,6)"
 
 
 @register(
@@ -102,7 +100,7 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("s_min"),
             F.max("ts").alias("s_max"),
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast(DEC_SUM).alias("total_value"),
+            dec_sum(F.col("value")).alias("total_value"),
         )
         .select(
             "user_id",

@@ -80,7 +80,7 @@ def filter_blockrange(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream-tumbling-6h",
     oracle=f"""
-    SELECT strftime(to_timestamp(((epoch_us(ts) // 1000000) // 21600) * 21600),
+    SELECT strftime(to_timestamp(CAST(floor(CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) / 21600.0) AS BIGINT) * 21600),
                     '{TS_FMT_DUCK}') AS bucket_start,
            event_type,
            count(*) AS n_events,
@@ -114,7 +114,7 @@ def stream_tumbling_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream-sliding-60m",
     oracle=f"""
     SELECT strftime(to_timestamp(
-             (((epoch_us(ts) // 1000000) - o.off) // 3600) * 3600 + o.off),
+             CAST(floor((CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) - o.off) / 3600.0) AS BIGINT) * 3600 + o.off),
              '{TS_FMT_DUCK}') AS window_start,
            count(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value

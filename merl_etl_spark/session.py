@@ -5,8 +5,9 @@ is chosen to also be the right default on a large cluster:
 
 - AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
   dynamic broadcast decisions replace hand-tuned partition counts at scale.
-- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a
-  real cluster AQE coalescing makes the initial number mostly irrelevant.
+- ``spark.sql.shuffle.partitions`` matches the executor thread count
+  (``SPARK_GRAFT_CPUS``, defaulting to this environment's 32); on a real
+  cluster AQE coalescing makes the initial number mostly irrelevant.
 - Session time zone pinned to UTC: the reference stores all instants as UTC
   (merlin_etl.py:180-182, schema.sql TIMESTAMPTZ columns) and every bucket
   computation assumes it.
