@@ -69,6 +69,16 @@ def agg_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def last_hour_window(events: DataFrame) -> DataFrame:
+    """The shared 60-minute frozen-asof lookback prologue: asof = max(ts)
+    broadcast, filter ts >= asof - 60m — used by BOTH conditional-flow
+    encodings so their window definition cannot drift apart."""
+    asof = F.broadcast(events.agg(F.max("ts").alias("asof")))
+    return events.crossJoin(asof).filter(
+        F.col("ts") >= F.col("asof") - F.expr("INTERVAL 60 MINUTES")
+    )
+
+
 def conditional_flow(events: DataFrame) -> DataFrame:
     """Per-wallet conditional in/out sums over the last-60-minutes window.
 
@@ -77,10 +87,7 @@ def conditional_flow(events: DataFrame) -> DataFrame:
     'purchase' events playing inflow and 'error' events playing outflow,
     and the frozen asof = max(ts) playing now().
     """
-    asof = F.broadcast(events.agg(F.max("ts").alias("asof")))
-    w = events.crossJoin(asof).filter(
-        F.col("ts") >= F.col("asof") - F.expr("INTERVAL 60 MINUTES")
-    )
+    w = last_hour_window(events)
     return w.groupBy("user_id").agg(
         dec_sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0)).alias(
             "in_amt"
@@ -144,10 +151,7 @@ def agg_conditional_flow_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame
     with zero qualifying rows inside a group (SUM→NULL→0 vs SUM of 0s),
     and SURVEY §7.3 requires both encodings pinned."""
     events = load_table(spark, sf_dir, "events")
-    asof = F.broadcast(events.agg(F.max("ts").alias("asof")))
-    w = events.crossJoin(asof).filter(
-        F.col("ts") >= F.col("asof") - F.expr("INTERVAL 60 MINUTES")
-    )
+    w = last_hour_window(events)
     return w.groupBy("user_id").agg(
         F.coalesce(
             F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).cast(DEC)),

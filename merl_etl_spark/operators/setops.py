@@ -42,8 +42,8 @@ def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
             purchasers.intersect(clickers).select(F.lit("intersect").alias("op"), "user_id")
         )
         .unionAll(
-            purchasers.exceptAll(erroring)
-            .distinct()
-            .select(F.lit("except").alias("op"), "user_id")
+            # EXCEPT DISTINCT in one operator (inputs already distinct;
+            # exceptAll + distinct would add a shuffle)
+            purchasers.subtract(erroring).select(F.lit("except").alias("op"), "user_id")
         )
     )

@@ -110,12 +110,21 @@ def merge_into_parquet(
     # scheme-aware existence check: probe for committed parquet data via a
     # read attempt (os.path.exists would be wrong for s3a://, hdfs://,
     # file: URIs, and for directories wrecked by a crashed first write —
-    # both are treated as "no committed table", which self-heals)
+    # both are treated as "no committed table", which self-heals).  ONLY
+    # missing-path / no-committed-data errors mean "no table"; anything
+    # else (transient FS failure, permissions) must re-raise — treating it
+    # as empty would downgrade the merge to a destructive overwrite.
+    from pyspark.errors import AnalysisException
+
     try:
         target = spark.read.parquet(target_path)
         _ = target.schema
         target_exists = True
-    except Exception:
+    except AnalysisException as exc:
+        get_cond = getattr(exc, "getCondition", None) or exc.getErrorClass
+        cond = get_cond() or ""
+        if not ("PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond):
+            raise
         target_exists = False
 
     if target_exists and partition_cols:
@@ -162,8 +171,11 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: Sequence[str]) -
 
 
 def partition_pruning_proof(spark: SparkSession, path: str, predicate: str) -> tuple[int, int]:
-    """Plan probe: (partitions scanned under predicate, total partitions).
-    Used by tests and as a deploy-time layout check."""
+    """Plan probe: (files read under predicate, total files), measured via
+    input_file_name() at execution.  Meaningful ONLY for predicates on
+    PARTITION columns (its purpose: a layout check) — a row-level
+    predicate that happens to empty some files would overstate pruning,
+    since fully-scanned files yielding no rows are not counted."""
     df = spark.read.parquet(path)
 
     def files_read(d) -> int:

@@ -72,6 +72,9 @@ def holders_with_replays(base: pd.DataFrame) -> pd.DataFrame:
     updated_at (page replays) — last-wins upsert must keep the newest."""
     dups = base.sample(frac=0.1, random_state=SEED).copy()
     dups["quantity_raw"] = (dups["quantity_raw"].astype(object)).map(lambda s: str(int(s) + 777))
+    # keep the generated-column invariant (quantity_18d == raw/10^18,
+    # schema.sql:51-52) consistent on the replay rows too
+    dups["quantity_18d"] = dups["quantity_raw"].map(lambda s: Decimal(s) / Decimal(10**18))
     dups["updated_at"] = dups["updated_at"] + pd.Timedelta(hours=1)
     return pd.concat([base, dups], ignore_index=True)
 
@@ -90,7 +93,9 @@ def transfers_pdf(holders: pd.DataFrame, n_rows: int = 4000) -> pd.DataFrame:
             ts = ASOF - dt.timedelta(seconds=int(rng.integers(0, 3600)))
         else:
             ts = t0 + dt.timedelta(seconds=int(rng.integers(0, 48 * 3600)))
-        unix = int(ts.timestamp())
+        # naive .timestamp() would read the MACHINE timezone — pin UTC so
+        # the fixed-seed fixture is byte-identical everywhere
+        unix = int(ts.replace(tzinfo=dt.timezone.utc).timestamp())
         wallet = wallets[int(rng.integers(0, len(wallets)))]
         other = wallets[int(rng.integers(0, len(wallets)))]
         inbound = bool(rng.integers(0, 2))

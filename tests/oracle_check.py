@@ -17,18 +17,7 @@ from decimal import Decimal
 import duckdb
 import pandas as pd
 
-TABLES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
+from merl_etl_spark.sources.tables import TABLES
 
 
 def duck_run(sf_dir: str, sql: str) -> pd.DataFrame:
@@ -47,6 +36,8 @@ def _canon_cell(v: object) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "<NULL>"
+        if v == 0.0:
+            return "0"  # normalize -0.0 like the Decimal branch does
         return repr(v)
     if isinstance(v, Decimal):
         s = format(v, "f")
