@@ -184,6 +184,52 @@ def partition_pruning_proof(spark: SparkSession, path: str, predicate: str) -> t
     return files_read(df.filter(predicate)), files_read(df)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: Sequence[str] | None = None,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet dataset into files sized
+    ~``target_file_bytes`` (the operational chore every streaming/upsert
+    sink accumulates — per-micro-batch appends at 100 TB otherwise decay
+    into millions of KB-files whose open/footer overhead dominates scans).
+
+    Sizing uses the dataset's actual on-disk bytes; with
+    ``partition_cols`` the layout is preserved and rows repartition by the
+    partition key so each partition's files compact independently.  The
+    rewrite stages first and swaps via the same crash-safe discipline as
+    merge_into_parquet.  Returns (files_before, files_after)."""
+    import uuid
+
+    df = spark.read.parquet(path)
+    files_before = len(df.inputFiles())
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, int(total_bytes / target_file_bytes) + 1)
+
+    staging = f"{path.rstrip('/')}.compact-{uuid.uuid4().hex[:12]}"
+    if partition_cols:
+        (
+            df.repartition(n_files, *partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(staging)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    writer = staged.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+    _delete_path(spark, staging)
+    return files_before, len(spark.read.parquet(path).inputFiles())
+
+
 def run_with_audit(job_name: str, scheduled_for, body, audit_log: list):
     """Job audit wrapper (sink-audit-jobrun; merlin_etl.py:133-152): run
     ``body()`` (returning (result, stats)), append a job_runs-shaped audit
