@@ -22,14 +22,10 @@ class _ExplodeChunks:
     def eval(self, doc_id: int, text: str):  # noqa: D102 — UDTF contract
         if text is None:
             return
-        words = text.split(" ")
-        chunk_id = 0
-        for start in range(0, max(len(words), 1), CHUNK_STRIDE):
+        words = text.split(" ")  # always ≥1 element; short trailing windows emit
+        for chunk_id, start in enumerate(range(0, len(words), CHUNK_STRIDE)):
             chunk = words[start : start + CHUNK_TOKENS]
-            if not chunk or (chunk_id > 0 and start >= len(words)):
-                break
             yield doc_id, chunk_id, " ".join(chunk), len(chunk)
-            chunk_id += 1
 
 
 def explode_chunks_udtf():

@@ -153,10 +153,7 @@ def merge_into_parquet(
 def _delete_path(spark: SparkSession, path: str) -> None:
     """Scheme-aware recursive delete through the Hadoop filesystem layer
     (works for local paths, file:, hdfs://, s3a:// alike)."""
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(hconf)
+    fs, jpath = _hadoop_fs(spark, path)
     fs.delete(jpath, True)
 
 
@@ -195,39 +192,60 @@ def compact_parquet(
     sink accumulates — per-micro-batch appends at 100 TB otherwise decay
     into millions of KB-files whose open/footer overhead dominates scans).
 
-    Sizing uses the dataset's actual on-disk bytes; with
-    ``partition_cols`` the layout is preserved and rows repartition by the
-    partition key so each partition's files compact independently.  The
-    rewrite stages first and swaps via the same crash-safe discipline as
-    merge_into_parquet.  Returns (files_before, files_after)."""
+    With ``partition_cols`` the Hive layout is preserved and each
+    partition splits across ~size-proportional salted tasks, so a hot
+    partition still produces multiple target-sized files instead of one
+    straggler-written blob.  Compacting a partitioned dataset WITHOUT
+    naming its partition columns is refused — a silent rewrite would
+    flatten the layout and destroy partition pruning for every downstream
+    reader.  The staged result is swapped in by a metadata-only
+    delete+rename (no second full rewrite); a crash before the swap
+    leaves the original intact, after the delete leaves staging as the
+    recovery source.  Returns (files_before, files_after)."""
     import uuid
 
     df = spark.read.parquet(path)
     files_before = len(df.inputFiles())
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(hconf)
+    if not partition_cols and any("=" in f.rsplit("/", 2)[-2] for f in df.inputFiles()):
+        raise ValueError(
+            "dataset appears partitioned (key=value directories); pass "
+            "partition_cols or the compaction would flatten the layout"
+        )
+    fs, jpath = _hadoop_fs(spark, path)
     total_bytes = fs.getContentSummary(jpath).getLength()
     n_files = max(1, int(total_bytes / target_file_bytes) + 1)
 
     staging = f"{path.rstrip('/')}.compact-{uuid.uuid4().hex[:12]}"
     if partition_cols:
+        n_partitions = df.select(*partition_cols).distinct().count()
+        salt_mod = max(1, round(n_files / max(1, n_partitions)))
+        salted = df.withColumn(
+            "__csalt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_mod))
+        )
         (
-            df.repartition(n_files, *partition_cols)
+            salted.repartition(n_files, *partition_cols, F.col("__csalt"))
+            .drop("__csalt")
             .write.mode("overwrite")
             .partitionBy(*partition_cols)
             .parquet(staging)
         )
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(staging)
-    staged = spark.read.parquet(staging)
-    writer = staged.write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(path)
-    _delete_path(spark, staging)
+    # metadata-only swap: the staged files are already final-sized and
+    # final-partitioned, so a second full Spark rewrite would just double
+    # the bytes written
+    fs.delete(jpath, True)
+    _, jstaging = _hadoop_fs(spark, staging)
+    fs.rename(jstaging, jpath)
     return files_before, len(spark.read.parquet(path).inputFiles())
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) through the Hadoop layer — scheme-aware."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf), jpath
 
 
 def run_with_audit(job_name: str, scheduled_for, body, audit_log: list):
