@@ -58,11 +58,12 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(round(l_extendedprice * 100) AS BIGINT) AS price_raw,
-           CAST(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,2))
-                * CAST(0.01 AS DECIMAL(4,2)) AS DECIMAL(38,18)) AS price_scaled,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(38,2)) AS price_2dp,
+           CAST(CAST(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,2))
+                * CAST(0.01 AS DECIMAL(4,2)) AS DECIMAL(18,6)) AS DOUBLE) AS price_scaled,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(38,2)) AS DOUBLE)
+             AS price_2dp,
            CAST(GREATEST(CAST(l_extendedprice AS DECIMAL(18,6)),
-                         CAST(l_quantity * 1000 AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                         CAST(l_quantity * 1000 AS DECIMAL(18,6))) AS DOUBLE)
              AS bigger_flow,
            COALESCE(TRY_CAST(l_returnflag AS BIGINT), -1) AS flag_int,
            CASE WHEN l_discount >= 0.05 THEN 'high' ELSE 'low' END AS discount_band
@@ -81,14 +82,22 @@ def fn_numeric_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         raw.alias("price_raw"),
+        # decimal math internally; output boundary reduces scale to (18,6)
+        # (exact — values have scale 2) then casts once to double, which is
+        # bit-identical across engines while the unscaled value is < 2^53.
         (raw.cast(T.DecimalType(38, 18)) / 100)
-        .cast(T.DecimalType(38, 18))
+        .cast(T.DecimalType(18, 6))
+        .cast("double")
         .alias("price_scaled"),
-        S.two_dec(F.col("l_extendedprice").cast("decimal(18,6)")).alias("price_2dp"),
+        S.two_dec(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("price_2dp"),
         F.greatest(
             F.col("l_extendedprice").cast("decimal(18,6)"),
             (F.col("l_quantity") * 1000).cast("decimal(18,6)"),
-        ).alias("bigger_flow"),
+        )
+        .cast("double")
+        .alias("bigger_flow"),
         S.try_int(F.col("l_returnflag"), -1).alias("flag_int"),
         F.when(F.col("l_discount") >= 0.05, F.lit("high"))
         .otherwise("low")
@@ -147,7 +156,8 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_custkey,
            bal_commified,
-           CAST(replace(bal_commified, ',', '') AS DECIMAL(38,2)) AS bal_reparsed,
+           CAST(CAST(replace(bal_commified, ',', '') AS DECIMAL(38,2)) AS DOUBLE)
+             AS bal_reparsed,
            CASE
              WHEN abs(c_acctbal) >= 1000000000000.0
                THEN CAST(CAST(round(c_acctbal / 1000000000000.0, 2) AS DECIMAL(38,2)) AS VARCHAR) || 'T'
@@ -174,7 +184,7 @@ def fn_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select(
         "c_custkey",
         commified.alias("bal_commified"),
-        S.strip_commas(commified).cast(T.DecimalType(38, 2)).alias("bal_reparsed"),
+        S.strip_commas(commified).cast(T.DecimalType(38, 2)).cast("double").alias("bal_reparsed"),
         S.humanize(F.col("c_acctbal")).alias("bal_human"),
         S.md_escape(F.col("c_mktsegment")).alias("seg_md_escaped"),
         S.json_stats(

@@ -119,11 +119,25 @@ FLOW_ORACLE_CTE = """
 
 @register(
     "agg-conditional-flow",
-    oracle=FLOW_ORACLE_CTE + "SELECT user_id, in_amt, out_amt, txs FROM agg_per_wallet",
+    oracle=FLOW_ORACLE_CTE
+    + """
+    SELECT user_id,
+           CAST(in_amt AS DOUBLE) AS in_amt,
+           CAST(out_amt AS DOUBLE) AS out_amt,
+           txs
+    FROM agg_per_wallet
+    """,
 )
 def agg_conditional_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Internal sums stay decimal (order-insensitive); the single terminal
+    # decimal->double cast is bit-identical across engines (unscaled < 2^53).
     events = load_table(spark, sf_dir, "events")
-    return conditional_flow(events).select("user_id", "in_amt", "out_amt", "txs")
+    return conditional_flow(events).select(
+        "user_id",
+        F.col("in_amt").cast("double").alias("in_amt"),
+        F.col("out_amt").cast("double").alias("out_amt"),
+        "txs",
+    )
 
 
 @register(
@@ -136,9 +150,9 @@ def agg_conditional_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END
-                        AS DECIMAL(18,6))), 0) AS DECIMAL(38,6)) AS in_amt,
+                        AS DECIMAL(18,6))), 0) AS DOUBLE) AS in_amt,
            CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'error' THEN value END
-                        AS DECIMAL(18,6))), 0) AS DECIMAL(38,6)) AS out_amt,
+                        AS DECIMAL(18,6))), 0) AS DOUBLE) AS out_amt,
            count(*) AS txs
     FROM w GROUP BY user_id
     """,
@@ -157,13 +171,13 @@ def agg_conditional_flow_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).cast(DEC)),
             F.lit(0),
         )
-        .cast(DEC_SUM)
+        .cast("double")
         .alias("in_amt"),
         F.coalesce(
             F.sum(F.when(F.col("event_type") == "error", F.col("value")).cast(DEC)),
             F.lit(0),
         )
-        .cast(DEC_SUM)
+        .cast("double")
         .alias("out_amt"),
         F.count("*").alias("txs"),
     )
@@ -175,10 +189,10 @@ def agg_conditional_flow_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame
     + """
     SELECT count(*) AS active_wallets,
            CAST(COALESCE(SUM(txs), 0) AS BIGINT) AS tx_rows,
-           CAST(COALESCE(SUM(in_amt), 0) AS DECIMAL(38,6)) AS total_in,
-           CAST(COALESCE(SUM(out_amt), 0) AS DECIMAL(38,6)) AS total_out,
+           CAST(COALESCE(SUM(in_amt), 0) AS DOUBLE) AS total_in,
+           CAST(COALESCE(SUM(out_amt), 0) AS DOUBLE) AS total_out,
            CAST(COALESCE(SUM(in_amt), 0) - COALESCE(SUM(out_amt), 0)
-                AS DECIMAL(38,6)) AS net
+                AS DOUBLE) AS net
     FROM agg_per_wallet
     """,
 )
@@ -191,10 +205,10 @@ def agg_scalar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_wallet.agg(
         F.count("*").alias("active_wallets"),
         F.coalesce(F.sum("txs"), F.lit(0)).cast("bigint").alias("tx_rows"),
-        F.coalesce(F.sum("in_amt"), F.lit(0)).cast(DEC_SUM).alias("total_in"),
-        F.coalesce(F.sum("out_amt"), F.lit(0)).cast(DEC_SUM).alias("total_out"),
+        F.coalesce(F.sum("in_amt"), F.lit(0)).cast("double").alias("total_in"),
+        F.coalesce(F.sum("out_amt"), F.lit(0)).cast("double").alias("total_out"),
         (F.coalesce(F.sum("in_amt"), F.lit(0)) - F.coalesce(F.sum("out_amt"), F.lit(0)))
-        .cast(DEC_SUM)
+        .cast("double")
         .alias("net"),
     )
 
@@ -203,17 +217,29 @@ def agg_scalar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg-greatest-rowwise",
     oracle=FLOW_ORACLE_CTE
     + """
-    SELECT user_id, in_amt, out_amt, txs,
-           CAST(GREATEST(in_amt, out_amt) AS DECIMAL(38,6)) AS max_flow
+    SELECT user_id,
+           CAST(in_amt AS DOUBLE) AS in_amt,
+           CAST(out_amt AS DOUBLE) AS out_amt,
+           txs,
+           CAST(GREATEST(in_amt, out_amt) AS DOUBLE) AS max_flow
     FROM agg_per_wallet
     """,
 )
 def agg_greatest_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-wise GREATEST(in, out) AS max_flow — the movers ranking key
-    (scripts/ingest_activity_and_report.sh:92-96)."""
+    (scripts/ingest_activity_and_report.sh:92-96).  GREATEST is evaluated
+    on the exact decimals; only the output columns are cast to double."""
     events = load_table(spark, sf_dir, "events")
-    return conditional_flow(events).withColumn(
-        "max_flow", F.greatest(F.col("in_amt"), F.col("out_amt"))
+    return (
+        conditional_flow(events)
+        .withColumn("max_flow", F.greatest(F.col("in_amt"), F.col("out_amt")))
+        .select(
+            "user_id",
+            F.col("in_amt").cast("double").alias("in_amt"),
+            F.col("out_amt").cast("double").alias("out_amt"),
+            "txs",
+            F.col("max_flow").cast("double").alias("max_flow"),
+        )
     )
 
 

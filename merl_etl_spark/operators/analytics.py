@@ -24,11 +24,13 @@ DEC_SUM = "decimal(38,6)"
     "analytics-pricing-summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,2)) AS DOUBLE)
+             AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,2)) AS DOUBLE)
+             AS sum_base_price,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
                 * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,12)))
-                AS DECIMAL(38,12)) AS sum_disc_price,
+                AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
            count(*) AS count_order,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty
     FROM lineitem
@@ -40,7 +42,13 @@ def analytics_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: multi-aggregate groupBy with exact
     decimal sums and a derived average (double division of exact sums —
     deterministic).  Two-phase HashAggregate; shuffle carries 6 aggregates
-    per (flag, status) per partition."""
+    per (flag, status) per partition.
+
+    Output boundary: each decimal sum is reduced to its true content scale
+    (prices/quantities are 2dp, price*discount products 4dp — the reduction
+    is therefore EXACT, so DuckDB's truncating cast and Spark's HALF_UP
+    cast agree) and then cast once to double, keeping the unscaled value
+    far below 2^53 where both engines' double conversions are bit-equal."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "1998-09-02"
     )
@@ -48,9 +56,12 @@ def analytics_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
     ).cast("decimal(38,12)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dec_sum(F.col("l_quantity")).alias("sum_qty"),
-        dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-        F.sum(disc_price).cast("decimal(38,12)").alias("sum_disc_price"),
+        dec_sum(F.col("l_quantity")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
+        dec_sum(F.col("l_extendedprice"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("sum_base_price"),
+        F.sum(disc_price).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
         F.count("*").alias("count_order"),
         (
             F.sum(F.col("l_quantity").cast(DEC)).cast(DEC_SUM).cast("double")
@@ -62,20 +73,26 @@ def analytics_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "analytics-shipping-priority",
     oracle="""
-    SELECT o.o_orderkey,
-           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS DECIMAL(38,12)))
-                AS DECIMAL(38,12)) AS revenue,
-           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-      AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
-    GROUP BY o.o_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, o.o_orderkey ASC
-    LIMIT 10
+    WITH ranked AS (
+      SELECT o.o_orderkey,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS DECIMAL(38,12)))
+                  AS DECIMAL(38,12)) AS revenue,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+      GROUP BY o.o_orderkey, o.o_orderdate
+      ORDER BY revenue DESC, o.o_orderkey ASC
+      LIMIT 10
+    )
+    SELECT o_orderkey,
+           CAST(CAST(revenue AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+           order_date
+    FROM ranked
     """,
 )
 def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,6 +106,8 @@ def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
     ).cast("decimal(38,12)")
+    # order/limit on the exact decimal; terminal select reduces to the true
+    # content scale (4dp — exact) then casts once to double for the output
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
@@ -101,6 +120,11 @@ def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("revenue").cast("decimal(38,4)").cast("double").alias("revenue"),
+            "order_date",
+        )
     )
 
 
@@ -108,7 +132,8 @@ def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics-regional-volume",
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS volume,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,2)) AS DOUBLE)
+             AS volume,
            count(*) AS n_orders
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -136,7 +161,7 @@ def analytics_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(dims, o["o_custkey"] == dims["c_custkey"])
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            dec_sum(F.col("o_totalprice")).alias("volume"),
+            dec_sum(F.col("o_totalprice")).cast("decimal(38,2)").cast("double").alias("volume"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -146,11 +171,11 @@ def analytics_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg-pivot",
     oracle="""
     SELECT user_id,
-           CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS click,
-           CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS view,
-           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS purchase,
-           CAST(SUM(CAST(CASE WHEN event_type = 'signup' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS signup,
-           CAST(SUM(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS error
+           CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS click,
+           CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS view,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS purchase,
+           CAST(SUM(CAST(CASE WHEN event_type = 'signup' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS signup,
+           CAST(SUM(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS error
     FROM events
     GROUP BY user_id
     """,
@@ -169,7 +194,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.select(
         "user_id",
         *[
-            F.coalesce(F.col(t), F.lit(0)).cast(DEC_SUM).alias(t)
+            F.coalesce(F.col(t), F.lit(0)).cast(DEC_SUM).cast("double").alias(t)
             for t in ["click", "view", "purchase", "signup", "error"]
         ],
     )
@@ -179,7 +204,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg-rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -191,7 +216,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed with separate scalar queries (§2.E agg-scalar-rollup)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        dec_sum(F.col("l_quantity")).alias("sum_qty"), F.count("*").alias("n")
+        dec_sum(F.col("l_quantity")).cast("double").alias("sum_qty"), F.count("*").alias("n")
     )
 
 
@@ -199,7 +224,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg-cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -208,7 +233,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full grouping-set cube over two dimensions."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        dec_sum(F.col("l_quantity")).alias("sum_qty")
+        dec_sum(F.col("l_quantity")).cast("double").alias("sum_qty")
     )
 
 

@@ -28,7 +28,7 @@ TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
     )
     SELECT e.event_type,
            count(*) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events e
     JOIN latest l ON date_trunc('day', e.ts) = l.latest_day
     GROUP BY e.event_type
@@ -45,12 +45,15 @@ def join_latest_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = F.broadcast(
         events.agg(F.date_trunc("day", F.max("ts")).alias("latest_day"))
     )
+    # Sum in decimal (order-insensitive, exact), cast ONCE to double at the
+    # output boundary: both engines round the same exact decimal to the same
+    # float64 bit pattern (safe while unscaled < 2^53), so value hashes match.
     return (
         events.join(latest, events["day"] == latest["latest_day"])
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
     )
 
@@ -63,8 +66,8 @@ def join_latest_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT e.event_type,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS type_total,
-           t.grand_total AS grand_total
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS type_total,
+           CAST(t.grand_total AS DOUBLE) AS grand_total
     FROM events e, totals t
     GROUP BY e.event_type, t.grand_total
     """,
@@ -83,9 +86,13 @@ def join_cross_1row(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.crossJoin(totals)
         .groupBy("event_type", "grand_total")
         .agg(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("type_total")
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("type_total")
         )
-        .select("event_type", "type_total", "grand_total")
+        .select(
+            "event_type",
+            "type_total",
+            F.col("grand_total").cast("double").alias("grand_total"),
+        )
     )
 
 
@@ -102,7 +109,7 @@ def join_cross_1row(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o.o_custkey,
            count(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_spend
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
     FROM orders o
     WHERE o.o_custkey IN (SELECT c_custkey FROM top100)
     GROUP BY o.o_custkey
@@ -131,7 +138,7 @@ def join_semi_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
+            .cast("double")
             .alias("total_spend"),
         )
     )
@@ -154,7 +161,7 @@ CAMPAIGNS = [
     )
     SELECT c.name AS campaign,
            count(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS volume
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS volume
     FROM orders o
     JOIN campaigns c ON o.o_orderdate >= c.start_ts AND o.o_orderdate < c.end_ts
     GROUP BY c.name
@@ -183,7 +190,7 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
+            .cast("double")
             .alias("volume"),
         )
     )

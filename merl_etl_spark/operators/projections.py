@@ -69,8 +69,8 @@ def filter_nonnull_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(ts, '{TS_FMT_DUCK}') AS block_time_utc,
            CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS block_time_unix,
            CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS value_raw,
-           CAST(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(18,2))
-                * CAST(0.01 AS DECIMAL(4,2)) AS DECIMAL(38,18)) AS value_18d,
+           CAST(CAST(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(18,2))
+                * CAST(0.01 AS DECIMAL(4,2)) AS DECIMAL(18,6)) AS DOUBLE) AS value_18d,
            COALESCE(json_extract_string(props, '$.k'),
                     json_extract_string(props, '$.key'),
                     'missing') AS drift_field
@@ -94,7 +94,14 @@ def proj_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", TS_FMT_SPARK).alias("block_time_utc"),
         F.unix_timestamp("ts").alias("block_time_unix"),
         raw_cents.cast("string").alias("value_raw"),
-        (raw_cents.cast("decimal(38,18)") / 100).cast("decimal(38,18)").alias("value_18d"),
+        # internal math exact decimal; output boundary reduces scale to (18,6)
+        # (values are exact at scale 2, so no rounding) then casts to double —
+        # (38,18)'s unscaled value can exceed 2^53 where engines' double
+        # conversions diverge, (18,6)'s cannot.
+        (raw_cents.cast("decimal(38,18)") / 100)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("value_18d"),
         F.coalesce(
             F.get_json_object("props", "$.k"),
             F.get_json_object("props", "$.key"),

@@ -80,7 +80,7 @@ def win_rank_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sort-topk-rank100",
     oracle="""
-    SELECT user_id, rnk, total_value
+    SELECT user_id, rnk, CAST(total_value AS DOUBLE) AS total_value
     FROM (
       SELECT user_id, total_value,
              RANK() OVER (ORDER BY total_value DESC, user_id ASC) AS rnk
@@ -96,15 +96,24 @@ def win_rank_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sort_topk_rank100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Top-100 after an aggregation — the exact shape of the
     reference's holders→top100 derivation (aggregate balance, global rank,
-    keep 100).  Decimal sum keeps the hash deterministic."""
+    keep 100).  Decimal sum keeps the ranking deterministic; the terminal
+    select casts to double for engine-portable hashing.
+
+    Scale shape: NO global window over all per-user totals.  TakeOrdered
+    (orderBy+limit = per-partition bounded heap, driver merge) narrows to
+    3k candidates first, then the rank window runs over that tiny set —
+    the ``text-ngram-counts`` pattern.  Over-provisioning 30× k absorbs
+    rank ties at the k-boundary (exact-decimal totals make mass ties at
+    position 100 spanning >3k users practically impossible)."""
     events = load_table(spark, sf_dir, "events")
     totals = events.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("total_value")
     )
+    candidates = totals.orderBy(F.col("total_value").desc(), F.col("user_id").asc()).limit(3000)
     ranked = rank_top_k(
-        totals,
+        candidates,
         partition_by=[],
         order_by=[F.col("total_value").desc(), F.col("user_id").asc()],
         k=100,
     )
-    return ranked.select("user_id", "rnk", "total_value")
+    return ranked.select("user_id", "rnk", F.col("total_value").cast("double").alias("total_value"))

@@ -48,16 +48,26 @@ def sort_limit_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort-movers-multi",
     oracle=FLOW_ORACLE_CTE
     + """
-    SELECT user_id, in_amt, out_amt, txs,
-           CAST(GREATEST(in_amt, out_amt) AS DECIMAL(38,6)) AS max_flow
-    FROM agg_per_wallet
-    ORDER BY max_flow DESC NULLS LAST, txs DESC, user_id ASC
-    LIMIT 10
+    , movers AS (
+      SELECT user_id, in_amt, out_amt, txs,
+             GREATEST(in_amt, out_amt) AS max_flow
+      FROM agg_per_wallet
+      ORDER BY max_flow DESC NULLS LAST, txs DESC, user_id ASC
+      LIMIT 10
+    )
+    SELECT user_id,
+           CAST(in_amt AS DOUBLE) AS in_amt,
+           CAST(out_amt AS DOUBLE) AS out_amt,
+           txs,
+           CAST(max_flow AS DOUBLE) AS max_flow
+    FROM movers
     """,
 )
 def sort_movers_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Movers: 3-key sort with explicit null placement + LIMIT 10
-    (scripts/ingest_activity_and_report.sh:99-100)."""
+    (scripts/ingest_activity_and_report.sh:99-100).  The sort and limit run
+    on the exact decimals; the terminal projection casts to double so the
+    output hashes identically across engines."""
     events = load_table(spark, sf_dir, "events")
     movers = conditional_flow(events).withColumn(
         "max_flow", F.greatest(F.col("in_amt"), F.col("out_amt"))
@@ -69,6 +79,13 @@ def sort_movers_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").asc(),
         )
         .limit(10)
+        .select(
+            "user_id",
+            F.col("in_amt").cast("double").alias("in_amt"),
+            F.col("out_amt").cast("double").alias("out_amt"),
+            "txs",
+            F.col("max_flow").cast("double").alias("max_flow"),
+        )
     )
 
 

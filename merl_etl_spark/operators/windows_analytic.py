@@ -31,7 +31,7 @@ from merl_etl_spark.sources.tables import load_table
            CAST(SUM(CAST(value AS DECIMAL(18,6)))
                 OVER (PARTITION BY user_id ORDER BY event_id
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,6)) AS moving_sum3,
+                AS DOUBLE) AS moving_sum3,
            strftime(COALESCE(lag(ts) OVER w, ts), '{TS_FMT_DUCK}') AS prev_ts
     FROM events
     WHERE user_id < 10
@@ -57,7 +57,7 @@ def win_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("type_rank"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.sum(F.col("value").cast(DEC)).over(frame3).cast(DEC_SUM).alias("moving_sum3"),
+        F.sum(F.col("value").cast(DEC)).over(frame3).cast("double").alias("moving_sum3"),
         F.date_format(F.coalesce(prev_ts, F.col("ts")), TS_FMT_SPARK).alias("prev_ts"),
     )
 
@@ -83,7 +83,7 @@ def win_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
            strftime(max(ts), '{TS_FMT_DUCK}') AS session_last_event,
            count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM sessions
     GROUP BY user_id, session_seq
     """,
@@ -107,6 +107,6 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("s_min", TS_FMT_SPARK).alias("session_start"),
             F.date_format("s_max", TS_FMT_SPARK).alias("session_last_event"),
             "n_events",
-            "total_value",
+            F.col("total_value").cast("double").alias("total_value"),
         )
     )

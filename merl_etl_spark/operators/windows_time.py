@@ -84,7 +84,7 @@ def filter_blockrange(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '{TS_FMT_DUCK}') AS bucket_start,
            event_type,
            count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -105,7 +105,7 @@ def stream_tumbling_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("bucket_start"),
             "event_type",
             "n_events",
-            "total_value",
+            F.col("total_value").cast("double").alias("total_value"),
         )
     )
 
@@ -117,7 +117,7 @@ def stream_tumbling_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor((CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) - o.off) / 3600.0) AS BIGINT) * 3600 + o.off),
              '{TS_FMT_DUCK}') AS window_start,
            count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events
     CROSS JOIN (SELECT unnest([0, 900, 1800, 2700]) AS off) o
     GROUP BY 1
@@ -138,7 +138,7 @@ def stream_sliding_60m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("window_start"),
             "n_events",
-            "total_value",
+            F.col("total_value").cast("double").alias("total_value"),
         )
     )
 

@@ -31,22 +31,52 @@ def scale_and_rank_top100(snapshots: DataFrame, k: int = 100) -> DataFrame:
     deterministic rank window + top-k filter, over whatever (contract,
     bucket) slices are present.  Both the batch job (derive_top100) and
     the streaming maintenance (run_top100_maintenance) call this — one
-    canonical implementation keeps stream==batch parity structural."""
-    scaled = snapshots.withColumn(
-        "balance",
-        (
-            F.col("quantity_raw").cast(T.DecimalType(38, 0)).cast(T.DecimalType(38, 6))
-            / F.pow(F.lit(10.0), F.col("token_decimal").cast("double")).cast(
-                T.DecimalType(20, 0)
-            )
-        ).cast(T.DecimalType(38, 6)),
+    canonical implementation keeps stream==batch parity structural.
+
+    Exact overflow-free ranking: ``quantity_raw / 10^token_decimal`` is
+    ranked via a STRING split of the raw digit string — whole = digits
+    above the decimal point, frac = digits below, each zero-padded to
+    width 38 (equal-length digit strings compare numerically).  A
+    decimal-typed rank key would need DecimalType(38,6) and (ANSI off)
+    silently null raws ≥ 10^32 — NULLS LAST would then drop the LARGEST
+    holder from the Top-100.  The displayed ``balance`` DECIMAL(38,6)
+    still nulls above 10^32 (the documented overflow→NULL policy), but
+    the ranking itself is exact for the full uint256-in-string range.
+    token_decimal may vary per row (the reference's dual-scaling quirk,
+    SURVEY §1.3) — the split normalizes across different scales.
+    Assumes non-negative raws (ERC-20 amounts are unsigned)."""
+    d = F.col("token_decimal").cast("int")
+    raw_str = F.col("quantity_raw")
+    L = F.length(raw_str)
+    whole_str = F.when(L > d, raw_str.substr(F.lit(1), L - d)).otherwise(F.lit("0"))
+    frac_str = F.when(L > d, raw_str.substr(L - d + 1, d)).otherwise(
+        F.lpad(raw_str, d, "0")
     )
-    return rank_top_k(
-        scaled,
+    keyed = (
+        snapshots.withColumn("__whole_key", F.lpad(whole_str, 38, "0"))
+        .withColumn("__frac_full", frac_str)
+        .withColumn("__frac_key", F.rpad(F.col("__frac_full"), 38, "0"))
+    )
+    ranked = rank_top_k(
+        keyed,
         partition_by=["contract_address", "bucket_start_utc"],
-        order_by=[F.col("balance").desc(), F.col("holder_address").asc()],
+        order_by=[
+            F.col("__whole_key").desc(),
+            F.col("__frac_key").desc(),
+            F.col("holder_address").asc(),
+        ],
         k=k,
     )
+    return ranked.withColumn(
+        "balance",
+        F.concat(
+            F.when(F.col("__whole_key") == F.lit("0" * 38), F.lit("0")).otherwise(
+                F.regexp_replace("__whole_key", "^0+", "")
+            ),
+            F.lit("."),
+            F.rpad(F.substring(F.col("__frac_full"), 1, 6), 6, "0"),
+        ).cast(T.DecimalType(38, 6)),
+    ).drop("__whole_key", "__frac_full", "__frac_key")
 
 
 def derive_top100(holders: DataFrame, token: str, k: int = 100) -> DataFrame:
@@ -198,7 +228,8 @@ def activity_report(
       FROM events GROUP BY 1, 2, 3
     ),
     latest AS (SELECT max(bucket_start_utc) AS b FROM holders)
-    SELECT contract_address, rnk, holder_address, balance
+    SELECT contract_address, rnk, holder_address,
+           CAST(balance AS DOUBLE) AS balance
     FROM (
       SELECT h.contract_address, h.holder_address, h.balance,
              RANK() OVER (PARTITION BY h.contract_address
@@ -236,4 +267,9 @@ def plan_top100_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.col("balance").desc(), F.col("holder_address").asc()],
         k=100,
     )
-    return ranked.select("contract_address", "rnk", "holder_address", "balance")
+    return ranked.select(
+        "contract_address",
+        "rnk",
+        "holder_address",
+        F.col("balance").cast("double").alias("balance"),
+    )

@@ -60,8 +60,12 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # nanos → micros, same truncation as the batch loader (sources/tables.py)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # nanos → micros with the batch loader's exact pmod FLOOR split
+    # (sources/tables.py) — `ts div 1000` truncates toward zero, which
+    # differs by 1µs for pre-1970 timestamps with sub-µs nanos
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+    )
 
 
 def tumbling_6h_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -70,7 +74,12 @@ def tumbling_6h_stream(events: DataFrame, watermark: str = "1 hour") -> DataFram
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "6 hours").alias("w"), F.col("event_type"))
-        .agg(F.count("*").alias("n_events"), dec_sum(F.col("value")).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal sum internally; double at the output boundary — same
+            # policy as the batch twin so stream==batch stays byte-equal
+            dec_sum(F.col("value")).cast("double").alias("total_value"),
+        )
         .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events", "total_value")
     )
 
@@ -81,7 +90,10 @@ def sliding_60m_stream(events: DataFrame, watermark: str = "1 hour") -> DataFram
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "60 minutes", "15 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"), dec_sum(F.col("value")).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum(F.col("value")).cast("double").alias("total_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
 

@@ -2,10 +2,14 @@
 run the Spark query and the oracle SQL on the same parquet fixtures, then
 compare row count, schema (column names), and order-insensitive values.
 
-Strictness: values are compared after canonicalizing each cell to a string
-(decimals via str(), floats via repr_bits) and sorting rows — a superset of
-any reasonable hash the driver could use, so passing here predicts passing
-there.
+Strictness: cells are canonicalized WITHOUT cross-type normalization — a
+Decimal keeps its full scale string (trailing zeros and all), so a query
+whose Spark output scale differs from the oracle's goes red here exactly
+as it does under the driver's hash (round-1 lesson: stripping trailing
+zeros locally masked 15 driver hash failures).  Policy: final outputs
+should not contain DecimalType at all — cast to double at the output
+boundary (bit-identical across engines while unscaled < 2^53) and keep
+the exact decimal math internal.
 """
 
 from __future__ import annotations
@@ -40,10 +44,9 @@ def _canon_cell(v: object) -> str:
             return "0"  # normalize -0.0 like the Decimal branch does
         return repr(v)
     if isinstance(v, Decimal):
-        s = format(v, "f")
-        if "." in s:
-            s = s.rstrip("0").rstrip(".")
-        return s if s not in ("", "-0") else "0"
+        # NO trailing-zero stripping: scale differences must fail the check,
+        # mirroring the driver's canonicalization (VERDICT r1 §What's-wrong 1).
+        return "dec:" + format(v, "f")
     if isinstance(v, (pd.Timestamp,)):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
