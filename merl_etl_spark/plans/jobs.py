@@ -36,7 +36,10 @@ def scale_and_rank_top100(snapshots: DataFrame, k: int = 100) -> DataFrame:
     Exact overflow-free ranking: ``quantity_raw / 10^token_decimal`` is
     ranked via a STRING split of the raw digit string — whole = digits
     above the decimal point, frac = digits below, each zero-padded to
-    width 38 (equal-length digit strings compare numerically).  A
+    width 78 (uint256 max is 78 decimal digits; ``lpad``/``rpad``
+    TRUNCATE inputs longer than the pad width, so a 38-wide key would
+    silently mis-order >38-digit wholes).  Equal-length digit strings
+    compare numerically.  A
     decimal-typed rank key would need DecimalType(38,6) and (ANSI off)
     silently null raws ≥ 10^32 — NULLS LAST would then drop the LARGEST
     holder from the Top-100.  The displayed ``balance`` DECIMAL(38,6)
@@ -53,9 +56,9 @@ def scale_and_rank_top100(snapshots: DataFrame, k: int = 100) -> DataFrame:
         F.lpad(raw_str, d, "0")
     )
     keyed = (
-        snapshots.withColumn("__whole_key", F.lpad(whole_str, 38, "0"))
+        snapshots.withColumn("__whole_key", F.lpad(whole_str, 78, "0"))
         .withColumn("__frac_full", frac_str)
-        .withColumn("__frac_key", F.rpad(F.col("__frac_full"), 38, "0"))
+        .withColumn("__frac_key", F.rpad(F.col("__frac_full"), 78, "0"))
     )
     ranked = rank_top_k(
         keyed,
@@ -67,14 +70,19 @@ def scale_and_rank_top100(snapshots: DataFrame, k: int = 100) -> DataFrame:
         ],
         k=k,
     )
+    # Display balance: reconstruct the FULL decimal string and let the
+    # DECIMAL(38,6) cast do the 6-dp reduction — Spark's string→decimal
+    # cast rounds HALF_UP (matching the reference's numeric
+    # quantity_raw / POW(10, decimal)); substring(frac, 1, 6) would
+    # truncate and differ in the last digit when the 7th frac digit ≥ 5.
     return ranked.withColumn(
         "balance",
         F.concat(
-            F.when(F.col("__whole_key") == F.lit("0" * 38), F.lit("0")).otherwise(
+            F.when(F.col("__whole_key") == F.lit("0" * 78), F.lit("0")).otherwise(
                 F.regexp_replace("__whole_key", "^0+", "")
             ),
             F.lit("."),
-            F.rpad(F.substring(F.col("__frac_full"), 1, 6), 6, "0"),
+            F.col("__frac_full"),
         ).cast(T.DecimalType(38, 6)),
     ).drop("__whole_key", "__frac_full", "__frac_key")
 

@@ -72,6 +72,50 @@ def test_top100_uses_token_decimal_not_18d(spark):
     assert top[0].balance == Decimal("2.000000")
 
 
+def test_top100_rank_exact_beyond_38_digit_whole(spark):
+    """ADVICE r2 (high): lpad TRUNCATES inputs longer than the pad width,
+    so a 38-wide whole key compared >38-digit wholes by their leading 38
+    chars — a 39-digit 9… ranked above a 40-digit 1….  The key is now
+    78-wide (uint256 max digits); the 40-digit whole must win."""
+    pdf = holders_pdf(n_holders=3, n_buckets=1).head(3).copy()
+    pdf["token_decimal"] = [18, 18, 18]
+    # wholes: 40 digits (1 then 39 zeros), 39 digits (all 9s), 1 digit
+    pdf["quantity_raw"] = [
+        "1" + "0" * 39 + "0" * 18,
+        "9" * 39 + "0" * 18,
+        "7" + "0" * 18,
+    ]
+    pdf["contract_address"] = TOKENS[0]
+    df = spark.createDataFrame(pdf, schema=HOLDERS_SPARK_SCHEMA)
+    top = derive_top100(df, TOKENS[0]).orderBy("rnk").collect()
+    assert [r.balance_raw for r in top] == [
+        "1" + "0" * 39 + "0" * 18,
+        "9" * 39 + "0" * 18,
+        "7" + "0" * 18,
+    ]
+    # >32-digit wholes stay under the documented overflow→NULL display policy
+    assert top[0].balance is None and top[1].balance is None
+    assert top[2].balance == Decimal("7.000000")
+
+
+def test_top100_balance_rounds_half_up_at_6dp(spark):
+    """ADVICE r2 (medium): display balance must round HALF_UP at 6 dp
+    (reference: numeric quantity_raw / POW(10, decimal) cast to
+    NUMERIC(38,6)), not truncate the 7th fractional digit."""
+    pdf = holders_pdf(n_holders=2, n_buckets=1).head(2).copy()
+    pdf["token_decimal"] = [18, 18]
+    pdf["quantity_raw"] = [
+        "1" + "2345675" + "0" * 11,  # 1.2345675 → 1.234568 (up), not 1.234567
+        "2" + "2345674" + "0" * 11,  # 2.2345674 → 2.234567 (down)
+    ]
+    pdf["contract_address"] = TOKENS[0]
+    df = spark.createDataFrame(pdf, schema=HOLDERS_SPARK_SCHEMA)
+    top = derive_top100(df, TOKENS[0]).orderBy("rnk").collect()
+    by_raw = {r.balance_raw: r.balance for r in top}
+    assert by_raw["1" + "2345675" + "0" * 11] == Decimal("1.234568")
+    assert by_raw["2" + "2345674" + "0" * 11] == Decimal("2.234567")
+
+
 def test_upsert_last_wins_replays(spark):
     base = holders_pdf()
     raw = spark.createDataFrame(holders_with_replays(base), schema=HOLDERS_SPARK_SCHEMA)
