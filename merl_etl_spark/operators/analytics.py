@@ -28,9 +28,9 @@ DEC_SUM = "decimal(38,6)"
              AS sum_qty,
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,2)) AS DOUBLE)
              AS sum_base_price,
-           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
-                * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,12)))
-                AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,12))),
+                2) AS DOUBLE) AS sum_disc_price,
            count(*) AS count_order,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty
     FROM lineitem
@@ -44,11 +44,15 @@ def analytics_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic).  Two-phase HashAggregate; shuffle carries 6 aggregates
     per (flag, status) per partition.
 
-    Output boundary: each decimal sum is reduced to its true content scale
-    (prices/quantities are 2dp, price*discount products 4dp — the reduction
-    is therefore EXACT, so DuckDB's truncating cast and Spark's HALF_UP
-    cast agree) and then cast once to double, keeping the unscaled value
-    far below 2^53 where both engines' double conversions are bit-equal."""
+    Output boundary: sum_qty/sum_base_price are 2dp-exact, so the
+    DECIMAL(38,2) reduction drops only zeros (DuckDB's truncating cast and
+    Spark's HALF_UP cast agree on exact reductions).  sum_disc_price is
+    4dp-exact but reducing it to scale 4 leaves only a ~4× margin under
+    2^53 at SF1 (unscaled ≈2.2e15) and silently breaks the decimal→double
+    bit-equality at SF≥5 (ADVICE r2) — so it is ROUNDed to 2dp instead
+    (explicit ROUND, not CAST: DuckDB CAST truncates scale reduction while
+    both engines' ROUND are half-away-from-zero for positive sums), which
+    keeps the unscaled value < 2^53 up to SF≈300."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "1998-09-02"
     )
@@ -61,7 +65,7 @@ def analytics_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,2)")
         .cast("double")
         .alias("sum_base_price"),
-        F.sum(disc_price).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
+        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
         F.count("*").alias("count_order"),
         (
             F.sum(F.col("l_quantity").cast(DEC)).cast(DEC_SUM).cast("double")

@@ -99,19 +99,23 @@ def sort_topk_rank100(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep 100).  Decimal sum keeps the ranking deterministic; the terminal
     select casts to double for engine-portable hashing.
 
-    Scale shape: NO global window over all per-user totals.  TakeOrdered
-    (orderBy+limit = per-partition bounded heap, driver merge) narrows to
-    3k candidates first, then the rank window runs over that tiny set —
-    the ``text-ngram-counts`` pattern.  Over-provisioning 30× k absorbs
-    rank ties at the k-boundary (exact-decimal totals make mass ties at
-    position 100 spanning >3k users practically impossible)."""
+    Scale shape: a single global RANK window over the per-user totals.
+    Spark ≥3.5 rewrites rank-then-filter into ``WindowGroupLimit`` with a
+    Partial (map-side) pass, so each shuffle partition forwards only its
+    own top-(100+ties) rows and the final single-partition window sees at
+    most ~k·P rows (P = shuffle partitions) — bounded at any data scale.
+    A TakeOrdered(3000) prelimit (used in round 2) shuffles MORE (3000
+    rows/partition vs ~100) and is silently WRONG when a rank tie at the
+    100-boundary spans past candidate 3000 (ADVICE r2): rank over a
+    row-limit-cut candidate set drops tied rows the full window keeps.
+    The unlimited window is exact by construction; a plan probe pytest
+    pins the WindowGroupLimit rewrite."""
     events = load_table(spark, sf_dir, "events")
     totals = events.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("total_value")
     )
-    candidates = totals.orderBy(F.col("total_value").desc(), F.col("user_id").asc()).limit(3000)
     ranked = rank_top_k(
-        candidates,
+        totals,
         partition_by=[],
         order_by=[F.col("total_value").desc(), F.col("user_id").asc()],
         k=100,

@@ -41,11 +41,16 @@ def _canon_cell(v: object) -> str:
         if math.isnan(v):
             return "<NULL>"
         if v == 0.0:
-            return "0"  # normalize -0.0 like the Decimal branch does
+            return "0"  # normalize -0.0 (a sum of negatives can round to it)
         return repr(v)
     if isinstance(v, Decimal):
         # NO trailing-zero stripping: scale differences must fail the check,
         # mirroring the driver's canonicalization (VERDICT r1 §What's-wrong 1).
+        # Sign-only normalization of zero: Decimal('-0.00') → 'dec:0.00'
+        # (keeps the scale, drops the sign) so a negative-zero decimal from
+        # one engine doesn't mismatch the other's positive zero.
+        if v.is_zero():
+            v = v.copy_abs()
         return "dec:" + format(v, "f")
     if isinstance(v, (pd.Timestamp,)):
         return v.isoformat()

@@ -24,6 +24,9 @@ def _plan(spark, name, sf_dir) -> str:
 CASES = [
     ("filter-blockrange", ["PushedFilters: [IsNotNull(event_id)", "GreaterThanOrEqual(event_id,1000)"]),
     ("win-rank-top100", ["WindowGroupLimit"]),
+    # the empty-partition global rank must keep its map-side Partial
+    # group-limit — without it the final single partition sees ALL totals
+    ("sort-topk-rank100", ["WindowGroupLimit", "Partial"]),
     ("sql-api-top100", ["WindowGroupLimit"]),
     ("join-latest-bucket", ["BroadcastHashJoin"]),
     ("join-semi-top100", ["BroadcastHashJoin LeftSemi"]),
