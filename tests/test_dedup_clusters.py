@@ -29,6 +29,49 @@ def _union_find(pairs):
     return {x: find(x) for x in parent}
 
 
+def test_lsh_degenerate_bucket_is_capped(spark):
+    """5k identical docs land in ONE bucket per band; uncapped pair
+    expansion would build 5000·4999/2 ≈ 12.5M pairs.  The capped path must
+    emit exactly the 4999 star edges (min doc → every other doc) — linear
+    output that still spans one connected component."""
+    from merl_etl_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    n = 5000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate sentence repeated across the whole corpus' AS text",
+    )
+    pairs = minhash_lsh_pairs(docs, max_bucket=1024).cache()
+    rows = pairs.collect()
+    assert len(rows) == n - 1
+    assert all(r.doc_a == 0 and r.doc_b > 0 for r in rows)
+    assert {r.doc_b for r in rows} == set(range(1, n))
+    # the star spans one component with keeper 0, same as full expansion
+    comp = connected_components(pairs)
+    assert comp.select("cluster_id").distinct().collect()[0].cluster_id == 0
+    assert comp.count() == n
+    pairs.unpersist()
+
+
+def test_lsh_capped_matches_uncapped_on_mixed_corpus(spark):
+    """On a corpus whose buckets all fit under the cap, the capped operator
+    must be pair-for-pair identical to the uncapped expansion."""
+    from merl_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "completely different words appear in this one document here",
+        "alpha beta gamma delta epsilon zeta eta theta",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    capped = sorted(map(tuple, minhash_lsh_pairs(docs, max_bucket=1024).collect()))
+    uncapped = sorted(map(tuple, minhash_lsh_pairs(docs, max_bucket=10**9).collect()))
+    assert capped == uncapped and len(capped) >= 2
+
+
 def test_clusters_match_union_find(spark, sf_dir):
     pair_rows = QUERIES["dedup-minhash-lsh"](spark, sf_dir).collect()
     pairs = [(r.doc_a, r.doc_b) for r in pair_rows]
