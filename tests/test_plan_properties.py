@@ -44,6 +44,15 @@ def test_plan_contains(spark, sf_dir, name, needles):
         assert needle in plan, f"{name}: expected {needle!r} in physical plan"
 
 
+def test_embedding_dedup_has_no_nested_loop_join(spark, sf_dir):
+    """dedup-embedding-cosine must stay equi-join-only (LSH candidates →
+    exact verify); an all-pairs BroadcastNestedLoopJoin is O(n²) and must
+    never reappear (VERDICT r1 'What's wrong' #3)."""
+    plan = _plan(spark, "dedup-embedding-cosine", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_column_pruning_on_projection(spark, sf_dir):
     """A 4-column projection over events must not read props (the widest
     column) — ReadSchema is the scan's actual column set."""
