@@ -287,6 +287,77 @@ def run_with_audit(job_name: str, scheduled_for, body, audit_log: list):
 
 
 # ---------------------------------------------------------------------------
+# Schema-introspecting destination adaptation
+# ---------------------------------------------------------------------------
+
+# logical field → accepted destination column names, in preference order
+# (sql/top100_from_latest_bucket.sql:46-76 discovers these via
+# information_schema; on Spark the destination's StructType plays that role)
+TOP100_COLUMN_SYNONYMS: dict[str, tuple[str, ...]] = {
+    "bucket_start_utc": ("bucket_start_utc", "bucket_utc", "asof", "bucket_ts", "ts_bucket"),
+    "contract_address": ("contract_address", "token", "token_address", "contract"),
+    "holder_address": ("holder_address", "address", "wallet_address", "owner_address"),
+    "rnk": ("rnk", "rank", "position"),
+    "token_decimal": ("token_decimal", "decimals", "token_decimals"),
+    "balance_raw": ("balance_raw", "raw_balance", "quantity_raw", "qty_raw",
+                    "balance_base_units"),
+    "balance": ("balance", "balance_ip", "balance_decimal", "qty"),
+    "inserted_at": ("inserted_at", "updated_at", "created_at"),
+}
+_TOP100_OPTIONAL = frozenset({"bucket_start_utc", "inserted_at"})
+_ADDRESS_FIELDS = frozenset({"contract_address", "holder_address"})
+
+
+def adapt_to_destination(
+    df: DataFrame,
+    dest_schema,
+    synonyms: dict[str, tuple[str, ...]] = TOP100_COLUMN_SYNONYMS,
+    optional: frozenset = _TOP100_OPTIONAL,
+    inserted_at=None,
+) -> DataFrame:
+    """Rename/select ``df`` to fit a destination table whose column names
+    (and address encodings) may differ — the Spark counterpart of the
+    reference's ``information_schema.columns`` discovery + column-list
+    adaptation (sql/top100_from_latest_bucket.sql:46-117).
+
+    For each logical field, the first synonym present in ``dest_schema``
+    (a StructType, e.g. ``spark.read.parquet(path).schema``) wins.
+    Required fields with no match raise (mirroring the psql sanity
+    ``\\quit 1``); optional fields (bucket, inserted_at) are dropped when
+    the destination lacks them.  Address fields targeting a BinaryType
+    column are hex-decoded from their ``0x…`` string form (the bytea
+    branch at sql/top100_from_latest_bucket.sql:104-117); everything else
+    is cast to the destination's exact type.  An ``inserted_at``-family
+    column absent from ``df`` is filled with the supplied timestamp.
+
+    Pure projection — no shuffle, composes with any sink at any scale."""
+    from pyspark.sql import types as T
+
+    dest_types = {f.name: f.dataType for f in dest_schema.fields}
+    out = []
+    for logical, names in synonyms.items():
+        target = next((n for n in names if n in dest_types), None)
+        if target is None:
+            if logical in optional:
+                continue
+            raise ValueError(f"could not map required column {logical!r} "
+                             f"onto destination schema {sorted(dest_types)}")
+        if logical not in df.columns:
+            if logical == "inserted_at" and inserted_at is not None:
+                out.append(F.lit(inserted_at).cast(dest_types[target]).alias(target))
+                continue
+            if logical in optional:
+                continue
+            raise ValueError(f"source frame lacks required column {logical!r}")
+        col = F.col(logical)
+        if logical in _ADDRESS_FIELDS and isinstance(dest_types[target], T.BinaryType):
+            # '0x…' hex string → raw bytes, the reference's decode(...,'hex')
+            col = F.unhex(F.regexp_replace(F.lower(col), "^0x", ""))
+        out.append(col.cast(dest_types[target]).alias(target))
+    return df.select(*out)
+
+
+# ---------------------------------------------------------------------------
 # Driver-checkable batch forms of the dedup semantics
 # ---------------------------------------------------------------------------
 
