@@ -345,6 +345,68 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIM_HAM_MAX = 3  # near-dup radius; 4 bands of 4 bits cover it by pigeonhole
+
+
+@register(
+    "dedup-simhash-pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+             {_SIMHASH_DUCK_VOTES}
+      FROM words GROUP BY doc_id
+    ),
+    f AS (
+      SELECT doc_id, CAST({_simhash_fingerprint()} AS BIGINT) AS simhash
+      FROM votes
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM f a JOIN f b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIM_HAM_MAX}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance {SIM_HAM_MAX} — the
+    pairing stage that completes the simhash tier (dedup-simhash computes
+    fingerprints; this finds the collisions).
+
+    Scale shape: the 16-bit fingerprint splits into 4 bands of 4 bits; by
+    pigeonhole, any pair within hamming ≤ 3 agrees EXACTLY on at least
+    one band, so banded equi-self-join + exact hamming filter returns
+    precisely the same pairs as the brute-force all-pairs scan the oracle
+    runs — provably, not probabilistically (unlike MinHash banding).
+    Per-band joins shuffle on 4-bit bucket keys; pairwise work is
+    confined to same-band buckets — corpus-linear until fingerprints
+    actually collide.  Production: 64-bit fingerprints, k bands of
+    64/k bits for hamming ≤ k-1, same plan."""
+    fp = dedup_simhash(spark, sf_dir)
+    cand = None
+    for band in range(4):
+        bt = fp.select(
+            "doc_id", "simhash",
+            F.expr(f"CAST(shiftright(simhash, {4 * band}) & 15 AS INT)").alias("bv"),
+        )
+        a = bt.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "bv")
+        b = bt.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+            F.col("bv").alias("bv_b"),
+        )
+        pairs_b = a.join(
+            b, (F.col("bv") == F.col("bv_b")) & (F.col("doc_a") < F.col("doc_b"))
+        ).select("doc_a", "doc_b", "sh_a", "sh_b")
+        cand = pairs_b if cand is None else cand.unionByName(pairs_b)
+    return (
+        cand.dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+        .filter(F.col("hamming") <= SIM_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 @register(
     "dedup-ngram-jaccard",
     oracle=f"""

@@ -60,6 +60,8 @@ def load_all() -> None:
     import merl_etl_spark.operators.windows_analytic  # noqa: F401
     import merl_etl_spark.sinks  # noqa: F401
     import merl_etl_spark.plans.jobs  # noqa: F401
+    # dedup next: dedup-simhash-pairs is new in round 3 (never oracled)
+    import merl_etl_spark.operators.dedup  # noqa: F401
     # -- green on record from rounds 1-2 --
     import merl_etl_spark.operators.ranking  # noqa: F401
     import merl_etl_spark.operators.joins  # noqa: F401
@@ -71,6 +73,5 @@ def load_all() -> None:
     import merl_etl_spark.operators.windows_time  # noqa: F401
     import merl_etl_spark.operators.projections  # noqa: F401
     import merl_etl_spark.operators.asof  # noqa: F401
-    import merl_etl_spark.operators.dedup  # noqa: F401
     import merl_etl_spark.operators.similarity  # noqa: F401
     import merl_etl_spark.operators.text_analysis  # noqa: F401
