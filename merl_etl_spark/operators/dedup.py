@@ -326,7 +326,7 @@ def _simhash_fingerprint() -> str:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints ({N_SIM_BITS}-bit here; 64-bit in production):
+    """SimHash fingerprints (N_SIM_BITS=16-bit here; 64-bit in production):
     each distinct word votes ±1 per bit position from its digest parity;
     the majority sign becomes the bit.  Near-dups land within a small
     hamming ball — dedup becomes a fingerprint groupBy / banded lookup
@@ -370,35 +370,51 @@ SIM_HAM_MAX = 3  # near-dup radius; 4 bands of 4 bits cover it by pigeonhole
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within hamming distance {SIM_HAM_MAX} — the
-    pairing stage that completes the simhash tier (dedup-simhash computes
-    fingerprints; this finds the collisions).
+    """SimHash near-dup pairs within hamming distance SIM_HAM_MAX (3) —
+    the pairing stage that completes the simhash tier (dedup-simhash
+    computes fingerprints; this finds the collisions).
 
     Scale shape: the 16-bit fingerprint splits into 4 bands of 4 bits; by
     pigeonhole, any pair within hamming ≤ 3 agrees EXACTLY on at least
     one band, so banded equi-self-join + exact hamming filter returns
     precisely the same pairs as the brute-force all-pairs scan the oracle
     runs — provably, not probabilistically (unlike MinHash banding).
-    Per-band joins shuffle on 4-bit bucket keys; pairwise work is
-    confined to same-band buckets — corpus-linear until fingerprints
-    actually collide.  Production: 64-bit fingerprints, k bands of
-    64/k bits for hamming ≤ k-1, same plan."""
+    Bands are EXPLODED into (band_id, band_value) rows and self-joined
+    once on that composite key (the minhash_lsh_pairs banding idiom) —
+    one join over 4n rows, not 4 unioned joins re-scanning the
+    fingerprint aggregate 8 times.  Pairwise work is confined to
+    same-band buckets — corpus-linear until fingerprints actually
+    collide.  Production: 64-bit fingerprints, k bands of 64/k bits for
+    hamming ≤ k-1, same plan."""
     fp = dedup_simhash(spark, sf_dir)
-    cand = None
-    for band in range(4):
-        bt = fp.select(
-            "doc_id", "simhash",
-            F.expr(f"CAST(shiftright(simhash, {4 * band}) & 15 AS INT)").alias("bv"),
-        )
-        a = bt.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "bv")
-        b = bt.select(
-            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
-            F.col("bv").alias("bv_b"),
-        )
-        pairs_b = a.join(
-            b, (F.col("bv") == F.col("bv_b")) & (F.col("doc_a") < F.col("doc_b"))
-        ).select("doc_a", "doc_b", "sh_a", "sh_b")
-        cand = pairs_b if cand is None else cand.unionByName(pairs_b)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        F.expr(f"CAST(shiftright(simhash, {4 * band}) & 15 AS INT)").alias("bv"),
+                    )
+                    for band in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.bv")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band_id", "bv"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        F.col("band_id").alias("band_id_b"), F.col("bv").alias("bv_b"),
+    )
+    cand = a.join(
+        b,
+        (F.col("band_id") == F.col("band_id_b"))
+        & (F.col("bv") == F.col("bv_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).select("doc_a", "doc_b", "sh_a", "sh_b")
     return (
         cand.dropDuplicates(["doc_a", "doc_b"])
         .withColumn("hamming", F.expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))

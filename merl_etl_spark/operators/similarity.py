@@ -103,18 +103,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     two embedding lookups shuffle on vec_id.  Pairwise work is confined
     to buckets (corpus-linear until vectors actually collide); recall is
     the standard multi-table LSH dial — more tables, more recall, same
-    plan shape.  A plan probe pins the absence of nested-loop joins."""
+    plan shape.  The tables are EXPLODED into (table_id, bucket) rows and
+    self-joined once on that composite key — one join over T·n rows
+    instead of T unioned joins re-scanning the corpus 2T times.  A plan
+    probe pins the absence of nested-loop joins."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cand = None
-    for t in range(N_DEDUP_TABLES):
-        bt = emb.select("vec_id", F.expr(_table_bucket_spark(t)).alias("bucket"))
-        a = bt.select(F.col("vec_id").alias("vec_a"), "bucket")
-        b = bt.select(F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bucket_b"))
-        pairs_t = a.join(
-            b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
-        ).select("vec_a", "vec_b")
-        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-    cand = cand.distinct()
+    bt = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.expr(_table_bucket_spark(t)).alias("bucket"),
+                    )
+                    for t in range(N_DEDUP_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.t", "tb.bucket")
+    a = bt.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
+    b = bt.select(
+        F.col("vec_id").alias("vec_b"), F.col("t").alias("t_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("t") == F.col("t_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (

@@ -330,11 +330,18 @@ def adapt_to_destination(
     is cast to the destination's exact type.  An ``inserted_at``-family
     column absent from ``df`` is filled with the supplied timestamp.
 
+    Columns are emitted in DESTINATION schema order (not synonym-dict
+    order) so positional sinks — ``insertInto``, positional JDBC INSERT —
+    land every value in the right column.  Malformed hex in an address
+    bound for a binary column raises at execution (``decode(...,'hex')``
+    aborts the load in the reference; a silent ``unhex``→NULL would write
+    a corrupt NULL key instead).
+
     Pure projection — no shuffle, composes with any sink at any scale."""
     from pyspark.sql import types as T
 
     dest_types = {f.name: f.dataType for f in dest_schema.fields}
-    out = []
+    by_target: dict[str, F.Column] = {}
     for logical, names in synonyms.items():
         target = next((n for n in names if n in dest_types), None)
         if target is None:
@@ -344,17 +351,23 @@ def adapt_to_destination(
                              f"onto destination schema {sorted(dest_types)}")
         if logical not in df.columns:
             if logical == "inserted_at" and inserted_at is not None:
-                out.append(F.lit(inserted_at).cast(dest_types[target]).alias(target))
+                by_target[target] = F.lit(inserted_at).cast(dest_types[target]).alias(target)
                 continue
             if logical in optional:
                 continue
             raise ValueError(f"source frame lacks required column {logical!r}")
         col = F.col(logical)
         if logical in _ADDRESS_FIELDS and isinstance(dest_types[target], T.BinaryType):
-            # '0x…' hex string → raw bytes, the reference's decode(...,'hex')
-            col = F.unhex(F.regexp_replace(F.lower(col), "^0x", ""))
-        out.append(col.cast(dest_types[target]).alias(target))
-    return df.select(*out)
+            # '0x…' hex string → raw bytes, the reference's decode(...,'hex');
+            # fail loudly on undecodable input rather than writing NULL keys
+            hexpart = F.regexp_replace(F.lower(col), "^0x", "")
+            decoded = F.unhex(hexpart)
+            col = F.when(
+                col.isNotNull() & decoded.isNull(),
+                F.raise_error(F.concat(F.lit(f"malformed hex in {logical}: "), col)),
+            ).otherwise(decoded)
+        by_target[target] = col.cast(dest_types[target]).alias(target)
+    return df.select(*[by_target[f.name] for f in dest_schema.fields if f.name in by_target])
 
 
 # ---------------------------------------------------------------------------

@@ -289,3 +289,55 @@ def test_adapt_to_destination_optional_columns_dropped(spark, holders):
         "contract", "owner_address", "rank", "token_decimals", "qty_raw", "balance_decimal"
     ]
     assert adapted.count() == top.count()
+
+
+def test_adapt_to_destination_emits_destination_column_order(spark, holders):
+    """Positional sinks (insertInto, positional JDBC INSERT) rely on the
+    projection matching the destination's physical column order — synonym-
+    dict order must NOT leak through."""
+    from pyspark.sql import types as T
+
+    from merl_etl_spark.sinks import adapt_to_destination
+
+    top = derive_top100(holders, TOKENS[0])
+    scrambled = T.StructType(
+        [
+            T.StructField("qty", T.DecimalType(38, 6)),
+            T.StructField("position", T.IntegerType()),
+            T.StructField("owner_address", T.StringType()),
+            T.StructField("contract", T.StringType()),
+            T.StructField("token_decimals", T.LongType()),
+            T.StructField("raw_balance", T.StringType()),
+        ]
+    )
+    adapted = adapt_to_destination(top, scrambled)
+    assert adapted.columns == [
+        "qty", "position", "owner_address", "contract", "token_decimals", "raw_balance"
+    ]
+
+
+def test_adapt_to_destination_malformed_hex_raises(spark):
+    """The reference's decode(...,'hex') aborts on bad input; unhex→NULL
+    silently writing a NULL address key must not replace that."""
+    from pyspark.sql import types as T
+    from pyspark.sql import utils as _u  # noqa: F401
+
+    from merl_etl_spark.sinks import adapt_to_destination
+
+    bad = spark.createDataFrame(
+        [("0xZZ", "0xabcd", 1, 18, "1", "1.000000")],
+        "holder_address string, contract_address string, rnk long, "
+        "token_decimal long, balance_raw string, balance string",
+    ).withColumn("balance", F.col("balance").cast("decimal(38,6)"))
+    dest = T.StructType(
+        [
+            T.StructField("token", T.BinaryType()),
+            T.StructField("address", T.BinaryType()),
+            T.StructField("rank", T.LongType()),
+            T.StructField("decimals", T.LongType()),
+            T.StructField("balance_raw", T.StringType()),
+            T.StructField("qty", T.DecimalType(38, 6)),
+        ]
+    )
+    with pytest.raises(Exception, match="malformed hex"):
+        adapt_to_destination(bad, dest).collect()
