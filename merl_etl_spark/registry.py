@@ -55,6 +55,7 @@ def load_all() -> None:
     tests/test_registry_order.py; adding queries to any early or
     transitively-imported module must keep that test green."""
     # -- never-oracled in rounds 1-2: register first --
+    import merl_etl_spark.sources.datasource  # noqa: F401  (new in round 3)
     import merl_etl_spark.operators.multimodal  # noqa: F401
     import merl_etl_spark.operators.curation  # noqa: F401
     import merl_etl_spark.operators.sql_api  # noqa: F401

@@ -1,0 +1,213 @@
+"""Custom Python Data Source tests (sources/datasource.py): batch paged
+explorer (partitioned pages, pushdown, retry, drift) and the streaming
+block-cursor source (offset checkpointing, exactly-once resume)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan, StringStartsWith
+
+from merl_etl_spark.sources.datasource import (
+    BlockCursorStreamReader,
+    PagedExplorerReader,
+    build_http_url,
+    fixture_blocks,
+    register_sources,
+    synthetic_blocks,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _registered(spark):
+    register_sources(spark)
+
+
+def test_synthetic_batch_partitions_and_drift(spark):
+    df = (
+        spark.read.format("merl-paged")
+        .option("transport", "synthetic")
+        .option("total_rows", "777")
+        .option("page_size", "100")
+        .option("num_partitions", "3")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 777
+    # field drift across page variants must still land in canonical columns
+    assert df.filter("holder_address IS NULL OR quantity_raw IS NULL").count() == 0
+    # deterministic across reads
+    a = sorted(r.holder_address for r in df.collect())
+    b = sorted(r.holder_address for r in df.collect())
+    assert a == b and len(set(a)) == 777
+
+
+def test_fixture_batch_equals_direct_parquet_paging(spark):
+    df = (
+        spark.read.format("merl-paged")
+        .option("transport", "fixture")
+        .option("path", f"{SF}/nation.parquet")
+        .option("columns", "n_nationkey,n_name")
+        .option("order_by", "n_nationkey")
+        .option("page_size", "10")
+        .option("num_partitions", "2")
+        .load()
+    )
+    direct = spark.read.parquet(f"{SF}/nation.parquet").orderBy("n_nationkey").collect()
+    got = df.orderBy("n_nationkey").collect()
+    assert [(r.n_nationkey, r.n_name) for r in got] == [
+        (r.n_nationkey, r.n_name) for r in direct
+    ]
+    # page assignment follows the declared total order
+    assert [r.page for r in got] == [i // 10 + 1 for i in range(len(direct))]
+
+
+def test_push_filters_narrow_page_range():
+    rdr = PagedExplorerReader(
+        {"transport": "synthetic", "total_rows": "1000", "page_size": "100"},
+        ["page", "holder_address", "quantity_raw", "contract_address"],
+    )
+    leftover = list(
+        rdr.pushFilters(
+            [
+                GreaterThanOrEqual(("page",), 3),
+                LessThan(("page",), 6),
+                StringStartsWith(("holder_address",), "0xa"),  # not pushable
+            ]
+        )
+    )
+    assert len(leftover) == 1 and isinstance(leftover[0], StringStartsWith)
+    parts = rdr.partitions()
+    assert [(p.start, p.end) for p in parts] and parts[0].start == 3 and parts[-1].end == 6
+    rows = [r for p in parts for r in rdr.read(p)]
+    assert {r[0] for r in rows} == {3, 4, 5}
+
+
+def test_push_filters_equal_to_single_page():
+    rdr = PagedExplorerReader(
+        {"transport": "synthetic", "total_rows": "1000", "page_size": "100"},
+        ["page", "holder_address", "quantity_raw", "contract_address"],
+    )
+    assert list(rdr.pushFilters([EqualTo(("page",), 7)])) == []
+    parts = rdr.partitions()
+    assert [(p.start, p.end) for p in parts] == [(7, 8)]
+
+
+def test_pushdown_through_spark_plan(spark):
+    df = (
+        spark.read.format("merl-paged")
+        .option("transport", "synthetic")
+        .option("total_rows", "1000")
+        .option("page_size", "100")
+        .option("num_partitions", "8")
+        .load()
+        .filter("page = 7")
+    )
+    # pushdown narrows the scan to one page -> one partition
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == 100
+
+
+def test_retry_recovers_then_exhausts():
+    opts = {
+        "transport": "synthetic",
+        "total_rows": "150",
+        "page_size": "100",
+        "fail_first": "2",
+        "seed": "retry-ok",
+    }
+    fields = ["page", "holder_address", "quantity_raw", "contract_address"]
+    rdr = PagedExplorerReader(opts, fields)
+    rows = [r for p in rdr.partitions() for r in rdr.read(p)]
+    assert len(rows) == 150  # 2 injected failures/page < 5 retries
+    bad = PagedExplorerReader({**opts, "seed": "retry-dead", "retries": "1"}, fields)
+    with pytest.raises(ConnectionError):
+        for p in bad.partitions():
+            list(bad.read(p))
+
+
+def test_build_http_url_reference_params():
+    url = build_http_url(
+        {"url": "https://api.example/api", "contract": "0xdead", "apikey": "k"}, 3, 100
+    )
+    assert url.startswith("https://api.example/api?")
+    for frag in ("module=token", "action=tokenholderlist", "contractaddress=0xdead",
+                 "page=3", "offset=100", "apikey=k"):
+        assert frag in url
+
+
+def test_synthetic_blocks_pure_and_between_offsets():
+    a = synthetic_blocks({"seed": "s"}, 0, 35)
+    b = synthetic_blocks({"seed": "s"}, 0, 20) + synthetic_blocks({"seed": "s"}, 20, 35)
+    assert a == b  # offset-split replay is bit-identical
+    rdr = BlockCursorStreamReader({"transport": "synthetic", "seed": "s", "head_block": "35"})
+    assert rdr.initialOffset() == {"block": 0}
+    it, off = rdr.read({"block": 0})
+    assert off == {"block": 35}  # default blocks_per_batch=100 caps at head
+    assert list(it) == a
+    assert list(rdr.readBetweenOffsets({"block": 0}, {"block": 35})) == a
+
+
+def test_fixture_blocks_matches_direct_filter(spark):
+    got = fixture_blocks(
+        {"path": f"{SF}/events.parquet", "block_col": "event_id", "columns": "user_id,value"},
+        10,
+        40,
+    )
+    exp = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter("event_id > 10 AND event_id <= 40")
+        .orderBy("event_id")
+        .select("event_id", "user_id", "value")
+        .collect()
+    )
+    assert [tuple(r) for r in exp] == got
+
+
+def _drain(spark, out, ckpt, head, expected, blocks_per_batch=7):
+    q = (
+        spark.readStream.format("merl-blockcursor")
+        .option("transport", "synthetic")
+        .option("head_block", str(head))
+        .option("blocks_per_batch", str(blocks_per_batch))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            if glob.glob(os.path.join(out, "*.parquet")):
+                if spark.read.parquet(out).count() >= expected:
+                    break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    return spark.read.parquet(out)
+
+
+def test_stream_cursor_checkpoint_resume_exactly_once(spark, tmp_path):
+    """The reference's block cursor as a Spark offset: restart after the
+    head advances must deliver ONLY blocks past the committed offset —
+    no gaps, no duplicates (merlin_etl.py:353-357 upgraded from
+    at-least-once to exactly-once)."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    exp1 = len(synthetic_blocks({"seed": "0"}, 0, 20))
+    df1 = _drain(spark, out, ckpt, head=20, expected=exp1)
+    assert df1.count() == exp1
+    exp2 = exp1 + len(synthetic_blocks({"seed": "0"}, 20, 35))
+    df2 = _drain(spark, out, ckpt, head=35, expected=exp2)
+    assert df2.count() == exp2
+    assert df2.distinct().count() == exp2  # exactly-once across restart
+    lo, hi = df2.agg(F.min("block_number"), F.max("block_number")).first()
+    assert (lo, hi) == (1, 35)

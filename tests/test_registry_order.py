@@ -25,7 +25,7 @@ NEVER_ORACLED = [
     "win-analytic-suite", "win-sessionize",
     "sink-upsert-holders", "sink-insert-ignore-tx", "sink-upsert-cursor",
     "sink-view", "plan-top100-derive",
-    "dedup-simhash-pairs",
+    "dedup-simhash-pairs", "src-datasource-paged",
 ]
 
 
