@@ -64,7 +64,7 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-from merl_etl_spark.sources.paged import RateLimiter, extract_fields, fetch_with_retry
+from merl_etl_spark.sources.paged import RateLimiter, paged_fetch
 
 HOLDERS_DDL = "page INT, holder_address STRING, quantity_raw STRING, contract_address STRING"
 
@@ -101,7 +101,8 @@ def synthetic_page(options: dict[str, str], page: int, page_size: int) -> list[d
     lo, hi = (page - 1) * page_size, min(page * page_size, total)
     out = []
     for i in range(lo, hi):
-        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        # sha256 (64 hex chars) so addresses are genuine ^0x[0-9a-f]{40}$
+        h = hashlib.sha256(f"{seed}:{i}".encode()).hexdigest()
         out.append(
             {
                 addr_field: "0x" + h[:40],
@@ -181,10 +182,13 @@ def _pa_type_to_ddl(t: Any) -> str:
 
 
 class PageRange(InputPartition):
-    """Contiguous page range [start, end) served by one task."""
+    """Contiguous page range [start, end) served by one task.  Carries
+    its share of the aggregate qps budget, computed from the ACTUAL
+    partition count after pushdown/extent capping — dividing by the
+    configured partition count would under-throttle a narrowed scan."""
 
-    def __init__(self, start: int, end: int):
-        self.start, self.end = start, end
+    def __init__(self, start: int, end: int, qps: float = 0.0):
+        self.start, self.end, self.qps = start, end, qps
 
 
 class PagedExplorerReader(DataSourceReader):
@@ -248,31 +252,40 @@ class PagedExplorerReader(DataSourceReader):
             return [PageRange(start, start)]
         n = max(1, min(self.num_partitions, end - start))
         span = -(-(end - start) // n)
-        return [
-            PageRange(p, min(p + span, end)) for p in range(start, end, span)
-        ]
+        ranges = [(p, min(p + span, end)) for p in range(start, end, span)]
+        share = self.qps / len(ranges) if self.qps > 0 else 0.0
+        return [PageRange(s, e, share) for s, e in ranges]
 
     # -- execution (executor side) --
 
     def read(self, partition: PageRange) -> Iterator[tuple]:
         transport = _TRANSPORTS[self.options.get("transport", "synthetic")]
-        limiter = (
-            RateLimiter(qps=self.qps / max(1, self.num_partitions)) if self.qps > 0 else None
-        )
-        extract = self.options.get("transport", "synthetic") != "fixture"
-        for page in range(partition.start, partition.end):
+        limiter = RateLimiter(qps=partition.qps) if partition.qps > 0 else None
+        # backoff sleeps uncapped by default (reference: 0.7*2^n seconds);
+        # max_backoff_s exists so tests can inject failures without stalling
+        cap = float(self.options.get("max_backoff_s", "inf"))
+        sleep = time.sleep if cap == float("inf") else (lambda s: time.sleep(min(s, cap)))
+
+        def fetch(page: int, page_size: int) -> list[dict]:
+            # acquire per ATTEMPT (inside the retry loop): a retry burst
+            # must not break the qps contract the endpoint enforces
             if limiter is not None:
                 limiter.acquire()
-            items = fetch_with_retry(
-                lambda: transport(self.options, page, self.page_size),
-                retries=self.retries,
-                sleep=lambda s: time.sleep(min(s, 0.01)),
-            )
-            for item in items:
-                row = extract_fields(item) if extract else item
+            return transport(self.options, page, page_size)
+
+        # drain the shared page loop (sources/paged.py) over this range:
+        # retry/backoff, drift-tolerant extraction, short-page stop
+        for page, rows in paged_fetch(
+            fetch,
+            page_size=self.page_size,
+            max_pages=partition.end - partition.start,
+            start_page=partition.start,
+            rate_limiter=None,  # handled per-attempt in fetch
+            retries=self.retries,
+            sleep=sleep,
+        ):
+            for row in rows:
                 yield tuple(page if f == "page" else row.get(f) for f in self.fields)
-            if len(items) < self.page_size:
-                break  # short page: endpoint exhausted (merlin_etl.py:327-329)
 
 
 class PagedExplorerDataSource(DataSource):
@@ -310,8 +323,9 @@ def synthetic_blocks(options: dict[str, str], lo: int, hi: int) -> list[tuple]:
     out = []
     for b in range(lo + 1, hi + 1):
         for i in range(b % 3):
-            h = hashlib.md5(f"{seed}:{b}:{i}".encode()).hexdigest()
-            out.append((b, "0x" + h, "0x" + h[:40], "0x" + h[8:48], str(int(h[:12], 16))))
+            # sha256: 64-hex tx hash, 40-hex from/to address slices
+            h = hashlib.sha256(f"{seed}:{b}:{i}".encode()).hexdigest()
+            out.append((b, "0x" + h, "0x" + h[:40], "0x" + h[24:64], str(int(h[:12], 16))))
     return out
 
 
@@ -333,6 +347,9 @@ def fixture_blocks(options: dict[str, str], lo: int, hi: int) -> list[tuple]:
     ]
 
 
+_BLOCK_TRANSPORTS = {"synthetic": synthetic_blocks, "fixture": fixture_blocks}
+
+
 class BlockCursorStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict[str, str]):
         self.options = dict(options)
@@ -351,7 +368,13 @@ class BlockCursorStreamReader(SimpleDataSourceStreamReader):
         return 0 if tbl.num_rows == 0 else pc.max(tbl.column(block_col)).as_py()
 
     def _rows(self, lo: int, hi: int) -> list[tuple]:
-        fn = synthetic_blocks if self.transport == "synthetic" else fixture_blocks
+        try:
+            fn = _BLOCK_TRANSPORTS[self.transport]
+        except KeyError:
+            raise ValueError(
+                f"unsupported stream transport {self.transport!r}; "
+                f"expected one of {sorted(_BLOCK_TRANSPORTS)}"
+            ) from None
         return fn(self.options, lo, hi)
 
     def initialOffset(self) -> dict:  # noqa: N802
@@ -432,7 +455,7 @@ from merl_etl_spark.registry import register  # noqa: E402
     oracle="""
     WITH numbered AS (
       SELECT c_custkey, c_name, c_acctbal,
-             CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 250) + 1 AS INT) AS page
+             CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 50) + 1 AS INT) AS page
       FROM customer
     )
     SELECT page, c_custkey, c_name, c_acctbal
@@ -443,10 +466,11 @@ from merl_etl_spark.registry import register  # noqa: E402
 def src_datasource_paged(spark, sf_dir: str):
     """Paged-explorer source end-to-end through the REAL Spark scan path:
     the fixture transport serves ``customer.parquet`` in c_custkey order
-    at 250 rows/page across 4 page-range partitions, and the
-    `page BETWEEN 2 AND 5` predicate is PUSHED into the source
-    (pushFilters) so pages 1 and 6+ are never requested.  The oracle
-    recomputes page assignment from the same total order with a window."""
+    at 50 rows/page (non-vacuous even at sf0.001's 150 customers) across
+    4 page-range partitions, and the `page BETWEEN 2 AND 5` predicate is
+    PUSHED into the source (pushFilters) so pages 1 and 6+ are never
+    requested.  The oracle recomputes page assignment from the same
+    total order with a window."""
     register_sources(spark)
     return (
         spark.read.format("merl-paged")
@@ -454,7 +478,7 @@ def src_datasource_paged(spark, sf_dir: str):
         .option("path", f"{sf_dir}/customer.parquet")
         .option("columns", "c_custkey,c_name,c_acctbal")
         .option("order_by", "c_custkey")
-        .option("page_size", "250")
+        .option("page_size", "50")
         .option("num_partitions", "4")
         .load()
         .filter("page BETWEEN 2 AND 5")

@@ -42,10 +42,13 @@ def test_synthetic_batch_partitions_and_drift(spark):
     assert df.count() == 777
     # field drift across page variants must still land in canonical columns
     assert df.filter("holder_address IS NULL OR quantity_raw IS NULL").count() == 0
-    # deterministic across reads
+    # deterministic across reads; real 40-hex address shape
     a = sorted(r.holder_address for r in df.collect())
     b = sorted(r.holder_address for r in df.collect())
     assert a == b and len(set(a)) == 777
+    import re
+
+    assert all(re.fullmatch(r"0x[0-9a-f]{40}", x) for x in a)
 
 
 def test_fixture_batch_equals_direct_parquet_paging(spark):
@@ -99,6 +102,30 @@ def test_push_filters_equal_to_single_page():
     assert [(p.start, p.end) for p in parts] == [(7, 8)]
 
 
+def test_qps_share_follows_actual_partition_count():
+    """A pushed-down single-page scan must get the FULL qps budget, not
+    qps / configured-num_partitions."""
+    rdr = PagedExplorerReader(
+        {"transport": "synthetic", "total_rows": "1000", "page_size": "100", "qps": "8"},
+        ["page", "holder_address", "quantity_raw", "contract_address"],
+    )
+    list(rdr.pushFilters([EqualTo(("page",), 7)]))
+    parts = rdr.partitions()
+    assert len(parts) == 1 and parts[0].qps == 8.0
+    wide = PagedExplorerReader(
+        {"transport": "synthetic", "total_rows": "1000", "page_size": "100",
+         "qps": "8", "num_partitions": "4"},
+        ["page", "holder_address", "quantity_raw", "contract_address"],
+    )
+    assert all(p.qps == 2.0 for p in wide.partitions())
+
+
+def test_stream_unknown_transport_rejected():
+    rdr = BlockCursorStreamReader({"transport": "http", "head_block": "5"})
+    with pytest.raises(ValueError, match="unsupported stream transport"):
+        rdr.read({"block": 0})
+
+
 def test_pushdown_through_spark_plan(spark):
     df = (
         spark.read.format("merl-paged")
@@ -121,6 +148,7 @@ def test_retry_recovers_then_exhausts():
         "page_size": "100",
         "fail_first": "2",
         "seed": "retry-ok",
+        "max_backoff_s": "0.01",  # keep injected-failure backoff fast
     }
     fields = ["page", "holder_address", "quantity_raw", "contract_address"]
     rdr = PagedExplorerReader(opts, fields)
