@@ -55,6 +55,7 @@ from typing import Any
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -62,6 +63,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from merl_etl_spark.sources.paged import RateLimiter, paged_fetch
@@ -423,6 +425,166 @@ class BlockCursorStreamSource(DataSource):
 
 
 # ---------------------------------------------------------------------------
+# write path: last-wins upsert as a real df.write format
+# ---------------------------------------------------------------------------
+
+
+class StagedFile(WriterCommitMessage):
+    """One staged parquet part written by one task."""
+
+    def __init__(self, path: str, rows: int):
+        self.path, self.rows = path, rows
+
+
+def _spark_type_to_pa(t: Any):
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if isinstance(t, T.LongType):
+        return pa.int64()
+    if isinstance(t, T.IntegerType):
+        return pa.int32()
+    if isinstance(t, T.DoubleType):
+        return pa.float64()
+    if isinstance(t, T.FloatType):
+        return pa.float32()
+    if isinstance(t, T.StringType):
+        return pa.string()
+    if isinstance(t, T.BooleanType):
+        return pa.bool_()
+    if isinstance(t, T.DecimalType):
+        return pa.decimal128(t.precision, t.scale)
+    if isinstance(t, T.TimestampType):
+        return pa.timestamp("us")
+    raise ValueError(f"unsupported column type for merl-upsert: {t}")
+
+
+class UpsertParquetWriter(DataSourceWriter):
+    """Executor tasks stage their partition as parquet parts; the driver
+    commit merges all staged rows into the destination snapshot with
+    last-wins-by-key semantics and swaps it in atomically (os.replace).
+    A failed job aborts by deleting the staging directory — the snapshot
+    is never observed half-written (the reference's transactional
+    ``INSERT ... ON CONFLICT DO UPDATE``, re-expressed as
+    stage-merge-swap; merlin_etl.py:333-357, schema.sql:55-66).
+
+    Scale shape: the stage step is fully distributed (one part per task);
+    the MERGE runs driver-side in pyarrow, sized for the reference's
+    upsert targets — small derived tables (top100 snapshots, cursors,
+    holder sets).  For large fact-table upserts use the distributed
+    ``sinks.merge_into_parquet`` plan instead; this format trades merge
+    parallelism for a single-file snapshot a JDBC-style consumer can
+    swap-read."""
+
+    def __init__(self, options: dict[str, str], schema, overwrite: bool):
+        import uuid
+
+        self.options = dict(options)
+        self.path = options["path"]
+        self.keys = [k for k in options.get("keys", "").split(",") if k]
+        if not self.keys and not overwrite:
+            raise ValueError("merl-upsert append mode requires a 'keys' option")
+        self.schema = schema
+        self.overwrite = overwrite
+        self.staging = f"{self.path}/_staging_{uuid.uuid4().hex}"
+
+    # -- executor side --
+
+    def write(self, iterator) -> StagedFile:
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        names = self.schema.names
+        pa_schema = pa.schema(
+            [(f.name, _spark_type_to_pa(f.dataType)) for f in self.schema.fields]
+        )
+        cols: dict[str, list] = {n: [] for n in names}
+        n_rows = 0
+        for row in iterator:
+            for n in names:
+                cols[n].append(row[n])
+            n_rows += 1
+        os.makedirs(self.staging, exist_ok=True)
+        part = f"{self.staging}/part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(pa.Table.from_pydict(cols, schema=pa_schema), part)
+        return StagedFile(part, n_rows)
+
+    # -- driver side --
+
+    def _snapshot(self) -> str:
+        return f"{self.path}/data.parquet"
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        try:
+            self._commit(messages)
+        except BaseException:
+            # a failed commit must roll back like the reference's
+            # transaction: drop the staged batch, leave the snapshot as-is
+            shutil.rmtree(self.staging, ignore_errors=True)
+            raise
+
+    def _commit(self, messages) -> None:
+        import os
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        staged = [pq.read_table(m.path) for m in messages if m is not None and m.rows]
+        incoming = (
+            pa.concat_tables(staged)
+            if staged
+            else pa.Table.from_pylist(
+                [], schema=pa.schema([(f.name, _spark_type_to_pa(f.dataType))
+                                      for f in self.schema.fields])
+            )
+        )
+        if self.keys:
+            key_of = lambda t, i: tuple(t.column(k)[i].as_py() for k in self.keys)  # noqa: E731
+            in_keys = [key_of(incoming, i) for i in range(incoming.num_rows)]
+            if len(set(in_keys)) != len(in_keys):
+                raise ValueError(
+                    "merl-upsert batch contains duplicate keys — the reference's "
+                    "ON CONFLICT upsert requires key-unique batches"
+                )
+        merged = incoming
+        if not self.overwrite and os.path.exists(self._snapshot()):
+            existing = pq.read_table(self._snapshot())
+            keep = set(in_keys)
+            mask = [
+                key_of(existing, i) not in keep for i in range(existing.num_rows)
+            ]
+            retained = existing.filter(pa.array(mask)) if existing.num_rows else existing
+            merged = pa.concat_tables([retained.cast(incoming.schema), incoming])
+        tmp = self._snapshot() + ".tmp"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, self._snapshot())  # atomic swap: never half-written
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class UpsertParquetDataSource(DataSource):
+    """``df.write.format("merl-upsert").option("keys", "k1,k2")`` —
+    see :class:`UpsertParquetWriter`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "merl-upsert"
+
+    def writer(self, schema, overwrite: bool) -> UpsertParquetWriter:
+        return UpsertParquetWriter(self.options, schema, overwrite)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -441,6 +603,7 @@ def register_sources(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PagedExplorerDataSource)
     spark.dataSource.register(BlockCursorStreamSource)
+    spark.dataSource.register(UpsertParquetDataSource)
 
 
 # ---------------------------------------------------------------------------

@@ -224,6 +224,54 @@ def _drain(spark, out, ckpt, head, expected, blocks_per_batch=7):
     return spark.read.parquet(out)
 
 
+def test_upsert_writer_merge_replay_overwrite(spark, tmp_path):
+    """df.write.format('merl-upsert'): last-wins merge by key, idempotent
+    replay, overwrite snapshot replace — the reference's ON CONFLICT
+    upsert as a real Spark write format."""
+    dest = str(tmp_path / "top100")
+    os.makedirs(dest)
+    df1 = spark.createDataFrame(
+        [("0xa", 1, "100"), ("0xb", 2, "90"), ("0xc", 3, "80")],
+        "addr string, rnk long, bal string",
+    )
+    df1.write.format("merl-upsert").option("keys", "addr").mode("append").save(dest)
+    assert spark.read.parquet(dest).count() == 3
+    df2 = spark.createDataFrame(
+        [("0xb", 1, "999"), ("0xd", 4, "70")], "addr string, rnk long, bal string"
+    )
+    for _ in range(2):  # second write is an exact replay -> no-op
+        df2.write.format("merl-upsert").option("keys", "addr").mode("append").save(dest)
+        got = {r.addr: (r.rnk, r.bal) for r in spark.read.parquet(dest).collect()}
+        assert got == {
+            "0xa": (1, "100"), "0xb": (1, "999"), "0xc": (3, "80"), "0xd": (4, "70")
+        }
+    df1.write.format("merl-upsert").option("keys", "addr").mode("overwrite").save(dest)
+    assert spark.read.parquet(dest).count() == 3
+    # no staging residue visible to readers
+    assert not [p for p in os.listdir(dest) if p.startswith("_staging")]
+
+
+def test_upsert_writer_rejects_duplicate_key_batch(spark, tmp_path):
+    dest = str(tmp_path / "dup")
+    os.makedirs(dest)
+    bad = spark.createDataFrame(
+        [("0xz", 1, "1"), ("0xz", 2, "2")], "addr string, rnk long, bal string"
+    )
+    with pytest.raises(Exception, match="duplicate keys"):
+        bad.write.format("merl-upsert").option("keys", "addr").mode("append").save(dest)
+    # failed commit rolled back: no staging residue, no snapshot
+    assert not [p for p in os.listdir(dest) if p.startswith("_staging")]
+    assert not os.path.exists(os.path.join(dest, "data.parquet"))
+
+
+def test_upsert_writer_append_requires_keys(spark, tmp_path):
+    dest = str(tmp_path / "nokeys")
+    os.makedirs(dest)
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(Exception, match="requires a 'keys' option"):
+        df.write.format("merl-upsert").mode("append").save(dest)
+
+
 def test_stream_cursor_checkpoint_resume_exactly_once(spark, tmp_path):
     """The reference's block cursor as a Spark offset: restart after the
     head advances must deliver ONLY blocks past the committed offset —
