@@ -1,0 +1,138 @@
+"""Training-corpus curation extensions: benchmark decontamination and
+Gopher-style repetition quality signals.
+
+Neither exists in the reference (it is a token-ETL, not a corpus
+pipeline); both are core operations of a large-scale training-data
+pipeline and compose with the dedup/quality tiers in
+``operators/dedup.py`` / ``operators/text_analysis.py``:
+
+- **text-decontaminate** — flag corpus documents sharing any word n-gram
+  with a benchmark/holdout set (the standard eval-contamination guard).
+  Production uses 13-grams; here the shared 3-gram shingler keeps the
+  Spark/DuckDB twin expressions identical to the dedup tier's.
+- **text-repetition** — per-document repetition signals from the Gopher
+  quality rules: duplicate-word fraction and the fraction of all bigrams
+  taken by the single most frequent bigram (excessive repetition is the
+  top predictor of boilerplate/spam in web corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merl_etl_spark.operators.dedup import DUCK_SHINGLES, ngram_shingles_expr
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+# every ~97th doc stands in for the benchmark/holdout set
+BENCH_MOD = 97
+
+
+@register(
+    "text-decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest({DUCK_SHINGLES}) AS s FROM documents)
+    ),
+    bm AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0)
+    SELECT doc_id, count(*) AS n_hits
+    FROM sh JOIN bm USING (s)
+    WHERE doc_id % {BENCH_MOD} <> 0
+    GROUP BY doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents that share at least
+    one 3-gram shingle with the holdout set (doc_id % 97 == 0), with
+    the count of distinct shared shingles.
+
+    Scale shape: the benchmark shingle set is bounded (eval suites are
+    tiny next to the corpus) so it BROADCASTS — the corpus-side shingle
+    stream is scanned once, map-side, with no shuffle of the corpus;
+    the per-doc hit count is a two-phase hash aggregate.  Corpus-linear
+    at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (
+        docs.withColumn("words", F.split("text", " "))
+        .select("doc_id", F.explode(F.expr(ngram_shingles_expr(3))).alias("s"))
+        .distinct()
+    )
+    bm = sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
+    corpus = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bm), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+@register(
+    "text-repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    base AS (
+      SELECT doc_id,
+             1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+               AS dup_word_frac
+      FROM w
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS b
+      FROM w
+    ),
+    c AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id,
+             CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_bigram_frac
+      FROM c GROUP BY 1
+    )
+    SELECT base.doc_id, dup_word_frac, top_bigram_frac
+    FROM base JOIN top USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals per document: duplicate-word fraction
+    (1 - distinct/total) and top-bigram fraction (share of all bigrams
+    held by the most frequent one).
+
+    Scale shape: the word-level fraction is a pure array expression (no
+    explode); the bigram top is explode → two-phase hash aggregate
+    (partial max/sum map-side), i.e. corpus-linear with one shuffle on
+    doc_id — the alternative per-doc quadratic array scan
+    (transform(distinct, count-in-array)) is O(len²) on pathological
+    docs and was rejected.  Doubles divide int-exact inputs identically
+    in Spark and DuckDB (IEEE), so no rounding is needed."""
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    base = words.select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("w")).cast("double") / F.size("w").cast("double")
+        ).alias("dup_word_frac"),
+    )
+    bigrams = words.select(
+        "doc_id", F.explode(F.expr(ngram_shingles_expr(2, "w"))).alias("b")
+    )
+    top = (
+        bigrams.groupBy("doc_id", "b")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            (F.max("count").cast("double") / F.sum("count").cast("double")).alias(
+                "top_bigram_frac"
+            )
+        )
+    )
+    return base.join(top, "doc_id").select("doc_id", "dup_word_frac", "top_bigram_frac")

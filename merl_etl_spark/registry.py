@@ -58,6 +58,7 @@ def load_all() -> None:
     import merl_etl_spark.sources.datasource  # noqa: F401  (new in round 3)
     import merl_etl_spark.operators.multimodal  # noqa: F401
     import merl_etl_spark.operators.curation  # noqa: F401
+    import merl_etl_spark.operators.curation_ext  # noqa: F401  (new in round 3)
     import merl_etl_spark.operators.sql_api  # noqa: F401
     import merl_etl_spark.operators.setops  # noqa: F401
     import merl_etl_spark.operators.analytics  # noqa: F401
