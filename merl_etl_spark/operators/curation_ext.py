@@ -50,21 +50,20 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the benchmark shingle set is bounded (eval suites are
     tiny next to the corpus) so it BROADCASTS — the corpus-side shingle
-    stream is scanned once, map-side, with no shuffle of the corpus;
-    the per-doc hit count is a two-phase hash aggregate.  Corpus-linear
-    at any corpus size."""
+    stream is scanned once, map-side, with NO pre-join distinct (that
+    would shuffle every corpus shingle); only the benchmark HITS reach
+    the shuffle, deduplicated per doc by countDistinct's partial
+    aggregate.  Corpus-linear at any corpus size."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = (
-        docs.withColumn("words", F.split("text", " "))
-        .select("doc_id", F.explode(F.expr(ngram_shingles_expr(3))).alias("s"))
-        .distinct()
+    sh = docs.withColumn("words", F.split("text", " ")).select(
+        "doc_id", F.explode(F.expr(ngram_shingles_expr(3))).alias("s")
     )
     bm = sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
     corpus = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
     return (
         corpus.join(F.broadcast(bm), "s")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count_distinct("s").alias("n_hits"))
     )
 
 

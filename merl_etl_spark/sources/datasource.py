@@ -437,26 +437,11 @@ class StagedFile(WriterCommitMessage):
 
 
 def _spark_type_to_pa(t: Any):
-    import pyarrow as pa
-    from pyspark.sql import types as T
+    # pyspark's own Arrow mapping (dates, binary, tz-aware timestamps,
+    # nested types) — no hand-rolled parallel table to keep in sync
+    from pyspark.sql.pandas.types import to_arrow_type
 
-    if isinstance(t, T.LongType):
-        return pa.int64()
-    if isinstance(t, T.IntegerType):
-        return pa.int32()
-    if isinstance(t, T.DoubleType):
-        return pa.float64()
-    if isinstance(t, T.FloatType):
-        return pa.float32()
-    if isinstance(t, T.StringType):
-        return pa.string()
-    if isinstance(t, T.BooleanType):
-        return pa.bool_()
-    if isinstance(t, T.DecimalType):
-        return pa.decimal128(t.precision, t.scale)
-    if isinstance(t, T.TimestampType):
-        return pa.timestamp("us")
-    raise ValueError(f"unsupported column type for merl-upsert: {t}")
+    return to_arrow_type(t)
 
 
 class UpsertParquetWriter(DataSourceWriter):
@@ -552,18 +537,32 @@ class UpsertParquetWriter(DataSourceWriter):
                     "merl-upsert batch contains duplicate keys — the reference's "
                     "ON CONFLICT upsert requires key-unique batches"
                 )
-        merged = incoming
-        if not self.overwrite and os.path.exists(self._snapshot()):
-            existing = pq.read_table(self._snapshot())
-            keep = set(in_keys)
-            mask = [
-                key_of(existing, i) not in keep for i in range(existing.num_rows)
-            ]
-            retained = existing.filter(pa.array(mask)) if existing.num_rows else existing
-            merged = pa.concat_tables([retained.cast(incoming.schema), incoming])
-        tmp = self._snapshot() + ".tmp"
-        pq.write_table(merged, tmp)
-        os.replace(tmp, self._snapshot())  # atomic swap: never half-written
+        # exclusive commit lock: concurrent read-merge-replace jobs would
+        # silently drop each other's batches (Postgres serialized this for
+        # the reference; an advisory flock serializes it here — single
+        # process-local FS only, a real lake would use a table format)
+        import fcntl
+
+        lock_fd = os.open(f"{self.path}/_upsert.lock", os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            merged = incoming
+            if not self.overwrite and os.path.exists(self._snapshot()):
+                existing = pq.read_table(self._snapshot())
+                keep = set(in_keys)
+                mask = [
+                    key_of(existing, i) not in keep for i in range(existing.num_rows)
+                ]
+                retained = existing.filter(pa.array(mask)) if existing.num_rows else existing
+                merged = pa.concat_tables([retained.cast(incoming.schema), incoming])
+            # tmp lives inside the underscore-hidden staging dir: invisible
+            # to readers, removed by any rollback; os.replace stays atomic
+            # (same filesystem)
+            tmp = f"{self.staging}/snapshot.tmp.parquet"
+            pq.write_table(merged, tmp)
+            os.replace(tmp, self._snapshot())  # atomic swap: never half-written
+        finally:
+            os.close(lock_fd)
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages) -> None:

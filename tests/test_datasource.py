@@ -4,7 +4,6 @@ block-cursor source (offset checkpointing, exactly-once resume)."""
 
 from __future__ import annotations
 
-import glob
 import os
 import time
 
@@ -211,13 +210,21 @@ def _drain(spark, out, ckpt, head, expected, blocks_per_batch=7):
         .trigger(processingTime="0 seconds")
         .start()
     )
+    def committed_count():
+        # a task-written part can appear before the _spark_metadata commit;
+        # reading in that window raises schema-inference errors — treat as 0
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return -1
+
     try:
         deadline = time.monotonic() + 90
         while time.monotonic() < deadline:
-            if glob.glob(os.path.join(out, "*.parquet")):
-                if spark.read.parquet(out).count() >= expected:
-                    break
+            if committed_count() >= expected:
+                break
             time.sleep(0.25)
+        assert committed_count() >= expected, "stream did not reach expected rows in 90s"
     finally:
         q.stop()
         q.awaitTermination(60)

@@ -32,7 +32,7 @@ NEVER_ORACLED = [
 
 def test_never_oracled_queries_register_inside_driver_budget():
     order = list(QUERIES)
-    late = {q: order.index(q) + 1 for q in NEVER_ORACLED if order.index(q) > DRIVER_BUDGET}
+    late = {q: order.index(q) + 1 for q in NEVER_ORACLED if order.index(q) >= DRIVER_BUDGET}
     assert not late, f"queries past the driver's ~{DRIVER_BUDGET}-query budget: {late}"
 
 
