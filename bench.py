@@ -56,6 +56,8 @@ HEADLINE = [
     "text-ngram-counts",
     "text-pii-scrub",
     "curate-pipeline",
+    "text-decontaminate",
+    "text-repetition",
     "uint256-exact-sum",
 ]
 
