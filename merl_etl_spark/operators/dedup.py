@@ -9,7 +9,7 @@ Five tiers, each a different cost/recall point at 100 TB:
                   the only pairwise-free near-dup path at scale (shuffles
                   are linear in corpus size; pairs only materialize inside
                   buckets).
-- simhash         64/16-bit weighted fingerprint; hamming-ball lookup.
+- simhash         64-bit weighted fingerprint; banded hamming-ball lookup.
 - n-gram Jaccard  exact set overlap on candidate pairs (verification stage
                   after LSH at scale; bounded blocking here).
 - embedding       cosine near-dup (see operators/similarity.py for the
@@ -288,17 +288,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
 
 
-N_SIM_BITS = 16
+N_SIM_BITS = 64  # production width: 4 bands of 16 bits (see pairs query)
 
 
 def _simhash_votes(digest_expr: str, pos_fn: str) -> list[str]:
-    """Per-bit parity of the j-th hex digit of ``digest_expr``, summed as
-    ±1 votes — ONE template instantiated for both engines (Spark: the
-    hoisted column ``m`` with instr; DuckDB: ``md5(w)`` with strpos) so
-    the vote formula cannot drift between query and oracle."""
+    """Per-bit ±1 votes from ``digest_expr``'s hex digits — vote ``j``
+    reads bit ``j % 2`` of hex digit ``j // 2`` (md5's 32 digits × 2
+    low bits = 64 unbiased independent bits).  ONE template instantiated
+    for both engines (Spark: the hoisted column ``m`` with instr;
+    DuckDB: ``md5(w)`` with strpos) so the vote formula cannot drift
+    between query and oracle."""
     return [
-        f"sum(2 * (({pos_fn}('0123456789abcdef', substr({digest_expr}, {j + 1}, 1)) - 1) % 2) - 1)"
-        f" AS v{j}"
+        f"sum(2 * ((({pos_fn}('0123456789abcdef', substr({digest_expr}, {(j >> 1) + 1}, 1)) - 1)"
+        f" >> {j & 1}) & 1) - 1) AS v{j}"
         for j in range(N_SIM_BITS)
     ]
 
@@ -307,7 +309,18 @@ _SIMHASH_DUCK_VOTES = ",\n             ".join(_simhash_votes("md5(w)", "strpos")
 
 
 def _simhash_fingerprint() -> str:
-    return " + ".join(f"(CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(N_SIM_BITS))
+    """Signed-64 bit pattern from the vote signs.  Terms are emitted in
+    ascending bit order so every left-to-right partial sum stays within
+    BIGINT (bits 0..62 sum to at most 2^63-1; the sign bit contributes
+    the final min-long term) — DuckDB errors on BIGINT overflow rather
+    than wrapping, so the order matters."""
+    terms = [
+        f"(CASE WHEN v{j} >= 0 THEN "
+        + (f"{1 << j}" if j < 63 else "CAST(-9223372036854775808 AS BIGINT)")
+        + " ELSE 0 END)"
+        for j in range(N_SIM_BITS)
+    ]
+    return " + ".join(terms)
 
 
 @register(
@@ -326,16 +339,16 @@ def _simhash_fingerprint() -> str:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (N_SIM_BITS=16-bit here; 64-bit in production):
-    each distinct word votes ±1 per bit position from its digest parity;
-    the majority sign becomes the bit.  Near-dups land within a small
+    """SimHash fingerprints at production width (N_SIM_BITS=64): each
+    distinct word votes ±1 per bit position from its digest bits; the
+    majority sign becomes the bit.  Near-dups land within a small
     hamming ball — dedup becomes a fingerprint groupBy / banded lookup
     instead of pairwise comparison."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .distinct()
-        .withColumn("m", F.md5("w"))  # hash once; 16 parity extracts below
+        .withColumn("m", F.md5("w"))  # hash once; 64 bit extracts below
     )
     votes = words.groupBy("doc_id").agg(
         *[F.expr(v) for v in _simhash_votes("m", "instr")]
@@ -345,7 +358,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIM_HAM_MAX = 3  # near-dup radius; 4 bands of 4 bits cover it by pigeonhole
+SIM_HAM_MAX = 3  # near-dup radius; 4 bands of 16 bits cover it by pigeonhole
 
 
 @register(
@@ -374,18 +387,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pairing stage that completes the simhash tier (dedup-simhash
     computes fingerprints; this finds the collisions).
 
-    Scale shape: the 16-bit fingerprint splits into 4 bands of 4 bits; by
-    pigeonhole, any pair within hamming ≤ 3 agrees EXACTLY on at least
-    one band, so banded equi-self-join + exact hamming filter returns
-    precisely the same pairs as the brute-force all-pairs scan the oracle
-    runs — provably, not probabilistically (unlike MinHash banding).
-    Bands are EXPLODED into (band_id, band_value) rows and self-joined
-    once on that composite key (the minhash_lsh_pairs banding idiom) —
-    one join over 4n rows, not 4 unioned joins re-scanning the
-    fingerprint aggregate 8 times.  Pairwise work is confined to
-    same-band buckets — corpus-linear until fingerprints actually
-    collide.  Production: 64-bit fingerprints, k bands of 64/k bits for
-    hamming ≤ k-1, same plan."""
+    Scale shape: the 64-bit fingerprint splits into 4 bands of 16 bits;
+    by pigeonhole, any pair within hamming ≤ 3 agrees EXACTLY on at
+    least one band, so banded equi-self-join + exact hamming filter
+    returns precisely the same pairs as the brute-force all-pairs scan
+    the oracle runs — provably, not probabilistically (unlike MinHash
+    banding).  Bands are EXPLODED into (band_id, band_value) rows and
+    self-joined once on that composite key (the minhash_lsh_pairs
+    banding idiom) — one join over 4n rows, not 4 unioned joins
+    re-scanning the fingerprint aggregate 8 times.  The 2^16 values per
+    band keep spurious bucket collisions ≈ n²/2^16 per band — a 16-bit
+    toy width was measured quadratic at 100k docs (16-value buckets),
+    which is why the production width is not optional (PERF.md round-3
+    stress)."""
     fp = dedup_simhash(spark, sf_dir)
     banded = fp.select(
         "doc_id",
@@ -395,7 +409,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(band).alias("band_id"),
-                        F.expr(f"CAST(shiftright(simhash, {4 * band}) & 15 AS INT)").alias("bv"),
+                        F.expr(
+                            f"CAST((simhash >> {16 * band}) & 65535 AS INT)"
+                        ).alias("bv"),
                     )
                     for band in range(4)
                 ]

@@ -271,6 +271,28 @@ def test_upsert_writer_rejects_duplicate_key_batch(spark, tmp_path):
     assert not os.path.exists(os.path.join(dest, "data.parquet"))
 
 
+def test_upsert_writer_concurrent_jobs_both_land(spark, tmp_path):
+    """Two simultaneous upsert jobs to one destination: the commit lock
+    serializes read-merge-swap, so neither batch is lost."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    dest = str(tmp_path / "conc")
+    os.makedirs(dest)
+
+    def write(rows):
+        spark.createDataFrame(rows, "k string, v long").write.format(
+            "merl-upsert"
+        ).option("keys", "k").mode("append").save(dest)
+
+    a = [(f"a{i}", i) for i in range(20)]
+    b = [(f"b{i}", i) for i in range(20)]
+    with ThreadPoolExecutor(2) as ex:
+        for f in [ex.submit(write, a), ex.submit(write, b)]:
+            f.result()
+    got = {r.k for r in spark.read.parquet(dest).collect()}
+    assert got == {k for k, _ in a} | {k for k, _ in b}
+
+
 def test_upsert_writer_append_requires_keys(spark, tmp_path):
     dest = str(tmp_path / "nokeys")
     os.makedirs(dest)
