@@ -291,21 +291,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SIM_BITS = 64  # production width: 4 bands of 16 bits (see pairs query)
 
 
-def _simhash_votes(digest_expr: str, pos_fn: str) -> list[str]:
-    """Per-bit ±1 votes from ``digest_expr``'s hex digits — vote ``j``
-    reads bit ``j % 2`` of hex digit ``j // 2`` (md5's 32 digits × 2
-    low bits = 64 unbiased independent bits).  ONE template instantiated
-    for both engines (Spark: the hoisted column ``m`` with instr;
-    DuckDB: ``md5(w)`` with strpos) so the vote formula cannot drift
-    between query and oracle."""
+def _simhash_votes(h1: str = "h1", h2: str = "h2") -> list[str]:
+    """Per-bit ±1 votes — vote ``j`` reads bit ``j % 32`` of the word's
+    32-bit digest half ``h1``/``h2`` (hoisted ONCE per word; evaluating
+    substr+instr per bit was measured at 2× the whole query's cost).
+    The shift/mask formula is ONE template instantiated for both engines
+    so the vote definition cannot drift between query and oracle; only
+    the h1/h2 hex→int derivation is engine-specific (same split as the
+    minhash Kirsch–Mitzenmacher halves)."""
     return [
-        f"sum(2 * ((({pos_fn}('0123456789abcdef', substr({digest_expr}, {(j >> 1) + 1}, 1)) - 1)"
-        f" >> {j & 1}) & 1) - 1) AS v{j}"
+        f"sum(2 * CAST((({h1 if j < 32 else h2} >> {j % 32}) & 1) AS INT) - 1) AS v{j}"
         for j in range(N_SIM_BITS)
     ]
 
 
-_SIMHASH_DUCK_VOTES = ",\n             ".join(_simhash_votes("md5(w)", "strpos"))
+_SIMHASH_DUCK_VOTES = ",\n             ".join(_simhash_votes())
+# DuckDB twin of the Spark conv(...,16,10) halves below
+_SIMHASH_DUCK_HALVES = (
+    "('0x' || substr(md5(w), 1, 8))::BIGINT AS h1, "
+    "('0x' || substr(md5(w), 9, 8))::BIGINT AS h2"
+)
 
 
 def _simhash_fingerprint() -> str:
@@ -329,10 +334,13 @@ def _simhash_fingerprint() -> str:
     WITH words AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
+    halves AS (
+      SELECT doc_id, {_SIMHASH_DUCK_HALVES} FROM words
+    ),
     votes AS (
       SELECT doc_id,
              {_SIMHASH_DUCK_VOTES}
-      FROM words GROUP BY doc_id
+      FROM halves GROUP BY doc_id
     )
     SELECT doc_id, CAST({_simhash_fingerprint()} AS BIGINT) AS simhash
     FROM votes
@@ -348,11 +356,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .distinct()
-        .withColumn("m", F.md5("w"))  # hash once; 64 bit extracts below
+        .withColumn("m", F.md5("w"))  # hash once; two int halves below
+        .withColumn("h1", F.expr("CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("h2", F.expr("CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)"))
     )
-    votes = words.groupBy("doc_id").agg(
-        *[F.expr(v) for v in _simhash_votes("m", "instr")]
-    )
+    votes = words.groupBy("doc_id").agg(*[F.expr(v) for v in _simhash_votes()])
     return votes.select(
         "doc_id", F.expr(_simhash_fingerprint()).cast("bigint").alias("simhash")
     )
@@ -367,10 +375,13 @@ SIM_HAM_MAX = 3  # near-dup radius; 4 bands of 16 bits cover it by pigeonhole
     WITH words AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
+    halves AS (
+      SELECT doc_id, {_SIMHASH_DUCK_HALVES} FROM words
+    ),
     votes AS (
       SELECT doc_id,
              {_SIMHASH_DUCK_VOTES}
-      FROM words GROUP BY doc_id
+      FROM halves GROUP BY doc_id
     ),
     f AS (
       SELECT doc_id, CAST({_simhash_fingerprint()} AS BIGINT) AS simhash
