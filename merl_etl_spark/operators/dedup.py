@@ -51,6 +51,26 @@ def ngram_shingles_expr(n: int, words_col: str = "words") -> str:
     )
 
 
+def md5_halves_duck(digest_expr: str = "m") -> str:
+    """DuckDB: md5 hex digest → two unsigned 32-bit BIGINT halves.
+    The SINGLE source of the hex→int split shared by the minhash
+    Kirsch–Mitzenmacher hashes and the simhash bit votes — editing the
+    offsets here changes every consumer in both engines together with
+    :func:`md5_halves_spark`."""
+    return (
+        f"('0x' || substr({digest_expr}, 1, 8))::BIGINT AS h1, "
+        f"('0x' || substr({digest_expr}, 9, 8))::BIGINT AS h2"
+    )
+
+
+def md5_halves_spark(m):
+    """Spark twin of :func:`md5_halves_duck` (conv(hex, 16, 10))."""
+    return [
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("h2"),
+    ]
+
+
 WORDS_SHINGLES = ngram_shingles_expr(3)
 DUCK_SHINGLES = (
     "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)), "
@@ -103,9 +123,7 @@ def _minhash_cand_ctes() -> str:
       SELECT doc_id, md5(unnest({DUCK_SHINGLES})) AS m FROM documents
     ),
     hashed AS (
-      SELECT doc_id,
-             ('0x' || substr(m, 1, 8))::BIGINT AS h1,
-             ('0x' || substr(m, 9, 8))::BIGINT AS h2
+      SELECT doc_id, {md5_halves_duck()}
       FROM sh
     ),
     mins AS (
@@ -158,12 +176,7 @@ def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> Data
     sh = docs.withColumn("words", F.split("text", " ")).select(
         "doc_id", F.explode(F.expr(WORDS_SHINGLES)).alias("sh")
     )
-    m = F.md5("sh")
-    hashed = sh.select(
-        "doc_id",
-        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("h2"),
-    )
+    hashed = sh.select("doc_id", *md5_halves_spark(F.md5("sh")))
     mins = hashed.groupBy("doc_id").agg(
         *[
             F.min((F.col("h1") + k * F.col("h2")) % MH_PRIME).alias(f"mh{k}")
@@ -306,11 +319,7 @@ def _simhash_votes(h1: str = "h1", h2: str = "h2") -> list[str]:
 
 
 _SIMHASH_DUCK_VOTES = ",\n             ".join(_simhash_votes())
-# DuckDB twin of the Spark conv(...,16,10) halves below
-_SIMHASH_DUCK_HALVES = (
-    "('0x' || substr(md5(w), 1, 8))::BIGINT AS h1, "
-    "('0x' || substr(md5(w), 9, 8))::BIGINT AS h2"
-)
+_SIMHASH_DUCK_HALVES = md5_halves_duck("md5(w)")
 
 
 def _simhash_fingerprint() -> str:
@@ -356,9 +365,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .distinct()
-        .withColumn("m", F.md5("w"))  # hash once; two int halves below
-        .withColumn("h1", F.expr("CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)"))
-        .withColumn("h2", F.expr("CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)"))
+        .select("doc_id", *md5_halves_spark(F.md5("w")))  # hash once per word
     )
     votes = words.groupBy("doc_id").agg(*[F.expr(v) for v in _simhash_votes()])
     return votes.select(
