@@ -115,6 +115,11 @@ def synthetic_page(options: dict[str, str], page: int, page_size: int) -> list[d
     return out
 
 
+# per-process cache of the sorted fixture table: one read+sort per
+# (path, order, columns) per worker instead of one per page request
+_FIXTURE_CACHE: dict[tuple, Any] = {}
+
+
 def fixture_page(options: dict[str, str], page: int, page_size: int) -> list[dict]:
     """Serve pages out of a parquet file in ``order_by`` order — the
     deterministic stand-in for a remote endpoint (its backing store can
@@ -123,8 +128,17 @@ def fixture_page(options: dict[str, str], page: int, page_size: int) -> list[dic
 
     cols = options["columns"].split(",")
     order_by = options["order_by"].split(",")
-    tbl = pq.read_table(options["path"], columns=sorted(set(cols) | set(order_by)))
-    tbl = tbl.sort_by([(c, "ascending") for c in order_by])
+    import os
+
+    key = (options["path"], options["columns"], options["order_by"],
+           os.path.getmtime(options["path"]))
+    tbl = _FIXTURE_CACHE.get(key)
+    if tbl is None:
+        if len(_FIXTURE_CACHE) >= 8:  # bound worker memory across jobs
+            _FIXTURE_CACHE.clear()
+        tbl = pq.read_table(options["path"], columns=sorted(set(cols) | set(order_by)))
+        tbl = tbl.sort_by([(c, "ascending") for c in order_by])
+        _FIXTURE_CACHE[key] = tbl
     sl = tbl.slice((page - 1) * page_size, page_size)
     return [{c: sl.column(c)[i].as_py() for c in cols} for i in range(sl.num_rows)]
 
