@@ -59,6 +59,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -218,15 +219,22 @@ class PagedExplorerReader(DataSourceReader):
         self.retries = int(options.get("retries", "5"))
         self.num_partitions = int(options.get("num_partitions", "8"))
         self.end_page = self.start_page + self.max_pages  # exclusive
+        self.page_set: set[int] | None = None  # set by a pushed `page IN (...)`
 
     # -- planning (driver side) --
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
         """Consume page-range predicates — the page number IS the request
-        parameter, so `page >= N` means pages below N are never fetched.
-        Everything else is returned for Spark to evaluate post-scan."""
+        parameter, so `page >= N` means pages below N are never fetched
+        and `page IN (...)` requests exactly those pages.  Everything
+        else is returned for Spark to evaluate post-scan."""
         for f in filters:
-            if getattr(f, "attribute", None) == ("page",) and isinstance(
+            if isinstance(f, In) and getattr(f, "attribute", None) == ("page",) and all(
+                isinstance(v, int) for v in f.value
+            ):
+                pages = {v for v in f.value if v >= 1}
+                self.page_set = pages if self.page_set is None else self.page_set & pages
+            elif getattr(f, "attribute", None) == ("page",) and isinstance(
                 getattr(f, "value", None), int
             ):
                 if isinstance(f, EqualTo):
@@ -264,11 +272,25 @@ class PagedExplorerReader(DataSourceReader):
         total = self._known_total_pages()
         if total is not None:
             end = min(end, total + 1)
-        if end <= start:
+        if self.page_set is not None:
+            # one range per consecutive run of requested pages
+            pages = sorted(p for p in self.page_set if start <= p < end)
+            if not pages:
+                return [PageRange(start, start)]
+            ranges = []
+            run_start = prev = pages[0]
+            for p in pages[1:]:
+                if p != prev + 1:
+                    ranges.append((run_start, prev + 1))
+                    run_start = p
+                prev = p
+            ranges.append((run_start, prev + 1))
+        elif end <= start:
             return [PageRange(start, start)]
-        n = max(1, min(self.num_partitions, end - start))
-        span = -(-(end - start) // n)
-        ranges = [(p, min(p + span, end)) for p in range(start, end, span)]
+        else:
+            n = max(1, min(self.num_partitions, end - start))
+            span = -(-(end - start) // n)
+            ranges = [(p, min(p + span, end)) for p in range(start, end, span)]
         share = self.qps / len(ranges) if self.qps > 0 else 0.0
         return [PageRange(s, e, share) for s, e in ranges]
 

@@ -125,6 +125,33 @@ def test_stream_unknown_transport_rejected():
         rdr.read({"block": 0})
 
 
+def test_push_filters_in_set_consecutive_runs():
+    from pyspark.sql.datasource import In
+
+    rdr = PagedExplorerReader(
+        {"transport": "synthetic", "total_rows": "1000", "page_size": "100"},
+        ["page", "holder_address", "quantity_raw", "contract_address"],
+    )
+    assert list(rdr.pushFilters([In(("page",), (2, 3, 7, 8, 9))])) == []
+    parts = rdr.partitions()
+    assert [(p.start, p.end) for p in parts] == [(2, 4), (7, 10)]
+    rows = [r for p in parts for r in rdr.read(p)]
+    assert {r[0] for r in rows} == {2, 3, 7, 8, 9}
+
+
+def test_pushdown_in_through_spark_plan(spark):
+    df = (
+        spark.read.format("merl-paged")
+        .option("transport", "synthetic")
+        .option("total_rows", "1000")
+        .option("page_size", "100")
+        .load()
+        .filter("page IN (2, 9)")
+    )
+    assert df.rdd.getNumPartitions() == 2  # two single-page runs
+    assert df.count() == 200
+
+
 def test_pushdown_through_spark_plan(spark):
     df = (
         spark.read.format("merl-paged")
