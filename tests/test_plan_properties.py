@@ -53,6 +53,34 @@ def test_embedding_dedup_has_no_nested_loop_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+# brute-force scorers whose nested-loop side is a BOUNDED query set
+# (≤ tens of rows broadcast against the corpus) — per-query-linear by
+# design, the documented baseline the LSH/IVF variants are measured
+# against.  Everything else in the tier must stay equi-join-only.
+_BOUNDED_NESTED_LOOP_OK = {"sim-topk-cosine"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        q
+        for q in QUERIES
+        if q.startswith(("dedup-", "sim-", "text-decontaminate"))
+        and q not in _BOUNDED_NESTED_LOOP_OK
+    ),
+)
+def test_dedup_similarity_tier_stays_equi_join_only(spark, sf_dir, name):
+    """EVERY dedup/similarity/decontamination plan (bar the bounded
+    brute-force baseline above) must be free of nested-loop and
+    cartesian joins — the banded/bucketed candidate generation is the
+    whole point of these operators, and a regression to all-pairs would
+    pass correctness tests at fixture scale while being quadratic at
+    corpus scale."""
+    plan = _plan(spark, name, sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
 def test_column_pruning_on_projection(spark, sf_dir):
     """A 4-column projection over events must not read props (the widest
     column) — ReadSchema is the scan's actual column set."""
