@@ -28,6 +28,9 @@ from merl_etl_spark.sources.tables import load_table
 # every ~97th doc stands in for the benchmark/holdout set
 BENCH_MOD = 97
 
+# per-source document cap (anti-boilerplate domain capping)
+SOURCE_CAP = 10
+
 
 @register(
     "text-decontaminate",
@@ -135,3 +138,39 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return base.join(top, "doc_id").select("doc_id", "dup_word_frac", "top_bigram_frac")
+
+
+@register(
+    "curate-source-cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS src_rank
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, src_rank
+    FROM ranked WHERE src_rank <= {SOURCE_CAP}
+    """,
+)
+def curate_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — keep the top SOURCE_CAP (10) documents
+    per source by length (n_chars, doc_id tiebreak): the standard guard
+    against a single boilerplate-heavy domain dominating the corpus
+    (C4/RefinedWeb-style domain capping; rank by any quality score the
+    same way).
+
+    Scale shape: compiles to WindowGroupLimit — each map task keeps at
+    most the cap per source BEFORE the shuffle, so the exchange carries
+    ≤ cap × sources × partitions rows regardless of corpus size (the
+    plan probe pins this)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        # cast: DuckDB row_number is BIGINT, Spark's is INT
+        docs.withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("src_rank") <= SOURCE_CAP)
+        .select("source", "doc_id", "n_chars", "src_rank")
+    )

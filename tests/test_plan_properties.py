@@ -34,6 +34,8 @@ CASES = [
     ("sort-limit-top10", ["WindowGroupLimit", "TakeOrderedAndProject"]),
     ("agg-conditional-flow", ["HashAggregate"]),
     ("dedup-exact", ["HashAggregate"]),
+    # per-source cap must keep its map-side Partial group-limit
+    ("curate-source-cap", ["WindowGroupLimit", "Partial"]),
 ]
 
 

@@ -26,7 +26,7 @@ NEVER_ORACLED = [
     "sink-upsert-holders", "sink-insert-ignore-tx", "sink-upsert-cursor",
     "sink-view", "plan-top100-derive",
     "dedup-simhash-pairs", "src-datasource-paged",
-    "text-decontaminate", "text-repetition",
+    "text-decontaminate", "text-repetition", "curate-source-cap",
 ]
 
 
