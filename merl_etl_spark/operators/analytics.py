@@ -280,10 +280,12 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so this is registered rows-only; the pytest suite bounds the
     estimates against exact values instead."""
     events = load_table(spark, sf_dir, "events")
+    # Scalar quantile columns (not an array) so downstream consumers that
+    # canonicalize rows column-wise never see an unhashable array cell.
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").alias(
-            "value_quantiles"
-        ),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("q50"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("q95"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("q99"),
         F.count("*").alias("n"),
     )

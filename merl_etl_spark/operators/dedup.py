@@ -289,13 +289,40 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-@register("dedup-clusters")
+def _clusters_oracle() -> str:
+    """DuckDB oracle for dedup-clusters (VERDICT r3 "Next round" #3):
+    transitive closure over the same LSH candidate pairs via WITH
+    RECURSIVE, component label = min reachable doc_id.  Expressible only
+    because fixture components are tiny; the Spark side stays the
+    distributed min-label-propagation loop."""
+    return f"""
+    WITH RECURSIVE {_minhash_cand_ctes()},
+    edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM cand
+      UNION
+      SELECT doc_b AS x, doc_a AS y FROM cand
+    ),
+    reach AS (
+      SELECT DISTINCT x AS node, x AS r FROM edges
+      UNION
+      SELECT e.x AS node, reach.r
+      FROM reach JOIN edges e ON e.y = reach.node
+    )
+    SELECT node AS doc_id,
+           min(r) AS cluster_id,
+           (node = min(r)) AS is_keeper
+    FROM reach GROUP BY node
+    """
+
+
+@register("dedup-clusters", oracle=_clusters_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: MinHash-LSH candidate pairs → connected
     components → per-cluster canonical keeper (min doc_id) — the decision
-    stage that turns pair lists into actual drop/keep actions.  Iterative
-    fixed-point algorithm ⇒ registered rows-only; the pytest suite
-    verifies against a driver-side union-find."""
+    stage that turns pair lists into actual drop/keep actions.  The
+    iterative fixed-point loop is additionally pytest-verified against a
+    driver-side union-find; the DuckDB oracle expresses the same
+    components as a recursive transitive closure (fixture-scale only)."""
     pairs = dedup_minhash_lsh(spark, sf_dir)
     comp = connected_components(pairs)
     return comp.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))

@@ -27,6 +27,53 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Driver-sweep priority (VERDICT r3 "Next round" #2).  The external driver
+# oracles only the first ~50 registered queries per round, so ordering is a
+# correctness-coverage decision, not cosmetics.  Tiers, most urgent first:
+#   1. churn — queries whose code changed since their last driver-green
+#      round (a green row on old code is stale evidence);
+#   2. new — queries that have never had a driver CORRECTNESS row;
+#   3. stale-green — last driver-checked in round 2 (code unmodified);
+#   4. fresh-green — driver-checked green in round 3.
+# Queries NOT listed here keep their module registration order and fill the
+# remaining budget.  Update per round: move anything you modify into tier 1.
+SWEEP_PRIORITY: list[str] = [
+    # -- tier 1: modified since last driver check ------------------------
+    "agg-approx-sketches",      # r3 err row; quantiles rebuilt as scalars (r4)
+    "dedup-clusters",           # DuckDB recursive oracle added (r4)
+    "dedup-embedding-cosine",   # rebased 64a2adf (r3), last checked r2
+    "sim-lsh-bucketed",         # band routing f9200ad (r3), last checked r2
+    "sim-topk-cosine",          # band routing f9200ad (r3), last checked r2
+    "sim-ivf-ann",              # band routing f9200ad (r3), last checked r2
+    "sim-topk-pandas",          # band routing f9200ad (r3), last checked r2
+    "uint256-exact-sum",        # lpad/rounding fixes fe2fee5 (r3), last checked r2
+    "uint256-exact-scale",      # lpad/rounding fixes fe2fee5 (r3), last checked r2
+    "join-asof",                # summary-window restructure (r4)
+    "text-ngram-counts",        # top-k window restructure (r4)
+    # -- tier 2: never driver-checked (new in round 4) -------------------
+    "src-blockcursor-replay",
+    # -- tier 3: green only in round 2, code unmodified ------------------
+    "filter-blockrange", "filter-eq-token", "filter-nonnull-fields",
+    "filter-time-window", "proj-normalize", "sort-source-asc",
+    "fn-string-suite", "fn-numeric-suite", "fn-datetime-suite",
+    "fn-format-suite", "fn-json-suite",
+    "join-asof-forward",
+    "stream-cursor-resume", "stream-tumbling-6h", "stream-sliding-60m",
+    "text-langid", "text-quality", "text-tokens", "text-fingerprint",
+    "text-pii-scrub",
+]
+
+
+def _apply_sweep_priority() -> None:
+    """Rebuild QUERIES/ORACLES so SWEEP_PRIORITY entries come first (in
+    listed order), followed by everything else in registration order."""
+    prioritized = [q for q in SWEEP_PRIORITY if q in QUERIES]
+    rest = [q for q in QUERIES if q not in set(prioritized)]
+    for mapping in (QUERIES, ORACLES):
+        ordered = {q: mapping[q] for q in prioritized + rest if q in mapping}
+        mapping.clear()
+        mapping.update(ordered)
+
 
 def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -41,33 +88,27 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 def load_all() -> None:
-    """Import every module that registers queries (idempotent).
+    """Import every module that registers queries (idempotent), then put
+    the registry in driver-sweep order.
 
-    Registration order is deliberate: the driver's correctness sweep has a
-    finite per-round query budget (observed: the first 50 registered), so
-    modules whose queries have never been driver-oracled import FIRST
-    (VERDICT r1 "Next round" #2).  NOTE the import list below is NOT the
-    final registration order — transitive imports interleave it
-    (sql_api/setops/analytics pull joins+aggregates, windows_analytic
-    pulls joins, plans.jobs pulls ranking, so those green modules register
-    mid-block).  The invariant that actually matters — every never-
-    oracled query sits within the first 50 registrations — is asserted by
-    tests/test_registry_order.py; adding queries to any early or
-    transitively-imported module must keep that test green."""
-    # -- never-oracled in rounds 1-2: register first --
-    import merl_etl_spark.sources.datasource  # noqa: F401  (new in round 3)
+    Earlier rounds encoded the sweep order in the import sequence below;
+    that was fragile (transitive imports interleave registration), so the
+    order is now applied explicitly by ``_apply_sweep_priority`` after all
+    modules have loaded — the import list no longer carries meaning beyond
+    "load everything".  The invariant — every churned/new/stale-green
+    query sits within the driver's ~50-query budget — is asserted by
+    tests/test_registry_order.py."""
+    import merl_etl_spark.sources.datasource  # noqa: F401
     import merl_etl_spark.operators.multimodal  # noqa: F401
     import merl_etl_spark.operators.curation  # noqa: F401
-    import merl_etl_spark.operators.curation_ext  # noqa: F401  (new in round 3)
+    import merl_etl_spark.operators.curation_ext  # noqa: F401
     import merl_etl_spark.operators.sql_api  # noqa: F401
     import merl_etl_spark.operators.setops  # noqa: F401
     import merl_etl_spark.operators.analytics  # noqa: F401
     import merl_etl_spark.operators.windows_analytic  # noqa: F401
     import merl_etl_spark.sinks  # noqa: F401
     import merl_etl_spark.plans.jobs  # noqa: F401
-    # dedup next: dedup-simhash-pairs is new in round 3 (never oracled)
     import merl_etl_spark.operators.dedup  # noqa: F401
-    # -- green on record from rounds 1-2 --
     import merl_etl_spark.operators.ranking  # noqa: F401
     import merl_etl_spark.operators.joins  # noqa: F401
     import merl_etl_spark.operators.aggregates  # noqa: F401
@@ -80,3 +121,5 @@ def load_all() -> None:
     import merl_etl_spark.operators.asof  # noqa: F401
     import merl_etl_spark.operators.similarity  # noqa: F401
     import merl_etl_spark.operators.text_analysis  # noqa: F401
+
+    _apply_sweep_priority()

@@ -27,5 +27,5 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
     for t, a in approx.items():
         e = exact[t]
         assert abs(a.approx_users - e.users) <= max(3, 0.1 * e.users)
-        p50_a = a.value_quantiles[0]
-        assert abs(p50_a - e.p50) <= 0.1 * max(1.0, abs(e.p50))
+        assert abs(a.q50 - e.p50) <= 0.1 * max(1.0, abs(e.p50))
+        assert a.q50 <= a.q95 <= a.q99
