@@ -127,8 +127,12 @@ def asof_join_forward(
     both sides and running the backward join: negation reverses order, so
     'latest at-or-before' becomes 'earliest at-or-after'.  Same scale shape."""
     # negate at microsecond precision — unix_timestamp() would truncate to
-    # seconds and scramble sub-second ordering
-    neg = lambda c: F.timestamp_micros(-F.unix_micros(F.col(c)))  # noqa: E731
+    # seconds and scramble sub-second ordering; the cast tolerates
+    # TIMESTAMP_NTZ inputs (unix_micros only accepts TIMESTAMP, and the
+    # session tz is UTC so the cast is value-preserving)
+    neg = lambda c: F.timestamp_micros(  # noqa: E731
+        -F.unix_micros(F.col(c).cast("timestamp"))
+    )
     l_neg = left.withColumn("__negts", neg(left_ts))
     r_neg = right.withColumn("__negts_r", neg(right_ts))
     out = asof_join_backward(

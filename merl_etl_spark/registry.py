@@ -33,34 +33,34 @@ ORACLES: dict[str, str] = {}
 #   1. churn — queries whose code changed since their last driver-green
 #      round (a green row on old code is stale evidence);
 #   2. new — queries that have never had a driver CORRECTNESS row;
-#   3. stale-green — last driver-checked in round 2 (code unmodified);
-#   4. fresh-green — driver-checked green in round 3.
+#   3. stale-green — queries whose latest driver green is ≥2 rounds old.
 # Queries NOT listed here keep their module registration order and fill the
 # remaining budget.  Update per round: move anything you modify into tier 1.
 SWEEP_PRIORITY: list[str] = [
-    # -- tier 1: modified since last driver check ------------------------
-    "agg-approx-sketches",      # r3 err row; quantiles rebuilt as scalars (r4)
-    "dedup-clusters",           # DuckDB recursive oracle added (r4)
-    "dedup-embedding-cosine",   # rebased 64a2adf (r3), last checked r2
-    "sim-lsh-bucketed",         # band routing f9200ad (r3), last checked r2
-    "sim-topk-cosine",          # band routing f9200ad (r3), last checked r2
-    "sim-ivf-ann",              # band routing f9200ad (r3), last checked r2
-    "sim-topk-pandas",          # band routing f9200ad (r3), last checked r2
-    "uint256-exact-sum",        # lpad/rounding fixes fe2fee5 (r3), last checked r2
-    "uint256-exact-scale",      # lpad/rounding fixes fe2fee5 (r3), last checked r2
-    "join-asof",                # summary-window restructure (r4)
-    "text-ngram-counts",        # top-k window restructure (r4)
-    # -- tier 2: never driver-checked (new in round 4) -------------------
-    "src-blockcursor-replay",
-    # -- tier 3: green only in round 2, code unmodified ------------------
-    "filter-blockrange", "filter-eq-token", "filter-nonnull-fields",
-    "filter-time-window", "proj-normalize", "sort-source-asc",
-    "fn-string-suite", "fn-numeric-suite", "fn-datetime-suite",
-    "fn-format-suite", "fn-json-suite",
-    "join-asof-forward",
-    "stream-cursor-resume", "stream-tumbling-6h", "stream-sliding-60m",
-    "text-langid", "text-quality", "text-tokens", "text-fingerprint",
-    "text-pii-scrub",
+    # -- tier 1: modified in round 5 (timestamp-drift fix: load_table ts
+    #    normalization, stream_events schema probe, asof negation cast) ---
+    "join-asof-forward",        # the r4 ERR row — asof.py cast fix
+    "join-asof",                # shares asof.py bucketed path
+    "filter-time-window",       # events.ts consumer via load_table branch
+    "stream-tumbling-6h",       # batch twin of the fixed streaming path
+    "stream-sliding-60m",       # batch twin of the fixed streaming path
+    "stream-cursor-resume",     # events consumer; checkpoint-resume surface
+    # -- tier 2: never driver-checked (new in round 5) -------------------
+    "src-blockcursor-replay",   # exactly-once replay proof, full oracle
+    # -- tier 3: latest driver green is round 3 --------------------------
+    "win-rank-top100", "plan-top100-derive",
+    "agg-max-scalar", "agg-count-rows", "agg-conditional-flow",
+    "agg-conditional-flow-coalesce", "agg-scalar-rollup",
+    "agg-greatest-rowwise", "agg-running-max",
+    "agg-pivot", "agg-rollup", "agg-cube",
+    "analytics-pricing-summary", "analytics-shipping-priority",
+    "analytics-regional-volume",
+    "sort-topk-rank100", "sort-limit-top10", "sort-movers-multi",
+    "sink-upsert-holders", "sink-insert-ignore-tx", "sink-upsert-cursor",
+    "sink-view",
+    "join-cross-1row", "join-semi-top100", "join-range-interval",
+    "join-asof-blocktime", "join-outer-anti",
+    "win-analytic-suite", "win-sessionize",
 ]
 
 
@@ -68,7 +68,8 @@ def _apply_sweep_priority() -> None:
     """Rebuild QUERIES/ORACLES so SWEEP_PRIORITY entries come first (in
     listed order), followed by everything else in registration order."""
     prioritized = [q for q in SWEEP_PRIORITY if q in QUERIES]
-    rest = [q for q in QUERIES if q not in set(prioritized)]
+    prio_set = set(prioritized)
+    rest = [q for q in QUERIES if q not in prio_set]
     for mapping in (QUERIES, ORACLES):
         ordered = {q: mapping[q] for q in prioritized + rest if q in mapping}
         mapping.clear()

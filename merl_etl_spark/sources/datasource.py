@@ -681,3 +681,72 @@ def src_datasource_paged(spark, sf_dir: str):
         .load()
         .filter("page BETWEEN 2 AND 5")
     )
+
+
+@register(
+    "src-blockcursor-replay",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_rows,
+           max(event_id) AS last_block,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_id > 0 AND event_id <= 600
+    GROUP BY user_id
+    """,
+)
+def src_blockcursor_replay(spark, sf_dir: str):
+    """Exactly-once replay proof for the ``merl-blockcursor`` streaming
+    source (the reference's per-stream block cursor, merlin_etl.py:353-357,
+    462-463).  Drains the fixture transport over ``events.parquet``
+    (block_col=event_id) in 150-block micro-batches exactly as the
+    streaming engine would — initialOffset → read → commit — records every
+    (start, end) offset pair, then re-reads each committed range via
+    ``readBetweenOffsets`` (the failure-recovery path Spark invokes when a
+    micro-batch must be replayed from the checkpoint) and requires the
+    replay to be bit-identical to the original batch.  The replayed rows
+    are then aggregated per stream; the oracle recomputes the same rollup
+    from the raw table, so a dropped/duplicated/reordered row in either the
+    drain or the replay path breaks the value hash.
+
+    Driver-side by design: ``SimpleDataSourceStreamReader.read`` executes
+    on the driver (that is the documented simple-reader contract — bounded
+    prefetch per micro-batch), and the range is a fixed 600 blocks
+    regardless of SF, so driver memory stays O(blocks_per_batch)."""
+    rdr = BlockCursorStreamReader(
+        {
+            "transport": "fixture",
+            "path": f"{sf_dir}/events.parquet",
+            "block_col": "event_id",
+            "columns": "user_id,value",
+            "blocks_per_batch": "150",
+            "head_block": "600",
+        }
+    )
+    offsets = [rdr.initialOffset()]
+    batches: list[list[tuple]] = []
+    while True:
+        it, end = rdr.read(offsets[-1])
+        if end == offsets[-1]:
+            break
+        batches.append(list(it))
+        rdr.commit(end)
+        offsets.append(end)
+    for start, end, rows in zip(offsets, offsets[1:], batches):
+        replay = list(rdr.readBetweenOffsets(start, end))
+        if replay != rows:
+            raise AssertionError(
+                f"readBetweenOffsets({start}, {end}) diverged from the "
+                f"original micro-batch: {len(replay)} vs {len(rows)} rows"
+            )
+    df = spark.createDataFrame(
+        [r for b in batches for r in b],
+        "event_id long, user_id long, value double",
+    )
+    from pyspark.sql import functions as F
+
+    return df.groupBy("user_id").agg(
+        F.count("*").alias("n_rows"),
+        F.max("event_id").alias("last_block"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )

@@ -29,11 +29,20 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as
-# nanosecond longs (spark.sql.legacy.parquet.nanosAsLong) and we truncate
-# to microsecond TimestampType here — same floor-truncation DuckDB applies,
-# so oracle comparisons agree.
-NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Event-time columns whose parquet physical type has drifted across
+# fixture generations.  Every consumer must see Spark ``TIMESTAMP``
+# (UTC-instant), so the loader normalizes by ACTUAL dtype, not by
+# assumption:
+# - TIMESTAMP(NANOS) → Spark reads nanosecond longs (with
+#   spark.sql.legacy.parquet.nanosAsLong) → floor-truncate to micros,
+#   matching DuckDB's truncation so oracle comparisons agree;
+# - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark reads TIMESTAMP_NTZ
+#   → cast to TIMESTAMP (session tz is UTC, so the instant is unchanged);
+# - TIMESTAMP(MICROS, isAdjustedToUTC=true) → already TIMESTAMP, no-op.
+EVENT_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+# Backward-compat alias (pre-r5 name).
+NANOS_TS_COLS = EVENT_TS_COLS
 
 # Runtime session requirements.  The external driver hands queries its OWN
 # SparkSession (built without this engine's session.py), so every entry
@@ -61,17 +70,23 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
-            # floor division via exact pmod split: `div` truncates toward
-            # zero (wrong for pre-1970 nanos), and double division loses
-            # precision at int64 magnitudes
+    for col in EVENT_TS_COLS.get(name, ()):
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
+            # nanos-as-long fixtures: floor division via exact pmod split —
+            # `div` truncates toward zero (wrong for pre-1970 nanos), and
+            # double division loses precision at int64 magnitudes
             df = df.withColumn(
                 col,
                 F.timestamp_micros(
                     F.expr(f"(`{col}` - pmod(`{col}`, 1000)) div 1000")
                 ),
             )
+        elif dtype == "timestamp_ntz":
+            # micros no-TZ fixtures: reinterpret the naive-UTC wall clock
+            # as a UTC instant (session tz pinned to UTC above, so the
+            # cast is value-preserving)
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

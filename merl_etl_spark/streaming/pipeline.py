@@ -43,29 +43,49 @@ EVENTS_NANOS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+EVENTS_NTZ_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
 
 
 def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over the events fixture — the micro-batch analog
     of the reference's paged REST source (src-tokentx-paged): bounded
     batches (maxFilesPerTrigger ↔ page size), resumable via checkpoint
-    (↔ ingestion_cursors)."""
+    (↔ ingestion_cursors).
+
+    The fixture's ``ts`` physical type has drifted across generations
+    (TIMESTAMP(NANOS)-as-long vs TIMESTAMP(MICROS) no-TZ), so the stream
+    schema is chosen from the file's actual footer type — a hardcoded
+    schema silently misreads the other encoding (micros ÷1000 lands every
+    event in January 1970).  One driver-side footer read per stream setup;
+    the stream itself stays fully distributed."""
+    import os
+
     from merl_etl_spark.sources.tables import ensure_session_confs
 
     ensure_session_confs(spark)  # vanilla sessions need nanosAsLong/UTC too
+    ts_dtype = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    )["ts"]
     # file streams take a directory; glob-filter selects just the events table
-    raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # nanos → micros with the batch loader's exact pmod FLOOR split
-    # (sources/tables.py) — `ts div 1000` truncates toward zero, which
-    # differs by 1µs for pre-1970 timestamps with sub-µs nanos
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-    )
+    reader = spark.readStream.option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    ).option("pathGlobFilter", "events.parquet")
+    if ts_dtype == "bigint":
+        raw = reader.schema(EVENTS_NANOS_SCHEMA).parquet(sf_dir)
+        # nanos → micros with the batch loader's exact pmod FLOOR split
+        # (sources/tables.py) — `ts div 1000` truncates toward zero, which
+        # differs by 1µs for pre-1970 timestamps with sub-µs nanos
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
+    if ts_dtype == "timestamp_ntz":
+        raw = reader.schema(EVENTS_NTZ_SCHEMA).parquet(sf_dir)
+        # naive-UTC wall clock → UTC instant (session tz is UTC)
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return reader.schema(EVENTS_SCHEMA).parquet(sf_dir)
 
 
 def tumbling_6h_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
