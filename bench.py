@@ -73,11 +73,13 @@ def main() -> None:
 
     # steady-state timing: first execution per query pays one-off JVM and
     # whole-stage-codegen compilation (irrelevant at production runtimes);
-    # warm once, measure the second run.
+    # warm once, then report the best of two timed runs — min is robust to
+    # transient ambient stalls (GC pause, scheduler contention) that a
+    # single sample reads as a query regression (see PERF.md noise band).
     times = {}
     for name in HEADLINE:
         run(name)
-        times[name] = run(name)
+        times[name] = min(run(name), run(name))
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

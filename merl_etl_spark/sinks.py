@@ -314,6 +314,7 @@ def adapt_to_destination(
     synonyms: dict[str, tuple[str, ...]] = TOP100_COLUMN_SYNONYMS,
     optional: frozenset = _TOP100_OPTIONAL,
     inserted_at=None,
+    unmapped: str = "error",
 ) -> DataFrame:
     """Rename/select ``df`` to fit a destination table whose column names
     (and address encodings) may differ — the Spark counterpart of the
@@ -332,7 +333,10 @@ def adapt_to_destination(
 
     Columns are emitted in DESTINATION schema order (not synonym-dict
     order) so positional sinks — ``insertInto``, positional JDBC INSERT —
-    land every value in the right column.  Malformed hex in an address
+    land every value in the right column.  Destination columns no synonym
+    covers therefore cannot be silently dropped: the default
+    ``unmapped='error'`` raises; ``unmapped='null'`` fills nullable ones
+    with typed NULLs (and still raises on NOT NULL columns).  Malformed hex in an address
     bound for a binary column raises at execution (``decode(...,'hex')``
     aborts the load in the reference; a silent ``unhex``→NULL would write
     a corrupt NULL key instead).
@@ -367,7 +371,29 @@ def adapt_to_destination(
                 F.raise_error(F.concat(F.lit(f"malformed hex in {logical}: "), col)),
             ).otherwise(decoded)
         by_target[target] = col.cast(dest_types[target]).alias(target)
-    return df.select(*[by_target[f.name] for f in dest_schema.fields if f.name in by_target])
+    uncovered = [f.name for f in dest_schema.fields if f.name not in by_target]
+    if uncovered:
+        # a destination column no synonym maps onto would silently vanish
+        # from the projection — fatal for the positional sinks this
+        # function promises to serve (insertInto lands values by POSITION,
+        # so a dropped column shifts every later value one slot left)
+        if unmapped == "error":
+            raise ValueError(
+                f"destination columns {uncovered} not covered by any synonym "
+                f"mapping; pass unmapped='null' to fill them with typed NULLs"
+            )
+        if unmapped != "null":
+            raise ValueError(f"unmapped must be 'error' or 'null', got {unmapped!r}")
+        for f in dest_schema.fields:
+            if f.name in by_target:
+                continue
+            if not f.nullable:
+                raise ValueError(
+                    f"destination column {f.name!r} is unmapped and NOT NULL — "
+                    f"a typed-NULL fill would fail the constraint"
+                )
+            by_target[f.name] = F.lit(None).cast(f.dataType).alias(f.name)
+    return df.select(*[by_target[f.name] for f in dest_schema.fields])
 
 
 # ---------------------------------------------------------------------------

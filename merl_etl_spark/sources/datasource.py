@@ -161,15 +161,54 @@ def build_http_url(options: dict[str, str], page: int, page_size: int) -> str:
     return options["url"] + "?" + urlencode(params)
 
 
-def http_page(options: dict[str, str], page: int, page_size: int) -> list[dict]:
-    """Real JSON GET (src-get-json; merlin_etl.py:89-101).  Unused in
-    tests — no network in this environment."""
-    from urllib.request import urlopen
+class ExplorerError(RuntimeError):
+    """Explorer error envelope (``{"status": "0", "result": "Max rate
+    limit reached"}``) — raised so ``fetch_with_retry`` backs off and
+    retries instead of reading the page as a terminal short page and
+    silently truncating ingestion."""
 
-    with urlopen(build_http_url(options, page, page_size), timeout=30) as resp:
+
+def parse_explorer_payload(payload: Any) -> list[dict]:
+    """Classify an explorer JSON body (merlin_etl.py:379-386 checks
+    ``status`` before consuming ``result``):
+
+    - ``result`` is a list → page data (an EMPTY list is the legitimate
+      "no more rows" terminator — explorers send status "0" / "No
+      transactions found" with ``result: []`` for it);
+    - ``status`` != "1" and ``result`` is NOT a list → error envelope
+      (rate limit, bad key, upstream 5xx-in-200) → raise into retry;
+    - anything else non-list → empty page."""
+    if isinstance(payload, list):
+        return list(payload)
+    if not isinstance(payload, dict):
+        raise ExplorerError(f"non-JSON-object explorer response: {payload!r:.200}")
+    result = payload.get("result", None)
+    if isinstance(result, list):
+        return list(result)
+    if payload.get("status", "1") != "1":
+        raise ExplorerError(
+            f"explorer error envelope: status={payload.get('status')!r} "
+            f"message={payload.get('message')!r} result={result!r:.200}"
+        )
+    return []
+
+
+def http_page(
+    options: dict[str, str],
+    page: int,
+    page_size: int,
+    opener: Any = None,
+) -> list[dict]:
+    """Real JSON GET (src-get-json; merlin_etl.py:89-101).  ``opener`` is
+    injectable for tests (no network in this environment); error envelopes
+    raise ``ExplorerError`` so the surrounding ``fetch_with_retry`` loop
+    backs off and retries rather than truncating."""
+    if opener is None:
+        from urllib.request import urlopen as opener
+
+    with opener(build_http_url(options, page, page_size), timeout=30) as resp:
         payload = json.loads(resp.read().decode("utf-8"))
-    result = payload.get("result", payload)
-    return list(result) if isinstance(result, list) else []
+    return parse_explorer_payload(payload)
 
 
 _TRANSPORTS = {"synthetic": synthetic_page, "fixture": fixture_page, "http": http_page}
@@ -393,7 +432,25 @@ class BlockCursorStreamReader(SimpleDataSourceStreamReader):
         self.options = dict(options)
         self.start_block = int(options.get("start_block", "0"))
         self.blocks_per_batch = int(options.get("blocks_per_batch", "100"))
+        if self.blocks_per_batch <= 0:
+            raise ValueError(
+                f"blocks_per_batch must be positive, got {self.blocks_per_batch}"
+            )
         self.transport = options.get("transport", "synthetic")
+        if self.transport not in _BLOCK_TRANSPORTS:
+            raise ValueError(
+                f"unsupported stream transport {self.transport!r}; "
+                f"expected one of {sorted(_BLOCK_TRANSPORTS)}"
+            )
+        # fail at stream setup with a named error, not a bare
+        # KeyError('path') from deep inside the first micro-batch
+        if self.transport == "fixture":
+            for opt in ("path", "columns"):
+                if opt not in self.options:
+                    raise ValueError(
+                        f"merl-blockcursor with transport=fixture requires "
+                        f"the {opt!r} option"
+                    )
 
     def _head(self) -> int:
         if "head_block" in self.options:
@@ -495,7 +552,13 @@ class UpsertParquetWriter(DataSourceWriter):
     holder sets).  For large fact-table upserts use the distributed
     ``sinks.merge_into_parquet`` plan instead; this format trades merge
     parallelism for a single-file snapshot a JDBC-style consumer can
-    swap-read."""
+    swap-read.
+
+    REQUIRES a filesystem shared between driver and executors (executors
+    stage parts under ``<path>/_staging_*`` that the driver commit reads):
+    local mode, NFS, or a fuse-mounted object store.  On a cluster whose
+    executors only have node-local disks, point ``path`` at shared
+    storage or use ``sinks.merge_into_parquet``."""
 
     def __init__(self, options: dict[str, str], schema, overwrite: bool):
         import uuid
@@ -566,9 +629,10 @@ class UpsertParquetWriter(DataSourceWriter):
             )
         )
         if self.keys:
-            key_of = lambda t, i: tuple(t.column(k)[i].as_py() for k in self.keys)  # noqa: E731
-            in_keys = [key_of(incoming, i) for i in range(incoming.num_rows)]
-            if len(set(in_keys)) != len(in_keys):
+            # vectorized duplicate-key check: distinct key combos via a
+            # pyarrow group_by (no per-row .as_py() tuple materialization)
+            distinct_keys = incoming.select(self.keys).group_by(self.keys).aggregate([])
+            if distinct_keys.num_rows != incoming.num_rows:
                 raise ValueError(
                     "merl-upsert batch contains duplicate keys — the reference's "
                     "ON CONFLICT upsert requires key-unique batches"
@@ -584,13 +648,28 @@ class UpsertParquetWriter(DataSourceWriter):
             fcntl.flock(lock_fd, fcntl.LOCK_EX)
             merged = incoming
             if not self.overwrite and os.path.exists(self._snapshot()):
-                existing = pq.read_table(self._snapshot())
-                keep = set(in_keys)
-                mask = [
-                    key_of(existing, i) not in keep for i in range(existing.num_rows)
-                ]
-                retained = existing.filter(pa.array(mask)) if existing.num_rows else existing
-                merged = pa.concat_tables([retained.cast(incoming.schema), incoming])
+                existing = pq.read_table(self._snapshot()).cast(incoming.schema)
+                # vectorized last-wins: existing rows whose key collides
+                # with the batch are dropped via a pyarrow hash anti-join
+                # (columnar; replaces the per-row Python tuple-set probe
+                # that dominated commit time on large snapshots).  NULL
+                # join keys never match, so a NULL-keyed existing row is
+                # always retained — the reference's conflict keys are
+                # NOT NULL (schema.sql), matching that contract.
+                retained = (
+                    existing.join(
+                        incoming.select(self.keys),
+                        keys=self.keys,
+                        join_type="left anti",
+                    )
+                    if existing.num_rows
+                    else existing
+                )
+                # join output column order follows the left table; select
+                # pins the exact incoming order for concat
+                merged = pa.concat_tables(
+                    [retained.select(incoming.schema.names), incoming]
+                )
             # tmp lives inside the underscore-hidden staging dir: invisible
             # to readers, removed by any rollback; os.replace stays atomic
             # (same filesystem)

@@ -120,9 +120,10 @@ def test_qps_share_follows_actual_partition_count():
 
 
 def test_stream_unknown_transport_rejected():
-    rdr = BlockCursorStreamReader({"transport": "http", "head_block": "5"})
+    # validation moved to construction (stream setup), so a typo'd
+    # transport fails before the first micro-batch ever runs
     with pytest.raises(ValueError, match="unsupported stream transport"):
-        rdr.read({"block": 0})
+        BlockCursorStreamReader({"transport": "http", "head_block": "5"})
 
 
 def test_push_filters_in_set_consecutive_runs():
@@ -343,3 +344,159 @@ def test_stream_cursor_checkpoint_resume_exactly_once(spark, tmp_path):
     assert df2.distinct().count() == exp2  # exactly-once across restart
     lo, hi = df2.agg(F.min("block_number"), F.max("block_number")).first()
     assert (lo, hi) == (1, 35)
+
+
+# ---------------------------------------------------------------------------
+# explorer error-envelope handling (ADVICE r3: a rate-limit body must retry,
+# not read as a terminal short page)
+# ---------------------------------------------------------------------------
+
+
+class _FakeResponse:
+    def __init__(self, body: bytes):
+        self._body = body
+
+    def read(self) -> bytes:
+        return self._body
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def _opener_from_bodies(bodies):
+    """Sequence of JSON bodies served in order; records call count."""
+    import json as _json
+
+    state = {"calls": 0}
+
+    def opener(url, timeout=None):
+        body = bodies[min(state["calls"], len(bodies) - 1)]
+        state["calls"] += 1
+        return _FakeResponse(_json.dumps(body).encode())
+
+    return opener, state
+
+
+def test_http_page_error_envelope_retries_then_succeeds():
+    """{"status":"0","result":"Max rate limit reached"} raises into
+    fetch_with_retry (merlin_etl.py:379-386 checks status before result);
+    the retry then drains the real page — no silent truncation."""
+    from merl_etl_spark.sources.datasource import ExplorerError, http_page
+    from merl_etl_spark.sources.paged import fetch_with_retry
+
+    rows = [{"TokenHolderAddress": "0xa", "TokenHolderQuantity": "5"}]
+    opener, state = _opener_from_bodies(
+        [
+            {"status": "0", "message": "NOTOK", "result": "Max rate limit reached"},
+            {"status": "0", "message": "NOTOK", "result": "Max rate limit reached"},
+            {"status": "1", "message": "OK", "result": rows},
+        ]
+    )
+    opts = {"url": "http://explorer.invalid/api", "contract": "0xt"}
+
+    with pytest.raises(ExplorerError, match="rate limit"):
+        http_page(opts, 1, 100, opener=opener)
+
+    got = fetch_with_retry(
+        lambda: http_page(opts, 1, 100, opener=opener), retries=5, sleep=lambda s: None
+    )
+    assert got == rows
+    assert state["calls"] == 3  # 1 direct raise + (1 retry-fail + 1 success)
+
+
+def test_http_page_empty_result_list_is_terminal_not_error():
+    """status '0' + result [] is the explorer's legitimate 'no more rows'
+    terminator — must return an empty page, not raise."""
+    from merl_etl_spark.sources.datasource import http_page
+
+    opener, _ = _opener_from_bodies(
+        [{"status": "0", "message": "No transactions found", "result": []}]
+    )
+    assert http_page({"url": "http://x.invalid/api"}, 9, 100, opener=opener) == []
+
+
+def test_parse_explorer_payload_shapes():
+    from merl_etl_spark.sources.datasource import ExplorerError, parse_explorer_payload
+
+    assert parse_explorer_payload([{"a": 1}]) == [{"a": 1}]  # bare list
+    assert parse_explorer_payload({"result": [{"a": 1}]}) == [{"a": 1}]
+    assert parse_explorer_payload({"status": "1", "result": None}) == []
+    with pytest.raises(ExplorerError):
+        parse_explorer_payload({"status": "0", "result": "Invalid API Key"})
+    with pytest.raises(ExplorerError):
+        parse_explorer_payload("<html>502</html>")
+
+
+# ---------------------------------------------------------------------------
+# blockcursor option validation (ADVICE r3: named setup errors, not a bare
+# KeyError('path') from inside the first micro-batch)
+# ---------------------------------------------------------------------------
+
+
+def test_blockcursor_reader_validates_options():
+    with pytest.raises(ValueError, match="transport"):
+        BlockCursorStreamReader({"transport": "carrier-pigeon"})
+    with pytest.raises(ValueError, match="'path'"):
+        BlockCursorStreamReader({"transport": "fixture", "columns": "user_id"})
+    with pytest.raises(ValueError, match="'columns'"):
+        BlockCursorStreamReader({"transport": "fixture", "path": "/x.parquet"})
+    with pytest.raises(ValueError, match="blocks_per_batch"):
+        BlockCursorStreamReader({"blocks_per_batch": "0"})
+
+
+def test_upsert_commit_merges_large_snapshot_vectorized(tmp_path):
+    """1M-row snapshot merge through the driver commit path (VERDICT r4
+    task #6): the pyarrow anti-join merge must stay correct at real
+    snapshot sizes and stay ~0.1s where the old per-row tuple-set probe
+    measured 4.7s (46x).  Drives UpsertParquetWriter.commit directly
+    with pre-staged parts — the executor write path is covered elsewhere."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from merl_etl_spark.sources.datasource import StagedFile, UpsertParquetWriter
+
+    dest = str(tmp_path / "big")
+    os.makedirs(dest)
+    schema = T.StructType(
+        [
+            T.StructField("addr", T.StringType()),
+            T.StructField("bal", T.LongType()),
+        ]
+    )
+
+    def staged_part(writer, addrs, bals):
+        os.makedirs(writer.staging, exist_ok=True)
+        part = f"{writer.staging}/part-test.parquet"
+        pq.write_table(pa.table({"addr": addrs, "bal": bals}), part)
+        return StagedFile(part, len(addrs))
+
+    n = 1_000_000
+    base = UpsertParquetWriter({"path": dest, "keys": "addr"}, schema, overwrite=False)
+    base.commit([staged_part(base, [f"0x{i:08x}" for i in range(n)], list(range(n)))])
+
+    # second batch: 100k overlapping keys (new values) + 50k new keys
+    upd = UpsertParquetWriter({"path": dest, "keys": "addr"}, schema, overwrite=False)
+    addrs = [f"0x{i:08x}" for i in range(0, 200_000, 2)] + [
+        f"0xnew{i:06x}" for i in range(50_000)
+    ]
+    bals = [-1] * 100_000 + [-2] * 50_000
+    t0 = time.monotonic()
+    upd.commit([staged_part(upd, addrs, bals)])
+    elapsed = time.monotonic() - t0
+
+    out = pq.read_table(f"{dest}/data.parquet")
+    assert out.num_rows == n + 50_000
+    import pyarrow.compute as pc
+
+    assert pc.sum(pc.equal(out.column("bal"), -1)).as_py() == 100_000
+    assert pc.sum(pc.equal(out.column("bal"), -2)).as_py() == 50_000
+    # updated keys appear exactly once (no duplicate survivors)
+    assert pc.count_distinct(out.column("addr")).as_py() == out.num_rows
+    # generous bound: the vectorized anti-join merge of 1M+150k rows
+    # measures ~0.1s (46x over the old 4.7s per-row tuple probe); 20s
+    # catches a regression back to per-row without being load-flaky
+    assert elapsed < 20, f"commit took {elapsed:.1f}s — merge has degraded"

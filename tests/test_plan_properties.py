@@ -94,3 +94,59 @@ def test_sql_and_dataframe_forms_agree(spark, sf_dir):
     a = sorted(map(tuple, QUERIES["win-rank-top100"](spark, sf_dir).collect()))
     b = sorted(map(tuple, QUERIES["sql-api-top100"](spark, sf_dir).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Unpartitioned-window allowlist (VERDICT r4 task #7)
+# ---------------------------------------------------------------------------
+
+# Every WindowExec/WindowGroupLimitExec with an EMPTY partition spec moves
+# all surviving rows to ONE partition — fatal at 100 TB unless the input
+# is provably bounded first.  This is the exhaustive allowlist of queries
+# whose plans may contain one, each with its boundedness argument; any
+# NEW unpartitioned window anywhere else fails this test loudly instead
+# of scrolling past as a WARN in the bench tail.
+_UNPARTITIONED_WINDOW_ALLOWLIST = {
+    # bounded carry-forward summary: ONE row per time bucket reaches the
+    # global window (asof.py:101) — ~#hours of data, ~10^4-10^5 rows/year
+    "join-asof": 1,
+    "join-asof-forward": 1,
+    # ≤50 rows post-TakeOrdered feed the final rank (text_analysis.py:236)
+    "text-ngram-counts": 1,
+    # global top-k rank: map-side Partial WindowGroupLimit caps the rows
+    # reaching the single final partition at k per input partition, so the
+    # three empty-partition nodes (Partial limit, Final limit, WindowExec)
+    # see ≤ k×partitions rows, not the table
+    "sort-topk-rank100": 3,
+    "sort-limit-top10": 3,
+    "join-semi-top100": 3,  # embeds the same derive-top100 global rank
+}
+
+
+def _unpartitioned_window_count(df) -> int:
+    n = 0
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        cname = node.getClass().getSimpleName()
+        if cname == "AdaptiveSparkPlanExec":
+            stack.append(node.initialPlan())
+            continue
+        if cname in ("WindowExec", "WindowGroupLimitExec") and node.partitionSpec().isEmpty():
+            n += 1
+        it = node.children().iterator()
+        while it.hasNext():
+            stack.append(it.next())
+    return n
+
+
+def test_unpartitioned_windows_are_exactly_the_allowlist(spark, sf_dir):
+    """Sweep EVERY registered query's physical plan: the set of queries
+    containing empty-partition window nodes must equal the documented
+    allowlist — no more (a new scale hazard), no fewer (stale allowlist)."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        c = _unpartitioned_window_count(fn(spark, sf_dir))
+        if c:
+            offenders[name] = c
+    assert offenders == _UNPARTITIONED_WINDOW_ALLOWLIST

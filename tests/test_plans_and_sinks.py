@@ -341,3 +341,41 @@ def test_adapt_to_destination_malformed_hex_raises(spark):
     )
     with pytest.raises(Exception, match="malformed hex"):
         adapt_to_destination(bad, dest).collect()
+
+
+def test_adapt_to_destination_unmapped_column_raises(spark, holders):
+    """A destination column no synonym covers must not silently vanish —
+    positional sinks would shift every later value one slot left
+    (ADVICE r3; sql/top100_from_latest_bucket.sql's column-list discovery
+    always emits the full physical list)."""
+    from pyspark.sql import types as T
+
+    from merl_etl_spark.sinks import adapt_to_destination
+
+    top = derive_top100(holders, TOKENS[0])
+    with_extra = T.StructType(
+        [
+            T.StructField("contract", T.StringType()),
+            T.StructField("owner_address", T.StringType()),
+            T.StructField("rank", T.LongType()),
+            T.StructField("token_decimals", T.LongType()),
+            T.StructField("qty_raw", T.StringType()),
+            T.StructField("balance_decimal", T.DecimalType(38, 6)),
+            T.StructField("chain_id", T.LongType()),  # no synonym maps here
+        ]
+    )
+    with pytest.raises(ValueError, match="chain_id"):
+        adapt_to_destination(top, with_extra)
+
+    # opt-in policy: typed-NULL fill keeps positional alignment
+    adapted = adapt_to_destination(top, with_extra, unmapped="null")
+    assert adapted.columns[-1] == "chain_id"
+    assert dict(adapted.dtypes)["chain_id"] == "bigint"
+    assert adapted.filter(F.col("chain_id").isNotNull()).count() == 0
+
+    # NOT NULL unmapped columns can never be filled — always loud
+    not_null = T.StructType(
+        with_extra.fields[:-1] + [T.StructField("chain_id", T.LongType(), nullable=False)]
+    )
+    with pytest.raises(ValueError, match="NOT NULL"):
+        adapt_to_destination(top, not_null, unmapped="null")
