@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from merl_etl_spark.operators.dedup import DUCK_SHINGLES, ngram_shingles_expr
 from merl_etl_spark.registry import register
@@ -173,4 +174,172 @@ def curate_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("src_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("src_rank") <= SOURCE_CAP)
         .select("source", "doc_id", "n_chars", "src_rank")
+    )
+
+
+# training-shard token budget (packing target per shard)
+PACK_BUDGET = 8192
+# hash-bucket fan-out for parallel packing
+PACK_BUCKETS = 16
+
+
+@register(
+    "curate-token-pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text || '|pack-seed'), 1, 8))::BIGINT
+               % {PACK_BUCKETS} AS bucket,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT bucket, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT bucket, (cum - n_tokens) // {PACK_BUDGET} AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def curate_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: greedily pack documents into training
+    shards of ~PACK_BUDGET(=8192) tokens by running-sum assignment — a
+    document opens a new shard when the budget its predecessors consumed
+    crosses a multiple of the budget.  The sequential scan is confined to
+    PACK_BUCKETS(=16) independent hash buckets (content-stable md5
+    bucket, same recipe as sample-hash-split), so packing parallelizes:
+    at 100 TB you raise PACK_BUCKETS to O(cluster cores) and each bucket
+    packs its slice independently — no global order, no single-partition
+    window, deterministic across reruns."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("text"), F.lit("|pack-seed"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % PACK_BUCKETS
+    )
+    t = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn("shard_id", F.expr(f"(cum - n_tokens) div {PACK_BUDGET}"))
+        .groupBy("bucket", "shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+    )
+
+
+# per-stratum keep-rates (percent of the 0-99 hash space): head language
+# downsampled, tail languages kept at a higher rate — the standard
+# rebalancing move for a multilingual corpus
+STRAT_RATE_EN = 20
+STRAT_RATE_OTHER = 60
+
+
+@register(
+    "sample-stratified",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(text || '|strat-seed'), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket
+    FROM b
+    WHERE bucket < CASE WHEN lang = 'en' THEN {STRAT_RATE_EN}
+                        ELSE {STRAT_RATE_OTHER} END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates over a
+    content-stable hash (never random() — reruns and backfills must keep
+    the exact same documents): 'en' kept at 20%, every other language
+    at 60%.  Pure filter over column expressions — no shuffle, no
+    state; the rate table extends to a broadcast-joined per-(lang,
+    source) quota map without changing the plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("text"), F.lit("|strat-seed"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", STRAT_RATE_EN).otherwise(STRAT_RATE_OTHER)
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+# mixture-reweighting temperature (UnifiedQA/Gopher-style alpha)
+MIX_ALPHA = 0.7
+
+
+@register(
+    "curate-mixture-weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s)
+    SELECT s.source, s.n_docs, s.n_tokens,
+           round(CAST(s.n_tokens AS DOUBLE) / t.total, 6) AS share,
+           round(
+             pow(CAST(s.n_tokens AS DOUBLE) / t.total, {MIX_ALPHA})
+             / sum(pow(CAST(s.n_tokens AS DOUBLE) / t.total, {MIX_ALPHA})) OVER (),
+             6
+           ) AS weight
+    FROM s, t
+    """,
+)
+def curate_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights: per-source token share
+    p_i raised to alpha(=0.7) and renormalized — the standard corpus
+    rebalancing that upweights tail sources without letting any dominate
+    (alpha=1 keeps natural proportions, alpha=0 is uniform).  The
+    per-source rollup is a map-side-partial aggregation; the scalar
+    total and the weight normalizer run over the handful of source rows
+    (one per corpus source — bounded by construction, not by data
+    volume).  Rounded to 6 decimals on both engines so the value hash
+    is insensitive to sub-ulp libm differences."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    t = s.agg(F.sum("n_tokens").alias("total"))
+    share = F.col("n_tokens").cast("double") / F.col("total")
+    w_all = Window.partitionBy()
+    return (
+        s.join(F.broadcast(t))
+        .withColumn("p_alpha", F.pow(share, F.lit(MIX_ALPHA)))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("share"),
+            F.round(F.col("p_alpha") / F.sum("p_alpha").over(w_all), 6).alias("weight"),
+        )
     )

@@ -1,0 +1,151 @@
+"""Incremental-pipeline operators: CDC-style snapshot diffing and
+incremental corpus dedup — the operations a continuously-ingesting
+training-data pipeline runs between batches.
+
+The reference's ETL is inherently incremental (cursor resume +
+ON CONFLICT upsert, merlin_etl.py:333-357,462-463) but never *exposes*
+the change set; these operators make the delta a first-class queryable
+result, the way a lakehouse CDC feed or an incremental ingestion
+pipeline needs it at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from merl_etl_spark.operators.aggregates import dec_sum
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+
+@register(
+    "cdc-snapshot-diff",
+    oracle="""
+    WITH cap AS (SELECT max(event_id) // 2 AS cap FROM events),
+    o AS (
+      SELECT user_id, count(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS total
+      FROM events, cap WHERE event_id <= cap GROUP BY user_id
+    ),
+    n AS (
+      SELECT user_id, count(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS total
+      FROM events, cap WHERE event_id > cap GROUP BY user_id
+    )
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.n AS old_n, n.n AS new_n,
+           CAST(o.total AS DOUBLE) AS old_total,
+           CAST(n.total AS DOUBLE) AS new_total
+    FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.n != n.n OR o.total != n.total
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: compare two keyed states of the same derived
+    table and emit one row per changed key tagged insert/update/delete —
+    the change feed the reference's ON CONFLICT upserts imply but never
+    surface (schema.sql:55-66).  States here are per-user activity
+    rollups over the first vs second half of the event-id range (a
+    deterministic stand-in for "yesterday's snapshot vs today's").
+
+    Scale shape: both states are map-side-partial aggregations shuffled
+    once on the key; the diff is a full-outer join of two already-
+    aggregated (i.e. key-unique) relations on that same key — at 100 TB
+    this is two scans + two key-shuffles + one co-partitioned join, and
+    unchanged keys are dropped before any downstream work."""
+    events = load_table(spark, sf_dir, "events")
+    cap = events.agg(F.expr("max(event_id) div 2").alias("cap"))
+    base = events.join(F.broadcast(cap))
+
+    def state(pred) -> DataFrame:
+        return (
+            base.filter(pred)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                dec_sum(F.col("value")).alias("total"),
+            )
+        )
+
+    o = state(F.col("event_id") <= F.col("cap")).select(
+        "user_id",
+        F.col("n").alias("old_n"),
+        F.col("total").alias("old_total"),
+    )
+    n = state(F.col("event_id") > F.col("cap")).select(
+        "user_id",
+        F.col("n").alias("new_n"),
+        F.col("total").alias("new_total"),
+    )
+    diff = o.join(n, "user_id", "full_outer")
+    return (
+        diff.filter(
+            F.col("old_n").isNull()
+            | F.col("new_n").isNull()
+            | (F.col("old_n") != F.col("new_n"))
+            | (F.col("old_total") != F.col("new_total"))
+        )
+        .select(
+            "user_id",
+            F.when(F.col("old_n").isNull(), "insert")
+            .when(F.col("new_n").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            "old_n",
+            "new_n",
+            F.col("old_total").cast("double").alias("old_total"),
+            F.col("new_total").cast("double").alias("new_total"),
+        )
+    )
+
+
+@register(
+    "dedup-incremental",
+    oracle="""
+    WITH cap AS (SELECT max(doc_id) // 2 AS cap FROM documents),
+    corpus AS (
+      SELECT DISTINCT md5(text) AS digest
+      FROM documents, cap WHERE doc_id <= cap
+    ),
+    incoming AS (
+      SELECT doc_id, lang, n_chars, md5(text) AS digest,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents, cap WHERE doc_id > cap
+    )
+    SELECT i.doc_id, i.lang, i.n_chars, i.digest
+    FROM incoming i LEFT JOIN corpus c ON i.digest = c.digest
+    WHERE i.rn = 1 AND c.digest IS NULL
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: an incoming batch (upper half of the
+    doc-id range) deduped first within itself (keep lowest doc_id per
+    content digest) and then against the already-ingested corpus (lower
+    half) via an anti-join on the digest — the batch-over-batch form of
+    dedup-exact that a continuously-ingesting pipeline actually runs:
+    the corpus is never re-deduped, only probed.
+
+    Scale shape: only 32-hex digests shuffle (never text); the within-
+    batch keeper is a digest-partitioned window; the corpus probe is a
+    digest-keyed anti-join, co-partitioned with the keeper shuffle.  At
+    100 TB the corpus side is a persisted digest index (bucketed by
+    digest) so each incremental batch joins without re-scanning text."""
+    docs = load_table(spark, sf_dir, "documents")
+    cap = docs.agg(F.expr("max(doc_id) div 2").alias("cap"))
+    base = docs.join(F.broadcast(cap)).withColumn("digest", F.md5("text"))
+    corpus = base.filter(F.col("doc_id") <= F.col("cap")).select("digest").distinct()
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    incoming = (
+        base.filter(F.col("doc_id") > F.col("cap"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return incoming.join(corpus, "digest", "left_anti").select(
+        "doc_id", "lang", "n_chars", "digest"
+    )

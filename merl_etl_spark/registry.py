@@ -47,6 +47,11 @@ SWEEP_PRIORITY: list[str] = [
     "stream-cursor-resume",     # events consumer; checkpoint-resume surface
     # -- tier 2: never driver-checked (new in round 5) -------------------
     "src-blockcursor-replay",   # exactly-once replay proof, full oracle
+    "cdc-snapshot-diff",        # keyed insert/update/delete change feed
+    "dedup-incremental",        # batch-vs-corpus digest anti-join
+    "curate-token-pack",        # bucketed token-budget shard packing
+    "sample-stratified",        # per-stratum hash-rate sampling
+    "curate-mixture-weights",   # temperature-scaled source mixture
     # -- tier 3: latest driver green is round 3 --------------------------
     "win-rank-top100", "plan-top100-derive",
     "agg-max-scalar", "agg-count-rows", "agg-conditional-flow",
@@ -103,6 +108,7 @@ def load_all() -> None:
     import merl_etl_spark.operators.multimodal  # noqa: F401
     import merl_etl_spark.operators.curation  # noqa: F401
     import merl_etl_spark.operators.curation_ext  # noqa: F401
+    import merl_etl_spark.operators.incremental  # noqa: F401
     import merl_etl_spark.operators.sql_api  # noqa: F401
     import merl_etl_spark.operators.setops  # noqa: F401
     import merl_etl_spark.operators.analytics  # noqa: F401

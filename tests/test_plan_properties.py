@@ -59,7 +59,13 @@ def test_embedding_dedup_has_no_nested_loop_join(spark, sf_dir):
 # (≤ tens of rows broadcast against the corpus) — per-query-linear by
 # design, the documented baseline the LSH/IVF variants are measured
 # against.  Everything else in the tier must stay equi-join-only.
-_BOUNDED_NESTED_LOOP_OK = {"sim-topk-cosine"}
+_BOUNDED_NESTED_LOOP_OK = {
+    "sim-topk-cosine",
+    # 1-row broadcast of the scalar batch boundary (max(doc_id) div 2) —
+    # a bounded scalar-subquery join, not an all-pairs; the digest probe
+    # itself is a hash anti-join
+    "dedup-incremental",
+}
 
 
 @pytest.mark.parametrize(
@@ -120,6 +126,9 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "sort-topk-rank100": 3,
     "sort-limit-top10": 3,
     "join-semi-top100": 3,  # embeds the same derive-top100 global rank
+    # weight normalizer over one row per corpus source (bounded by
+    # construction; curation_ext.py curate_mixture_weights)
+    "curate-mixture-weights": 1,
 }
 
 
