@@ -88,3 +88,24 @@ def test_clusters_match_union_find(spark, sf_dir):
     for cid, members in by_cluster.items():
         keepers = [m for m in members if m.is_keeper]
         assert len(keepers) == 1 and keepers[0].doc_id == cid == min(m.doc_id for m in members)
+
+
+def test_fixture_component_sizes_stay_oracle_tractable(spark, sf_dir):
+    """The DuckDB dedup-clusters oracle materializes a (node, root) row
+    per connected node pair — O(sum of component size squared) (ADVICE
+    r4).  That is fine while fixture components stay small; this guard
+    makes a future degenerate fixture (one giant near-identical cluster)
+    fail HERE with a named cause instead of hanging the oracle."""
+    from pyspark.sql import functions as F
+
+    from merl_etl_spark.registry import QUERIES
+
+    comp = QUERIES["dedup-clusters"](spark, sf_dir)
+    biggest = (
+        comp.groupBy("cluster_id").count().agg(F.max("count")).first()[0]
+    )
+    assert biggest is not None and biggest <= 64, (
+        f"largest near-dup component is {biggest} docs — the recursive "
+        f"DuckDB oracle is quadratic in this; regenerate fixtures or "
+        f"switch the oracle strategy before it grows further"
+    )
