@@ -346,6 +346,10 @@ def adapt_to_destination(
 
     dest_types = {f.name: f.dataType for f in dest_schema.fields}
     by_target: dict[str, F.Column] = {}
+    # destination columns a synonym DID match but the source can't fill
+    # (optional logical field absent from df) — reported distinctly from
+    # truly-unmapped columns so the error names the real remedy
+    optional_unfilled: dict[str, str] = {}
     for logical, names in synonyms.items():
         target = next((n for n in names if n in dest_types), None)
         if target is None:
@@ -358,6 +362,7 @@ def adapt_to_destination(
                 by_target[target] = F.lit(inserted_at).cast(dest_types[target]).alias(target)
                 continue
             if logical in optional:
+                optional_unfilled[target] = logical
                 continue
             raise ValueError(f"source frame lacks required column {logical!r}")
         col = F.col(logical)
@@ -373,14 +378,29 @@ def adapt_to_destination(
         by_target[target] = col.cast(dest_types[target]).alias(target)
     uncovered = [f.name for f in dest_schema.fields if f.name not in by_target]
     if uncovered:
-        # a destination column no synonym maps onto would silently vanish
-        # from the projection — fatal for the positional sinks this
-        # function promises to serve (insertInto lands values by POSITION,
-        # so a dropped column shifts every later value one slot left)
+        # a destination column missing from the projection would silently
+        # vanish — fatal for the positional sinks this function promises
+        # to serve (insertInto lands values by POSITION, so a dropped
+        # column shifts every later value one slot left)
         if unmapped == "error":
+            hints = []
+            for c in uncovered:
+                if c in optional_unfilled:
+                    logical = optional_unfilled[c]
+                    remedy = (
+                        "pass inserted_at=<timestamp>"
+                        if logical == "inserted_at"
+                        else f"add {logical!r} to the source frame"
+                    )
+                    hints.append(
+                        f"{c!r} (matches optional field {logical!r} which the "
+                        f"source frame lacks — {remedy}, or unmapped='null')"
+                    )
+                else:
+                    hints.append(f"{c!r} (no synonym maps onto it)")
             raise ValueError(
-                f"destination columns {uncovered} not covered by any synonym "
-                f"mapping; pass unmapped='null' to fill them with typed NULLs"
+                "destination columns cannot be filled: " + "; ".join(hints)
+                + ". Pass unmapped='null' to fill nullable ones with typed NULLs."
             )
         if unmapped != "null":
             raise ValueError(f"unmapped must be 'error' or 'null', got {unmapped!r}")

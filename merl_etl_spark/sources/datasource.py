@@ -175,9 +175,11 @@ def parse_explorer_payload(payload: Any) -> list[dict]:
     - ``result`` is a list → page data (an EMPTY list is the legitimate
       "no more rows" terminator — explorers send status "0" / "No
       transactions found" with ``result: []`` for it);
-    - ``status`` != "1" and ``result`` is NOT a list → error envelope
-      (rate limit, bad key, upstream 5xx-in-200) → raise into retry;
-    - anything else non-list → empty page."""
+    - ``result`` is NOT a list and ``status`` is anything but an explicit
+      "1" — including MISSING (proxy error bodies like ``{"error":
+      {...}}`` or ``{"message": "backend unavailable"}`` carry no status
+      at all) → error envelope → raise into retry;
+    - explicit status "1" with a null result → empty page."""
     if isinstance(payload, list):
         return list(payload)
     if not isinstance(payload, dict):
@@ -185,7 +187,7 @@ def parse_explorer_payload(payload: Any) -> list[dict]:
     result = payload.get("result", None)
     if isinstance(result, list):
         return list(result)
-    if payload.get("status", "1") != "1":
+    if payload.get("status") != "1":
         raise ExplorerError(
             f"explorer error envelope: status={payload.get('status')!r} "
             f"message={payload.get('message')!r} result={result!r:.200}"
@@ -427,30 +429,37 @@ def fixture_blocks(options: dict[str, str], lo: int, hi: int) -> list[tuple]:
 _BLOCK_TRANSPORTS = {"synthetic": synthetic_blocks, "fixture": fixture_blocks}
 
 
+def _validate_blockcursor_options(options: dict[str, str]) -> None:
+    """Named setup-time errors for the merl-blockcursor source — raised
+    from BOTH ``schema()`` (the first thing Spark calls on a stream) and
+    the reader constructor, so a typo'd option can never surface as a
+    bare ``KeyError('path')`` from inside the first micro-batch."""
+    if int(options.get("blocks_per_batch", "100")) <= 0:
+        raise ValueError(
+            f"blocks_per_batch must be positive, got {options['blocks_per_batch']!r}"
+        )
+    transport = options.get("transport", "synthetic")
+    if transport not in _BLOCK_TRANSPORTS:
+        raise ValueError(
+            f"unsupported stream transport {transport!r}; "
+            f"expected one of {sorted(_BLOCK_TRANSPORTS)}"
+        )
+    if transport == "fixture":
+        for opt in ("path", "columns"):
+            if opt not in options:
+                raise ValueError(
+                    f"merl-blockcursor with transport=fixture requires "
+                    f"the {opt!r} option"
+                )
+
+
 class BlockCursorStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict[str, str]):
+        _validate_blockcursor_options(options)
         self.options = dict(options)
         self.start_block = int(options.get("start_block", "0"))
         self.blocks_per_batch = int(options.get("blocks_per_batch", "100"))
-        if self.blocks_per_batch <= 0:
-            raise ValueError(
-                f"blocks_per_batch must be positive, got {self.blocks_per_batch}"
-            )
         self.transport = options.get("transport", "synthetic")
-        if self.transport not in _BLOCK_TRANSPORTS:
-            raise ValueError(
-                f"unsupported stream transport {self.transport!r}; "
-                f"expected one of {sorted(_BLOCK_TRANSPORTS)}"
-            )
-        # fail at stream setup with a named error, not a bare
-        # KeyError('path') from deep inside the first micro-batch
-        if self.transport == "fixture":
-            for opt in ("path", "columns"):
-                if opt not in self.options:
-                    raise ValueError(
-                        f"merl-blockcursor with transport=fixture requires "
-                        f"the {opt!r} option"
-                    )
 
     def _head(self) -> int:
         if "head_block" in self.options:
@@ -463,14 +472,8 @@ class BlockCursorStreamReader(SimpleDataSourceStreamReader):
         return 0 if tbl.num_rows == 0 else pc.max(tbl.column(block_col)).as_py()
 
     def _rows(self, lo: int, hi: int) -> list[tuple]:
-        try:
-            fn = _BLOCK_TRANSPORTS[self.transport]
-        except KeyError:
-            raise ValueError(
-                f"unsupported stream transport {self.transport!r}; "
-                f"expected one of {sorted(_BLOCK_TRANSPORTS)}"
-            ) from None
-        return fn(self.options, lo, hi)
+        # transport validated at construction (_validate_blockcursor_options)
+        return _BLOCK_TRANSPORTS[self.transport](self.options, lo, hi)
 
     def initialOffset(self) -> dict:  # noqa: N802
         return {"block": self.start_block}
@@ -499,6 +502,9 @@ class BlockCursorStreamSource(DataSource):
         return "merl-blockcursor"
 
     def schema(self) -> str:
+        # Spark calls schema() before the reader exists — validate here
+        # too so missing options fail named at stream setup
+        _validate_blockcursor_options(self.options)
         if self.options.get("transport", "synthetic") == "fixture":
             import pyarrow.parquet as pq
 
@@ -629,6 +635,22 @@ class UpsertParquetWriter(DataSourceWriter):
             )
         )
         if self.keys:
+            import pyarrow.compute as pc
+
+            # the anti-join merge below never matches NULL keys, so a
+            # NULL-keyed row could neither be updated nor deduped —
+            # enforce the NOT NULL conflict-key contract loudly instead
+            # of accumulating NULL-key duplicates across commits
+            for k in self.keys:
+                if incoming.num_rows and pc.any(
+                    pc.is_null(incoming.column(k))
+                ).as_py():
+                    raise ValueError(
+                        f"merl-upsert key column {k!r} contains NULL — "
+                        f"conflict keys must be NOT NULL (a NULL key can "
+                        f"never match on replay, so last-wins semantics "
+                        f"would silently break)"
+                    )
             # vectorized duplicate-key check: distinct key combos via a
             # pyarrow group_by (no per-row .as_py() tuple materialization)
             distinct_keys = incoming.select(self.keys).group_by(self.keys).aggregate([])
@@ -653,9 +675,8 @@ class UpsertParquetWriter(DataSourceWriter):
                 # with the batch are dropped via a pyarrow hash anti-join
                 # (columnar; replaces the per-row Python tuple-set probe
                 # that dominated commit time on large snapshots).  NULL
-                # join keys never match, so a NULL-keyed existing row is
-                # always retained — the reference's conflict keys are
-                # NOT NULL (schema.sql), matching that contract.
+                # keys are rejected above, so "never matches NULL" can't
+                # leak duplicates.
                 retained = (
                     existing.join(
                         incoming.select(self.keys),
@@ -670,6 +691,12 @@ class UpsertParquetWriter(DataSourceWriter):
                 merged = pa.concat_tables(
                     [retained.select(incoming.schema.names), incoming]
                 )
+            if self.keys:
+                # acero's multi-threaded hash join emits rows in a
+                # nondeterministic order — sort by key so identical
+                # inputs always produce a byte-identical snapshot
+                # (replayed commits must be true no-ops on disk)
+                merged = merged.sort_by([(k, "ascending") for k in self.keys])
             # tmp lives inside the underscore-hidden staging dir: invisible
             # to readers, removed by any rollback; os.replace stays atomic
             # (same filesystem)

@@ -500,3 +500,80 @@ def test_upsert_commit_merges_large_snapshot_vectorized(tmp_path):
     # measures ~0.1s (46x over the old 4.7s per-row tuple probe); 20s
     # catches a regression back to per-row without being load-flaky
     assert elapsed < 20, f"commit took {elapsed:.1f}s — merge has degraded"
+
+
+def test_parse_explorer_payload_missing_status_error_body_raises():
+    """Proxy/JSON-RPC error bodies carry NO status field — they must
+    raise into retry, not read as a terminal empty page (review r5)."""
+    from merl_etl_spark.sources.datasource import ExplorerError, parse_explorer_payload
+
+    with pytest.raises(ExplorerError):
+        parse_explorer_payload({"error": {"code": -32005, "message": "rate limited"}})
+    with pytest.raises(ExplorerError):
+        parse_explorer_payload({"message": "backend unavailable"})
+
+
+def test_blockcursor_schema_path_validates_options():
+    """Spark calls schema() before the reader exists — a missing fixture
+    option must raise the named ValueError there too, not KeyError."""
+    from merl_etl_spark.sources.datasource import BlockCursorStreamSource
+
+    src = BlockCursorStreamSource({"transport": "fixture", "columns": "user_id"})
+    with pytest.raises(ValueError, match="'path'"):
+        src.schema()
+
+
+def test_upsert_rejects_null_keys(tmp_path):
+    """NULL conflict keys can never match in the anti-join merge, so
+    replays would accumulate NULL-key duplicates — rejected loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from merl_etl_spark.sources.datasource import StagedFile, UpsertParquetWriter
+
+    dest = str(tmp_path / "nullkey")
+    os.makedirs(dest)
+    schema = T.StructType(
+        [T.StructField("addr", T.StringType()), T.StructField("bal", T.LongType())]
+    )
+    w = UpsertParquetWriter({"path": dest, "keys": "addr"}, schema, overwrite=False)
+    os.makedirs(w.staging, exist_ok=True)
+    part = f"{w.staging}/part-null.parquet"
+    pq.write_table(pa.table({"addr": ["0xa", None], "bal": [1, 2]}), part)
+    with pytest.raises(ValueError, match="NULL"):
+        w.commit([StagedFile(part, 2)])
+    # rollback: no snapshot written, no staging residue
+    assert not os.path.exists(f"{dest}/data.parquet")
+    assert not [p for p in os.listdir(dest) if p.startswith("_staging")]
+
+
+def test_upsert_replayed_commit_is_byte_identical(tmp_path):
+    """Key-sorted snapshot writes: an exactly-replayed merge must produce
+    a byte-identical data.parquet (acero's hash join alone emits rows in
+    a thread-dependent order)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from merl_etl_spark.sources.datasource import StagedFile, UpsertParquetWriter
+
+    dest = str(tmp_path / "determ")
+    os.makedirs(dest)
+    schema = T.StructType(
+        [T.StructField("addr", T.StringType()), T.StructField("bal", T.LongType())]
+    )
+
+    def commit(addrs, bals):
+        w = UpsertParquetWriter({"path": dest, "keys": "addr"}, schema, overwrite=False)
+        os.makedirs(w.staging, exist_ok=True)
+        part = f"{w.staging}/p.parquet"
+        pq.write_table(pa.table({"addr": addrs, "bal": bals}), part)
+        w.commit([StagedFile(part, len(addrs))])
+        with open(f"{dest}/data.parquet", "rb") as f:
+            return f.read()
+
+    commit([f"0x{i:04x}" for i in range(500)], list(range(500)))
+    first = commit([f"0x{i:04x}" for i in range(0, 100, 2)], [-1] * 50)
+    replay = commit([f"0x{i:04x}" for i in range(0, 100, 2)], [-1] * 50)
+    assert first == replay

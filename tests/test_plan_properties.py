@@ -154,7 +154,13 @@ def test_unpartitioned_windows_are_exactly_the_allowlist(spark, sf_dir):
     containing empty-partition window nodes must equal the documented
     allowlist — no more (a new scale hazard), no fewer (stale allowlist)."""
     offenders = {}
+    # src-blockcursor-replay materializes its rows driver-side at query
+    # CONSTRUCTION (full stream drain + replay); its plan is a local
+    # relation aggregate with no window nodes — skip the drain cost here
+    skip = {"src-blockcursor-replay"}
     for name, fn in QUERIES.items():
+        if name in skip:
+            continue
         c = _unpartitioned_window_count(fn(spark, sf_dir))
         if c:
             offenders[name] = c

@@ -61,18 +61,30 @@ def micros_dir(tmp_path):
     return _write_events(d, arr)
 
 
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
 def _batch_rows(spark, sf_dir):
+    # compare session-TZ-formatted (UTC) strings, not collected datetime
+    # objects — collect() renders timestamps in the SYSTEM timezone, which
+    # would make these assertions fail on a non-UTC machine even when the
+    # loader is correct
+    import pyspark.sql.functions as F
+
     df = load_table(spark, sf_dir, "events")
     assert dict(df.dtypes)["ts"] == "timestamp", dict(df.dtypes)
     return sorted(
-        (r.event_id, r.ts.replace(tzinfo=None)) for r in df.select("event_id", "ts").collect()
+        (r.event_id, r.ts_str)
+        for r in df.select(
+            "event_id", F.date_format("ts", TS_FMT).alias("ts_str")
+        ).collect()
     )
 
 
 def test_load_table_normalizes_both_encodings_identically(spark, nanos_dir, micros_dir):
     epoch = dt.datetime(1970, 1, 1)
     expected = sorted(
-        (i + 1, epoch + dt.timedelta(microseconds=us))
+        (i + 1, (epoch + dt.timedelta(microseconds=us)).strftime("%Y-%m-%d %H:%M:%S.%f"))
         for i, us in enumerate(INSTANTS_US)
     )
     assert _batch_rows(spark, nanos_dir) == expected
@@ -97,9 +109,11 @@ def test_stream_events_matches_batch_for_both_encodings(
     )
     q.awaitTermination(60)
     got = sorted(
-        (r.event_id, r.ts.replace(tzinfo=None))
-        for r in spark.sql(f"SELECT event_id, ts FROM enc_{which}").collect()
+        (r.event_id, r.ts_str)
+        for r in spark.sql(
+            f"SELECT event_id, date_format(ts, '{TS_FMT}') AS ts_str FROM enc_{which}"
+        ).collect()
     )
     assert got == _batch_rows(spark, sf)
     # regression pin for the exact r4 failure mode: nothing lands in 1970
-    assert all(ts.year == 2024 for _, ts in got)
+    assert all(ts_str.startswith("2024") for _, ts_str in got)
