@@ -224,3 +224,122 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.date_format("c_ts", TS_FMT_SPARK).alias("click_ts"),
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    bucket_seconds: int = 3600,
+    left_key: str | None = None,
+) -> DataFrame:
+    """Nearest as-of join: left + the right row minimizing
+    ``abs(right_ts - left_ts)``, ties broken toward the at-or-before
+    match (the deterministic convention).  Composed from one backward and
+    one forward pass over the same bucketed machinery — the scale shape
+    is exactly two as-of joins; no new shuffle pattern.
+
+    ``left_key`` names a unique left column used to re-join the two
+    passes; pass it whenever the frame has a natural key — the
+    monotonically_increasing_id fallback is only layout-stable because
+    both passes re-derive it from the same deterministic scan, and a
+    natural key removes that dependency outright.
+
+    Adds a ``direction`` column: 'before' / 'after' / NULL (no match on
+    either side)."""
+    if left_key is not None:
+        key = left_key
+        l_keyed = left
+    else:
+        key = "__nearest_key"
+        l_keyed = left.withColumn(key, F.monotonically_increasing_id())
+    bwd = asof_join_backward(
+        l_keyed, right, left_ts, right_ts, right_cols, bucket_seconds=bucket_seconds
+    ).select(key, *[F.col(c).alias(f"__b_{c}") for c in right_cols])
+    fwd = asof_join_forward(
+        l_keyed, right, left_ts, right_ts, right_cols, bucket_seconds=bucket_seconds
+    ).select(key, *[F.col(c).alias(f"__f_{c}") for c in right_cols])
+    j = l_keyed.join(bwd, key).join(fwd, key)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    diff_b = us(left_ts) - us(f"__b_{right_ts}")
+    diff_f = us(f"__f_{right_ts}") - us(left_ts)
+    pick_b = F.col(f"__f_{right_ts}").isNull() | (
+        F.col(f"__b_{right_ts}").isNotNull() & (diff_b <= diff_f)
+    )
+    picked = [
+        F.when(pick_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(c)
+        for c in right_cols
+    ]
+    matched_any = F.col(f"__b_{right_ts}").isNotNull() | F.col(
+        f"__f_{right_ts}"
+    ).isNotNull()
+    direction = F.when(~matched_any, F.lit(None).cast("string")).otherwise(
+        F.when(pick_b, "before").otherwise("after")
+    )
+    return j.select(*left.columns, *picked, direction.alias("direction"))
+
+
+@register(
+    "join-asof-nearest",
+    oracle=f"""
+    WITH l AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT ts AS c_ts, min(event_id) AS signup_id
+      FROM events WHERE event_type = 'signup' GROUP BY ts
+    ),
+    b AS (
+      SELECT l.purchase_id, l.user_id, l.p_ts, r.c_ts AS b_ts, r.signup_id AS b_id
+      FROM l ASOF LEFT JOIN r ON r.c_ts <= l.p_ts
+    ),
+    f AS (
+      SELECT l.purchase_id, r.c_ts AS f_ts, r.signup_id AS f_id
+      FROM l ASOF LEFT JOIN r ON r.c_ts >= l.p_ts
+    ),
+    j AS (
+      SELECT b.*, f.f_ts, f.f_id,
+             (f.f_ts IS NULL OR (b.b_ts IS NOT NULL AND
+              epoch_us(b.p_ts) - epoch_us(b.b_ts)
+                <= epoch_us(f.f_ts) - epoch_us(b.p_ts))) AS pick_b
+      FROM b JOIN f ON b.purchase_id = f.purchase_id
+    )
+    SELECT purchase_id, user_id,
+           strftime(p_ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           CASE WHEN pick_b THEN b_id ELSE f_id END AS signup_id,
+           strftime(CASE WHEN pick_b THEN b_ts ELSE f_ts END,
+                    '{TS_FMT_DUCK}') AS signup_ts,
+           CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+                WHEN pick_b THEN 'before' ELSE 'after' END AS direction
+    FROM j
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: each purchase matched to the CLOSEST signup event in
+    either time direction (ties → the at-or-before match) — the explorer's
+    two 'closest=before'/'closest=after' probes (merlin_etl.py:199-213)
+    fused into the single lookup most callers actually want."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy(F.col("ts").alias("c_ts"))
+        .agg(F.min("event_id").alias("signup_id"))
+    )
+    matched = asof_join_nearest(
+        purchases, signups, left_ts="p_ts", right_ts="c_ts",
+        right_cols=["signup_id", "c_ts"], left_key="purchase_id",
+    )
+    return matched.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("p_ts", TS_FMT_SPARK).alias("purchase_ts"),
+        "signup_id",
+        F.date_format("c_ts", TS_FMT_SPARK).alias("signup_ts"),
+        "direction",
+    )

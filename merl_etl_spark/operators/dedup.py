@@ -549,3 +549,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+@register(
+    "dedup-containment",
+    oracle=f"""
+    WITH {_minhash_cand_ctes()},
+    jsh AS (
+      SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS sh FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(DISTINCT sh) AS n FROM jsh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS c
+      FROM cand c
+      JOIN jsh a ON a.doc_id = c.doc_a
+      JOIN jsh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.c AS DOUBLE) / sa.n AS containment_a,
+           CAST(c.c AS DOUBLE) / sb.n AS containment_b,
+           CAST(c.c AS DOUBLE) / least(sa.n, sb.n) AS max_containment
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.c AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment over the shared MinHash-LSH
+    candidates: containment(A in B) = |A∩B| / |A| per direction, plus
+    max_containment = |A∩B| / min(|A|,|B|).  Catches SUBSET duplication
+    — a short document quoted whole inside a longer one, boilerplate
+    wrappers, truncated re-crawls — where symmetric Jaccard stays low
+    because the union is dominated by the longer side (|A∩B|/|A∪B| ≈
+    |A|/|B| for A ⊂ B).  The standard complement to Jaccard in corpus
+    dedup (containment search literature: Broder's resemblance vs
+    containment distinction).
+
+    Scale shape: identical to dedup-ngram-jaccard — rides the SAME
+    bucket-capped LSH candidates and the same per-candidate shingle
+    intersection; only the final arithmetic differs, so the marginal
+    cost over running Jaccard alone is one extra projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs)
+    jsh = (
+        docs.withColumn("words", F.split("text", " "))
+        .select("doc_id", F.explode(F.expr(WORDS_SHINGLES)).alias("sh"))
+        .distinct()
+    )
+    sizes = jsh.groupBy("doc_id").agg(F.countDistinct("sh").alias("n"))
+    a = jsh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = jsh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cc = F.col("c").cast("double")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (cc / F.col("sa.n")).alias("containment_a"),
+            (cc / F.col("sb.n")).alias("containment_b"),
+            (cc / F.least(F.col("sa.n"), F.col("sb.n"))).alias("max_containment"),
+        )
+        .filter(F.col("max_containment") >= 0.5)
+    )

@@ -52,6 +52,8 @@ SWEEP_PRIORITY: list[str] = [
     "curate-token-pack",        # bucketed token-budget shard packing
     "sample-stratified",        # per-stratum hash-rate sampling
     "curate-mixture-weights",   # temperature-scaled source mixture
+    "dedup-containment",        # asymmetric shingle containment
+    "join-asof-nearest",        # closest-in-either-direction as-of
     # -- tier 3: latest driver green is round 3 --------------------------
     "win-rank-top100", "plan-top100-derive",
     "agg-max-scalar", "agg-count-rows", "agg-conditional-flow",

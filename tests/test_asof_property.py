@@ -87,3 +87,35 @@ def test_asof_left_rows_preserved(spark):
     earliest_right = right.agg(F.min("r_ts")).collect()[0][0]
     if earliest_left < earliest_right:
         assert out.filter(F.col("r_id").isNull()).count() > 0
+
+
+@pytest.mark.parametrize("seed,bucket", [(7, 3600), (8, 97)])
+def test_asof_nearest_matches_naive(spark, seed, bucket):
+    """Nearest = min |r_ts - l_ts|, ties toward the at-or-before match;
+    direction column must agree with which side won."""
+    from merl_etl_spark.operators.asof import asof_join_nearest
+
+    left, right, left_ts, right_ts = _random_frames(spark, seed)
+    got = {
+        r.l_id: (r.r_id, r.direction)
+        for r in asof_join_nearest(
+            left, right, "l_ts", "r_ts", ["r_id", "r_ts"], bucket_seconds=bucket
+        ).collect()
+    }
+    import bisect
+
+    rs = sorted((s, 1000 + i) for i, s in enumerate(right_ts))
+    ts_only = [x[0] for x in rs]
+    for l_id, s in enumerate(left_ts):
+        pos = bisect.bisect_right(ts_only, s)
+        before = rs[pos - 1] if pos else None
+        after = rs[pos] if pos < len(rs) else None
+        if before is None and after is None:
+            expected = (None, None)
+        elif after is None or (before is not None and s - before[0] <= after[0] - s):
+            expected = (before[1], "before")
+        else:
+            expected = (after[1], "after")
+        assert got[l_id] == expected, (
+            f"l_id={l_id} ts={s} bucket={bucket}: got {got[l_id]}, want {expected}"
+        )
