@@ -59,6 +59,12 @@ HEADLINE = [
     "text-decontaminate",
     "text-repetition",
     "uint256-exact-sum",
+    # round-5 additions (suite total grows accordingly — see PERF.md)
+    "cdc-snapshot-diff",
+    "dedup-incremental",
+    "curate-token-pack",
+    "dedup-containment",
+    "join-asof-nearest",
 ]
 
 
