@@ -65,6 +65,7 @@ HEADLINE = [
     "curate-token-pack",
     "dedup-containment",
     "join-asof-nearest",
+    "curate-corpus-pipeline",
 ]
 
 

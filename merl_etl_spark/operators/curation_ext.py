@@ -343,3 +343,118 @@ def curate_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p_alpha") / F.sum("p_alpha").over(w_all), 6).alias("weight"),
         )
     )
+
+
+@register(
+    "curate-corpus-pipeline",
+    oracle=f"""
+    WITH keepers AS (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM keepers WHERE rn = 1
+    ),
+    filtered AS (
+      SELECT doc_id, text, n_tokens FROM q
+      WHERE n_tokens >= 40
+        AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.30
+        AND doc_id % {BENCH_MOD} <> 0
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest({DUCK_SHINGLES}) AS s FROM documents)
+    ),
+    bm AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    contaminated AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bm USING (s)),
+    clean AS (
+      SELECT f.doc_id, f.text, f.n_tokens
+      FROM filtered f LEFT JOIN contaminated c ON f.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             ('0x' || substr(md5(text || '|pack-seed'), 1, 8))::BIGINT
+               % {PACK_BUCKETS} AS bucket
+      FROM clean
+    ),
+    packed AS (
+      SELECT doc_id, bucket, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM b
+    )
+    SELECT doc_id, bucket, (cum - n_tokens) // {PACK_BUDGET} AS shard_id, n_tokens
+    FROM packed
+    """,
+)
+def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE corpus curation pipeline as one composed plan:
+    exact-dedup keeper selection ∘ quality floors (length, vocabulary
+    diversity) ∘ benchmark decontamination (drop any doc sharing a
+    3-gram shingle with the holdout) ∘ token-budget shard packing —
+    raw crawl in, training-shard assignments out.  Each stage is the
+    already-oracled standalone operator; composing them in one DataFrame
+    chain lets Catalyst share the scan between the dedup window and the
+    quality columns and keeps the whole thing a single job.
+
+    Scale shape: digest-partitioned keeper window (map-side group-limit),
+    broadcast benchmark shingles (bounded holdout) probed map-side with
+    only hits shuffling, hash-bucketed packing windows — no global order,
+    no unbounded single-partition stage anywhere."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    q = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("words", F.split("text", " "))
+        .withColumn("n_tokens", F.size("words").cast("long"))
+        .withColumn("n_distinct", F.size(F.array_distinct("words")).cast("long"))
+    )
+    filtered = q.filter(
+        (F.col("n_tokens") >= 40)
+        & (F.col("n_distinct").cast("double") / F.col("n_tokens") >= 0.30)
+        & (F.col("doc_id") % BENCH_MOD != 0)
+    ).select("doc_id", "text", "n_tokens", "words")
+
+    bm = (
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .withColumn("words", F.split("text", " "))
+        .select(F.explode(F.expr(ngram_shingles_expr(3))).alias("s"))
+        .distinct()
+    )
+    survivor_shingles = filtered.select(
+        "doc_id", F.explode(F.expr(ngram_shingles_expr(3))).alias("s")
+    )
+    contaminated = (
+        survivor_shingles.join(F.broadcast(bm), "s").select("doc_id").distinct()
+    )
+    clean = filtered.join(contaminated, "doc_id", "left_anti")
+
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("text"), F.lit("|pack-seed"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % PACK_BUCKETS
+    )
+    b = clean.select("doc_id", "n_tokens", bucket.alias("bucket"))
+    w_pack = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = b.withColumn("cum", F.sum("n_tokens").over(w_pack))
+    return packed.select(
+        "doc_id",
+        "bucket",
+        F.expr(f"(cum - n_tokens) div {PACK_BUDGET}").alias("shard_id"),
+        "n_tokens",
+    )

@@ -54,6 +54,7 @@ SWEEP_PRIORITY: list[str] = [
     "curate-mixture-weights",   # temperature-scaled source mixture
     "dedup-containment",        # asymmetric shingle containment
     "join-asof-nearest",        # closest-in-either-direction as-of
+    "curate-corpus-pipeline",   # composed dedup∘quality∘decontam∘pack
     # -- tier 3: latest driver green is round 3 --------------------------
     "win-rank-top100", "plan-top100-derive",
     "agg-max-scalar", "agg-count-rows", "agg-conditional-flow",
