@@ -232,8 +232,8 @@ def asof_join_nearest(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    left_key: str,
     bucket_seconds: int = 3600,
-    left_key: str | None = None,
 ) -> DataFrame:
     """Nearest as-of join: left + the right row minimizing
     ``abs(right_ts - left_ts)``, ties broken toward the at-or-before
@@ -241,27 +241,32 @@ def asof_join_nearest(
     one forward pass over the same bucketed machinery — the scale shape
     is exactly two as-of joins; no new shuffle pattern.
 
-    ``left_key`` names a unique left column used to re-join the two
-    passes; pass it whenever the frame has a natural key — the
-    monotonically_increasing_id fallback is only layout-stable because
-    both passes re-derive it from the same deterministic scan, and a
-    natural key removes that dependency outright.
+    ``left_key`` (required) names a UNIQUE left column used to re-join
+    the two passes.  A synthetic-id fallback was deliberately removed:
+    monotonically_increasing_id is re-derived per plan branch, so any
+    nondeterministic left lineage (task retry, AQE re-split) would make
+    the inner re-joins silently drop or mis-pair rows — a natural key
+    makes the composition correct by construction.  Only (key, ts) flow
+    through the two window shuffles; the remaining left columns are
+    attached once at the end, so wide left frames don't pay the bucketed
+    union twice.
+
+    ``right_ts`` need not be listed in ``right_cols``; it participates
+    in the distance pick either way and is only emitted if requested.
 
     Adds a ``direction`` column: 'before' / 'after' / NULL (no match on
     either side)."""
-    if left_key is not None:
-        key = left_key
-        l_keyed = left
-    else:
-        key = "__nearest_key"
-        l_keyed = left.withColumn(key, F.monotonically_increasing_id())
+    # the passes need right_ts to compute distances even when the caller
+    # didn't ask for it in the output
+    pass_cols = list(right_cols) if right_ts in right_cols else [*right_cols, right_ts]
+    slim = left.select(left_key, left_ts)
     bwd = asof_join_backward(
-        l_keyed, right, left_ts, right_ts, right_cols, bucket_seconds=bucket_seconds
-    ).select(key, *[F.col(c).alias(f"__b_{c}") for c in right_cols])
+        slim, right, left_ts, right_ts, pass_cols, bucket_seconds=bucket_seconds
+    ).select(left_key, *[F.col(c).alias(f"__b_{c}") for c in pass_cols])
     fwd = asof_join_forward(
-        l_keyed, right, left_ts, right_ts, right_cols, bucket_seconds=bucket_seconds
-    ).select(key, *[F.col(c).alias(f"__f_{c}") for c in right_cols])
-    j = l_keyed.join(bwd, key).join(fwd, key)
+        slim, right, left_ts, right_ts, pass_cols, bucket_seconds=bucket_seconds
+    ).select(left_key, *[F.col(c).alias(f"__f_{c}") for c in pass_cols])
+    j = left.join(bwd, left_key).join(fwd, left_key)
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     diff_b = us(left_ts) - us(f"__b_{right_ts}")
     diff_f = us(f"__f_{right_ts}") - us(left_ts)

@@ -406,10 +406,8 @@ def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast benchmark shingles (bounded holdout) probed map-side with
     only hits shuffling, hash-bucketed packing windows — no global order,
     no unbounded single-partition stage anywhere."""
-    from pyspark.sql.window import Window as W
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     q = (
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -484,11 +484,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup-ngram-jaccard",
-    oracle=f"""
-    WITH {_minhash_cand_ctes()},
-    jsh AS (
+
+# shared |A∩B| machinery for the exact-verification stages (jaccard +
+# containment): extracted so the candidate-intersection definition cannot
+# drift between the two operators or between engines (same rationale as
+# _minhash_cand_ctes).
+INTERSECT_CTES = f"""jsh AS (
       SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS sh FROM documents
     ),
     sizes AS (SELECT doc_id, count(DISTINCT sh) AS n FROM jsh GROUP BY doc_id),
@@ -498,7 +499,35 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN jsh a ON a.doc_id = c.doc_a
       JOIN jsh b ON b.doc_id = c.doc_b AND b.sh = a.sh
       GROUP BY 1, 2
+    )"""
+
+
+def candidate_intersections(docs: DataFrame, cand: DataFrame):
+    """Spark twin of INTERSECT_CTES: distinct 3-gram shingles per doc,
+    per-doc set sizes, and the per-candidate-pair intersection count.
+    Returns (common, sizes)."""
+    jsh = (
+        docs.withColumn("words", F.split("text", " "))
+        .select("doc_id", F.explode(F.expr(WORDS_SHINGLES)).alias("sh"))
+        .distinct()
     )
+    sizes = jsh.groupBy("doc_id").agg(F.countDistinct("sh").alias("n"))
+    a = jsh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = jsh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    return common, sizes
+
+
+@register(
+    "dedup-ngram-jaccard",
+    oracle=f"""
+    WITH {_minhash_cand_ctes()},
+    {INTERSECT_CTES}
     SELECT c.doc_a, c.doc_b,
            CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c) AS jaccard
     FROM common c
@@ -523,21 +552,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup.  Integer set sizes divide in IEEE double — deterministic
     across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs)
-    jsh = (
-        docs.withColumn("words", F.split("text", " "))
-        .select("doc_id", F.explode(F.expr(WORDS_SHINGLES)).alias("sh"))
-        .distinct()
-    )
-    sizes = jsh.groupBy("doc_id").agg(F.countDistinct("sh").alias("n"))
-    a = jsh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = jsh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
-    common = (
-        cand.join(a, "doc_a")
-        .join(b, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
+    common, sizes = candidate_intersections(docs, minhash_lsh_pairs(docs))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
@@ -555,17 +570,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup-containment",
     oracle=f"""
     WITH {_minhash_cand_ctes()},
-    jsh AS (
-      SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS sh FROM documents
-    ),
-    sizes AS (SELECT doc_id, count(DISTINCT sh) AS n FROM jsh GROUP BY doc_id),
-    common AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS c
-      FROM cand c
-      JOIN jsh a ON a.doc_id = c.doc_a
-      JOIN jsh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-      GROUP BY 1, 2
-    )
+    {INTERSECT_CTES}
     SELECT c.doc_a, c.doc_b,
            CAST(c.c AS DOUBLE) / sa.n AS containment_a,
            CAST(c.c AS DOUBLE) / sb.n AS containment_b,
@@ -592,21 +597,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection; only the final arithmetic differs, so the marginal
     cost over running Jaccard alone is one extra projection."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs)
-    jsh = (
-        docs.withColumn("words", F.split("text", " "))
-        .select("doc_id", F.explode(F.expr(WORDS_SHINGLES)).alias("sh"))
-        .distinct()
-    )
-    sizes = jsh.groupBy("doc_id").agg(F.countDistinct("sh").alias("n"))
-    a = jsh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = jsh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
-    common = (
-        cand.join(a, "doc_a")
-        .join(b, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
+    common, sizes = candidate_intersections(docs, minhash_lsh_pairs(docs))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     cc = F.col("c").cast("double")

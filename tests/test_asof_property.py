@@ -96,10 +96,13 @@ def test_asof_nearest_matches_naive(spark, seed, bucket):
     from merl_etl_spark.operators.asof import asof_join_nearest
 
     left, right, left_ts, right_ts = _random_frames(spark, seed)
+    # right_cols deliberately omits r_ts — the operator must include it
+    # internally for the distance pick without emitting it
     got = {
         r.l_id: (r.r_id, r.direction)
         for r in asof_join_nearest(
-            left, right, "l_ts", "r_ts", ["r_id", "r_ts"], bucket_seconds=bucket
+            left, right, "l_ts", "r_ts", ["r_id"],
+            left_key="l_id", bucket_seconds=bucket,
         ).collect()
     }
     import bisect
