@@ -359,3 +359,41 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+@register(
+    "fn-vector-suite",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           sqrt(list_dot_product(v, v)) AS l2_norm,
+           list_aggregate(list_transform(v, x -> abs(x)), 'sum') AS l1_norm,
+           list_dot_product(v, list_reverse(v)) AS dot_rev,
+           list_max(v) AS max_elem,
+           CAST(list_position(v, list_max(v)) AS BIGINT) AS argmax_idx,
+           list_aggregate(v, 'sum') / len(v) AS mean_elem
+    FROM e
+    """,
+)
+def fn_vector_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector scalar-function suite over the embedding column: L2/L1
+    norms, a reversed-self dot product (exercises zip_with order), max
+    element with its 1-based argmax, and the element mean — the
+    building-block expressions every embedding pipeline composes
+    (normalization, pruning thresholds, feature stats), all JVM-side
+    column expressions with in-order double summation (COS_EXPR family)
+    so the values hash-match DuckDB's list kernels exactly.  Pure map —
+    no shuffle, corpus-linear."""
+    v = "CAST(embedding AS ARRAY<DOUBLE>)"
+    ssum = f"aggregate({v}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(f"sqrt({COS_EXPR.format(a='embedding', b='embedding')})").alias("l2_norm"),
+        F.expr(
+            f"aggregate(transform({v}, x -> abs(x)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("l1_norm"),
+        F.expr(COS_EXPR.format(a="embedding", b="reverse(embedding)")).alias("dot_rev"),
+        F.expr(f"array_max({v})").alias("max_elem"),
+        F.expr(f"CAST(array_position({v}, array_max({v})) AS BIGINT)").alias("argmax_idx"),
+        F.expr(f"{ssum} / size(embedding)").alias("mean_elem"),
+    )

@@ -55,6 +55,7 @@ SWEEP_PRIORITY: list[str] = [
     "dedup-containment",        # asymmetric shingle containment
     "join-asof-nearest",        # closest-in-either-direction as-of
     "curate-corpus-pipeline",   # composed dedup∘quality∘decontam∘pack
+    "fn-vector-suite",          # embedding scalar kernels (norms/argmax)
     # -- tier 3: latest driver green is round 3 --------------------------
     "win-rank-top100", "plan-top100-derive",
     "agg-max-scalar", "agg-count-rows", "agg-conditional-flow",
