@@ -272,20 +272,56 @@ def join_outer_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outer_null.unionAll(anti)
 
 
-@register("agg-approx-sketches")
+@register(
+    "agg-approx-sketches",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n,
+           (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+              <= 0.05 * count(DISTINCT user_id)) AS hll_ok,
+           (approx_quantile(value, 0.5)
+              BETWEEN quantile_cont(value, 0.46) AND quantile_cont(value, 0.54)) AS q50_ok,
+           (approx_quantile(value, 0.95)
+              BETWEEN quantile_cont(value, 0.91) AND quantile_cont(value, 0.99)) AS q95_ok,
+           (approx_quantile(value, 0.99)
+              BETWEEN quantile_cont(value, 0.95) AND quantile_cont(value, 1.0)) AS q99_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches: HyperLogLog distinct counts and approximate
     percentiles per event type — the constant-memory path for 100 TB
-    cardinality/quantile estimation.  Sketch algorithms differ across
-    engines, so this is registered rows-only; the pytest suite bounds the
-    estimates against exact values instead."""
+    cardinality/quantile estimation.
+
+    Sketch ESTIMATES differ across engines (HLL vs HLL++ registers,
+    t-digest vs GK percentiles), so the raw estimates can never hash-match
+    an oracle.  What CAN (VERDICT r5 "Next round" #3): each engine runs its
+    own sketch AND the exact aggregate, then emits the exact values plus
+    booleans asserting the sketch landed inside its error contract
+    (|est−exact| ≤ 5%·exact for HLL; quantile estimates inside an exact
+    ±4-rank-percent band).  Every emitted column is engine-agnostic — the
+    driver hash now pins both the exact math and the sketch quality gate,
+    replacing the old rows-only check."""
     events = load_table(spark, sf_dir, "events")
-    # Scalar quantile columns (not an array) so downstream consumers that
-    # canonicalize rows column-wise never see an unhashable array cell.
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.expr("approx_percentile(value, 0.5, 10000)").alias("q50"),
-        F.expr("approx_percentile(value, 0.95, 10000)").alias("q95"),
-        F.expr("approx_percentile(value, 0.99, 10000)").alias("q99"),
+        F.expr("count(DISTINCT user_id)").alias("exact_users"),
         F.count("*").alias("n"),
+        F.expr(
+            "abs(approx_count_distinct(user_id, 0.02) - count(DISTINCT user_id))"
+            " <= 0.05 * count(DISTINCT user_id)"
+        ).alias("hll_ok"),
+        F.expr(
+            "approx_percentile(value, 0.5, 10000)"
+            " BETWEEN percentile(value, 0.46) AND percentile(value, 0.54)"
+        ).alias("q50_ok"),
+        F.expr(
+            "approx_percentile(value, 0.95, 10000)"
+            " BETWEEN percentile(value, 0.91) AND percentile(value, 0.99)"
+        ).alias("q95_ok"),
+        F.expr(
+            "approx_percentile(value, 0.99, 10000)"
+            " BETWEEN percentile(value, 0.95) AND percentile(value, 1.0)"
+        ).alias("q99_ok"),
     )

@@ -1,6 +1,7 @@
-"""The numpy-kernel top-k (rows-only in the driver) must agree with the
-expression-based top-k: identical neighbor sets per query, similarities
-equal to float tolerance — the check the DuckDB hash cannot express."""
+"""The numpy-kernel top-k must agree with the expression-based top-k:
+identical neighbor sets per query, similarities equal to the kernel's
+6-dp rounding grid (the kernel rounds before ranking so its full result
+is driver-hash-comparable; the expression form stays unrounded)."""
 
 from __future__ import annotations
 
@@ -24,4 +25,5 @@ def test_pandas_topk_matches_expression_topk(spark, sf_dir):
     for key, (nid, sim) in expr.items():
         knid, ksim = kern[key]
         assert knid == nid, f"{key}: neighbor {knid} != {nid}"
-        assert ksim == pytest.approx(sim, abs=1e-9)
+        # kernel rounds to 6 dp before ranking; half-ulp slack on the grid
+        assert ksim == pytest.approx(sim, abs=5.1e-7)
