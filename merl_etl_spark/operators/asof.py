@@ -234,6 +234,7 @@ def asof_join_nearest(
     right_cols: list[str],
     left_key: str,
     bucket_seconds: int = 3600,
+    check_unique_key: bool = False,
 ) -> DataFrame:
     """Nearest as-of join: left + the right row minimizing
     ``abs(right_ts - left_ts)``, ties broken toward the at-or-before
@@ -254,8 +255,27 @@ def asof_join_nearest(
     ``right_ts`` need not be listed in ``right_cols``; it participates
     in the distance pick either way and is only emitted if requested.
 
+    ``check_unique_key=True`` verifies the uniqueness contract eagerly
+    (one aggregate over the left frame) and raises a named error on
+    violation — default off since it costs an extra action; tests and
+    interactive use should enable it (ADVICE r5: a duplicate-key left
+    frame otherwise silently fans out rows through the two re-joins).
+
     Adds a ``direction`` column: 'before' / 'after' / NULL (no match on
     either side)."""
+    if check_unique_key:
+        dup = (
+            left.groupBy(left_key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"asof_join_nearest requires a unique left_key; "
+                f"{left_key!r} has duplicate value {dup[0][0]!r}"
+            )
     # the passes need right_ts to compute distances even when the caller
     # didn't ask for it in the output
     pass_cols = list(right_cols) if right_ts in right_cols else [*right_cols, right_ts]

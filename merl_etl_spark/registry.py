@@ -37,39 +37,31 @@ ORACLES: dict[str, str] = {}
 # Queries NOT listed here keep their module registration order and fill the
 # remaining budget.  Update per round: move anything you modify into tier 1.
 SWEEP_PRIORITY: list[str] = [
-    # -- tier 1: modified in round 5 (timestamp-drift fix: load_table ts
-    #    normalization, stream_events schema probe, asof negation cast) ---
-    "join-asof-forward",        # the r4 ERR row — asof.py cast fix
-    "join-asof",                # shares asof.py bucketed path
-    "filter-time-window",       # events.ts consumer via load_table branch
-    "stream-tumbling-6h",       # batch twin of the fixed streaming path
-    "stream-sliding-60m",       # batch twin of the fixed streaming path
-    "stream-cursor-resume",     # events consumer; checkpoint-resume surface
-    # -- tier 2: never driver-checked (new in round 5) -------------------
-    "src-blockcursor-replay",   # exactly-once replay proof, full oracle
-    "cdc-snapshot-diff",        # keyed insert/update/delete change feed
-    "dedup-incremental",        # batch-vs-corpus digest anti-join
-    "curate-token-pack",        # bucketed token-budget shard packing
-    "sample-stratified",        # per-stratum hash-rate sampling
-    "curate-mixture-weights",   # temperature-scaled source mixture
-    "dedup-containment",        # asymmetric shingle containment
-    "join-asof-nearest",        # closest-in-either-direction as-of
-    "curate-corpus-pipeline",   # composed dedup∘quality∘decontam∘pack
-    "fn-vector-suite",          # embedding scalar kernels (norms/argmax)
-    # -- tier 3: latest driver green is round 3 --------------------------
-    "win-rank-top100", "plan-top100-derive",
-    "agg-max-scalar", "agg-count-rows", "agg-conditional-flow",
-    "agg-conditional-flow-coalesce", "agg-scalar-rollup",
-    "agg-greatest-rowwise", "agg-running-max",
-    "agg-pivot", "agg-rollup", "agg-cube",
-    "analytics-pricing-summary", "analytics-shipping-priority",
-    "analytics-regional-volume",
-    "sort-topk-rank100", "sort-limit-top10", "sort-movers-multi",
-    "sink-upsert-holders", "sink-insert-ignore-tx", "sink-upsert-cursor",
-    "sink-view",
-    "join-cross-1row", "join-semi-top100", "join-range-interval",
-    "join-asof-blocktime", "join-outer-anti",
-    "win-analytic-suite", "win-sessionize",
+    # -- tier 1: code churned in round 6 (capped_bucket_pairs now backs
+    #    every LSH pair expansion; IVF probes moved in-engine) ------------
+    "dedup-minhash-lsh",        # refactored onto capped_bucket_pairs
+    "dedup-embedding-cosine",   # multi-table join now bucket-capped
+    "sim-lsh-bucketed",         # single-table join now bucket-capped
+    "dedup-containment",        # rides the refactored LSH candidates
+    "dedup-ngram-jaccard",      # rides the refactored LSH candidates
+    "dedup-clusters",           # consumes the refactored pair list
+    # -- tier 2: first-ever hash oracle (rows-only through r5) -----------
+    "agg-approx-sketches",      # exact values + error-bound booleans
+    "sim-topk-pandas",          # 6-dp rounded kernel, full hash compare
+    # -- tier 3: latest driver green is round 4 --------------------------
+    "text-chunking", "sample-hash-split", "curate-pipeline",
+    "dedup-exact", "dedup-simhash", "dedup-simhash-pairs",
+    "text-decontaminate", "text-repetition", "curate-source-cap",
+    "join-latest-bucket", "sql-api-top100", "setop-union-intersect-except",
+    "sort-source-asc",
+    "fn-string-suite", "fn-numeric-suite", "fn-datetime-suite",
+    "fn-format-suite", "fn-json-suite",
+    "uint256-exact-sum", "uint256-exact-scale",
+    "filter-blockrange", "filter-eq-token", "filter-nonnull-fields",
+    "proj-normalize",
+    "sim-topk-cosine",
+    "text-langid", "text-tokens", "text-quality", "text-ngram-counts",
+    "text-pii-scrub", "text-fingerprint",
 ]
 
 

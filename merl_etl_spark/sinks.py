@@ -344,6 +344,10 @@ def adapt_to_destination(
     Pure projection — no shuffle, composes with any sink at any scale."""
     from pyspark.sql import types as T
 
+    if unmapped not in ("error", "null"):
+        # validated unconditionally (ADVICE r5): a typo'd mode must fail on
+        # every call, not only once an uncovered destination column appears
+        raise ValueError(f"unmapped must be 'error' or 'null', got {unmapped!r}")
     dest_types = {f.name: f.dataType for f in dest_schema.fields}
     by_target: dict[str, F.Column] = {}
     # destination columns a synonym DID match but the source can't fill
@@ -402,8 +406,6 @@ def adapt_to_destination(
                 "destination columns cannot be filled: " + "; ".join(hints)
                 + ". Pass unmapped='null' to fill nullable ones with typed NULLs."
             )
-        if unmapped != "null":
-            raise ValueError(f"unmapped must be 'error' or 'null', got {unmapped!r}")
         for f in dest_schema.fields:
             if f.name in by_target:
                 continue

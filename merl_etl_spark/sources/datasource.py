@@ -120,6 +120,10 @@ def synthetic_page(options: dict[str, str], page: int, page_size: int) -> list[d
 # (path, order, columns) per worker instead of one per page request
 _FIXTURE_CACHE: dict[tuple, Any] = {}
 
+# src_blockcursor_replay's verified drain, keyed by events.parquet path —
+# the drain is a construction-time side effect, paid once per fixture
+_REPLAY_DRAIN_CACHE: dict[str, list] = {}
+
 
 def fixture_page(options: dict[str, str], page: int, page_size: int) -> list[dict]:
     """Serve pages out of a parquet file in ``order_by`` order — the
@@ -179,7 +183,11 @@ def parse_explorer_payload(payload: Any) -> list[dict]:
       "1" — including MISSING (proxy error bodies like ``{"error":
       {...}}`` or ``{"message": "backend unavailable"}`` carry no status
       at all) → error envelope → raise into retry;
-    - explicit status "1" with a null result → empty page."""
+    - explicit status "1" with a NULL result → empty page; status "1"
+      with any other non-list result (a proxy-style dict, a bare string)
+      is a MALFORMED success body → error envelope too (ADVICE r5:
+      silently reading it as an empty page would terminate pagination
+      early and truncate ingestion)."""
     if isinstance(payload, list):
         return list(payload)
     if not isinstance(payload, dict):
@@ -187,7 +195,7 @@ def parse_explorer_payload(payload: Any) -> list[dict]:
     result = payload.get("result", None)
     if isinstance(result, list):
         return list(result)
-    if payload.get("status") != "1":
+    if payload.get("status") != "1" or result is not None:
         raise ExplorerError(
             f"explorer error envelope: status={payload.get('status')!r} "
             f"message={payload.get('message')!r} result={result!r:.200}"
@@ -434,10 +442,18 @@ def _validate_blockcursor_options(options: dict[str, str]) -> None:
     from BOTH ``schema()`` (the first thing Spark calls on a stream) and
     the reader constructor, so a typo'd option can never surface as a
     bare ``KeyError('path')`` from inside the first micro-batch."""
-    if int(options.get("blocks_per_batch", "100")) <= 0:
-        raise ValueError(
-            f"blocks_per_batch must be positive, got {options['blocks_per_batch']!r}"
-        )
+    for opt in ("blocks_per_batch", "start_block", "head_block"):
+        raw = options.get(opt)
+        if raw is None:
+            continue
+        try:
+            val = int(raw)
+        except ValueError:
+            # named setup error instead of a bare "invalid literal for
+            # int()" escaping from deep inside the first micro-batch
+            raise ValueError(f"{opt} must be an integer, got {raw!r}") from None
+        if opt == "blocks_per_batch" and val <= 0:
+            raise ValueError(f"blocks_per_batch must be positive, got {raw!r}")
     transport = options.get("transport", "synthetic")
     if transport not in _BLOCK_TRANSPORTS:
         raise ValueError(
@@ -818,35 +834,46 @@ def src_blockcursor_replay(spark, sf_dir: str):
     Driver-side by design: ``SimpleDataSourceStreamReader.read`` executes
     on the driver (that is the documented simple-reader contract — bounded
     prefetch per micro-batch), and the range is a fixed 600 blocks
-    regardless of SF, so driver memory stays O(blocks_per_batch)."""
-    rdr = BlockCursorStreamReader(
-        {
-            "transport": "fixture",
-            "path": f"{sf_dir}/events.parquet",
-            "block_col": "event_id",
-            "columns": "user_id,value",
-            "blocks_per_batch": "150",
-            "head_block": "600",
-        }
-    )
-    offsets = [rdr.initialOffset()]
-    batches: list[list[tuple]] = []
-    while True:
-        it, end = rdr.read(offsets[-1])
-        if end == offsets[-1]:
-            break
-        batches.append(list(it))
-        rdr.commit(end)
-        offsets.append(end)
-    for start, end, rows in zip(offsets, offsets[1:], batches):
-        replay = list(rdr.readBetweenOffsets(start, end))
-        if replay != rows:
-            raise AssertionError(
-                f"readBetweenOffsets({start}, {end}) diverged from the "
-                f"original micro-batch: {len(replay)} vs {len(rows)} rows"
-            )
+    regardless of SF, so driver memory stays O(blocks_per_batch).
+
+    The drain + replay-verify is a CONSTRUCTION-TIME side effect (building
+    the DataFrame runs it, even if the frame is never executed), so the
+    verified row set is cached per events.parquet path (ADVICE r5): sweeps
+    that construct every registered query pay the drain once, and the
+    replay contract is still exercised on the first construction."""
+    path = f"{sf_dir}/events.parquet"
+    rows_cached = _REPLAY_DRAIN_CACHE.get(path)
+    if rows_cached is None:
+        rdr = BlockCursorStreamReader(
+            {
+                "transport": "fixture",
+                "path": path,
+                "block_col": "event_id",
+                "columns": "user_id,value",
+                "blocks_per_batch": "150",
+                "head_block": "600",
+            }
+        )
+        offsets = [rdr.initialOffset()]
+        batches: list[list[tuple]] = []
+        while True:
+            it, end = rdr.read(offsets[-1])
+            if end == offsets[-1]:
+                break
+            batches.append(list(it))
+            rdr.commit(end)
+            offsets.append(end)
+        for start, end, rows in zip(offsets, offsets[1:], batches):
+            replay = list(rdr.readBetweenOffsets(start, end))
+            if replay != rows:
+                raise AssertionError(
+                    f"readBetweenOffsets({start}, {end}) diverged from the "
+                    f"original micro-batch: {len(replay)} vs {len(rows)} rows"
+                )
+        rows_cached = [r for b in batches for r in b]
+        _REPLAY_DRAIN_CACHE[path] = rows_cached
     df = spark.createDataFrame(
-        [r for b in batches for r in b],
+        rows_cached,
         "event_id long, user_id long, value double",
     )
     from pyspark.sql import functions as F

