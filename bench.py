@@ -66,6 +66,11 @@ HEADLINE = [
     "dedup-containment",
     "join-asof-nearest",
     "curate-corpus-pipeline",
+    # round-6 additions: the embedding tier's capped candidate path and
+    # the two newly hash-oracled queries
+    "dedup-embedding-cosine",
+    "sim-topk-pandas",
+    "agg-approx-sketches",
 ]
 
 

@@ -232,38 +232,38 @@ def asof_join_nearest(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
-    left_key: str,
+    left_key: str | None = None,
     bucket_seconds: int = 3600,
     check_unique_key: bool = False,
 ) -> DataFrame:
     """Nearest as-of join: left + the right row minimizing
     ``abs(right_ts - left_ts)``, ties broken toward the at-or-before
-    match (the deterministic convention).  Composed from one backward and
-    one forward pass over the same bucketed machinery — the scale shape
-    is exactly two as-of joins; no new shuffle pattern.
+    match (the deterministic convention).
 
-    ``left_key`` (required) names a UNIQUE left column used to re-join
-    the two passes.  A synthetic-id fallback was deliberately removed:
-    monotonically_increasing_id is re-derived per plan branch, so any
-    nondeterministic left lineage (task retry, AQE re-split) would make
-    the inner re-joins silently drop or mis-pair rows — a natural key
-    makes the composition correct by construction.  Only (key, ts) flow
-    through the two window shuffles; the remaining left columns are
-    attached once at the end, so wide left frames don't pay the bucketed
-    union twice.
+    FUSED single-pass composition (round 6; previously two full as-of
+    passes re-joined on a left key): both directions ride ONE bucketed
+    left∪right union and one shuffle on the bucket key — the backward
+    match is a running ``last(right)`` over (ts asc, right-first) and the
+    forward match a running ``first(right)`` over (ts asc, left-first),
+    two window sorts over the same exchange.  Cross-bucket resolution
+    broadcasts one summary row per bucket carrying the previous buckets'
+    closing right row and the following buckets' opening right row.
+    Versus the two-pass form this removes a second union shuffle and two
+    key re-joins, and — because each left row resolves independently —
+    removes the unique-left-key CONTRACT entirely: duplicate left rows
+    are fine (ADVICE r5 flagged the silent fan-out; the fused shape makes
+    the failure mode unrepresentable).
+
+    ``left_key``/``check_unique_key`` are retained for callers that still
+    want to assert their OWN key contract eagerly (one aggregate over the
+    left frame); the join itself no longer uses the key.
 
     ``right_ts`` need not be listed in ``right_cols``; it participates
     in the distance pick either way and is only emitted if requested.
 
-    ``check_unique_key=True`` verifies the uniqueness contract eagerly
-    (one aggregate over the left frame) and raises a named error on
-    violation — default off since it costs an extra action; tests and
-    interactive use should enable it (ADVICE r5: a duplicate-key left
-    frame otherwise silently fans out rows through the two re-joins).
-
     Adds a ``direction`` column: 'before' / 'after' / NULL (no match on
     either side)."""
-    if check_unique_key:
+    if check_unique_key and left_key is not None:
         dup = (
             left.groupBy(left_key)
             .count()
@@ -276,34 +276,118 @@ def asof_join_nearest(
                 f"asof_join_nearest requires a unique left_key; "
                 f"{left_key!r} has duplicate value {dup[0][0]!r}"
             )
-    # the passes need right_ts to compute distances even when the caller
+    # the pass needs right_ts to compute distances even when the caller
     # didn't ask for it in the output
     pass_cols = list(right_cols) if right_ts in right_cols else [*right_cols, right_ts]
-    slim = left.select(left_key, left_ts)
-    bwd = asof_join_backward(
-        slim, right, left_ts, right_ts, pass_cols, bucket_seconds=bucket_seconds
-    ).select(left_key, *[F.col(c).alias(f"__b_{c}") for c in pass_cols])
-    fwd = asof_join_forward(
-        slim, right, left_ts, right_ts, pass_cols, bucket_seconds=bucket_seconds
-    ).select(left_key, *[F.col(c).alias(f"__f_{c}") for c in pass_cols])
-    j = left.join(bwd, left_key).join(fwd, left_key)
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
-    diff_b = us(left_ts) - us(f"__b_{right_ts}")
-    diff_f = us(f"__f_{right_ts}") - us(left_ts)
-    pick_b = F.col(f"__f_{right_ts}").isNull() | (
-        F.col(f"__b_{right_ts}").isNotNull() & (diff_b <= diff_f)
+    bucket = lambda c: (F.unix_timestamp(F.col(c)) / bucket_seconds).cast("bigint")  # noqa: E731
+
+    l_tag = left.withColumn("__bucket", bucket(left_ts)).withColumn("__is_left", F.lit(1))
+    r_tag = right.withColumn("__bucket", bucket(right_ts)).withColumn("__is_left", F.lit(0))
+    l_cols = left.columns
+    r_struct = F.struct(*[F.col(c).alias(c) for c in pass_cols])
+    r_struct_type = r_tag.select(r_struct.alias("s")).schema["s"].dataType
+    unioned = l_tag.select(
+        F.col(left_ts).alias("__ts"),
+        "__bucket",
+        "__is_left",
+        *[F.col(c).alias(f"__l_{c}") for c in l_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
+    ).unionByName(
+        r_tag.select(
+            F.col(right_ts).alias("__ts"),
+            "__bucket",
+            "__is_left",
+            *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in l_cols],
+            r_struct.alias("__r"),
+        )
     )
+    # backward: running last(right) scanning ts ASC, right before left at
+    # equal ts (<= includes ties).  forward: running last(right) scanning
+    # ts DESC, right before left at equal ts (>= includes ties) — the
+    # descending scan makes the forward match a RUNNING
+    # unboundedPreceding frame too.  Both frames must be running
+    # (unboundedPreceding → current): Spark evaluates an
+    # unboundedFollowing frame by re-aggregating the partition remainder
+    # PER ROW — O(n²) per bucket, measured 2× slower than the two-pass
+    # form at the 2M-event stress before this flip.  Same partition key —
+    # one exchange, two in-partition sorts, both linear.
+    w_b = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_f = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    in_bucket = unioned.select(
+        "*",
+        F.last("__r", ignorenulls=True).over(w_b).alias("__in_b"),
+        F.last("__r", ignorenulls=True).over(w_f).alias("__in_f"),
+    ).filter(F.col("__is_left") == 1)
+
+    # per-bucket closing (max right_ts) and opening (min right_ts) rows —
+    # ONE summary row per bucket; prev/next resolution is a window over
+    # this bounded summary, broadcast back to the fact rows
+    edges = r_tag.select(
+        "__bucket", r_struct.alias("__s"), F.col(right_ts).alias("__rts")
+    ).select(
+        "__bucket",
+        "__s",
+        F.row_number()
+        .over(Window.partitionBy("__bucket").orderBy(F.col("__rts").desc()))
+        .alias("__rn_c"),
+        F.row_number()
+        .over(Window.partitionBy("__bucket").orderBy(F.col("__rts").asc()))
+        .alias("__rn_o"),
+    )
+    closing = edges.filter(F.col("__rn_c") == 1).select("__bucket", F.col("__s").alias("__close"))
+    opening = edges.filter(F.col("__rn_o") == 1).select("__bucket", F.col("__s").alias("__open"))
+    all_buckets = (
+        in_bucket.select("__bucket")
+        .distinct()
+        .unionByName(closing.select("__bucket"))
+        .distinct()
+    )
+    # both carries as RUNNING frames (the descending scan turns "first
+    # opening among later buckets" into a running last) — an
+    # unboundedFollowing frame is O(n²) even over this bounded summary
+    w_carry = Window.orderBy(F.col("__bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_next = Window.orderBy(F.col("__bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    summary = (
+        all_buckets.join(closing, "__bucket", "left")
+        .join(opening, "__bucket", "left")
+        .select(
+            "__bucket",
+            F.last("__close", ignorenulls=True).over(w_carry).alias("__prev"),
+            F.last("__open", ignorenulls=True).over(w_next).alias("__next"),
+        )
+    )
+    j = in_bucket.join(F.broadcast(summary), "__bucket", "left")
+    b = F.coalesce(F.col("__in_b"), F.col("__prev"))
+    f = F.coalesce(F.col("__in_f"), F.col("__next"))
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    b_ts, f_ts = b.getField(right_ts), f.getField(right_ts)
+    diff_b = us(F.col("__ts")) - us(b_ts)
+    diff_f = us(f_ts) - us(F.col("__ts"))
+    pick_b = f_ts.isNull() | (b_ts.isNotNull() & (diff_b <= diff_f))
     picked = [
-        F.when(pick_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(c)
+        F.when(pick_b, b.getField(c)).otherwise(f.getField(c)).alias(c)
         for c in right_cols
     ]
-    matched_any = F.col(f"__b_{right_ts}").isNotNull() | F.col(
-        f"__f_{right_ts}"
-    ).isNotNull()
-    direction = F.when(~matched_any, F.lit(None).cast("string")).otherwise(
-        F.when(pick_b, "before").otherwise("after")
+    direction = F.when(
+        b_ts.isNull() & f_ts.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.when(pick_b, "before").otherwise("after"))
+    return j.select(
+        *[F.col(f"__l_{c}").alias(c) for c in l_cols],
+        *picked,
+        direction.alias("direction"),
     )
-    return j.select(*left.columns, *picked, direction.alias("direction"))
 
 
 @register(

@@ -34,6 +34,23 @@ COS_EXPR = (
 )
 
 
+def _spread_pairs(pairs: DataFrame, key: str) -> DataFrame:
+    """Re-spread a candidate-pair stream across the session's shuffle
+    parallelism before the embedding payload joins.
+
+    Why this exists (round-6 stress finding, PERF.md): a pair row is two
+    longs, so AQE's byte-based partition coalescing collapses the pair
+    shuffle to one or two partitions — but every pair then fans out into
+    two array lookups and a 32-dim dot product, so the cheap-looking
+    stream carries the query's entire arithmetic and ends up serialized
+    on one core (66 s → 12 s at the 20× stress scale for the single-table
+    tier).  An explicit keyed repartition with an explicit partition count
+    is exempt from AQE coalescing and hash-distributes on the first join
+    key, so the join reuses the exchange rather than adding one."""
+    n = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return pairs.repartition(n, key)
+
+
 def cosine(a: str, b: str) -> F.Column:
     """Exact cosine similarity between two array<float> columns, computed in
     double with in-order summation (deterministic across engines)."""
@@ -122,10 +139,11 @@ def embedding_cosine_pairs(
             )
         ).alias("tb"),
     ).select("vec_id", "tb.t", "tb.bucket")
-    cand = (
+    cand = _spread_pairs(
         capped_bucket_pairs(bt, ["t", "bucket"], "vec_id", max_bucket)
         .select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
-        .distinct()
+        .distinct(),
+        "vec_a",
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
@@ -247,7 +265,9 @@ def lsh_bucketed_pairs(
     Production upgrades: multiple independent tables, random-rotation
     planes; the plan shape is unchanged."""
     bucketed = emb.withColumn("bucket", _bucket_expr_spark()).select("bucket", "vec_id")
-    pairs = capped_bucket_pairs(bucketed, ["bucket"], "vec_id", max_bucket)
+    pairs = _spread_pairs(
+        capped_bucket_pairs(bucketed, ["bucket"], "vec_id", max_bucket), "id_a"
+    )
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     return (

@@ -117,7 +117,11 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # global window (asof.py:101) — ~#hours of data, ~10^4-10^5 rows/year
     "join-asof": 1,
     "join-asof-forward": 1,
-    "join-asof-nearest": 2,  # one carry window per direction pass
+    # fused single-pass nearest: the prev-closing and next-opening carries
+    # scan the per-bucket summary in OPPOSITE orders (both as linear
+    # running frames — an unboundedFollowing frame would be O(n²)), so
+    # they cannot share a window node; both are over the bounded summary
+    "join-asof-nearest": 2,
     # ≤50 rows post-TakeOrdered feed the final rank (text_analysis.py:236)
     "text-ngram-counts": 1,
     # global top-k rank: map-side Partial WindowGroupLimit caps the rows
