@@ -165,6 +165,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
+def _embedding_clusters_oracle() -> str:
+    """Recursive transitive closure over the same verified candidate pairs
+    (the dedup-clusters oracle pattern, dedup.py:315) — tractable because
+    fixture components are tiny (max component 2 at sf0.01)."""
+    return f"""
+    WITH RECURSIVE p AS ({_dedup_cosine_oracle()}),
+    edges AS (
+      SELECT vec_a AS x, vec_b AS y FROM p
+      UNION
+      SELECT vec_b AS x, vec_a AS y FROM p
+    ),
+    reach AS (
+      SELECT DISTINCT x AS node, x AS r FROM edges
+      UNION
+      SELECT e.x AS node, reach.r
+      FROM reach JOIN edges e ON e.y = reach.node
+    )
+    SELECT node AS vec_id,
+           min(r) AS cluster_id,
+           (node = min(r)) AS is_keeper
+    FROM reach GROUP BY node
+    """
+
+
+@register("dedup-embedding-clusters", oracle=_embedding_clusters_oracle())
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters: embedding near-dup pairs (capped LSH
+    candidates → exact cosine ≥ 0.4) → connected components → per-cluster
+    canonical keeper (min vec_id) — the embedding-tier twin of the text
+    tier's dedup-clusters, turning pairwise similarity into actual
+    keep/drop decisions for corpus curation.  Reuses the same distributed
+    min-label-propagation loop (dedup.py connected_components); iteration
+    count = component diameter, tiny for near-dup graphs."""
+    from merl_etl_spark.operators.dedup import connected_components
+
+    pairs = embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings")
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 @register(
     "sim-topk-cosine",
     oracle=f"""
@@ -430,6 +476,59 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+@register(
+    "fn-vector-quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e
+    ),
+    coded AS (
+      SELECT vec_id, mn, mx,
+             list_transform(v, x -> least(CAST(floor(
+               CASE WHEN mx = mn THEN 0.0
+                    ELSE (x - mn) / (mx - mn) * 256.0 END) AS BIGINT), 255)) AS codes
+      FROM scaled
+    )
+    SELECT vec_id, mn, mx,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max,
+           CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum
+    FROM coded
+    """,
+)
+def fn_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (uint8) vector quantization — the standard 4× memory
+    reduction every large-scale ANN index applies before sharding: each
+    vector is min-max scaled into 256 levels, ``code = floor(frac·256)``
+    with the top edge clamped into level 255 by an INTEGER least() — a
+    float-side clamp literal parses as DECIMAL in DuckDB and silently
+    rounds to 1.0; floor (not round) keeps the two engines bit-identical
+    since a half-up rounding grid would hinge on last-ulp ties.  Emits
+    per-vector scale params plus code summary scalars (min/max/sum pins
+    every code without emitting an array cell, which the driver
+    canonicalization cannot hash).  Pure map — no shuffle, corpus-linear."""
+    v = "CAST(embedding AS ARRAY<DOUBLE>)"
+    code_arr = (
+        f"transform({v}, x -> least(CAST(floor("
+        f"CASE WHEN array_max({v}) = array_min({v}) THEN 0.0D "
+        f"ELSE (x - array_min({v})) / (array_max({v}) - array_min({v}))"
+        f" * 256.0D END) AS BIGINT), CAST(255 AS BIGINT)))"
+    )
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(f"array_min({v})").alias("mn"),
+        F.expr(f"array_max({v})").alias("mx"),
+        F.expr(f"array_min({code_arr})").alias("code_min"),
+        F.expr(f"array_max({code_arr})").alias("code_max"),
+        F.expr(
+            f"aggregate({code_arr}, CAST(0 AS BIGINT), (acc, c) -> acc + c)"
+        ).alias("code_sum"),
     )
 
 

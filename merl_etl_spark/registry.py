@@ -48,6 +48,9 @@ SWEEP_PRIORITY: list[str] = [
     # -- tier 2: first-ever hash oracle (rows-only through r5) -----------
     "agg-approx-sketches",      # exact values + error-bound booleans
     "sim-topk-pandas",          # 6-dp rounded kernel, full hash compare
+    # -- tier 2b: new in round 6 -----------------------------------------
+    "dedup-embedding-clusters",  # semantic-dedup components + keepers
+    "fn-vector-quantize",        # uint8 scalar quantization summary
     # -- tier 3: latest driver green is round 4 --------------------------
     "text-chunking", "sample-hash-split", "curate-pipeline",
     "dedup-exact", "dedup-simhash", "dedup-simhash-pairs",
