@@ -202,6 +202,25 @@ def capped_bucket_pairs(
     return small_pairs.unionByName(degenerate_stars)
 
 
+def spread_pairs(pairs: DataFrame, key: str) -> DataFrame:
+    """Re-spread a candidate-pair stream across the session's shuffle
+    parallelism before a payload join whose output fans out per pair.
+
+    Why this exists (round-6 stress finding, PERF.md): a pair row is two
+    longs, so AQE's byte-based partition coalescing collapses the pair
+    exchange to one or two partitions — but each pair then fans out into
+    payload lookups and per-pair arithmetic (embedding dot products,
+    shingle intersections), so the cheap-looking stream carries the
+    query's entire compute and ends up serialized on one core.  An
+    explicit keyed repartition with an explicit partition count is exempt
+    from AQE coalescing and hash-distributes on the first join key, so
+    the join reuses the exchange rather than adding one.  General rule:
+    any stream whose BYTES under-estimate its downstream WORK must pin
+    its parallelism explicitly."""
+    n = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return pairs.repartition(n, key)
+
+
 def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
     """MinHash + LSH near-dup candidates: 3-word shingles → 8 minhashes →
     4 banded bucket keys → pairs sharing a bucket.
@@ -536,6 +555,11 @@ def candidate_intersections(docs: DataFrame, cand: DataFrame):
     sizes = jsh.groupBy("doc_id").agg(F.countDistinct("sh").alias("n"))
     a = jsh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = jsh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    # NOTE: deliberately NOT spread_pairs here — the shingle side of this
+    # join is large in bytes (docs × shingles), so AQE already keeps the
+    # doc_a exchange parallel; an extra pair repartition measured 30 → 49 s
+    # at the 20× stress.  The spread guard is for joins whose EVERY input
+    # is small-bytes (the embedding tier).
     common = (
         cand.join(a, "doc_a")
         .join(b, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh") == F.col("sh_b")))

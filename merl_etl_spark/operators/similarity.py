@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from merl_etl_spark.operators.dedup import LSH_MAX_BUCKET, capped_bucket_pairs
+from merl_etl_spark.operators.dedup import (
+    LSH_MAX_BUCKET,
+    capped_bucket_pairs,
+    spread_pairs,
+)
 from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
 
@@ -34,21 +38,9 @@ COS_EXPR = (
 )
 
 
-def _spread_pairs(pairs: DataFrame, key: str) -> DataFrame:
-    """Re-spread a candidate-pair stream across the session's shuffle
-    parallelism before the embedding payload joins.
-
-    Why this exists (round-6 stress finding, PERF.md): a pair row is two
-    longs, so AQE's byte-based partition coalescing collapses the pair
-    shuffle to one or two partitions — but every pair then fans out into
-    two array lookups and a 32-dim dot product, so the cheap-looking
-    stream carries the query's entire arithmetic and ends up serialized
-    on one core (66 s → 12 s at the 20× stress scale for the single-table
-    tier).  An explicit keyed repartition with an explicit partition count
-    is exempt from AQE coalescing and hash-distributes on the first join
-    key, so the join reuses the exchange rather than adding one."""
-    n = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return pairs.repartition(n, key)
+# pair streams here fan out into embedding lookups + dot products — see
+# dedup.spread_pairs for the AQE-coalescing hazard it guards against
+# (round-6 stress: 66 s → 12 s for the single-table tier)
 
 
 def cosine(a: str, b: str) -> F.Column:
@@ -139,7 +131,7 @@ def embedding_cosine_pairs(
             )
         ).alias("tb"),
     ).select("vec_id", "tb.t", "tb.bucket")
-    cand = _spread_pairs(
+    cand = spread_pairs(
         capped_bucket_pairs(bt, ["t", "bucket"], "vec_id", max_bucket)
         .select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
         .distinct(),
@@ -311,7 +303,7 @@ def lsh_bucketed_pairs(
     Production upgrades: multiple independent tables, random-rotation
     planes; the plan shape is unchanged."""
     bucketed = emb.withColumn("bucket", _bucket_expr_spark()).select("bucket", "vec_id")
-    pairs = _spread_pairs(
+    pairs = spread_pairs(
         capped_bucket_pairs(bucketed, ["bucket"], "vec_id", max_bucket), "id_a"
     )
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
