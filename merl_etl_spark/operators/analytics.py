@@ -279,13 +279,13 @@ def join_outer_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT user_id) AS exact_users,
            count(*) AS n,
            (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
-              <= 0.05 * count(DISTINCT user_id)) AS hll_ok,
+              <= 0.10 * count(DISTINCT user_id)) AS hll_ok,
            (approx_quantile(value, 0.5)
-              BETWEEN quantile_cont(value, 0.46) AND quantile_cont(value, 0.54)) AS q50_ok,
+              BETWEEN quantile_cont(value, 0.40) AND quantile_cont(value, 0.60)) AS q50_ok,
            (approx_quantile(value, 0.95)
-              BETWEEN quantile_cont(value, 0.91) AND quantile_cont(value, 0.99)) AS q95_ok,
+              BETWEEN quantile_cont(value, 0.88) AND quantile_cont(value, 1.0)) AS q95_ok,
            (approx_quantile(value, 0.99)
-              BETWEEN quantile_cont(value, 0.95) AND quantile_cont(value, 1.0)) AS q99_ok
+              BETWEEN quantile_cont(value, 0.93) AND quantile_cont(value, 1.0)) AS q99_ok
     FROM events
     GROUP BY event_type
     """,
@@ -299,11 +299,19 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     t-digest vs GK percentiles), so the raw estimates can never hash-match
     an oracle.  What CAN (VERDICT r5 "Next round" #3): each engine runs its
     own sketch AND the exact aggregate, then emits the exact values plus
-    booleans asserting the sketch landed inside its error contract
-    (|est−exact| ≤ 5%·exact for HLL; quantile estimates inside an exact
-    ±4-rank-percent band).  Every emitted column is engine-agnostic — the
-    driver hash now pins both the exact math and the sketch quality gate,
-    replacing the old rows-only check."""
+    booleans asserting the sketch landed inside its error contract.
+    Every emitted column is engine-agnostic — the driver hash now pins
+    both the exact math and the sketch quality gate, replacing the old
+    rows-only check.
+
+    Gate widths are chosen so a correct sketch CANNOT flake the hash on a
+    new fixture (review r6 finding): the HLL gate is 10% of exact — 5σ
+    for Spark's rsd=0.02 HLL++ and ≥6σ for DuckDB's default-precision
+    HLL — and the quantile bands are ±10 rank-points with max() as the
+    upper tail bound (Spark's GK sketch guarantees rank error ≤ n/1000;
+    DuckDB's t-digest has no hard bound but its tail error is far inside
+    ten points).  The bands still certify real sketch sanity — a broken
+    sketch is off by far more than ten rank-points."""
     events = load_table(spark, sf_dir, "events")
     # ONE sketch and ONE exact-quantile aggregate, each taking the full
     # percentile ARRAY: a scalar call per bound would buffer + sort the
@@ -314,11 +322,11 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.expr("approx_count_distinct(user_id, 0.02)").alias("__hll"),
         # accuracy 1000 → rank error ≤ n/1000, two orders of magnitude
-        # inside the ±4-percentile-point check bands; 10000 cost ~1 s more
-        # at sf0.1 for precision the contract never uses
+        # inside the ±10-percentile-point check bands; 10000 cost ~1 s
+        # more at sf0.1 for precision the contract never uses
         F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").alias("__ap"),
         F.expr(
-            "percentile(value, array(0.46, 0.54, 0.91, 0.95, 0.99, 1.0))"
+            "percentile(value, array(0.40, 0.60, 0.88, 0.93, 1.0))"
         ).alias("__ep"),
     )
     q_ok = lambda est, lo, hi: F.expr(  # noqa: E731
@@ -329,10 +337,10 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "exact_users",
         "n",
-        (F.abs(F.col("__hll") - F.col("exact_users")) <= 0.05 * F.col("exact_users")).alias(
+        (F.abs(F.col("__hll") - F.col("exact_users")) <= 0.10 * F.col("exact_users")).alias(
             "hll_ok"
         ),
         q_ok(1, 1, 2).alias("q50_ok"),
         q_ok(2, 3, 5).alias("q95_ok"),
-        q_ok(3, 4, 6).alias("q99_ok"),
+        q_ok(3, 4, 5).alias("q99_ok"),
     )

@@ -261,6 +261,12 @@ def asof_join_nearest(
     ``right_ts`` need not be listed in ``right_cols``; it participates
     in the distance pick either way and is only emitted if requested.
 
+    ``right`` must be deduplicated to one row per ``right_ts`` by the
+    caller — the same precondition as :func:`asof_join_backward` (ties at
+    one timestamp would make the matched row partition-order-dependent in
+    the running last() and the closing/opening row_number picks).  The
+    LEFT side has no such contract.
+
     Adds a ``direction`` column: 'before' / 'after' / NULL (no match on
     either side)."""
     if check_unique_key and left_key is not None:

@@ -504,23 +504,42 @@ def fn_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     since a half-up rounding grid would hinge on last-ulp ties.  Emits
     per-vector scale params plus code summary scalars (min/max/sum pins
     every code without emitting an array cell, which the driver
-    canonicalization cannot hash).  Pure map — no shuffle, corpus-linear."""
-    v = "CAST(embedding AS ARRAY<DOUBLE>)"
-    code_arr = (
-        f"transform({v}, x -> least(CAST(floor("
-        f"CASE WHEN array_max({v}) = array_min({v}) THEN 0.0D "
-        f"ELSE (x - array_min({v})) / (array_max({v}) - array_min({v}))"
-        f" * 256.0D END) AS BIGINT), CAST(255 AS BIGINT)))"
-    )
-    return load_table(spark, sf_dir, "embeddings").select(
+    canonicalization cannot hash).  mn/mx are hoisted into a prior
+    projection and the codes array is materialized ONCE (review r6
+    finding: inlining them re-evaluated array_min/max inside the
+    per-element lambda and the codes array per summary — O(d²) per
+    vector instead of O(d); lambdas are a CSE boundary, so the hoist
+    must be structural, mirroring the oracle's ``scaled``/``coded``
+    CTEs).  Pure map — no shuffle, corpus-linear."""
+    scaled = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.expr(f"array_min({v})").alias("mn"),
-        F.expr(f"array_max({v})").alias("mx"),
-        F.expr(f"array_min({code_arr})").alias("code_min"),
-        F.expr(f"array_max({code_arr})").alias("code_max"),
+        F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v"),
+    ).select(
+        "vec_id",
+        "v",
+        F.expr("array_min(v)").alias("mn"),
+        F.expr("array_max(v)").alias("mx"),
+    )
+    coded = scaled.select(
+        "vec_id",
+        "mn",
+        "mx",
         F.expr(
-            f"aggregate({code_arr}, CAST(0 AS BIGINT), (acc, c) -> acc + c)"
-        ).alias("code_sum"),
+            "transform(v, x -> least(CAST(floor("
+            "CASE WHEN mx = mn THEN 0.0D"
+            " ELSE (x - mn) / (mx - mn) * 256.0D END) AS BIGINT),"
+            " CAST(255 AS BIGINT)))"
+        ).alias("codes"),
+    )
+    return coded.select(
+        "vec_id",
+        "mn",
+        "mx",
+        F.expr("array_min(codes)").alias("code_min"),
+        F.expr("array_max(codes)").alias("code_max"),
+        F.expr("aggregate(codes, CAST(0 AS BIGINT), (acc, c) -> acc + c)").alias(
+            "code_sum"
+        ),
     )
 
 

@@ -120,9 +120,11 @@ def synthetic_page(options: dict[str, str], page: int, page_size: int) -> list[d
 # (path, order, columns) per worker instead of one per page request
 _FIXTURE_CACHE: dict[tuple, Any] = {}
 
-# src_blockcursor_replay's verified drain, keyed by events.parquet path —
+# src_blockcursor_replay's verified drain, keyed by (path, mtime, size) —
 # the drain is a construction-time side effect, paid once per fixture
-_REPLAY_DRAIN_CACHE: dict[str, list] = {}
+# VERSION: a regenerated file at the same path re-drains and re-verifies
+# instead of serving stale rows
+_REPLAY_DRAIN_CACHE: dict[tuple, list] = {}
 
 
 def fixture_page(options: dict[str, str], page: int, page_size: int) -> list[dict]:
@@ -841,8 +843,12 @@ def src_blockcursor_replay(spark, sf_dir: str):
     verified row set is cached per events.parquet path (ADVICE r5): sweeps
     that construct every registered query pay the drain once, and the
     replay contract is still exercised on the first construction."""
+    import os
+
     path = f"{sf_dir}/events.parquet"
-    rows_cached = _REPLAY_DRAIN_CACHE.get(path)
+    st = os.stat(path)
+    cache_key = (path, st.st_mtime_ns, st.st_size)
+    rows_cached = _REPLAY_DRAIN_CACHE.get(cache_key)
     if rows_cached is None:
         rdr = BlockCursorStreamReader(
             {
@@ -871,7 +877,7 @@ def src_blockcursor_replay(spark, sf_dir: str):
                     f"original micro-batch: {len(replay)} vs {len(rows)} rows"
                 )
         rows_cached = [r for b in batches for r in b]
-        _REPLAY_DRAIN_CACHE[path] = rows_cached
+        _REPLAY_DRAIN_CACHE[cache_key] = rows_cached
     df = spark.createDataFrame(
         rows_cached,
         "event_id long, user_id long, value double",

@@ -213,31 +213,28 @@ def run_top100_maintenance(
     pipeline, correct under ARBITRARY batching (a bucket's snapshot may
     arrive split across micro-batches, with replays).  Per micro-batch:
 
-    1. append the batch to the holders state table (partitioned by
-       contract/bucket — the engine's canonical layout);
-    2. re-derive the Top-100 for exactly the (contract, bucket) slices the
-       batch touched, reading the FULL state for those slices (partition
-       pruning keeps this proportional to the touched buckets, not the
-       table) with last-wins replay dedup (merlin_etl.py:310-314);
-    3. COMPACT the touched state slices by writing the deduped frame back
-       over them (dynamic partition overwrite) — state size tracks LIVE
-       holders, not ingestion history (VERDICT r5 "What's wrong" #3: the
-       append-only state dir otherwise accumulates one file set per
-       micro-batch, and every re-derive re-reads all generations of a
-       touched bucket);
-    4. dynamic-partition-overwrite those output slices — the idempotent
+    1. MERGE the batch into the holders state table via
+       ``sinks.merge_into_parquet`` (last-wins on the conflict key,
+       bucket-scoped: only the touched (contract, bucket) partitions are
+       read and rewritten, with a staged copy as the crash-recovery
+       source).  State size therefore tracks LIVE holders, not ingestion
+       history (VERDICT r5 "What's wrong" #3), and — unlike a bare
+       dynamic-partition overwrite of the only copy — a crash mid-rewrite
+       leaves the staging directory holding the full merged partitions
+       (the documented merge_into_parquet recovery contract);
+    2. re-derive the Top-100 for exactly the touched slices, reading the
+       (already-deduped) state for those slices — partition pruning keeps
+       this proportional to the touched buckets, not the table;
+    3. dynamic-partition-overwrite those output slices — the idempotent
        delete+insert semantics (sql/top100_from_latest_bucket.sql:119-158).
 
     Deriving from the batch alone would silently produce partial Top-100s
     whenever a bucket spans batches — state-then-derive is the correct
-    incremental-view-maintenance shape at any scale.  The deduped frame is
-    localCheckpoint-ed (bounded: live holders of the touched buckets only)
-    before the state overwrite, cutting its lineage from the very parquet
-    files the overwrite replaces; a crash between the two writes is safe —
-    the state rewrite is value-idempotent, and the checkpointed batch is
-    replayed by the stream on restart."""
+    incremental-view-maintenance shape at any scale.  Replays are safe end
+    to end: foreachBatch re-runs re-merge identical rows (keyed last-wins
+    collapses them) and the output overwrite is idempotent."""
     from merl_etl_spark.plans.jobs import scale_and_rank_top100
-    from merl_etl_spark.sinks import upsert_last_wins
+    from merl_etl_spark.sinks import merge_into_parquet
 
     token_l = token.lower()
 
@@ -245,27 +242,21 @@ def run_top100_maintenance(
         batch = batch_df.filter(F.col("contract_address") == token_l)
         if batch.isEmpty():
             return
-        batch.write.mode("append").partitionBy(
-            "contract_address", "bucket_start_utc"
-        ).parquet(state_dir)
+        merge_into_parquet(
+            spark,
+            state_dir,
+            batch,
+            keys=["bucket_start_utc", "contract_address", "holder_address"],
+            order_by=[F.col("updated_at").desc(), F.col("quantity_raw").desc()],
+            partition_cols=["contract_address", "bucket_start_utc"],
+        )
         touched = [r.bucket_start_utc for r in batch.select("bucket_start_utc").distinct().collect()]
         state = (
             spark.read.parquet(state_dir)
             .filter(F.col("contract_address") == token_l)
             .filter(F.col("bucket_start_utc").isin(touched))
         )
-        deduped = upsert_last_wins(
-            state,
-            ["bucket_start_utc", "contract_address", "holder_address"],
-            [F.col("updated_at").desc(), F.col("quantity_raw").desc()],
-        ).localCheckpoint(eager=True)
-        (
-            deduped.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("contract_address", "bucket_start_utc")
-            .parquet(state_dir)
-        )
-        top = scale_and_rank_top100(deduped).select(
+        top = scale_and_rank_top100(state).select(
             "bucket_start_utc", "contract_address", "rnk", "holder_address", "balance"
         )
         (

@@ -14,8 +14,6 @@ from merl_etl_spark.operators.similarity import (
 )
 from merl_etl_spark.sources.tables import load_table
 
-SF = "/root/testdata/sf0.01"
-
 N_DEGEN = 2000
 DIM = 32
 
@@ -50,12 +48,12 @@ def test_multi_table_degenerate_bucket_is_capped(spark):
     assert {r.vec_b for r in rows} == set(range(1, N_DEGEN))
 
 
-def test_capped_matches_uncapped_on_fixture(spark):
+def test_capped_matches_uncapped_on_fixture(spark, sf_dir):
     """No fixture bucket approaches LSH_MAX_BUCKET (max 8 per table at
     sf0.01), so the capped operators must equal unbounded expansion —
     this is what keeps the DuckDB oracles (which expand unconditionally)
     valid evidence for the capped production path."""
-    emb = load_table(spark, SF, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
 
     def canon(df):
         return sorted(
