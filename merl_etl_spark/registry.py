@@ -38,7 +38,9 @@ ORACLES: dict[str, str] = {}
 # remaining budget.  Update per round: move anything you modify into tier 1.
 SWEEP_PRIORITY: list[str] = [
     # -- tier 1: code churned in round 6 (capped_bucket_pairs now backs
-    #    every LSH pair expansion; IVF probes moved in-engine) ------------
+    #    every LSH pair expansion; IVF probes moved in-engine; nearest
+    #    as-of fused into a single bucketed pass) ------------------------
+    "join-asof-nearest",        # REWRITTEN: fused single-pass composition
     "dedup-minhash-lsh",        # refactored onto capped_bucket_pairs
     "dedup-embedding-cosine",   # multi-table join now bucket-capped
     "sim-lsh-bucketed",         # single-table join now bucket-capped
