@@ -105,13 +105,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 MH_PRIME = 4294967291  # largest prime < 2^32
 
 
-def _minhash_cand_ctes() -> str:
-    """The shared DuckDB CTE chain ending in ``cand(doc_a, doc_b)`` — the
-    LSH candidate pairs.  Kirsch–Mitzenmacher: one md5 per shingle split
+def _minhash_bands_ctes() -> str:
+    """The shared DuckDB CTE chain ending in ``bands(doc_id, band_id, h)``
+    — the LSH band keys.  Kirsch–Mitzenmacher: one md5 per shingle split
     into two 32-bit halves h1,h2; the k-th hash is (h1 + k*h2) mod p —
-    8× fewer digests for the same LSH guarantees.  Used by both the
-    minhash oracle and the jaccard-verification oracle so the candidate
-    definition cannot drift between them."""
+    8× fewer digests for the same LSH guarantees.  The single source of
+    the band definition shared by every minhash-family oracle."""
     mh_cols = ",\n             ".join(
         f"min((h1 + {k} * h2) % {MH_PRIME}) AS mh{k}" for k in range(N_HASHES)
     )
@@ -133,7 +132,15 @@ def _minhash_cand_ctes() -> str:
     ),
     bands AS (
       {band_selects}
-    ),
+    )"""
+
+
+def _minhash_cand_ctes() -> str:
+    """:func:`_minhash_bands_ctes` extended with ``cand(doc_a, doc_b)`` —
+    the within-corpus LSH candidate pairs.  Used by the minhash oracle and
+    the jaccard/containment verification oracles so the candidate
+    definition cannot drift between them."""
+    return f"""{_minhash_bands_ctes()},
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.h = b.h
@@ -235,6 +242,20 @@ def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> Data
     small buckets, O(|bucket|) star edges for degenerate ones (a bucket
     with 10k mass-duplicated docs would otherwise build 50M pairs on one
     executor)."""
+    return (
+        capped_bucket_pairs(minhash_bands(docs), ["band_id", "h"], "doc_id", max_bucket)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, h) LSH band keys — Spark twin of
+    :func:`_minhash_bands_ctes`: 3-word shingles → one md5 per shingle →
+    8 Kirsch–Mitzenmacher minhashes → 4 banded keys.  explode(shingles)
+    is a flatMap (no shuffle); the signature is one groupBy on doc_id;
+    banding is a projection.  Shared by the within-corpus pair generator
+    and the incremental batch-vs-corpus probe."""
     # split once; shingling is a per-row flatMap over the cached words array
     sh = docs.withColumn("words", F.split("text", " ")).select(
         "doc_id", F.explode(F.expr(WORDS_SHINGLES)).alias("sh")
@@ -246,7 +267,7 @@ def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> Data
             for k in range(N_HASHES)
         ]
     )
-    bands = mins.select(
+    return mins.select(
         "doc_id",
         F.explode(
             F.array(
@@ -260,11 +281,6 @@ def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> Data
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.h")
-    return (
-        capped_bucket_pairs(bands, ["band_id", "h"], "doc_id", max_bucket)
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-        .distinct()
-    )
 
 
 @register("dedup-minhash-lsh", oracle=_minhash_oracle())
@@ -658,4 +674,95 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cc / F.least(F.col("sa.n"), F.col("sb.n"))).alias("max_containment"),
         )
         .filter(F.col("max_containment") >= 0.5)
+    )
+
+
+CORPUS_BUCKET_CAP = 64  # corpus-side LSH representatives per (band, h)
+
+
+@register(
+    "dedup-incremental-near",
+    oracle=f"""
+    WITH {_minhash_bands_ctes()},
+    cap AS (SELECT max(doc_id) // 2 AS cap FROM documents),
+    new_bands AS (
+      SELECT doc_id, band_id, h FROM bands CROSS JOIN cap
+      WHERE doc_id > cap.cap
+    ),
+    corpus_bands AS (
+      SELECT doc_id, band_id, h FROM (
+        SELECT b.doc_id, b.band_id, b.h,
+               row_number() OVER (PARTITION BY b.band_id, b.h
+                                  ORDER BY b.doc_id) AS rn
+        FROM bands b CROSS JOIN cap WHERE b.doc_id <= cap.cap
+      ) WHERE rn <= {CORPUS_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT n.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM new_bands n
+      JOIN corpus_bands c ON c.band_id = n.band_id AND c.h = n.h
+      GROUP BY 1, 2
+    ),
+    {INTERSECT_CTES}
+    SELECT c.doc_a AS doc_new, c.doc_b AS doc_corpus,
+           CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c) >= 0.5
+    """,
+)
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR dedup: an incoming batch (upper half of the doc-id
+    range) probed against the already-ingested corpus (lower half) through
+    the shared MinHash-LSH bands, then exact-Jaccard verified at ≥ 0.5 —
+    the ingestion-time near-dup check a continuously-growing corpus runs
+    (dedup-incremental is its exact-digest sibling; this one also catches
+    lightly edited re-submissions).
+
+    Scale shape: band keys for both sides come from ONE pass over the
+    documents (:func:`minhash_bands`); the probe is an equi-join on
+    (band_id, h) — at 100 TB the corpus arm is a persisted band index
+    that each batch joins without re-shingling the corpus.  The
+    corpus-side arm keeps only CORPUS_BUCKET_CAP (64) representatives
+    per band bucket (lowest doc_ids — deterministic, expressed
+    identically in the oracle): a degenerate boilerplate bucket then
+    contributes O(cap · |batch bucket|) candidates instead of
+    O(|corpus bucket| · |batch bucket|), and any representative match
+    still flags the incoming doc as a near-dup — the cross-set analogue
+    of :func:`capped_bucket_pairs`' star economics.  Verification rides
+    the same :func:`candidate_intersections` machinery as jaccard/
+    containment."""
+    docs = load_table(spark, sf_dir, "documents")
+    cap = docs.agg(F.expr("max(doc_id) div 2").alias("cap"))
+    bands = minhash_bands(docs).join(F.broadcast(cap))
+    new_bands = bands.filter(F.col("doc_id") > F.col("cap")).select(
+        F.col("doc_id").alias("doc_a"), "band_id", "h"
+    )
+    wc = Window.partitionBy("band_id", "h").orderBy("doc_id")
+    corpus_bands = (
+        bands.filter(F.col("doc_id") <= F.col("cap"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= CORPUS_BUCKET_CAP)
+        .select(F.col("doc_id").alias("doc_b"), "band_id", "h")
+    )
+    cand = new_bands.join(corpus_bands, ["band_id", "h"]).select(
+        "doc_a", "doc_b"
+    ).distinct()
+    common, sizes = candidate_intersections(docs, cand)
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            F.col("doc_a").alias("doc_new"),
+            F.col("doc_b").alias("doc_corpus"),
+            "jaccard",
+        )
     )

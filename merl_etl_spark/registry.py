@@ -53,6 +53,7 @@ SWEEP_PRIORITY: list[str] = [
     # -- tier 2b: new in round 6 -----------------------------------------
     "dedup-embedding-clusters",  # semantic-dedup components + keepers
     "fn-vector-quantize",        # uint8 scalar quantization summary
+    "dedup-incremental-near",    # batch-vs-corpus LSH near-dup probe
     # -- tier 3: latest driver green is round 4 --------------------------
     "text-chunking", "sample-hash-split", "curate-pipeline",
     "dedup-exact", "dedup-simhash", "dedup-simhash-pairs",

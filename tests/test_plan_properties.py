@@ -65,6 +65,9 @@ _BOUNDED_NESTED_LOOP_OK = {
     # a bounded scalar-subquery join, not an all-pairs; the digest probe
     # itself is a hash anti-join
     "dedup-incremental",
+    # same 1-row boundary broadcast; the band probe and the jaccard
+    # verification are equi-joins
+    "dedup-incremental-near",
 }
 
 
