@@ -71,6 +71,11 @@ HEADLINE = [
     "dedup-embedding-cosine",
     "sim-topk-pandas",
     "agg-approx-sketches",
+    # round-6 additions: profiling / layout / retrieval tier
+    "profile-columns",
+    "layout-zorder",
+    "text-tfidf",
+    "text-bm25",
 ]
 
 

@@ -1,0 +1,292 @@
+"""Data profiling and physical-layout operators.
+
+A 100 TB ingestion pipeline runs these before (and after) every major
+load: per-column statistics to catch schema/quality drift at the source
+boundary (the reference's field-drift handling, merlin_etl.py:76-80, is
+the row-level cousin of this dataset-level check), histograms to choose
+partition boundaries, and a Z-order layout pass to make multi-dimensional
+scan pruning work on the written files.
+
+Scale shapes:
+
+- profile-columns   one melt (explode to (col, value) pairs) + two keyed
+                    shuffles (distinct pre-agg, then per-column rollup).
+                    The melt multiplies rows by #profiled-columns — the
+                    standard price of a single-pass profiler; partial
+                    aggregation reduces each partition to #cols rows
+                    before either shuffle's exchange.
+- profile-histogram a 1-row global min/max broadcast + a map-side bucket
+                    assignment + one 20-group aggregate.  No sort.
+- layout-zorder     bit-interleaved Morton codes are a pure projection;
+                    bucketing is a shift (top prefix bits), so the whole
+                    layout decision is map-side.  At write time the same
+                    zvalue feeds repartitionByRange(n, zvalue) to cluster
+                    files; the per-bucket bounding boxes this query emits
+                    are exactly the min/max file statistics a reader's
+                    predicate pushdown would prune on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# profile-columns
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+               count(*) AS n_rows,
+               count(*) - count({c}) AS n_null,
+               count(DISTINCT CAST({c} AS VARCHAR)) AS n_distinct,
+               min(CAST({c} AS VARCHAR)) AS min_val,
+               max(CAST({c} AS VARCHAR)) AS max_val
+        FROM documents"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("profile-columns", oracle=_profile_oracle())
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler over ``documents``: row count, null
+    count, exact distinct count, lexicographic min/max of every column's
+    string form.
+
+    One scan feeds a melt — ``explode`` of a (col_name, value) struct
+    array — so adding a column to the profile never adds a scan.  All
+    values are profiled through CAST(x AS STRING): min/max compare by
+    binary collation identically in Spark and DuckDB, and the cast is
+    injective for the int/string fixture columns so distinct counts are
+    unchanged.  The exact-distinct agg plans as the two-phase
+    (col_name, value) pre-aggregate — high-cardinality first shuffle,
+    well distributed; the second shuffle carries #cols partial rows per
+    partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.col_name", "kv.val")
+    return kv.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).alias("n_null"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# profile-histogram
+# ---------------------------------------------------------------------------
+
+N_HIST_BUCKETS = 20
+
+
+@register(
+    "profile-histogram",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(value) AS mn, max(value) AS mx
+      FROM events WHERE value IS NOT NULL
+    ),
+    bucketed AS (
+      SELECT CASE WHEN b.mx = b.mn THEN CAST(0 AS BIGINT)
+                  ELSE least(CAST(floor((e.value - b.mn) / (b.mx - b.mn)
+                                        * {N_HIST_BUCKETS}.0) AS BIGINT),
+                             CAST({N_HIST_BUCKETS - 1} AS BIGINT)) END AS bucket,
+             e.value, b.mn, b.mx
+      FROM events e CROSS JOIN bounds b
+      WHERE e.value IS NOT NULL
+    )
+    SELECT bucket,
+           count(*) AS n_events,
+           mn + bucket * (mx - mn) / {N_HIST_BUCKETS}.0 AS bucket_lo,
+           mn + (bucket + 1) * (mx - mn) / {N_HIST_BUCKETS}.0 AS bucket_hi,
+           min(value) AS val_min,
+           max(value) AS val_max
+    FROM bucketed
+    GROUP BY bucket, mn, mx
+    """,
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of ``events.value`` (20 buckets): the summary
+    a range-partitioner or skew diagnosis starts from.
+
+    The global min/max is a 1-row aggregate broadcast against the fact
+    scan (the reference's latest-bucket CTE shape, schema.sql top-100
+    queries); bucket assignment is a map; the final aggregate has 20
+    groups with map-side partials.  floor + integer least() clamping
+    mirrors fn-vector-quantize's edge handling (a float-side clamp
+    literal parses as DECIMAL in DuckDB); the divide-by-zero guard for a
+    constant column keeps the single-bucket degenerate case well-defined.
+    Only count/min/max per bucket — no double sums, so every output cell
+    is bit-deterministic across engines and partition orders."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = F.broadcast(events.agg(F.min("value").alias("mn"), F.max("value").alias("mx")))
+    n = N_HIST_BUCKETS
+    bucketed = events.crossJoin(bounds).withColumn(
+        "bucket",
+        F.expr(
+            f"CASE WHEN mx = mn THEN CAST(0 AS BIGINT)"
+            f" ELSE least(CAST(floor((value - mn) / (mx - mn) * {n}.0) AS BIGINT),"
+            f" CAST({n - 1} AS BIGINT)) END"
+        ),
+    )
+    return (
+        bucketed.groupBy("bucket", "mn", "mx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("val_min"),
+            F.max("value").alias("val_max"),
+        )
+        .select(
+            "bucket",
+            "n_events",
+            F.expr(f"mn + bucket * (mx - mn) / {n}.0").alias("bucket_lo"),
+            F.expr(f"mn + (bucket + 1) * (mx - mn) / {n}.0").alias("bucket_hi"),
+            "val_min",
+            "val_max",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout-zorder
+# ---------------------------------------------------------------------------
+
+Z_BITS = 12  # bits per dimension; 24-bit Morton code
+Z_PREFIX_SHIFT = 2 * Z_BITS - 6  # keep the top 6 interleaved bits → 64 buckets
+
+
+def _morton(x: str, y: str, dialect: str) -> str:
+    """Bit-interleave two Z_BITS-wide nonneg ints into a Morton code.
+    Same arithmetic, two spellings: Spark uses shiftleft/shiftright
+    functions; DuckDB uses << / >> operators."""
+    terms = []
+    for i in range(Z_BITS):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+# floor BEFORE the bigint cast: DuckDB's CAST(DOUBLE AS BIGINT) rounds
+# half-away while Spark's unix_timestamp() truncates sub-second parts, so
+# a :59.9 event would round into the next hour on one side only.  For
+# nonneg x, floor(x/3600) == floor(trunc(x)/3600), so flooring the
+# full-precision epoch matches Spark's truncate-then-divide exactly.
+_DUCK_HOUR = "CAST(floor(epoch(ts) / 3600.0) AS BIGINT)"
+
+
+def _scale(v: str, mn: str, mx: str, dialect: str) -> str:
+    """Range-bin an integer dim into the Z_BITS grid with EXACT integer
+    floor division (nonneg operands, so // and div agree): Delta-style
+    Z-ORDER bins each column before interleaving, otherwise real-world
+    dims (user ids 0..1500, ~720 distinct hours) never touch the code's
+    top bits and every row lands in one bucket."""
+    div = "//" if dialect == "duck" else "div"
+    return f"(({v} - {mn}) * {1 << Z_BITS}) {div} ({mx} - {mn} + 1)"
+
+
+@register(
+    "layout-zorder",
+    oracle=f"""
+    WITH hours AS (
+      SELECT user_id, {_DUCK_HOUR} AS hr FROM events
+    ),
+    bounds AS (
+      SELECT min(user_id) AS mn_u, max(user_id) AS mx_u,
+             min(hr) AS mn_h, max(hr) AS mx_h
+      FROM hours
+    ),
+    coded AS (
+      SELECT {_scale('h.user_id', 'b.mn_u', 'b.mx_u', 'duck')} AS x,
+             {_scale('h.hr', 'b.mn_h', 'b.mx_h', 'duck')} AS y,
+             h.user_id, h.hr
+      FROM hours h CROSS JOIN bounds b
+    ),
+    z AS (
+      SELECT user_id, hr, ({_morton('x', 'y', 'duck')}) AS zvalue FROM coded
+    )
+    SELECT zvalue >> {Z_PREFIX_SHIFT} AS zbucket,
+           count(*) AS n_rows,
+           min(user_id) AS user_lo, max(user_id) AS user_hi,
+           min(hr) AS hour_lo, max(hr) AS hour_hi
+    FROM z
+    GROUP BY zbucket
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout planner over events on (user_id,
+    hour-of-epoch): range-bin each dimension into a 12-bit grid (exact
+    integer floor division off a 1-row min/max broadcast — the binning
+    every production Z-ORDER applies so arbitrary dim ranges fill the
+    code space), interleave the bits, bucket rows by the code's top 6
+    bits, and emit each bucket's bounding box in BOTH original dims.
+
+    This is the layout decision behind multi-dimensional file clustering
+    (Delta/Iceberg Z-ORDER, the BTree-on-(block,time) the reference keeps
+    in Postgres, schema.sql index DDL): writing bucket-by-bucket
+    (``repartitionByRange(n, zvalue)`` at real write time — the prefix
+    shift here keeps bucket identity deterministic for the oracle) yields
+    files whose min/max statistics are tight in user_id AND time
+    simultaneously, so a scan filtered on either dimension prunes ~7/8 of
+    files — a time-ordered layout gives pruning on time only.  Everything
+    past the 1-row bounds broadcast is a pure projection: no keyed join,
+    no window, one partial-agg shuffle of 64-key rows.  The emitted
+    bounding boxes double as the pruning metric: each bucket's user/hour
+    span is ~1/8 of the global range (test_profiling_layout pins this)."""
+    events = load_table(spark, sf_dir, "events")
+    hours = events.select(
+        "user_id",
+        F.expr(
+            "CAST(floor(CAST(unix_timestamp(ts) AS BIGINT) / 3600.0) AS BIGINT)"
+        ).alias("hr"),
+    )
+    bounds = F.broadcast(
+        hours.agg(
+            F.min("user_id").alias("mn_u"),
+            F.max("user_id").alias("mx_u"),
+            F.min("hr").alias("mn_h"),
+            F.max("hr").alias("mx_h"),
+        )
+    )
+    coded = hours.crossJoin(bounds).select(
+        "user_id",
+        "hr",
+        F.expr(_scale("user_id", "mn_u", "mx_u", "spark")).alias("x"),
+        F.expr(_scale("hr", "mn_h", "mx_h", "spark")).alias("y"),
+    )
+    z = coded.select(
+        "user_id", "hr", F.expr(_morton("x", "y", "spark")).alias("zvalue")
+    )
+    return z.groupBy(
+        F.expr(f"shiftright(zvalue, {Z_PREFIX_SHIFT})").alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("user_id").alias("user_lo"),
+        F.max("user_id").alias("user_hi"),
+        F.min("hr").alias("hour_lo"),
+        F.max("hr").alias("hour_hi"),
+    )

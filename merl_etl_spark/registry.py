@@ -54,6 +54,11 @@ SWEEP_PRIORITY: list[str] = [
     "dedup-embedding-clusters",  # semantic-dedup components + keepers
     "fn-vector-quantize",        # uint8 scalar quantization summary
     "dedup-incremental-near",    # batch-vs-corpus LSH near-dup probe
+    "profile-columns",           # single-pass per-column profiler
+    "profile-histogram",         # equi-width value histogram
+    "layout-zorder",             # Morton-code layout bounding boxes
+    "text-tfidf",                # per-doc top-k TF-IDF terms
+    "text-bm25",                 # BM25 probe-query ranking
     # -- tier 3: latest driver green is round 4 --------------------------
     "text-chunking", "sample-hash-split", "curate-pipeline",
     "dedup-exact", "dedup-simhash", "dedup-simhash-pairs",
@@ -130,5 +135,7 @@ def load_all() -> None:
     import merl_etl_spark.operators.asof  # noqa: F401
     import merl_etl_spark.operators.similarity  # noqa: F401
     import merl_etl_spark.operators.text_analysis  # noqa: F401
+    import merl_etl_spark.operators.profiling  # noqa: F401
+    import merl_etl_spark.operators.retrieval  # noqa: F401
 
     _apply_sweep_priority()

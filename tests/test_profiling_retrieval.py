@@ -1,0 +1,86 @@
+"""Profiling / layout / retrieval tier: beyond the oracle match (covered
+by test_queries_vs_oracle), pin the properties that make these operators
+worth running — the Z-order bounding boxes must actually be tight (the
+pruning payoff), the profiler must see every row, and the ranking plans
+must compile to their bounded physical forms."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from merl_etl_spark.registry import QUERIES, load_all
+from merl_etl_spark.sources.tables import load_table
+
+load_all()
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_zorder_buckets_are_tight_in_both_dims(spark, sf_dir):
+    """The whole point of Z-ordering: every prefix bucket's bounding box
+    spans ~1/8 of EACH dimension's global range (top 3 bits per dim), so
+    a filter on either dimension prunes most buckets.  A time-ordered or
+    hash layout would give full-range user spans in every bucket."""
+    rows = QUERIES["layout-zorder"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    user_span = max(r.user_hi for r in rows) - min(r.user_lo for r in rows)
+    hour_span = max(r.hour_hi for r in rows) - min(r.hour_lo for r in rows)
+    # 1/8 of the range + one bin of slack (range-binning floor rounding)
+    for r in rows:
+        assert (r.user_hi - r.user_lo) <= user_span / 8 + user_span / 64 + 1, r
+        assert (r.hour_hi - r.hour_lo) <= hour_span / 8 + hour_span / 64 + 1, r
+
+
+def test_zorder_covers_every_row(spark, sf_dir):
+    rows = QUERIES["layout-zorder"](spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_rows for r in rows) == n_events
+
+
+def test_profile_columns_sees_every_row_and_null_free_keys(spark, sf_dir):
+    prof = {r.col_name: r for r in QUERIES["profile-columns"](spark, sf_dir).collect()}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert set(prof) == {"doc_id", "text", "lang", "source", "n_chars"}
+    for r in prof.values():
+        assert r.n_rows == n_docs
+    assert prof["doc_id"].n_null == 0
+    assert prof["doc_id"].n_distinct == n_docs
+
+
+def test_histogram_partitions_all_values(spark, sf_dir):
+    rows = QUERIES["profile-histogram"](spark, sf_dir).collect()
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    assert sum(r.n_events for r in rows) == events.count()
+    assert all(0 <= r.bucket < 20 for r in rows)
+    # observed per-bucket extrema must sit inside the computed bounds
+    # (modulo the float boundary itself); bounds must tile the range
+    for r in sorted(rows, key=lambda r: r.bucket):
+        assert r.bucket_lo <= r.val_min <= r.val_max
+        assert r.val_max <= r.bucket_hi or r.bucket == 19
+
+
+def test_tfidf_rank_compiles_to_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, "text-tfidf", sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_bm25_topk_compiles_to_take_ordered(spark, sf_dir):
+    """The final top-10 must be the distributed bounded heap, not a
+    global-sort or single-partition window."""
+    plan = _plan(spark, "text-bm25", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_rare_term_dominates(spark, sf_dir):
+    """Sanity of the scoring itself: documents containing the rare probe
+    term ('dup', df≈25/500) must outrank common-term-only documents —
+    i.e. the top hit's s_dup component is positive."""
+    top = QUERIES["text-bm25"](spark, sf_dir).collect()
+    assert len(top) == 10
+    assert top[0].s_dup > 0
+    assert top[0].bm25 >= top[-1].bm25
