@@ -1,0 +1,270 @@
+"""Dataset quality gates over the events stream: declarative
+expectation checks (the Deequ/Great-Expectations shape), exact
+distributional summaries, and robust outlier flagging — the checks a
+production pipeline runs between ingestion and publication, at dataset
+granularity (the row-level cousin is the reference's field-drift
+normalization, merlin_etl.py:76-80).
+
+Scale shapes:
+
+- dq-expectations    ONE full scan computes every rule's violation
+                     counter as a conditional aggregate (map-side
+                     partials; the two exact-distinct rules add one
+                     high-cardinality pre-aggregate each); the per-rule
+                     rows are a constant-size melt of that single
+                     result row.  Adding a rule never adds a scan.
+- agg-anomaly-zscore two keyed shuffles (per-type moment aggregate,
+                     then the stats broadcast back over the fact scan);
+                     flagging is a map.
+- agg-exact-quantiles per-type percentile_disc — exact order statistics;
+                     the group's values buffer in the aggregate, so this
+                     is the small-group / final-mile twin of
+                     agg-approx-sketches (constant-memory estimates) —
+                     at 100 TB run the sketch first and reserve exact
+                     quantiles for bounded groups.
+- join-salted-skew   the operators/skew.py salted join registered as a
+                     driver-oracled query: output equals the plain
+                     equi-join bit-for-bit while the hot key's rows
+                     spread over n_salts shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+# (rule name, violation predicate — same SQL text in both engines)
+_PREDICATE_RULES = (
+    ("not_null:user_id", "user_id IS NULL"),
+    ("not_null:value", "value IS NULL"),
+    ("range:value>=0", "value < 0"),
+    ("range:value<=300", "value > 300"),
+    (
+        "domain:event_type",
+        "event_type NOT IN ({})".format(", ".join(f"'{t}'" for t in EVENT_TYPES)),
+    ),
+    ("pattern:props_json", "props IS NULL OR props NOT LIKE '{%}'"),
+)
+
+
+def _dq_oracle() -> str:
+    counters = ",\n             ".join(
+        f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS v{i}"
+        for i, (_, pred) in enumerate(_PREDICATE_RULES)
+    )
+    rule_rows = "\n    UNION ALL\n    ".join(
+        f"SELECT '{name}' AS rule, n AS n_checked, v{i} AS n_violations,"
+        f" v{i} = 0 AS passed FROM a"
+        for i, (name, _) in enumerate(_PREDICATE_RULES)
+    )
+    return f"""
+    WITH a AS (
+      SELECT count(*) AS n,
+             {counters},
+             count(*) - count(DISTINCT event_id) AS dup_eid,
+             count(*) - count(DISTINCT user_id) AS dup_uid
+      FROM events
+    )
+    {rule_rows}
+    UNION ALL
+    SELECT 'unique:event_id' AS rule, n AS n_checked, dup_eid AS n_violations,
+           dup_eid = 0 AS passed FROM a
+    UNION ALL
+    SELECT 'unique:user_id' AS rule, n AS n_checked, dup_uid AS n_violations,
+           dup_uid = 0 AS passed FROM a
+    """
+
+
+@register("dq-expectations", oracle=_dq_oracle())
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite: 8 rules (completeness,
+    range, domain membership, pattern, uniqueness) checked in ONE scan,
+    emitted as one (rule, n_checked, n_violations, passed) row each —
+    the contract a pipeline gate evaluates before publishing a dataset
+    version.
+
+    Every predicate rule is a conditional sum over the same aggregate
+    (map-side partials, one scan regardless of rule count); the two
+    uniqueness rules are exact count-distinct deltas (each plans the
+    standard two-phase distinct pre-aggregate).  The per-rule output is
+    a melt of the single aggregated row via explode — constant size.
+    The unique:user_id rule is deliberately one that FAILS on fixture
+    data (events repeat users), pinning the violated-rule path in the
+    driver hash, not just the all-green path."""
+    events = load_table(spark, sf_dir, "events")
+    agged = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(f"v{i}")
+            for i, (_, pred) in enumerate(_PREDICATE_RULES)
+        ],
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("dup_eid"),
+        (F.count(F.lit(1)) - F.countDistinct("user_id")).alias("dup_uid"),
+    )
+    rule_structs = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("n").alias("n_checked"),
+            F.col(f"v{i}").alias("n_violations"),
+            (F.col(f"v{i}") == 0).alias("passed"),
+        )
+        for i, (name, _) in enumerate(_PREDICATE_RULES)
+    ] + [
+        F.struct(
+            F.lit("unique:event_id").alias("rule"),
+            F.col("n").alias("n_checked"),
+            F.col("dup_eid").alias("n_violations"),
+            (F.col("dup_eid") == 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("unique:user_id").alias("rule"),
+            F.col("n").alias("n_checked"),
+            F.col("dup_uid").alias("n_violations"),
+            (F.col("dup_uid") == 0).alias("passed"),
+        ),
+    ]
+    return agged.select(F.explode(F.array(*rule_structs)).alias("r")).select(
+        "r.rule", "r.n_checked", "r.n_violations", "r.passed"
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg-anomaly-zscore
+# ---------------------------------------------------------------------------
+
+# identical arithmetic text in both engines; population variance with a
+# tiny floor so a constant group yields z = huge-but-finite, not NaN
+_Z_EXPR = (
+    "(value - sv / n) / sqrt(greatest(svv / n - (sv / n) * (sv / n), 1e-300))"
+)
+
+
+@register(
+    "agg-anomaly-zscore",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(value) AS DOUBLE) AS sv,
+             CAST(sum(value * value) AS DOUBLE) AS svv
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN s ON s.event_type = e.event_type
+    WHERE abs({_Z_EXPR}) > 3
+    """,
+)
+def agg_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier flagging: events whose value sits
+    more than 3 population standard deviations from their type's mean —
+    the first-pass anomaly screen over a metric stream.
+
+    Determinism stance: the moment sums are double adds whose partition
+    order differs across engines, so z carries ~1e-12 relative noise —
+    therefore the OUTPUT carries only scanned columns (event_id, type,
+    value: bit-identical by construction) and z decides membership only.
+    A flip would need |z| within ~1e-9 of the 3.0 threshold; the margin
+    on the fixed fixtures is checked by tests/test_quality_suite.py
+    (min observed gap ≫ 1e-6), and fixtures are frozen, so the driver
+    comparison is stable.  Scale: one per-type moment aggregate
+    (map-side partials), stats broadcast back over the fact scan, flag
+    is a map — the same two-exchange shape as conditional-flow."""
+    events = load_table(spark, sf_dir, "events")
+    stats = F.broadcast(
+        events.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("value").cast("double").alias("sv"),
+            F.sum(F.expr("value * value")).cast("double").alias("svv"),
+        )
+    )
+    return (
+        events.join(stats, "event_type")
+        .filter(F.expr(f"abs({_Z_EXPR}) > 3"))
+        .select("event_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg-exact-quantiles
+# ---------------------------------------------------------------------------
+
+QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@register(
+    "agg-exact-quantiles",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           {", ".join(f"quantile_disc(value, {q}) AS q{int(q * 100)}" for q in QUANTILES)}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles (p25/p50/p75/p90/p99) of value per event
+    type: percentile_disc picks an ACTUAL data element (the smallest
+    value whose cumulative rank reaches q), so there is no interpolation
+    arithmetic to drift across engines — Spark's percentile_disc and
+    DuckDB's quantile_disc return the same bits (verified on all
+    fixture groups; the continuous twin would need 6-dp rounding).
+
+    The group's value set buffers inside the aggregate — exact order
+    statistics fundamentally need the data — so this is the bounded-
+    group complement to agg-approx-sketches' constant-memory estimates:
+    at 100 TB, sketch first, then run exact quantiles on the groups
+    that matter (or after a per-type sample)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)"
+            ).alias(f"q{int(q * 100)}")
+            for q in QUANTILES
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# join-salted-skew
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join-salted-skew",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, count(*) AS type_n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, d.type_n
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join (operators/skew.py) as a driver-oracled
+    query: enrich every event with its type's total count through
+    ``salted_join`` — a 5-key join where every key is hot (each holds
+    ~20% of the table), the worst case for per-key shuffle placement.
+
+    The salt spreads each hot key's rows over 8 sub-keys (small side
+    replicated ×8), so no single task owns a key's full mass; the
+    oracle is the PLAIN join — salting must be invisible in the result.
+    Complements the pytest skew-experiment evidence (PERF.md) with a
+    value-hash guarantee of equivalence."""
+    from merl_etl_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_n"))
+    )
+    return salted_join(events, dim, "event_type", n_salts=8).select(
+        "event_id", "event_type", "type_n"
+    )

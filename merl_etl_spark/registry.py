@@ -59,6 +59,8 @@ SWEEP_PRIORITY: list[str] = [
     "layout-zorder",             # Morton-code layout bounding boxes
     "text-tfidf",                # per-doc top-k TF-IDF terms
     "text-bm25",                 # BM25 probe-query ranking
+    "dq-expectations",           # one-scan expectation-rule suite
+    "agg-anomaly-zscore",        # per-type 3-sigma outlier flags
     # -- tier 3: latest driver green is round 4 --------------------------
     "text-chunking", "sample-hash-split", "curate-pipeline",
     "dedup-exact", "dedup-simhash", "dedup-simhash-pairs",
@@ -137,5 +139,6 @@ def load_all() -> None:
     import merl_etl_spark.operators.text_analysis  # noqa: F401
     import merl_etl_spark.operators.profiling  # noqa: F401
     import merl_etl_spark.operators.retrieval  # noqa: F401
+    import merl_etl_spark.operators.quality  # noqa: F401
 
     _apply_sweep_priority()
