@@ -344,3 +344,85 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_ok(2, 3, 5).alias("q95_ok"),
         q_ok(3, 4, 5).alias("q99_ok"),
     )
+
+
+_HLL_OK = (
+    "abs(CAST({est} AS DOUBLE) - CAST({exact} AS DOUBLE))"
+    " <= 0.10 * CAST({exact} AS DOUBLE)"
+)
+
+
+@register(
+    "agg-hll-merge",
+    oracle=f"""
+    WITH per AS (
+      SELECT event_type AS scope,
+             count(*) AS n_rows,
+             count(DISTINCT user_id) AS exact_users,
+             approx_count_distinct(user_id) AS est
+      FROM events GROUP BY event_type
+    ),
+    total AS (
+      SELECT 'ALL' AS scope,
+             count(*) AS n_rows,
+             count(DISTINCT user_id) AS exact_users,
+             approx_count_distinct(user_id) AS est
+      FROM events
+    )
+    SELECT scope, n_rows, exact_users,
+           ({_HLL_OK.format(est='est', exact='exact_users')}) AS hll_ok
+    FROM per
+    UNION ALL
+    SELECT scope, n_rows, exact_users,
+           ({_HLL_OK.format(est='est', exact='exact_users')}) AS hll_ok
+    FROM total
+    """,
+)
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: build ONE Apache DataSketches HLL sketch
+    per event type (``hll_sketch_agg``), then derive the global distinct
+    estimate by MERGING the per-type sketches (``hll_union_agg``) —
+    never re-scanning raw data for the rollup.  This is the property
+    that makes sketches the 100 TB cardinality answer: per-partition /
+    per-day sketch partials are unioned at any rollup granularity
+    (union is exact over HLL registers, estimate error stays the
+    sketch's own bound), so a year's distinct-users needs 365 sketch
+    blobs, not a year of raw events.
+
+    As with agg-approx-sketches, sketch ESTIMATES can't hash-match
+    across engines, so each engine emits its exact values plus a 10%%
+    error-contract boolean (≥5σ for both engines' default precisions:
+    Spark lgConfigK=12 → rsd≈1.6%%; DuckDB's HLL similar).  The global
+    exact ground-truth column requires its own distinct pass (users
+    overlap types — exact global distinct is non-decomposable; that
+    non-decomposability is exactly why the merged sketch exists).  The
+    driver hash pins per-scope exact math AND both merge-path sanity
+    booleans."""
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+    )
+    per_rows = per.select(
+        F.col("event_type").alias("scope"),
+        "n_rows",
+        "exact_users",
+        F.expr(
+            _HLL_OK.format(est="hll_sketch_estimate(sk)", exact="exact_users")
+        ).alias("hll_ok"),
+    )
+    merged = per.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+    )
+    glob = F.broadcast(
+        events.agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    total_row = merged.crossJoin(glob).select(
+        F.lit("ALL").alias("scope"),
+        "n_rows",
+        "exact_users",
+        F.expr(_HLL_OK.format(est="est", exact="exact_users")).alias("hll_ok"),
+    )
+    return per_rows.unionByName(total_row)

@@ -35,3 +35,18 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
         assert a.q50_ok, f"{t}: q50 estimate outside exact band"
         assert a.q95_ok, f"{t}: q95 estimate outside exact band"
         assert a.q99_ok, f"{t}: q99 estimate outside exact band"
+
+
+def test_hll_merge_rollup_properties(spark, sf_dir):
+    """agg-hll-merge: per-scope exacts agree with ground truth, every
+    contract boolean holds, and the merged-scope row respects the
+    set-union bounds (global distinct ≥ any type's distinct, ≤ the sum)."""
+    rows = {r.scope: r for r in QUERIES["agg-hll-merge"](spark, sf_dir).collect()}
+    assert "ALL" in rows and len(rows) == 6
+    per = {s: r for s, r in rows.items() if s != "ALL"}
+    glob = rows["ALL"]
+    for r in rows.values():
+        assert r.hll_ok, f"{r.scope}: merged/typed HLL estimate outside 10%"
+    assert glob.n_rows == sum(r.n_rows for r in per.values())
+    assert glob.exact_users >= max(r.exact_users for r in per.values())
+    assert glob.exact_users <= sum(r.exact_users for r in per.values())
