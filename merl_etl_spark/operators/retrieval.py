@@ -124,7 +124,9 @@ def _bm25_component(tf: str, df: str, dl: str, dialect: str) -> str:
     return f"{idf} * ({tf} * {BM25_K1 + 1}) / {norm}"
 
 
-def _bm25_oracle() -> str:
+def _bm25_scored_ctes() -> str:
+    """The shared WITH-body computing per-doc BM25 components — reused by
+    the text-bm25 oracle and the RRF fusion oracle."""
     in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
     pivots = "\n             ".join(
         f"coalesce(max(CASE WHEN term = '{t}' THEN tf END), 0) AS tf_{t},"
@@ -138,9 +140,7 @@ def _bm25_oracle() -> str:
         f"coalesce(max(CASE WHEN term = '{t}' THEN df END), 0) AS df_{t}"
         for t in BM25_TERMS
     )
-    total = " + ".join(f"s_{t}" for t in BM25_TERMS)
-    return f"""
-    WITH words AS (
+    return f"""words AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
       FROM documents
     ),
@@ -173,7 +173,13 @@ def _bm25_oracle() -> str:
       FROM pivoted p
       JOIN doclen d ON d.doc_id = p.doc_id
       CROSS JOIN df CROSS JOIN stats
-    )
+    )"""
+
+
+def _bm25_oracle() -> str:
+    total = " + ".join(f"s_{t}" for t in BM25_TERMS)
+    return f"""
+    WITH {_bm25_scored_ctes()}
     SELECT doc_id, dl, {", ".join(f"s_{t}" for t in BM25_TERMS)},
            {total} AS bm25
     FROM scored
@@ -199,6 +205,15 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the IN-list filter on the exploded terms cuts the shuffle to
     query-matched postings only (3 terms ≈ |query| ≪ vocab); df and
     (N, avgdl) are 1-row broadcasts; everything else is map-side."""
+    return _bm25_scored(spark, sf_dir).orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    ).limit(10)
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-matched-doc BM25 component frame (the Spark twin of the
+    ``scored`` CTE): doc_id, dl, one rounded component per probe term,
+    and the fixed-order bm25 total."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
     words = docs.select("doc_id", F.explode(toks).alias("term"))
@@ -247,4 +262,113 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("bm25", F.expr(" + ".join(f"s_{t}" for t in BM25_TERMS)))
     )
-    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(10)
+    return scored
+
+
+# ---------------------------------------------------------------------------
+# text-hybrid-rrf
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_POOL = 20  # candidates taken from each ranker before fusion
+
+
+def _rrf_oracle() -> str:
+    in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH {_bm25_scored_ctes()},
+    bm25_top AS (
+      SELECT doc_id, {" + ".join(f"s_{t}" for t in BM25_TERMS)} AS bm25
+      FROM scored
+      ORDER BY {" + ".join(f"s_{t}" for t in BM25_TERMS)} DESC, doc_id ASC
+      LIMIT {RRF_POOL}
+    ),
+    bm25_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm25
+      FROM bm25_top
+    ),
+    tfsum AS (
+      SELECT doc_id, count(*) AS total_tf FROM words
+      WHERE term IN ({in_list}) GROUP BY doc_id
+    ),
+    tf_top AS (
+      SELECT doc_id, total_tf FROM tfsum
+      ORDER BY total_tf DESC, doc_id ASC
+      LIMIT {RRF_POOL}
+    ),
+    tf_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY total_tf DESC, doc_id ASC) AS r_tf
+      FROM tf_top
+    ),
+    fused AS (
+      SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+             b.r_bm25 AS r_bm25,
+             t.r_tf AS r_tf,
+             coalesce(1.0 / ({RRF_K} + b.r_bm25), CAST(0.0 AS DOUBLE))
+               + coalesce(1.0 / ({RRF_K} + t.r_tf), CAST(0.0 AS DOUBLE)) AS rrf
+      FROM bm25_ranked b FULL OUTER JOIN tf_ranked t ON t.doc_id = b.doc_id
+    )
+    SELECT doc_id, r_bm25, r_tf, rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 10
+    """
+
+
+@register("text-hybrid-rrf", oracle=_rrf_oracle())
+def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two retrieval rankers over the
+    same probe query — BM25 and a raw term-frequency baseline — the
+    standard hybrid-search combiner (lexical + semantic in production;
+    two lexical rankers here keep both arms oracle-exact).
+
+    Determinism and scale hang on the same trick: each ranker's global
+    ordering is materialized only as a TakeOrdered top-{RRF_POOL}
+    (distributed bounded heap), so the rank row_numbers run on ≤{RRF_POOL}
+    rows (the text-ngram-counts bounded-window pattern — allowlisted),
+    the fusion join is a {RRF_POOL}-row full-outer equi-join, and the
+    RRF sum is two exact divisions of integer ranks added in fixed
+    literal order — no floating noise anywhere.  A missing rank
+    contributes 0 (the standard RRF convention for off-list docs)."""
+    from pyspark.sql import Window
+
+    scored = _bm25_scored(spark, sf_dir)
+    bm25_top = scored.select("doc_id", "bm25").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    ).limit(RRF_POOL)
+    wb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    bm25_ranked = bm25_top.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("r_bm25")
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+    tfsum = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("total_tf"))
+    )
+    tf_top = tfsum.orderBy(F.col("total_tf").desc(), F.col("doc_id").asc()).limit(
+        RRF_POOL
+    )
+    wt = Window.orderBy(F.col("total_tf").desc(), F.col("doc_id").asc())
+    tf_ranked = tf_top.select(
+        "doc_id", F.row_number().over(wt).cast("long").alias("r_tf")
+    )
+
+    fused = (
+        bm25_ranked.join(tf_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_bm25",
+            "r_tf",
+            (
+                F.coalesce(1.0 / (RRF_K + F.col("r_bm25")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("r_tf")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)

@@ -137,6 +137,9 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # weight normalizer over one row per corpus source (bounded by
     # construction; curation_ext.py curate_mixture_weights)
     "curate-mixture-weights": 1,
+    # two rank windows over TakeOrdered top-RRF_POOL (≤20-row) candidate
+    # lists — the ngram-counts bounded pattern, one per fusion arm
+    "text-hybrid-rrf": 2,
 }
 
 

@@ -84,3 +84,20 @@ def test_bm25_rare_term_dominates(spark, sf_dir):
     assert len(top) == 10
     assert top[0].s_dup > 0
     assert top[0].bm25 >= top[-1].bm25
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark, sf_dir):
+    """RRF output must honor the fusion formula exactly: rrf equals the
+    sum of 1/(60+rank) for the arms where the doc appears, and every
+    output doc carries at least one rank."""
+    rows = QUERIES["text-hybrid-rrf"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.r_bm25 is not None or r.r_tf is not None
+        expect = (1.0 / (60 + r.r_bm25) if r.r_bm25 is not None else 0.0) + (
+            1.0 / (60 + r.r_tf) if r.r_tf is not None else 0.0
+        )
+        assert r.rrf == expect, (r, expect)
+    # descending fused order with doc_id tiebreak
+    fused = [(r.rrf, r.doc_id) for r in rows]
+    assert fused == sorted(fused, key=lambda p: (-p[0], p[1]))
