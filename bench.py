@@ -71,11 +71,15 @@ HEADLINE = [
     "dedup-embedding-cosine",
     "sim-topk-pandas",
     "agg-approx-sketches",
-    # round-6 additions: profiling / layout / retrieval tier
+    # round-6 additions: profiling / layout / retrieval / quality tiers
     "profile-columns",
     "layout-zorder",
     "text-tfidf",
     "text-bm25",
+    "text-hybrid-rrf",
+    "dq-expectations",
+    "agg-anomaly-zscore",
+    "agg-hll-merge",
 ]
 
 
