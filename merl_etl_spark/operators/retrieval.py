@@ -128,8 +128,8 @@ def _bm25_scored_ctes() -> str:
     """The shared WITH-body computing per-doc BM25 components — reused by
     the text-bm25 oracle and the RRF fusion oracle."""
     in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
-    pivots = "\n             ".join(
-        f"coalesce(max(CASE WHEN term = '{t}' THEN tf END), 0) AS tf_{t},"
+    pivots = ",\n             ".join(
+        f"coalesce(max(CASE WHEN term = '{t}' THEN tf END), 0) AS tf_{t}"
         for t in BM25_TERMS
     )
     comps = ",\n           ".join(
@@ -169,6 +169,7 @@ def _bm25_scored_ctes() -> str:
     ),
     scored AS (
       SELECT p.doc_id, d.dl,
+           {" + ".join(f"p.tf_{t}" for t in BM25_TERMS)} AS total_tf,
            {comps}
       FROM pivoted p
       JOIN doclen d ON d.doc_id = p.doc_id
@@ -180,7 +181,7 @@ def _bm25_oracle() -> str:
     total = " + ".join(f"s_{t}" for t in BM25_TERMS)
     return f"""
     WITH {_bm25_scored_ctes()}
-    SELECT doc_id, dl, {", ".join(f"s_{t}" for t in BM25_TERMS)},
+    SELECT doc_id, dl, total_tf, {", ".join(f"s_{t}" for t in BM25_TERMS)},
            {total} AS bm25
     FROM scored
     ORDER BY {total} DESC, doc_id ASC
@@ -253,6 +254,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "dl",
+            F.expr(" + ".join(f"tf_{t}" for t in BM25_TERMS)).alias("total_tf"),
             *[
                 F.round(
                     F.expr(_bm25_component(f"tf_{t}", f"df_{t}", "dl", "spark")), 6
@@ -274,7 +276,6 @@ RRF_POOL = 20  # candidates taken from each ranker before fusion
 
 
 def _rrf_oracle() -> str:
-    in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
     return f"""
     WITH {_bm25_scored_ctes()},
     bm25_top AS (
@@ -288,12 +289,8 @@ def _rrf_oracle() -> str:
              row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm25
       FROM bm25_top
     ),
-    tfsum AS (
-      SELECT doc_id, count(*) AS total_tf FROM words
-      WHERE term IN ({in_list}) GROUP BY doc_id
-    ),
     tf_top AS (
-      SELECT doc_id, total_tf FROM tfsum
+      SELECT doc_id, total_tf FROM scored
       ORDER BY total_tf DESC, doc_id ASC
       LIMIT {RRF_POOL}
     ),
@@ -331,9 +328,13 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fusion join is a {RRF_POOL}-row full-outer equi-join, and the
     RRF sum is two exact divisions of integer ranks added in fixed
     literal order — no floating noise anywhere.  A missing rank
-    contributes 0 (the standard RRF convention for off-list docs)."""
-    from pyspark.sql import Window
+    contributes 0 (the standard RRF convention for off-list docs).
 
+    Both arms read the SAME _bm25_scored frame (its total_tf column is
+    the fixed-order sum of the pivoted per-term tfs), so the corpus is
+    tokenized once for the whole fusion — the TF arm costs one extra
+    TakeOrdered over an already-computed column, not a second explode
+    (review r6 finding)."""
     scored = _bm25_scored(spark, sf_dir)
     bm25_top = scored.select("doc_id", "bm25").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
@@ -343,17 +344,9 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.row_number().over(wb).cast("long").alias("r_bm25")
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
-    tfsum = (
-        docs.select("doc_id", F.explode(toks).alias("term"))
-        .filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("total_tf"))
-    )
-    tf_top = tfsum.orderBy(F.col("total_tf").desc(), F.col("doc_id").asc()).limit(
-        RRF_POOL
-    )
+    tf_top = scored.select("doc_id", "total_tf").orderBy(
+        F.col("total_tf").desc(), F.col("doc_id").asc()
+    ).limit(RRF_POOL)
     wt = Window.orderBy(F.col("total_tf").desc(), F.col("doc_id").asc())
     tf_ranked = tf_top.select(
         "doc_id", F.row_number().over(wt).cast("long").alias("r_tf")

@@ -61,14 +61,17 @@ SWEEP_PRIORITY: list[str] = [
     "text-bm25",                 # BM25 probe-query ranking
     "dq-expectations",           # one-scan expectation-rule suite
     "agg-anomaly-zscore",        # per-type 3-sigma outlier flags
+    "agg-hll-merge",             # mergeable-sketch rollup contract
+    "text-hybrid-rrf",           # RRF fusion of BM25 + tf arms
+    "agg-exact-quantiles",       # cross-engine percentile_disc parity
+    "join-salted-skew",          # salted join ≡ plain join hash proof
     # -- tier 3: latest driver green is round 4 --------------------------
-    "text-chunking", "sample-hash-split", "curate-pipeline",
+    "text-chunking", "curate-pipeline",
     "dedup-exact", "dedup-simhash", "dedup-simhash-pairs",
     "text-decontaminate", "text-repetition", "curate-source-cap",
     "join-latest-bucket", "sql-api-top100", "setop-union-intersect-except",
     "sort-source-asc",
-    "fn-string-suite", "fn-numeric-suite", "fn-datetime-suite",
-    "fn-format-suite", "fn-json-suite",
+    "fn-numeric-suite", "fn-datetime-suite",
     "uint256-exact-sum", "uint256-exact-scale",
     "filter-blockrange", "filter-eq-token", "filter-nonnull-fields",
     "proj-normalize",
@@ -77,11 +80,25 @@ SWEEP_PRIORITY: list[str] = [
     "text-pii-scrub", "text-fingerprint",
 ]
 
+# Budget triage (review r6): never-driver-checked queries outrank
+# stale-green ones, so the four tier-3 entries with the strongest
+# non-driver evidence — the scalar fn-suites (hypothesis-tested
+# expression libraries, untouched since their r4 green) and
+# sample-hash-split (property-tested, untouched) — are deliberately
+# deferred past the 50-slot budget this round.  They register
+# immediately after the prioritized block (positions 51-54) and MUST
+# lead the r7 sweep.
+SWEEP_DEFER: list[str] = [
+    "fn-string-suite", "fn-format-suite", "fn-json-suite",
+    "sample-hash-split",
+]
+
 
 def _apply_sweep_priority() -> None:
     """Rebuild QUERIES/ORACLES so SWEEP_PRIORITY entries come first (in
-    listed order), followed by everything else in registration order."""
-    prioritized = [q for q in SWEEP_PRIORITY if q in QUERIES]
+    listed order), then SWEEP_DEFER (the documented just-past-budget
+    block), then everything else in registration order."""
+    prioritized = [q for q in SWEEP_PRIORITY + SWEEP_DEFER if q in QUERIES]
     prio_set = set(prioritized)
     rest = [q for q in QUERIES if q not in prio_set]
     for mapping in (QUERIES, ORACLES):

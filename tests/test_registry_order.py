@@ -7,7 +7,7 @@ test pins both the mechanism and the budget."""
 
 from __future__ import annotations
 
-from merl_etl_spark.registry import QUERIES, SWEEP_PRIORITY, load_all
+from merl_etl_spark.registry import QUERIES, SWEEP_DEFER, SWEEP_PRIORITY, load_all
 
 load_all()
 
@@ -17,8 +17,18 @@ DRIVER_BUDGET = 50
 def test_sweep_priority_entries_exist():
     # Membership first, so a renamed/removed query fails with its own
     # diagnostic instead of a ValueError from list.index (ADVICE r3 #5).
-    missing = [q for q in SWEEP_PRIORITY if q not in QUERIES]
-    assert not missing, f"SWEEP_PRIORITY names unregistered queries: {missing}"
+    missing = [q for q in SWEEP_PRIORITY + SWEEP_DEFER if q not in QUERIES]
+    assert not missing, f"sweep lists name unregistered queries: {missing}"
+
+
+def test_deferred_block_sits_just_past_the_budget():
+    """The documented budget-triage overflow must register immediately
+    after the prioritized block (first in line for the next round's
+    sweep), and never overlap SWEEP_PRIORITY."""
+    assert not set(SWEEP_DEFER) & set(SWEEP_PRIORITY)
+    order = list(QUERIES)
+    start = len([q for q in SWEEP_PRIORITY if q in QUERIES])
+    assert order[start : start + len(SWEEP_DEFER)] == SWEEP_DEFER
 
 
 def test_priority_queries_register_inside_driver_budget():
