@@ -132,6 +132,30 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def dq_gate_stream(events: DataFrame) -> DataFrame:
+    """Streaming data-quality gate: the dq-expectations predicate rules
+    (operators/quality.py) as an incrementally-maintained global
+    aggregate — each micro-batch folds its violation counts into the
+    running totals (map-side partials, complete-mode output), so the
+    gate's verdict is always current without rescanning history.
+
+    Only the six predicate rules stream; the two exact-uniqueness rules
+    need count-distinct state (unsupported in streaming aggs) — at
+    production scale those run as the batch gate on each published
+    snapshot, or approximately via the mergeable HLL sketch
+    (agg-hll-merge).  Stream↔batch parity is pinned by
+    tests/test_streaming.py."""
+    from merl_etl_spark.operators.quality import _PREDICATE_RULES
+
+    return events.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        *[
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(f"v{i}")
+            for i, (_, pred) in enumerate(_PREDICATE_RULES)
+        ],
+    )
+
+
 def purchase_click_attribution_stream(
     events: DataFrame,
     attribution_window: str = "30 minutes",

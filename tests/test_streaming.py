@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from merl_etl_spark.registry import QUERIES, load_all
 from merl_etl_spark.streaming.pipeline import (
     dedup_stream,
+    dq_gate_stream,
     run_ingestion_job,
     sliding_60m_stream,
     stream_events,
@@ -83,3 +84,20 @@ def test_ingestion_job_checkpoint_resume(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == total  # nothing re-ingested
     assert sum(a["rows"] for a in audits) == n_src  # no new audit rows with data
     assert len(audits) <= n_batches_first + 1  # at most an empty finalize batch
+
+
+def test_dq_gate_stream_matches_batch(spark, sf_dir):
+    """The streaming DQ gate's running counters must equal the batch
+    dq-expectations predicate-rule rows after the stream drains — the
+    same violation counts, incrementally maintained."""
+    stream_out = _run_to_memory(
+        spark, dq_gate_stream(stream_events(spark, sf_dir)), "dqgate", "complete"
+    ).collect()
+    assert len(stream_out) == 1
+    got = stream_out[0]
+    batch = {r.rule: r for r in QUERIES["dq-expectations"](spark, sf_dir).collect()}
+    from merl_etl_spark.operators.quality import _PREDICATE_RULES
+
+    for i, (name, _) in enumerate(_PREDICATE_RULES):
+        assert getattr(got, f"v{i}") == batch[name].n_violations, name
+        assert got.n_checked == batch[name].n_checked
