@@ -107,3 +107,49 @@ def test_hybrid_rrf_fusion_arithmetic(spark, sf_dir):
     # descending fused order with doc_id tiebreak
     fused = [(r.rrf, r.doc_id) for r in rows]
     assert fused == sorted(fused, key=lambda p: (-p[0], p[1]))
+
+
+def test_morton_expression_roundtrips():
+    """The generated Morton-interleave SQL must be a true bijection:
+    de-interleaving the even/odd bits of z recovers (x, y) exactly, and
+    every (top-3-bits-x, top-3-bits-y) block maps to exactly one zbucket
+    — executed in DuckDB (the oracle dialect) without a Spark session."""
+    import random
+
+    import duckdb
+
+    from merl_etl_spark.operators.profiling import Z_BITS, Z_PREFIX_SHIFT, _morton
+
+    con = duckdb.connect()
+    random.seed(7)
+    pts = [
+        (random.randrange(1 << Z_BITS), random.randrange(1 << Z_BITS))
+        for _ in range(500)
+    ]
+    con.execute("CREATE TABLE pts (x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", pts)
+    rows = con.execute(
+        f"SELECT x, y, ({_morton('x', 'y', 'duck')}) AS z FROM pts"
+    ).fetchall()
+
+    def deinterleave(z):
+        x = y = 0
+        for i in range(Z_BITS):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for x, y, z in rows:
+        assert deinterleave(z) == (x, y)
+        assert (z >> Z_PREFIX_SHIFT) == (
+            ((_spread3(x >> (Z_BITS - 3), 0)) | (_spread3(y >> (Z_BITS - 3), 1)))
+        )
+
+
+def _spread3(v: int, offset: int) -> int:
+    """Interleave the 3 bits of v into even (offset 0) or odd (offset 1)
+    positions — the reference model for the zbucket prefix."""
+    out = 0
+    for i in range(3):
+        out |= ((v >> i) & 1) << (2 * i + offset)
+    return out
