@@ -268,3 +268,82 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(events, dim, "event_type", n_salts=8).select(
         "event_id", "event_type", "type_n"
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics-funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "analytics-funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2 AS step, 'click' AS step_name, count(*) AS n_users FROM s2
+    UNION ALL
+    SELECT 3 AS step, 'purchase' AS step_name, count(*) AS n_users FROM s3
+    """,
+)
+def analytics_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion funnel over the event stream: users who
+    viewed → whose first click came AFTER that first view → whose first
+    purchase came after that click — the event-sequence analytic every
+    product pipeline runs (strict event-time ordering, not mere
+    co-occurrence).
+
+    Each step is a keyed min-aggregate joined back to the fact scan on
+    user_id (equi-join; the step frames shrink monotonically), so the
+    whole funnel is N_steps keyed shuffles with map-side partials — no
+    per-user event buffering, no window over a user's full history,
+    which is what makes it survive users with millions of events.
+    Output is step counts only (exact longs) — hash-stable by
+    construction."""
+    events = load_table(spark, sf_dir, "events")
+    s1 = (
+        events.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        s.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step"), F.lit(name).alias("step_name"), "n_users"
+        )
+        for i, (name, s) in enumerate(zip(FUNNEL_STEPS, (s1, s2, s3)))
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
