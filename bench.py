@@ -80,6 +80,8 @@ HEADLINE = [
     "dq-expectations",
     "agg-anomaly-zscore",
     "agg-hll-merge",
+    "analytics-funnel",
+    "dedup-paragraph",
 ]
 
 

@@ -146,15 +146,16 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixture docs have no paragraph markers, so segments are disjoint
     {PARA_WORDS}-word slices (the same windowing family as
     text-chunking); real corpora swap the splitter, the dataflow is
-    identical.  Scale shape: segmentation is a flatMap; ownership is ONE
-    row_number window PARTITIONED BY the segment digest (keyed shuffle
-    of 16-byte digests + positions, never full text bodies twice);
-    reassembly is a per-doc aggregate whose sort_array runs on that
-    document's own segments.  Output pins the reconstruction via
-    md5(kept text) instead of shipping rebuilt bodies through the
-    driver hash."""
-    from pyspark.sql import Window
-
+    identical.  Scale shape: segmentation is a flatMap; ownership is a
+    digest-keyed min-of-(doc_id, seg_idx)-struct aggregate — map-side
+    partials collapse a boilerplate segment duplicated across millions
+    of documents BEFORE the shuffle, and the ownership join back is an
+    equi-join AQE can skew-split (a row_number window over the digest
+    partition could do neither: every occurrence of the hot digest
+    would sort inside one task).  Reassembly is a per-doc aggregate
+    whose sort_array runs on that document's own segments.  Output pins
+    the reconstruction via md5(kept text) instead of shipping rebuilt
+    bodies through the driver hash."""
     docs = load_table(spark, sf_dir, "documents")
     segs = (
         docs.select(
@@ -171,9 +172,15 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("seg_idx", "seg"),
         )
+        .withColumn("seg_digest", F.md5("seg"))
     )
-    w = Window.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_idx")
-    owned = segs.withColumn("keep", F.row_number().over(w) == 1)
+    owner = segs.groupBy("seg_digest").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("first_pos")
+    )
+    owned = segs.join(owner, "seg_digest").withColumn(
+        "keep",
+        F.struct("doc_id", "seg_idx") == F.col("first_pos"),
+    )
     return owned.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_segs"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
