@@ -82,6 +82,7 @@ HEADLINE = [
     "agg-hll-merge",
     "analytics-funnel",
     "dedup-paragraph",
+    "cdc-scd2-history",
 ]
 
 

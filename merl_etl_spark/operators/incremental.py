@@ -149,3 +149,63 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incoming.join(corpus, "digest", "left_anti").select(
         "doc_id", "lang", "n_chars", "digest"
     )
+
+
+@register(
+    "cdc-scd2-history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, state, ts, event_id FROM ordered
+      WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id, state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM changes
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history build: treat each user's
+    event stream as attribute updates (state = event_type), collapse
+    consecutive runs of the same state (lag ≠ current keeps only actual
+    CHANGES — the run-length dedup every CDC-to-warehouse merge needs so
+    replayed identical updates don't mint phantom versions), then stamp
+    each surviving version with its validity interval (valid_from = its
+    ts, valid_to = the next change's ts via lead, NULL = current row).
+
+    Both windows are PARTITIONED BY user_id with a (ts, event_id) total
+    order — per-key linear passes that scale with the keyed shuffle,
+    never a global sort.  Timestamps emit as formatted strings
+    (SURVEY.md §5.2 determinism rule); valid_to of the newest version is
+    NULL on both engines.  This is the reference's holders-history
+    semantics (schema.sql balance snapshots) generalized to arbitrary
+    attribute streams."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id", F.col("event_type").alias("state"), "ts", "event_id"
+    ).withColumn("prev_state", F.lag("state").over(w))
+    changes = ordered.filter(
+        F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state"))
+    )
+    from merl_etl_spark.operators.joins import TS_FMT_SPARK
+
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(wc)
+    return changes.select(
+        "user_id",
+        "state",
+        F.date_format("ts", TS_FMT_SPARK).alias("valid_from"),
+        F.date_format(nxt, TS_FMT_SPARK).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
