@@ -91,6 +91,10 @@ SWEEP_PRIORITY: list[str] = [
 SWEEP_DEFER: list[str] = [
     "fn-string-suite", "fn-format-suite", "fn-json-suite",
     "sample-hash-split",
+    # late-round-6 additions that did not fit the budget either — never
+    # driver-checked yet (locally hash-green at sf0.001+sf0.01); they and
+    # the four above are the r7 tier-1 block:
+    "analytics-funnel", "dedup-paragraph", "cdc-scd2-history",
 ]
 
 
