@@ -1,0 +1,276 @@
+"""Time-series operators: gap-filled resampling, time-based moving
+windows, time-weighted averages, and cohort retention.
+
+The reference's pipelines are all time-series shaped — block-time
+snapshots on a 6-hour cadence (merlin_etl.py:190-194), hourly activity
+rollups (scripts/ingest_activity_and_report.sh:36) — but it leans on
+Postgres for the series math.  This module supplies the four series
+operators a warehouse user of the reference would reach for next, each
+as a declarative Spark plan with a DuckDB oracle:
+
+- ``ts-gap-fill``     — hourly resample with an explicit spine and
+                        forward fill (the "make the series dense" step
+                        every downstream chart/model needs);
+- ``ts-moving-stats`` — event-level trailing 60-minute count/sum via a
+                        RANGE frame over epoch seconds (the generalized
+                        form of the reference's 60-minute lookback);
+- ``ts-twap``         — time-weighted average value per series (interval
+                        weighting via lead(), the standard fix for
+                        irregular sampling bias);
+- ``analytics-retention-cohort`` — weekly cohort retention triangle
+                        over the event stream.
+
+Scale notes (100 TB): every aggregate is keyed (map-side partials);
+the per-series windows (forward fill, RANGE frame, lead) partition by
+``event_type``/``user_id`` — series count × series length is the
+parallelism/memory unit, and a single series' hourly spine is tiny
+(8,760 rows/year) while per-user event runs are bounded by user
+activity.  The spine generation is `sequence()` per series — no driver
+loop, no crossJoin against an unbounded side.  Nothing here sorts the
+global fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from merl_etl_spark.operators.joins import TS_FMT_DUCK, TS_FMT_SPARK
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# ts-gap-fill — hourly resample + spine + forward fill
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts-gap-fill",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n, round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT s.event_type,
+             unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS h
+      FROM span s
+    )
+    SELECT sp.event_type,
+           strftime(sp.h, '{TS_FMT_DUCK}') AS hour,
+           COALESCE(hr.n, 0) AS n_events,
+           last_value(hr.avg_value IGNORE NULLS)
+             OVER (PARTITION BY sp.event_type ORDER BY sp.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg,
+           (hr.n IS NULL) AS is_gap
+    FROM spine sp LEFT JOIN hourly hr
+      ON hr.event_type = sp.event_type AND hr.h = sp.h
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify the per-type hourly event series: aggregate to hours,
+    generate each series' full hourly spine with ``sequence()``, left
+    join, and forward-fill the last observed hourly average into gaps.
+
+    The spine is built per series from that series' own [min, max] span
+    (keyed agg → one row per series → sequence+explode), so spine size
+    is Σ series-lengths, never max-span × n-series.  The forward fill is
+    a per-series window (`last(ignorenulls=True)`) — partitioned, never
+    global.  Averages are rounded to 6 dp *before* the fill so the
+    filled copies are bit-identical across engines."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", TS_FMT_SPARK).alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("filled_avg"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts-moving-stats — trailing 60-minute RANGE frame per series
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts-moving-stats",
+    oracle=f"""
+    SELECT event_id, event_type,
+           strftime(ts, '{TS_FMT_DUCK}') AS ts_str,
+           count(*) OVER w AS mov_n,
+           round(sum(value) OVER w, 6) AS mov_sum
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 60-minute count and sum within each series —
+    a time-based (RANGE) frame over epoch seconds, not a row-count
+    frame, so irregular event spacing is handled correctly.
+
+    This is the reference's sliding 60-minute lookback
+    (ingest_activity_and_report.sh:36) generalized from "one aggregate
+    per run" to "one trailing aggregate per event".  The window is
+    partitioned by series; Spark evaluates RANGE frames with a
+    two-pointer pass over each sorted partition — O(series length), no
+    frame re-scan.  Sums are rounded to 6 dp (frame summation order is
+    engine-specific at the last ulp)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        F.count(F.lit(1)).over(w).alias("mov_n"),
+        F.round(F.sum("value").over(w), 6).alias("mov_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts-twap — time-weighted average per series
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts-twap",
+    oracle="""
+    WITH seg AS (
+      SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v_dec,
+             epoch_us(lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))
+               - epoch_us(ts) AS w_us
+      FROM events
+    )
+    SELECT event_type,
+           round(CAST(sum(v_dec * w_us) AS DOUBLE) / CAST(sum(w_us) AS DOUBLE), 6)
+             AS twap,
+           round(CAST(sum(v_dec) AS DOUBLE) / count(*), 6) AS naive_avg,
+           count(*) AS n_segments
+    FROM seg WHERE w_us IS NOT NULL AND w_us > 0
+    GROUP BY event_type
+    """,
+)
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per series: each observation is
+    weighted by how long it was 'current' (until the next event in the
+    series), the standard correction for irregularly sampled series —
+    a naive avg over-weights bursts.  Also emits the naive average so
+    the bias is visible.
+
+    lead() is a per-series window; the final aggregate is keyed by
+    series with map-side partials.  Zero-length segments (duplicate
+    timestamps) are excluded on both sides; ties are broken by
+    event_id so lead() is deterministic.  Determinism: weights are
+    exact microseconds (unix_micros / epoch_us) and the weighted sums
+    run in DecimalType — exact and summation-order-insensitive — with
+    one cast to double at the output boundary (sums stay < 2^53 well
+    past sf0.1, so the cast is value-preserving)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seg = events.select(
+        "event_type",
+        F.col("value").cast("decimal(12,2)").alias("v_dec"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("w_us"),
+    )
+    return (
+        seg.filter(F.col("w_us").isNotNull() & (F.col("w_us") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("v_dec") * F.col("w_us")).cast("double")
+                / F.sum("w_us").cast("double"),
+                6,
+            ).alias("twap"),
+            F.round(
+                F.sum("v_dec").cast("double") / F.count(F.lit(1)), 6
+            ).alias("naive_avg"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics-retention-cohort — weekly cohort retention triangle
+# ---------------------------------------------------------------------------
+
+# Week indexing: absolute weeks since a fixed epoch Monday (2024-01-01),
+# computed identically in both engines from epoch seconds — sidesteps any
+# engine difference in date_trunc('week') locale/week-start conventions.
+_WEEK_EPOCH = "2024-01-01 00:00:00"
+
+
+@register(
+    "analytics-retention-cohort",
+    oracle=f"""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(floor((epoch(ts) - epoch(TIMESTAMP '{_WEEK_EPOCH}')) / 604800.0)
+                  AS BIGINT) AS week_idx
+      FROM events
+    ),
+    cohort AS (SELECT user_id, min(week_idx) AS cohort_week FROM wk GROUP BY user_id)
+    SELECT c.cohort_week,
+           wk.week_idx - c.cohort_week AS week_offset,
+           count(*) AS n_users
+    FROM wk JOIN cohort c ON c.user_id = wk.user_id
+    GROUP BY 1, 2
+    """,
+)
+def analytics_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by their first active
+    week; each cell of the output triangle counts how many of a cohort's
+    users were active `week_offset` weeks later.
+
+    Shape: distinct (user, week) pairs — one shuffle keyed by both, then
+    a keyed min per user (the cohort), an equi-join back (cohort table is
+    #users rows — broadcastable when small, hash-join otherwise), and a
+    keyed count.  Nothing is per-event after the first distinct, so the
+    plan's working set is active-users × active-weeks, not raw events."""
+    events = load_table(spark, sf_dir, "events")
+    week_idx = F.floor(
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(_WEEK_EPOCH))) / 604800.0
+    ).cast("long")
+    wk = events.select("user_id", week_idx.alias("week_idx")).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -95,6 +95,8 @@ SWEEP_DEFER: list[str] = [
     # driver-checked yet (locally hash-green at sf0.001+sf0.01); they and
     # the four above are the r7 tier-1 block:
     "analytics-funnel", "dedup-paragraph", "cdc-scd2-history",
+    "ts-gap-fill", "ts-moving-stats", "ts-twap", "analytics-retention-cohort",
+    "graph-pagerank",
 ]
 
 
@@ -161,5 +163,7 @@ def load_all() -> None:
     import merl_etl_spark.operators.profiling  # noqa: F401
     import merl_etl_spark.operators.retrieval  # noqa: F401
     import merl_etl_spark.operators.quality  # noqa: F401
+    import merl_etl_spark.operators.timeseries  # noqa: F401
+    import merl_etl_spark.operators.graph  # noqa: F401
 
     _apply_sweep_priority()
