@@ -179,3 +179,60 @@ def stream_cursor_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("user_id").alias("stream"))
         .agg(F.count("*").alias("new_rows"), F.max("event_id").alias("new_cursor"))
     )
+
+
+@register(
+    "stream-session-window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM islands
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap via
+    ``F.session_window`` — the Structured-Streaming-native session
+    operator (its streaming twin is ``streaming.pipeline.
+    session_window_stream``; parity pinned in tests/test_streaming.py).
+    Unlike win-sessionize (the lag/cumsum island form over a plain
+    window), this is the mergeable representation the streaming engine
+    can maintain incrementally with watermark-evicted state.
+
+    Semantics pinned by the oracle: two events belong to one session
+    when their gap is ≤ 30 min (session_window merges on interval
+    *overlap or touch*, so the island flag fires only on gap > 30 min),
+    and ``window.end`` is last-event + gap.  Value sums ride DecimalType
+    (order-insensitive) with one cast to double at the boundary."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+    )

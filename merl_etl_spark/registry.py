@@ -96,7 +96,8 @@ SWEEP_DEFER: list[str] = [
     # the four above are the r7 tier-1 block:
     "analytics-funnel", "dedup-paragraph", "cdc-scd2-history",
     "ts-gap-fill", "ts-moving-stats", "ts-twap", "analytics-retention-cohort",
-    "graph-pagerank",
+    "graph-pagerank", "link-fuzzy-match", "text-lm-score",
+    "stream-session-window",
 ]
 
 
@@ -165,5 +166,7 @@ def load_all() -> None:
     import merl_etl_spark.operators.quality  # noqa: F401
     import merl_etl_spark.operators.timeseries  # noqa: F401
     import merl_etl_spark.operators.graph  # noqa: F401
+    import merl_etl_spark.operators.linkage  # noqa: F401
+    import merl_etl_spark.operators.lm  # noqa: F401
 
     _apply_sweep_priority()

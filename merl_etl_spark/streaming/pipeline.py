@@ -340,3 +340,26 @@ def run_ingestion_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_window_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per-user 30-minute-gap session windows — streaming twin of
+    stream-session-window.  session_window state is mergeable (two
+    overlapping sessions collapse when a bridging event arrives), and
+    with a watermark the engine evicts sessions once no event can
+    extend them; in append mode only those finalized sessions emit."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum(F.col("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -101,3 +101,19 @@ def test_dq_gate_stream_matches_batch(spark, sf_dir):
     for i, (name, _) in enumerate(_PREDICATE_RULES):
         assert getattr(got, f"v{i}") == batch[name].n_violations, name
         assert got.n_checked == batch[name].n_checked
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir):
+    """Streaming session windows (complete mode: every session, closed or
+    not) must byte-match the batch session_window query."""
+    from merl_etl_spark.streaming.pipeline import session_window_stream
+
+    stream_out = (
+        _run_to_memory(
+            spark, session_window_stream(stream_events(spark, sf_dir)), "sess", "complete"
+        )
+        .withColumn("session_start", F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .withColumn("session_end", F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    batch_out = QUERIES["stream-session-window"](spark, sf_dir)
+    assert _canon(stream_out) == _canon(batch_out)
