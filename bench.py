@@ -83,6 +83,15 @@ HEADLINE = [
     "analytics-funnel",
     "dedup-paragraph",
     "cdc-scd2-history",
+    # continuation-round-6 additions: frequency sketches, triangle
+    # census, interval-overlap join, global shuffle index, OHLC bars
+    "agg-countmin",
+    "agg-heavy-hitters",
+    "graph-triangles",
+    "join-interval-overlap",
+    "curate-shuffle-index",
+    "ts-ohlc-bars",
+    "win-cumulative-distinct",
 ]
 
 

@@ -456,3 +456,61 @@ def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(cum - n_tokens) div {PACK_BUDGET}").alias("shard_id"),
         "n_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-shuffle-index — deterministic global shuffle without a global sort
+# ---------------------------------------------------------------------------
+
+# Training pipelines need every example assigned a stable pseudo-random
+# position (the "global shuffle" before sharding into training files).
+SHUFFLE_SEED = "shuf42|"
+SHUFFLE_BUCKETS = 256  # first md5 byte — fixed fan-out for the offset pass
+
+
+@register(
+    "curate-shuffle-index",
+    oracle=f"""
+    SELECT doc_id,
+           ('0x' || substr(md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+             AS bucket,
+           row_number() OVER (
+             ORDER BY md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS shuffle_pos
+    FROM documents
+    """,
+)
+def curate_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a deterministic pseudo-random global
+    position (seeded md5 of the key) — the pre-training "global shuffle"
+    — WITHOUT a global sort/window: rank within each of the 256 md5
+    buckets (partitioned window), then add broadcast per-bucket offsets
+    (a running sum over the 256-row bucket-count summary).
+
+    shuffle_pos is exactly row_number() over the global md5 order (the
+    oracle computes it that way), but the Spark plan never moves the
+    corpus to one partition: the only unpartitioned window runs over the
+    ≤SHUFFLE_BUCKETS-row count summary (allowlisted in
+    test_plan_properties with that boundedness argument), which is the
+    same bounded-carry pattern the as-of tier uses.  Content-seeded
+    hashing — never rand() — keeps the shuffle reproducible across
+    retries and engines (the sample-hash-split stance)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string")))
+    keyed = docs.select(
+        "doc_id",
+        key.alias("k"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("long").alias("bucket"),
+    )
+    w_rank = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    ranked = keyed.withColumn("r", F.row_number().over(w_rank))
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    return ranked.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "bucket",
+        (F.col("off") + F.col("r") - 1).alias("shuffle_pos"),
+    )

@@ -1,0 +1,265 @@
+"""Frequency-sketch operators: a count-min sketch built as a pure
+DataFrame plan and a mergeable Misra-Gries heavy-hitters summary.
+
+The reference's rollups count things exactly in Postgres (holder counts,
+tx counts — merlin_etl.py's aggregation SQL); at 100 TB the "how often
+does each key occur" question needs bounded-memory sketches long before
+the exact groupBy becomes unpayable.  Two classic mergeable frequency
+sketches, each expressed Spark-first:
+
+- ``agg-countmin``      — a count-min sketch (Cormode & Muthukrishnan,
+                          J. Algorithms 2005) built ENTIRELY from
+                          DataFrame ops: the d×w cell grid is an
+                          explode + groupBy, point queries are an
+                          equi-join + min.  Because the hash functions
+                          are md5-derived and engine-portable, the
+                          sketch cells — and therefore the ESTIMATES —
+                          are bit-identical in Spark and DuckDB, so the
+                          driver hash pins the estimates themselves,
+                          not just an error contract (the only sketch
+                          in the repo with a full-value oracle).
+- ``agg-heavy-hitters`` — Misra-Gries summaries per partition via
+                          mapInPandas (O(k) memory per partition),
+                          merged by summing counters, with the merged
+                          error bound tracked exactly (Agarwal et al.,
+                          "Mergeable Summaries", PODS 2012).  Counter
+                          values depend on partition order, so the
+                          oracled columns are the partition-invariant
+                          ones: exact counts plus the theorem-backed
+                          contract booleans.
+
+Scale notes (100 TB): the count-min build is one map-side explode (d
+rows per record) into a groupBy with map-side partial sums — the
+shuffle carries at most d×w = 4 096 cells per map task, regardless of
+input size, and the probe join broadcasts the 4 096-cell grid.  The
+Misra-Gries pass is the textbook distributed shape: O(k) state per
+partition, k+1 summary rows per partition shuffled, one keyed merge.
+Neither path ever shuffles per-record data by item.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+CM_DEPTH = 4        # count-min rows (independent hash functions)
+CM_WIDTH = 1024     # count-min columns per row
+MG_K = 64           # Misra-Gries counter budget per partition
+TOP_N = 10          # probe set: top-N exact items (deterministic tie-break)
+
+
+def _cm_bucket(item: Column, r: int) -> Column:
+    """Row-r count-min column index for ``item`` — first 8 hex digits of
+    an md5 keyed by the row index, mod CM_WIDTH.  The same bytes are
+    computable in any engine with md5 (DuckDB twin:
+    ``('0x' || substr(md5('cm<r>|' || item), 1, 8))::BIGINT % w``), which
+    is what makes the whole sketch cross-engine deterministic."""
+    h = F.md5(F.concat(F.lit(f"cm{r}|"), item))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CM_WIDTH
+
+
+def _cm_oracle_bucket(item_sql: str, r_sql: str) -> str:
+    return (
+        f"('0x' || substr(md5('cm' || CAST({r_sql} AS VARCHAR) || '|' "
+        f"|| {item_sql}), 1, 8))::BIGINT % {CM_WIDTH}"
+    )
+
+
+@register(
+    "agg-countmin",
+    oracle=f"""
+    WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+      SELECT rs.r,
+             {_cm_oracle_bucket("CAST(user_id AS VARCHAR)", "rs.r")} AS col,
+             count(*) AS n
+      FROM events CROSS JOIN rs
+      GROUP BY 1, 2
+    ),
+    exact AS (SELECT user_id, count(*) AS exact_ct FROM events GROUP BY 1),
+    probes AS (
+      SELECT user_id, exact_ct FROM exact
+      ORDER BY exact_ct DESC, user_id LIMIT {TOP_N}
+    )
+    SELECT p.user_id AS item, p.exact_ct,
+           min(c.n) AS cm_est,
+           min(c.n) - p.exact_ct AS overcount
+    FROM probes p
+    CROSS JOIN rs
+    JOIN cells c
+      ON c.r = rs.r
+     AND c.col = {_cm_oracle_bucket("CAST(p.user_id AS VARCHAR)", "rs.r")}
+    GROUP BY 1, 2
+    """,
+)
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over ``events.user_id`` as a pure DataFrame plan,
+    probed at the top-{TOP_N} exact items.
+
+    Build: each record explodes into CM_DEPTH (row, hashed-column)
+    cells; one keyed groupBy with map-side combine reduces them to the
+    d×w grid (≤ 4 096 rows total — constant, independent of input
+    size).  Probe: the grid is broadcast and the probe items' cells are
+    fetched by equi-join; the estimate is the min over the item's d
+    cells.  CM guarantees est ≥ exact always (every occurrence lands in
+    all d cells); the emitted ``overcount`` column is therefore ≥ 0 and
+    — because the md5 hash functions are engine-portable — numerically
+    identical in DuckDB, giving the estimates a full value-hash oracle
+    rather than a contract-boolean one."""
+    events = load_table(spark, sf_dir, "events")
+    item = F.col("user_id").cast("string")
+    cells = (
+        events.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cm_bucket(item, r).alias("col"),
+                        )
+                        for r in range(CM_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_ct"))
+        .orderBy(F.desc("exact_ct"), F.asc("user_id"))
+        .limit(TOP_N)
+    )
+    probe_cells = probes.select(
+        "user_id",
+        "exact_ct",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cm_bucket(F.col("user_id").cast("string"), r).alias("col"),
+                    )
+                    for r in range(CM_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return (
+        probe_cells.join(
+            F.broadcast(cells),
+            (F.col("cell.r") == cells["r"]) & (F.col("cell.col") == cells["col"]),
+        )
+        .groupBy(F.col("user_id").alias("item"), "exact_ct")
+        .agg(
+            F.min("n").alias("cm_est"),
+            (F.min("n") - F.col("exact_ct")).alias("overcount"),
+        )
+    )
+
+
+def _mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One Misra-Gries summary per partition: at most MG_K counters plus
+    one sentinel row (item NULL) carrying the partition's exact total
+    decremented mass ``dec``.
+
+    Per batch: merge the batch's exact value_counts into the running
+    counters (exact, so counters never overcount), then if more than
+    MG_K counters survive, subtract the (K+1)-th largest value from all
+    and drop the non-positive — the PODS'12 mergeable-summaries reduce
+    step.  Each reduction removes ≥ (K+1)·t mass, so Σ dec ≤ n_p/(K+1)
+    per partition and the merged bound Σ_p dec_p ≤ n/(K+1) holds no
+    matter how Spark split the input."""
+    counters: dict[int, int] = {}
+    dec_total = 0
+    for pdf in batches:
+        for itm, c in pdf["user_id"].value_counts().items():
+            counters[int(itm)] = counters.get(int(itm), 0) + int(c)
+        if len(counters) > MG_K:
+            t = sorted(counters.values(), reverse=True)[MG_K]
+            counters = {i: v - t for i, v in counters.items() if v - t > 0}
+            dec_total += t
+    rows = [(i, v, 0) for i, v in counters.items()]
+    rows.append((None, 0, dec_total))
+    yield pd.DataFrame(rows, columns=["item", "est", "dec"])
+
+
+@register(
+    "agg-heavy-hitters",
+    oracle=f"""
+    WITH exact AS (SELECT user_id AS item, count(*) AS exact_ct FROM events GROUP BY 1),
+    tot AS (SELECT count(*) AS n_total FROM events)
+    SELECT e.item, e.exact_ct, t.n_total,
+           TRUE AS mg_le_exact,
+           TRUE AS mg_within_err,
+           TRUE AS err_bound_ok
+    FROM exact e CROSS JOIN tot t
+    ORDER BY e.exact_ct DESC, e.item LIMIT {TOP_N}
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters over ``events.user_id``:
+    O(MG_K) memory per partition, k+1 summary rows shuffled per
+    partition, counters merged by a keyed sum, merged error tracked
+    exactly as the sum of per-partition decremented mass.
+
+    Counter VALUES depend on how rows were partitioned, so they can
+    never hash-match an oracle; what the theorems guarantee regardless
+    of partitioning — and what this query emits — is, for each of the
+    top-{TOP_N} exact items:
+
+    - ``mg_le_exact``:    merged est ≤ exact (MG never overcounts);
+    - ``mg_within_err``:  exact ≤ merged est + Σ_p dec_p (each
+                          partition undercounts any item by ≤ dec_p);
+    - ``err_bound_ok``:   Σ_p dec_p · MG_K ≤ n_total (each reduce step
+                          removes ≥ (K+1)× its decrement).
+
+    The DuckDB oracle computes the same exact counts and pins the
+    booleans at TRUE — a red row means the sketch machinery broke its
+    contract.  tests/test_freq_sketches.py additionally checks the
+    bounds survive adversarial repartitioning."""
+    from merl_etl_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    events = load_table(spark, sf_dir, "events")
+    summaries = events.select("user_id").mapInPandas(
+        _mg_partition, schema="item long, est long, dec long"
+    )
+    merged = (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("est").alias("est"))
+    )
+    totals = F.broadcast(
+        summaries.agg(F.sum("dec").alias("total_err"))
+    )
+    exact = events.groupBy(F.col("user_id").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_ct")
+    )
+    n_total = F.broadcast(
+        events.agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    top = exact.orderBy(F.desc("exact_ct"), F.asc("item")).limit(TOP_N)
+    return (
+        top.join(merged, "item", "left")
+        .withColumn("est", F.coalesce("est", F.lit(0)))
+        .crossJoin(totals)
+        .crossJoin(n_total)
+        .select(
+            "item",
+            "exact_ct",
+            "n_total",
+            (F.col("est") <= F.col("exact_ct")).alias("mg_le_exact"),
+            (F.col("exact_ct") <= F.col("est") + F.col("total_err")).alias(
+                "mg_within_err"
+            ),
+            (F.col("total_err") * MG_K <= F.col("n_total")).alias("err_bound_ok"),
+        )
+    )

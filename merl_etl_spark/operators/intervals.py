@@ -1,0 +1,169 @@
+"""Interval-overlap join: activity sessions × campaign windows via
+day-bucketed equi-join.
+
+The reference's closest shape is its block-range scoping (merlin_etl.py
+start/end block windows), which is a point-in-interval probe; the
+general interval×interval OVERLAP join is what an analyst asks next
+("which sessions ran during which campaign?") and is notoriously
+quadratic if written as the naive theta join.  Spark-first answer: both
+interval sets are exploded into the fixed-width time buckets they
+cover, the join becomes an equi-join on the bucket key, and the exact
+overlap predicate filters the candidates — the standard bucketed range
+join (the same decomposition Databricks' range-join optimization
+performs when hinted).
+
+Scale notes (100 TB): bucket width trades replication for selectivity —
+day buckets here (sessions are minutes long; campaigns days) replicate
+each session ~1.02× and each campaign a handful of times.  The
+campaign side is tiny and broadcast; the session side streams through
+map-side explode → broadcast-hash-join with NO shuffle of the big side
+at all, and the post-filter dedup + aggregate shuffles only surviving
+(campaign, session) candidates, keyed by campaign.  The naive theta
+join is kept solely as the DuckDB oracle (correct at fixture scale,
+not run by Spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from merl_etl_spark.registry import register
+from merl_etl_spark.sources.tables import load_table
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30-minute inactivity gap, microseconds
+
+# (campaign_id, start, end) — inclusive bounds, chosen to tile the
+# fixtures' fixed January-2024 event span with two deliberately
+# overlapping windows (4 and 5) so a session can match multiple
+# campaigns.  Single source of truth for BOTH the Spark literal frame
+# and the oracle's VALUES list.
+CAMPAIGNS: list[tuple[int, str, str]] = [
+    (1, "2024-01-02 00:00:00", "2024-01-05 23:59:59"),
+    (2, "2024-01-06 00:00:00", "2024-01-09 23:59:59"),
+    (3, "2024-01-11 00:00:00", "2024-01-14 23:59:59"),
+    (4, "2024-01-16 00:00:00", "2024-01-21 23:59:59"),
+    (5, "2024-01-20 00:00:00", "2024-01-24 23:59:59"),
+    (6, "2024-01-26 00:00:00", "2024-01-30 23:59:59"),
+]
+
+_CAMPAIGN_VALUES = ",\n      ".join(
+    f"({cid}, TIMESTAMP '{s}', TIMESTAMP '{e}')" for cid, s, e in CAMPAIGNS
+)
+
+
+@register(
+    "join-interval-overlap",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  )) > {SESSION_GAP_US}
+                  OR lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  ) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_seq
+      FROM gaps
+    ),
+    sess AS (
+      SELECT user_id, sess_seq, min(ts) AS s_start, max(ts) AS s_end
+      FROM numbered GROUP BY user_id, sess_seq
+    ),
+    campaigns(campaign_id, c_start, c_end) AS (VALUES
+      {_CAMPAIGN_VALUES}
+    )
+    SELECT c.campaign_id,
+           count(*) AS n_sessions,
+           count(DISTINCT s.user_id) AS n_users,
+           CAST(sum(epoch_us(least(s.s_end, c.c_end))
+                    - epoch_us(greatest(s.s_start, c.c_start))) AS BIGINT)
+             AS overlap_us
+    FROM sess s JOIN campaigns c
+      ON s.s_start <= c.c_end AND c.c_start <= s.s_end
+    GROUP BY c.campaign_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which activity sessions overlapped which campaign windows, and for
+    how long: gaps-and-islands sessionization of the event stream, then
+    a day-bucketed interval-overlap equi-join against the campaign
+    calendar, aggregated per campaign.
+
+    The overlap join explodes each interval into the days it covers and
+    equi-joins on the day — candidates that share a covered day — then
+    applies the exact inclusive-overlap predicate and dedups (a pair
+    sharing several days must count once).  Overlap durations are exact
+    integer microseconds, so the per-campaign sums are
+    partition-order-invariant."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = (
+        prev_ts.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > SESSION_GAP_US)
+    ).cast("int")
+    numbered = events.select(
+        "user_id",
+        "ts",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sess_seq"),
+    )
+    sess = numbered.groupBy("user_id", "sess_seq").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    s_days = sess.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "s_start"),
+                F.date_trunc("day", "s_end"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    campaigns = spark.createDataFrame(
+        CAMPAIGNS, "campaign_id int, c_start string, c_end string"
+    ).select(
+        "campaign_id",
+        F.col("c_start").cast("timestamp").alias("c_start"),
+        F.col("c_end").cast("timestamp").alias("c_end"),
+    )
+    c_days = campaigns.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "c_start"),
+                F.date_trunc("day", "c_end"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    cand = (
+        s_days.join(F.broadcast(c_days), "day")
+        .filter(
+            (F.col("s_start") <= F.col("c_end"))
+            & (F.col("c_start") <= F.col("s_end"))
+        )
+        .select(
+            "campaign_id", "user_id", "sess_seq",
+            "s_start", "s_end", "c_start", "c_end",
+        )
+        .distinct()
+    )
+    overlap_us = F.unix_micros(F.least("s_end", "c_end")) - F.unix_micros(
+        F.greatest("s_start", "c_start")
+    )
+    return cand.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(overlap_us).alias("overlap_us"),
+    )

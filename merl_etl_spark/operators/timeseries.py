@@ -274,3 +274,88 @@ def analytics_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ts-ohlc-bars — open/high/low/close resampling per series
+# ---------------------------------------------------------------------------
+
+# Composite deterministic first/last key: microseconds since the fixture
+# epoch (fits in ~2^42 for a month of data) × 10^6 + event_id.  Both
+# engines compute the identical BIGINT, which lets min_by/arg_min pick
+# the same "first" and "last" row even under duplicate timestamps.
+# Headroom: rel_us × 10^6 stays < 2^63 while the series spans < ~290 years
+# and event_id < 10^6; a production variant over longer spans would use a
+# DECIMAL(38,0) key or split ties into a second arg_min level.
+_BAR_EPOCH = "2024-01-01 00:00:00"
+
+
+@register(
+    "ts-ohlc-bars",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar, value,
+             (epoch_us(ts) - epoch_us(TIMESTAMP '{_BAR_EPOCH}')) * 1000000
+               + event_id AS k
+      FROM events
+    )
+    SELECT event_type, strftime(bar, '{TS_FMT_DUCK}') AS bar_start,
+           arg_min(value, k) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, k) AS close,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume,
+           count(*) AS n_ticks
+    FROM keyed
+    GROUP BY event_type, bar
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each event series into hourly OHLC bars — the canonical
+    market-data downsampling (open/high/low/close + volume per bucket),
+    applied to the event stream's ``value`` column.
+
+    One keyed aggregate: min_by/max_by over a composite (time, id) key
+    pick the bar's first and last tick deterministically (ties broken by
+    event_id), high/low are plain min/max, and volume sums in
+    DecimalType so the bar totals are partition-order-exact.  Shape at
+    100 TB: a single groupBy (event_type, hour) with map-side partials —
+    bars, not ticks, cross the shuffle; no windows, no self-joins."""
+    events = load_table(spark, sf_dir, "events")
+    k = (
+        (
+            F.unix_micros("ts")
+            - F.unix_micros(F.lit(_BAR_EPOCH).cast("timestamp"))
+        )
+        * F.lit(1000000).cast("long")
+        + F.col("event_id")
+    ).alias("k")
+    keyed = events.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar"),
+        "value",
+        k,
+    )
+    from merl_etl_spark.operators.aggregates import dec_sum
+
+    return (
+        keyed.groupBy("event_type", "bar")
+        .agg(
+            F.expr("min_by(value, k)").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, k)").alias("close"),
+            dec_sum(F.col("value")).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bar", TS_FMT_SPARK).alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_ticks",
+        )
+    )

@@ -110,3 +110,60 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_value").cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# win-cumulative-distinct — running distinct-count per partition
+# ---------------------------------------------------------------------------
+
+@register(
+    "win-cumulative-distinct",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts, event_id
+                  ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str,
+           event_type,
+           CAST(sum(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_distinct_types
+    FROM flagged
+    """,
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running count of DISTINCT event types seen so far — the
+    window-function gap SQL can't express directly (``count(DISTINCT)``
+    isn't allowed over a running frame) closed with the standard
+    first-occurrence-flag trick: mark each (user, type)'s first event via
+    a per-(user, type) row_number, then running-sum the flags per user.
+
+    Both windows are partitioned (user×type, then user) — partition
+    cardinality × per-user event runs bound the memory, nothing global.
+    Ties are broken by event_id so the flag assignment and the running
+    frame are deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        "event_type",
+        F.sum("first_seen").over(w_run).alias("cum_distinct_types"),
+    )

@@ -98,6 +98,11 @@ SWEEP_DEFER: list[str] = [
     "ts-gap-fill", "ts-moving-stats", "ts-twap", "analytics-retention-cohort",
     "graph-pagerank", "link-fuzzy-match", "text-lm-score",
     "stream-session-window",
+    # continuation-session round-6 additions (same status: locally
+    # hash-green at sf0.001+sf0.01, never driver-checked):
+    "agg-countmin", "agg-heavy-hitters", "ts-ohlc-bars",
+    "win-cumulative-distinct", "graph-triangles",
+    "join-interval-overlap", "curate-shuffle-index",
 ]
 
 
@@ -168,5 +173,7 @@ def load_all() -> None:
     import merl_etl_spark.operators.graph  # noqa: F401
     import merl_etl_spark.operators.linkage  # noqa: F401
     import merl_etl_spark.operators.lm  # noqa: F401
+    import merl_etl_spark.operators.freq  # noqa: F401
+    import merl_etl_spark.operators.intervals  # noqa: F401
 
     _apply_sweep_priority()

@@ -140,6 +140,9 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # two rank windows over TakeOrdered top-RRF_POOL (≤20-row) candidate
     # lists — the ngram-counts bounded pattern, one per fusion arm
     "text-hybrid-rrf": 2,
+    # bucket-offset running sum over the ≤256-row bucket-count summary
+    # (curation_ext.curate_shuffle_index) — the bounded-carry pattern
+    "curate-shuffle-index": 1,
 }
 
 
