@@ -92,6 +92,9 @@ HEADLINE = [
     "curate-shuffle-index",
     "ts-ohlc-bars",
     "win-cumulative-distinct",
+    "analytics-basket-affinity",
+    "profile-dataset-card",
+    "sim-knn-graph",
 ]
 
 

@@ -426,3 +426,90 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_HLL_OK.format(est="est", exact="exact_users")).alias("hll_ok"),
     )
     return per_rows.unionByName(total_row)
+
+
+# ---------------------------------------------------------------------------
+# analytics-basket-affinity — market-basket pair mining with exact lift
+# ---------------------------------------------------------------------------
+
+BASKET_TOP = 20  # emitted rules: top pairs by support, pair-id tie-break
+
+
+@register(
+    "analytics-basket-affinity",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    pairs AS (
+      SELECT a.p_brand AS id_a, b.p_brand AS id_b, count(*) AS pair_ct
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    singles AS (SELECT p_brand, count(*) AS ct FROM basket GROUP BY 1),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM basket)
+    SELECT pr.id_a, pr.id_b, pr.pair_ct,
+           sa.ct AS ct_a, sb.ct AS ct_b, t.n_baskets,
+           (100 * pr.pair_ct) // sa.ct AS conf_a2b_pct,
+           (1000000 * pr.pair_ct * t.n_baskets) // (sa.ct * sb.ct) AS lift_ppm
+    FROM pairs pr
+    JOIN singles sa ON sa.p_brand = pr.id_a
+    JOIN singles sb ON sb.p_brand = pr.id_b
+    CROSS JOIN tot t
+    ORDER BY pr.pair_ct DESC, pr.id_a, pr.id_b LIMIT {BASKET_TOP}
+    """,
+)
+def analytics_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over order baskets at brand granularity:
+    support (co-occurrence count), confidence (support/antecedent) and
+    lift (support × baskets / (ct_a × ct_b)) for the top-{BASKET_TOP}
+    brand pairs — the classic affinity-analysis primitives.
+
+    The pair expansion rides ``capped_bucket_pairs`` with orders as
+    buckets: basket width is bounded by order size (≤17 distinct brands
+    at any fixture SF, and bounded by assortment breadth in general), so
+    the expansion is O(rows × basket-width), never quadratic in a hot
+    key.  Confidence and lift are emitted as integer floor divisions
+    (percent / parts-per-million) over exact BIGINT counts — arbitrary
+    double quotients round differently across engines at the last ulp
+    (the PageRank lesson, graph.py), integer ratios never do.  The raw
+    counts ship alongside so a consumer can recompute float precision
+    downstream."""
+    from merl_etl_spark.operators.dedup import capped_bucket_pairs
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    basket = (
+        lineitem.join(part, part["p_partkey"] == lineitem["l_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    pairs = capped_bucket_pairs(basket, ["l_orderkey"], "p_brand")
+    support = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("pair_ct"))
+    singles = basket.groupBy("p_brand").agg(F.count(F.lit(1)).alias("ct"))
+    tot = F.broadcast(
+        basket.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    )
+    sa = singles.select(F.col("p_brand").alias("id_a"), F.col("ct").alias("ct_a"))
+    sb = singles.select(F.col("p_brand").alias("id_b"), F.col("ct").alias("ct_b"))
+    return (
+        support.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .crossJoin(tot)
+        .select(
+            "id_a",
+            "id_b",
+            "pair_ct",
+            "ct_a",
+            "ct_b",
+            "n_baskets",
+            F.expr("(100 * pair_ct) div ct_a").alias("conf_a2b_pct"),
+            F.expr(
+                "(1000000 * pair_ct * n_baskets) div (ct_a * ct_b)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("pair_ct"), F.asc("id_a"), F.asc("id_b"))
+        .limit(BASKET_TOP)
+    )

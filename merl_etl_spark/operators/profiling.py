@@ -290,3 +290,83 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hr").alias("hour_lo"),
         F.max("hr").alias("hour_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# profile-dataset-card — per-source corpus datasheet
+# ---------------------------------------------------------------------------
+
+@register(
+    "profile-dataset-card",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(text) AS digest
+      FROM documents
+    ),
+    dg AS (SELECT source, digest, count(*) AS cnt FROM base GROUP BY 1, 2),
+    dup AS (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS n_dup_docs
+      FROM dg WHERE cnt > 1 GROUP BY source
+    ),
+    card AS (
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT lang) AS n_langs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM base GROUP BY source
+    )
+    SELECT c.source, c.n_docs, c.n_langs, c.total_chars, c.total_tokens,
+           COALESCE(d.n_dup_docs, 0) AS n_dup_docs,
+           c.total_chars // c.n_docs AS avg_chars,
+           (100 * COALESCE(d.n_dup_docs, 0)) // c.n_docs AS dup_pct
+    FROM card c LEFT JOIN dup d ON d.source = c.source
+    """,
+)
+def profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet — the summary block of a dataset card
+    (Gebru et al., "Datasheets for Datasets"): document count, language
+    spread, exact char/token volume, and the exact-duplicate footprint
+    (documents whose content digest repeats within the source), per
+    corpus source.
+
+    One scan derives the per-doc signals (token count, md5 digest) as
+    column expressions; the duplicate footprint is a (source, digest)
+    groupBy — the same 16-byte-key shuffle the exact-dedup tier uses —
+    re-aggregated per source; everything else is a single keyed rollup
+    with map-side partials.  Ratios are integer floor divisions over
+    exact counts (cross-engine determinism; see basket-affinity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5("text").alias("digest"),
+    )
+    dg = base.groupBy("source", "digest").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = (
+        dg.filter(F.col("cnt") > 1)
+        .groupBy("source")
+        .agg(F.sum("cnt").alias("n_dup_docs"))
+    )
+    card = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return (
+        card.join(dup, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "total_chars",
+            "total_tokens",
+            F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
+            F.expr("total_chars div n_docs").alias("avg_chars"),
+            F.expr("(100 * coalesce(n_dup_docs, 0)) div n_docs").alias("dup_pct"),
+        )
+    )

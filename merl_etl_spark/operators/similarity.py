@@ -579,3 +579,86 @@ def fn_vector_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(array_position({v}, array_max({v})) AS BIGINT)").alias("argmax_idx"),
         F.expr(f"{ssum} / size(embedding)").alias("mean_elem"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim-knn-graph — k-nearest-neighbor graph over LSH candidates
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+
+
+def _knn_graph_oracle() -> str:
+    per_table = "\n      UNION\n      ".join(
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        f"FROM t{t} a JOIN t{t} b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        for t in range(N_DEDUP_TABLES)
+    )
+    tables = ",\n    ".join(
+        f"t{t} AS (SELECT vec_id, {_table_bucket_duck(t)} AS bucket FROM embeddings)"
+        for t in range(N_DEDUP_TABLES)
+    )
+    return f"""
+    WITH e AS ({DUCK_EMB}),
+    {tables},
+    cand AS (
+      {per_table}
+    ),
+    scored AS (
+      SELECT c.vec_a, c.vec_b, list_cosine_similarity(ea.v, eb.v) AS cos_sim
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.vec_a
+      JOIN e eb ON eb.vec_id = c.vec_b
+    ),
+    sym AS (
+      SELECT vec_a AS src, vec_b AS dst, cos_sim FROM scored
+      UNION ALL
+      SELECT vec_b AS src, vec_a AS dst, cos_sim FROM scored
+    ),
+    ranked AS (
+      SELECT src, dst, cos_sim,
+             row_number() OVER (
+               PARTITION BY src ORDER BY cos_sim DESC, dst
+             ) AS nn_rank
+      FROM sym
+    )
+    SELECT src, dst, nn_rank, cos_sim FROM ranked WHERE nn_rank <= {KNN_K}
+    """
+
+
+@register("sim-knn-graph", oracle=_knn_graph_oracle())
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction: each vector's {KNN_K} nearest neighbors
+    (exact cosine, re-ranked) among its multi-table sign-bit LSH
+    candidates — the standard input to semantic-dedup clustering, label
+    propagation, and graph-based retrieval (e.g. the SemDeDup pipeline
+    shape: ANN-graph → components → keep centroids).
+
+    The candidate stream is :func:`embedding_cosine_pairs`'s capped
+    bucket expansion (every join an equi-join, degenerate buckets
+    star-routed), symmetrized so both endpoints of a pair see each other
+    as potential neighbors; the per-vector top-k is a WindowGroupLimit
+    partitioned by the source vector — never a global window.  Recall
+    against exact kNN is the multi-table LSH dial (more tables/planes);
+    the oracle replicates the same candidate set in SQL, so the driver
+    hash pins candidate generation, exact cosine, and the ranked edge
+    list."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # threshold -2.0 keeps every candidate pair: kNN ranks all candidates,
+    # unlike the near-dup tier which only keeps high-similarity pairs
+    scored = embedding_cosine_pairs(emb, threshold=-2.0)
+    sym = scored.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos_sim"
+    ).unionByName(
+        scored.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cos_sim"
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    return (
+        sym.withColumn("nn_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nn_rank") <= KNN_K)
+        .select("src", "dst", "nn_rank", "cos_sim")
+    )

@@ -103,6 +103,7 @@ SWEEP_DEFER: list[str] = [
     "agg-countmin", "agg-heavy-hitters", "ts-ohlc-bars",
     "win-cumulative-distinct", "graph-triangles",
     "join-interval-overlap", "curate-shuffle-index",
+    "analytics-basket-affinity", "profile-dataset-card", "sim-knn-graph",
 ]
 
 
