@@ -458,3 +458,72 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("c_ts", TS_FMT_SPARK).alias("signup_ts"),
         "direction",
     )
+
+
+TOLERANCE_SECONDS = 600  # 10-minute matching window for join-asof-tolerance
+
+
+@register(
+    "join-asof-tolerance",
+    oracle=f"""
+    WITH l AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT ts AS c_ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY ts
+    ),
+    m AS (
+      SELECT l.purchase_id, l.user_id, l.p_ts, r.c_ts, r.click_id,
+             (r.c_ts IS NOT NULL AND
+              epoch_us(l.p_ts) - epoch_us(r.c_ts) <= {TOLERANCE_SECONDS} * 1000000)
+               AS in_tol
+      FROM l ASOF LEFT JOIN r ON r.c_ts <= l.p_ts
+    )
+    SELECT purchase_id, user_id,
+           strftime(p_ts, '{{TS_FMT_DUCK}}') AS purchase_ts,
+           CASE WHEN in_tol THEN click_id END AS click_id,
+           strftime(CASE WHEN in_tol THEN c_ts END, '{{TS_FMT_DUCK}}') AS click_ts
+    FROM m
+    """.format(TS_FMT_DUCK=TS_FMT_DUCK),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback as-of join (pandas ``merge_asof(tolerance=...)``
+    semantics): each purchase matched to the latest click at-or-before it,
+    but only if that click is within TOLERANCE_SECONDS — staler matches
+    degrade to NULL exactly as an unmatched row would.  The standard guard
+    against joining a quote/price/click that is too old to be meaningful.
+
+    Composes the existing bucketed backward as-of (no new shuffle: the
+    tolerance is a post-match projection, so the plan is identical to
+    join-asof plus one WholeStageCodegen CASE).  A tolerance no larger
+    than the as-of bucket width would also allow skipping the cross-bucket
+    carry entirely (matches can only come from the same or previous
+    bucket); not exploited here because the generic carry is already one
+    broadcast row per bucket."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(F.col("ts").alias("c_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    matched = asof_join_backward(
+        purchases, clicks, left_ts="p_ts", right_ts="c_ts",
+        right_cols=["click_id", "c_ts"],
+    )
+    in_tol = F.col("c_ts").isNotNull() & (
+        F.unix_micros(F.col("p_ts").cast("timestamp"))
+        - F.unix_micros(F.col("c_ts").cast("timestamp"))
+        <= TOLERANCE_SECONDS * 1_000_000
+    )
+    return matched.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("p_ts", TS_FMT_SPARK).alias("purchase_ts"),
+        F.when(in_tol, F.col("click_id")).alias("click_id"),
+        F.when(in_tol, F.date_format("c_ts", TS_FMT_SPARK)).alias("click_ts"),
+    )

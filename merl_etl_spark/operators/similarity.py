@@ -662,3 +662,112 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nn_rank") <= KNN_K)
         .select("src", "dst", "nn_rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-semdedup-keep — cluster representatives by graph-medoid score
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_keep_oracle() -> str:
+    return f"""
+    WITH p AS ({_dedup_cosine_oracle()}),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst,
+             CAST(round(cos_sim, 6) AS DECIMAL(18,6)) AS c6 FROM p
+      UNION ALL
+      SELECT vec_b AS src, vec_a AS dst,
+             CAST(round(cos_sim, 6) AS DECIMAL(18,6)) AS c6 FROM p
+    ),
+    reach AS (
+      WITH RECURSIVE r AS (
+        SELECT DISTINCT src AS node, src AS lbl FROM edges
+        UNION
+        SELECT e.src AS node, r.lbl
+        FROM r JOIN edges e ON e.dst = r.node
+      )
+      SELECT node, min(lbl) AS cluster_id FROM r GROUP BY node
+    ),
+    scored AS (
+      SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS degree,
+             sum(c6) AS score
+      FROM edges GROUP BY src
+    ),
+    j AS (
+      SELECT a.vec_id,
+             COALESCE(reach.cluster_id, a.vec_id) AS cluster_id,
+             COALESCE(s.degree, 0) AS degree,
+             CAST(COALESCE(s.score, 0) AS DOUBLE) AS score
+      FROM embeddings a
+      LEFT JOIN reach ON reach.node = a.vec_id
+      LEFT JOIN scored s ON s.vec_id = a.vec_id
+    )
+    SELECT vec_id, cluster_id, degree, score,
+           (row_number() OVER (
+              PARTITION BY cluster_id
+              ORDER BY score DESC, vec_id ASC) = 1) AS is_representative
+    FROM j
+    """
+
+
+@register("curate-semdedup-keep", oracle=_semdedup_keep_oracle())
+def curate_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style representative selection: near-dup embedding
+    clusters (capped LSH candidates → exact cosine ≥ 0.4 → connected
+    components) reduced to one kept document per cluster, chosen as the
+    **graph medoid** — the member with the highest summed similarity to
+    its cluster co-candidates — rather than the arbitrary min-id keeper
+    of dedup-embedding-clusters.  Every corpus vector appears exactly
+    once (singletons are their own representative), so the output IS the
+    keep/drop ledger for semantic dedup.
+
+    Determinism: per-member scores are sums of 6-dp-rounded cosines cast
+    to DECIMAL(18,6) — exact, order-insensitive addition, so the
+    cross-engine hash cannot drift with partition order (the double-sum
+    trap); the decimal total is cast to double only at the output
+    boundary.  Scale shape: everything rides the capped candidate pair
+    stream (equi-joins only); scoring is one keyed agg on the pair list
+    and the representative pick is a per-cluster WindowGroupLimit-shaped
+    rank — no per-cluster iteration, no centroid materialization (a
+    centroid would need element-wise float averaging, which is both a
+    shuffle of full vectors and a cross-engine determinism hazard; the
+    medoid uses similarity mass already computed for dedup)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(emb, threshold=0.4)
+    from merl_etl_spark.operators.dedup import connected_components
+
+    comp = connected_components(
+        pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    ).select(F.col("doc_id").alias("node"), "cluster_id")
+
+    c6 = F.round(F.col("cos_sim"), 6).cast("decimal(18,6)")
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), c6.alias("c6")
+    ).unionByName(pairs.select(F.col("vec_b").alias("src"), c6.alias("c6")))
+    scored = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("degree"), F.sum("c6").alias("score")
+    )
+
+    j = (
+        emb.select("vec_id")
+        .join(comp, F.col("vec_id") == F.col("node"), "left")
+        .join(scored, F.col("vec_id") == F.col("src"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+            F.coalesce("degree", F.lit(0).cast("long")).alias("degree"),
+            F.coalesce(F.col("score").cast("double"), F.lit(0.0)).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return j.select(
+        "vec_id",
+        "cluster_id",
+        "degree",
+        "score",
+        (F.row_number().over(w) == 1).alias("is_representative"),
+    )

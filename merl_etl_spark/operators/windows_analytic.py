@@ -167,3 +167,95 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.sum("first_seen").over(w_run).alias("cum_distinct_types"),
     )
+
+
+@register(
+    "win-streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, anchor,
+             count(*) AS streak_len,
+             min(d) AS streak_start,
+             max(d) AS streak_end
+      FROM grp GROUP BY user_id, anchor
+    ),
+    ranked AS (
+      SELECT user_id, streak_len, streak_start, streak_end,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY streak_len DESC, streak_start ASC) AS rnk
+      FROM streaks
+    )
+    SELECT r.user_id,
+           r.streak_len AS longest_streak_days,
+           strftime(r.streak_start, '%Y-%m-%d') AS streak_start,
+           strftime(r.streak_end, '%Y-%m-%d') AS streak_end,
+           s.n_streaks,
+           s.n_active_days
+    FROM ranked r
+    JOIN (
+      SELECT user_id, count(*) AS n_streaks,
+             CAST(sum(streak_len) AS BIGINT) AS n_active_days
+      FROM streaks GROUP BY user_id
+    ) s ON s.user_id = r.user_id
+    WHERE r.rnk = 1
+    """,
+)
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands window composition (distinct active days →
+    ``day - row_number()`` island anchor → per-island length → per-user
+    argmax), the engagement metric every activity pipeline derives and a
+    shape generic SQL engines express the same way (no recursive CTE, no
+    per-user iteration).
+
+    Scale shape: one distinct on (user_id, day) — already tiny vs raw
+    events — then every window/agg partitions by user_id; a user's day
+    count is bounded by the calendar, so no partition outgrows memory
+    regardless of event volume.  All outputs are exact longs / date
+    strings; ties for the longest streak break on earliest start."""
+    events = load_table(spark, sf_dir, "events")
+    days = (
+        events.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+    )
+    per_user = streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("streak_len").alias("n_active_days"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("streak_start").asc()
+    )
+    best = (
+        streaks.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk", "anchor")
+    )
+    return best.join(per_user, "user_id").select(
+        "user_id",
+        F.col("streak_len").alias("longest_streak_days"),
+        F.date_format("streak_start", "yyyy-MM-dd").alias("streak_start"),
+        F.date_format("streak_end", "yyyy-MM-dd").alias("streak_end"),
+        "n_streaks",
+        "n_active_days",
+    )

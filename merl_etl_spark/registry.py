@@ -104,6 +104,8 @@ SWEEP_DEFER: list[str] = [
     "win-cumulative-distinct", "graph-triangles",
     "join-interval-overlap", "curate-shuffle-index",
     "analytics-basket-affinity", "profile-dataset-card", "sim-knn-graph",
+    "fn-url-suite", "curate-url-dedup", "join-asof-tolerance",
+    "win-streak", "curate-semdedup-keep",
 ]
 
 
@@ -176,5 +178,6 @@ def load_all() -> None:
     import merl_etl_spark.operators.lm  # noqa: F401
     import merl_etl_spark.operators.freq  # noqa: F401
     import merl_etl_spark.operators.intervals  # noqa: F401
+    import merl_etl_spark.operators.web  # noqa: F401
 
     _apply_sweep_priority()
