@@ -95,6 +95,13 @@ HEADLINE = [
     "analytics-basket-affinity",
     "profile-dataset-card",
     "sim-knn-graph",
+    # continuation-round-6 additions, second block: URL curation tier,
+    # tolerance as-of, streaks, SemDeDup medoid keep
+    "fn-url-suite",
+    "curate-url-dedup",
+    "join-asof-tolerance",
+    "win-streak",
+    "curate-semdedup-keep",
 ]
 
 

@@ -735,7 +735,10 @@ def curate_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_cosine_pairs(emb, threshold=0.4)
+    # one materialization feeds BOTH consumers (component edges and medoid
+    # scoring) — the candidate pipeline is the whole cost of this query,
+    # and the pair list itself is tiny (near-dup edges only)
+    pairs = embedding_cosine_pairs(emb, threshold=0.4).localCheckpoint(eager=False)
     from merl_etl_spark.operators.dedup import connected_components
 
     comp = connected_components(

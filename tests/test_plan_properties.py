@@ -120,6 +120,7 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # global window (asof.py:101) — ~#hours of data, ~10^4-10^5 rows/year
     "join-asof": 1,
     "join-asof-forward": 1,
+    "join-asof-tolerance": 1,  # same backward-asof carry, tolerance is a projection
     # fused single-pass nearest: the prev-closing and next-opening carries
     # scan the per-bucket summary in OPPOSITE orders (both as linear
     # running frames — an unboundedFollowing frame would be O(n²)), so
