@@ -102,6 +102,10 @@ HEADLINE = [
     "join-asof-tolerance",
     "win-streak",
     "curate-semdedup-keep",
+    # deep multi-table analytics (Q8/Q17/Q13-style plan shapes)
+    "analytics-market-share",
+    "analytics-small-qty-revenue",
+    "analytics-customer-distribution",
 ]
 
 

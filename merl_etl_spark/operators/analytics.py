@@ -513,3 +513,197 @@ def analytics_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_ct"), F.asc("id_a"), F.asc("id_b"))
         .limit(BASKET_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deep multi-table analytics: Q8/Q17/Q13-style plan shapes
+# ---------------------------------------------------------------------------
+
+MKT_NATION = 3  # supplier nation of interest (by stable key, not name)
+
+
+@register(
+    "analytics-market-share",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
+                  AS DECIMAL(38,12)) AS volume,
+             s.s_nationkey
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_revenue,
+           CAST(ROUND(SUM(CASE WHEN s_nationkey = {MKT_NATION}
+                               THEN volume ELSE CAST(0 AS DECIMAL(38,12)) END), 2)
+                AS DOUBLE) AS nation_revenue,
+           CAST(SUM(CASE WHEN s_nationkey = {MKT_NATION}
+                         THEN volume ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM base
+    GROUP BY o_year
+    """,
+)
+def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: the 8-relation snowflake join
+    (lineitem → orders → customer → nation → region, plus part and
+    supplier dims) with a conditional revenue share per order year — the
+    deepest join tree in the registry and the canonical Catalyst
+    join-planning showcase.
+
+    Scale shape: the star dims (region 5, nation 25, part/supplier
+    sub-percent of fact) broadcast; lineitem→orders is the only
+    fact-fact shuffle, keyed on orderkey, and AQE reorders/broadcasts
+    by runtime sizes.  The region and part predicates reach the dim
+    scans (pushed filters shrink the broadcast sides before the join),
+    so the fact table is filtered by broadcast-hash lookups, never
+    materializing the unfiltered join.  Determinism: volume is an exact
+    DECIMAL(38,12) product; the share divides the two exact decimal
+    sums only after casting each to double (deterministic), and revenue
+    outputs are ROUNDed to 2 dp (both engines half-away-from-zero for
+    positive sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    volume = (
+        F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    ).cast("decimal(38,12)")
+    base = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "s_nationkey",
+        )
+    )
+    nat_vol = F.when(F.col("s_nationkey") == MKT_NATION, F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(38,12)")
+    )
+    return base.groupBy("o_year").agg(
+        F.round(F.sum("volume"), 2).cast("double").alias("total_revenue"),
+        F.round(F.sum(nat_vol), 2).cast("double").alias("nation_revenue"),
+        (F.sum(nat_vol).cast("double") / F.sum("volume").cast("double")).alias(
+            "mkt_share"
+        ),
+    )
+
+
+@register(
+    "analytics-small-qty-revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(7 AS DOUBLE) AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem l
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pq.cnt < pq.sum_qty
+    GROUP BY p.p_brand
+    """,
+)
+def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity revenue: rows whose quantity is
+    below 20% of their part's average quantity — the classic CORRELATED
+    scalar subquery, decorrelated into a per-part aggregate + equi-join
+    (what Catalyst's decorrelation produces; written explicitly so the
+    plan is pinned rather than optimizer-version-dependent).
+
+    Determinism: the 0.2×avg threshold never divides — the predicate is
+    cross-multiplied (``5·qty·cnt < sum_qty``) over exact decimals, so
+    there is no float-average tie hazard at the cut; the revenue /7.0
+    division happens once on the exact decimal sum.  Scale shape: the
+    per-part aggregate is a partial-agg shuffle keyed like the join that
+    consumes it (l_partkey), so AQE can plan the probe side without a
+    second repartition; part is a broadcast dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    part = load_table(spark, sf_dir, "part")
+    small = (
+        li.join(pq, "l_partkey")
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("cnt")
+            < F.col("sum_qty")
+        )
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+    )
+    return small.groupBy("p_brand").agg(
+        # divide exact-decimal sums only after the double cast: decimal
+        # division would round differently per engine (DuckDB falls back
+        # to DOUBLE on decimal/decimal), while double/double is IEEE-
+        # identical everywhere
+        (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+@register(
+    "analytics-customer-distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def analytics_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: LEFT OUTER join
+    with a join-condition filter (not a WHERE — customers with no
+    qualifying orders must survive with count 0), then a double
+    aggregation (orders per customer → customers per order-count).
+
+    The join-side predicate is the part users get wrong when migrating:
+    a WHERE on the right table's column silently turns the outer join
+    inner.  Scale shape: count(o_orderkey) ignores the NULLs an outer
+    miss produces (never count(*)); both aggregations are partial-agg
+    shuffles, the second over a tiny (distinct counts) domain."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    co = (
+        customer.join(
+            orders, F.col("o_custkey") == F.col("c_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))

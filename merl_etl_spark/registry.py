@@ -106,6 +106,8 @@ SWEEP_DEFER: list[str] = [
     "analytics-basket-affinity", "profile-dataset-card", "sim-knn-graph",
     "fn-url-suite", "curate-url-dedup", "join-asof-tolerance",
     "win-streak", "curate-semdedup-keep",
+    "analytics-market-share", "analytics-small-qty-revenue",
+    "analytics-customer-distribution",
 ]
 
 
