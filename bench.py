@@ -106,6 +106,8 @@ HEADLINE = [
     "analytics-market-share",
     "analytics-small-qty-revenue",
     "analytics-customer-distribution",
+    "proj-unpivot",
+    "ts-linear-trend",
 ]
 
 

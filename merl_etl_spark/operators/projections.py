@@ -108,3 +108,43 @@ def proj_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("missing"),
         ).alias("drift_field"),
     )
+
+
+@register(
+    "proj-unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_discount, l_tax
+      FROM lineitem WHERE l_orderkey <= 500
+    )
+    UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+)
+def proj_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (the inverse of agg-pivot): each lineitem row's four
+    measure columns become four (measure, value) rows — the long format
+    feature pipelines and per-metric profilers consume (profile-columns
+    uses the same shape internally; this registers it as a first-class
+    operator with native ``unpivot``).
+
+    Scale shape: unpivot lowers to Expand — a pure map that emits N rows
+    per input row with NO shuffle and no data copy beyond the projected
+    measures; column pruning still reaches the scan (only the 6 referenced
+    columns are read).  Values pass through untouched (all four measures
+    are already double), so cross-engine equality is bit-trivial."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 500)
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax",
+        )
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

@@ -359,3 +359,100 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ticks",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts-linear-trend — closed-form least squares as exact aggregates
+# ---------------------------------------------------------------------------
+
+TREND_ORIGIN = "2024-01-01 00:00:00"
+
+
+@register(
+    "ts-linear-trend",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type,
+             CAST(CAST(epoch_us(ts) - epoch_us(TIMESTAMP '{TREND_ORIGIN}') AS DOUBLE)
+                  / 3600000000.0 AS DECIMAL(18,6)) AS xh,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             count(*) AS n,
+             SUM(xh) AS sx,
+             SUM(y) AS sy,
+             SUM(CAST(xh * y AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(xh * xh AS DECIMAL(38,12))) AS sxx
+      FROM x GROUP BY event_type
+    ),
+    r AS (
+      SELECT event_type, n, sx, sy,
+             ROUND(sxy, 2) AS sxy2, ROUND(sxx, 2) AS sxx2
+      FROM s
+    )
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(sxy2 AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx2 AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_per_hour,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+             - ((CAST(n AS DOUBLE) * CAST(sxy2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept
+    FROM r
+    """,
+)
+def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear trend (slope per hour + intercept) via the
+    closed-form least-squares formulas — regression expressed as FIVE
+    exact aggregates (n, Σx, Σy, Σxy, Σx²) instead of an iterative
+    fit, which is what makes it a one-shuffle distributed operator: the
+    map side emits decimal partials, the reduce side combines, and the
+    slope algebra runs on the five scalars per series.
+
+    Determinism: x (hours since a fixed origin) is quantized to
+    DECIMAL(18,6) — microsecond timestamps over 3.6e9 don't divide
+    exactly, so the quantization pins the input grid; from there every
+    sum is exact decimal and the final formulas divide doubles cast
+    from exact sums (IEEE-identical cross-engine).  The same shape
+    extends to any moment-expressible statistic (variance, covariance,
+    correlation, polynomial fits via Vandermonde sums)."""
+    events = load_table(spark, sf_dir, "events")
+    xh = (
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lit(TREND_ORIGIN).cast("timestamp"))
+        ).cast("double")
+        / 3.6e9
+    ).cast("decimal(18,6)")
+    x = events.select(
+        "event_type", xh.alias("xh"), F.col("value").cast("decimal(18,6)").alias("y")
+    )
+    s = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xh").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("xh") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("xh") * F.col("xh")).cast("decimal(38,12)")).alias("sxx"),
+    )
+    # reduce the product sums to 2 dp BEFORE the double cast: their
+    # scale-12 unscaled values exceed 2^53, where decimal→double rounding
+    # is engine-specific (last-ulp drift observed vs DuckDB); after the
+    # explicit ROUND (half-away-from-zero in both engines for these
+    # positive sums) the unscaled values fit exactly in a double.  sx/sy
+    # stay scale-6: their magnitudes keep the unscaled value < 2^53.
+    s = s.withColumn("sxy2", F.round("sxy", 2)).withColumn("sxx2", F.round("sxx", 2))
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy2").cast("double"), F.col("sxx2").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope_per_hour"),
+        (syd / nd - slope * (sxd / nd)).alias("intercept"),
+    )

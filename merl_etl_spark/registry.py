@@ -107,7 +107,7 @@ SWEEP_DEFER: list[str] = [
     "fn-url-suite", "curate-url-dedup", "join-asof-tolerance",
     "win-streak", "curate-semdedup-keep",
     "analytics-market-share", "analytics-small-qty-revenue",
-    "analytics-customer-distribution",
+    "analytics-customer-distribution", "proj-unpivot", "ts-linear-trend",
 ]
 
 
