@@ -160,13 +160,22 @@ def purchase_click_attribution_stream(
     events: DataFrame,
     attribution_window: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream join: each purchase attributed to the
     same user's clicks in the preceding attribution window — the
     two-stream correlation pattern (billing events × usage events) the
     reference handles by batch re-query, expressed as a true streaming
     join.  State on both sides is bounded by the watermark + the explicit
-    time-range condition (Spark evicts rows whose join window has passed)."""
+    time-range condition (Spark evicts rows whose join window has passed).
+
+    ``how='left_outer'`` additionally emits unmatched purchases with NULL
+    click columns — but only once the watermark has passed the purchase's
+    join window (the engine cannot know a match will never arrive any
+    earlier), so outer rows trail the inner ones by up to
+    watermark + attribution_window of event time.  That deferred-NULL
+    emission is the semantic difference from a batch left join and is
+    pinned by tests/test_stream_stream_join.py."""
     purchases = (
         events.filter(F.col("event_type") == "purchase")
         .select(
@@ -191,7 +200,7 @@ def purchase_click_attribution_stream(
         (F.col("user_id") == F.col("click_user"))
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {attribution_window}")),
-        "inner",
+        how,
     ).select("purchase_id", "user_id", "p_ts", "purchase_value", "click_id", "c_ts")
 
 

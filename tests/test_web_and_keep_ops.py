@@ -147,3 +147,50 @@ def test_semdedup_keep_one_representative_per_cluster(spark, sf_dir):
         (~F.col("is_representative")) | (F.col("degree") != 0) | (F.col("score") != 0.0)
     ).count() == 0
     out.unpersist()
+
+
+def test_streak_property_vs_bruteforce(spark, sf_dir, monkeypatch):
+    """Randomized day sets (fixed seed): the operator's per-user answer
+    must equal a direct python computation of longest run / streak count."""
+    import random
+
+    rng = random.Random(20240814)
+    rows, expected = [], {}
+    eid = 0
+    for user in range(1, 31):
+        days = sorted(rng.sample(range(0, 60), rng.randint(1, 20)))
+        runs, start = [], days[0]
+        for a, b in zip(days, days[1:]):
+            if b != a + 1:
+                runs.append((start, a))
+                start = b
+        runs.append((start, days[-1]))
+        lens = [(e - s + 1, s, e) for s, e in runs]
+        best = max(lens, key=lambda t: (t[0], -t[1]))
+        expected[user] = {
+            "longest_streak_days": best[0],
+            "n_streaks": len(runs),
+            "n_active_days": len(days),
+            "streak_start": (dt.date(2024, 1, 1) + dt.timedelta(days=best[1])).isoformat(),
+        }
+        for d in days:
+            # two events on some days: distinct-day collapse must hold
+            for _ in range(rng.randint(1, 2)):
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 1, rng.randint(0, 23)) + dt.timedelta(days=d),
+                     user, rng.choice(["view", "click", "purchase"]), 1.0, "{}")
+                )
+                eid += 1
+    hand = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    monkeypatch.setattr(
+        "merl_etl_spark.operators.windows_analytic.load_table",
+        lambda _s, _d, _t: hand,
+    )
+    got = {r["user_id"]: r.asDict() for r in QUERIES["win-streak"](spark, sf_dir).collect()}
+    assert set(got) == set(expected)
+    for u, exp in expected.items():
+        for k, v in exp.items():
+            assert got[u][k] == v, (u, k, got[u], exp)
