@@ -108,6 +108,7 @@ HEADLINE = [
     "analytics-customer-distribution",
     "proj-unpivot",
     "ts-linear-trend",
+    "agg-mv-merge",
 ]
 
 

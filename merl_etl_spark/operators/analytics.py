@@ -547,9 +547,10 @@ MKT_NATION = 3  # supplier nation of interest (by stable key, not name)
            CAST(ROUND(SUM(CASE WHEN s_nationkey = {MKT_NATION}
                                THEN volume ELSE CAST(0 AS DECIMAL(38,12)) END), 2)
                 AS DOUBLE) AS nation_revenue,
-           CAST(SUM(CASE WHEN s_nationkey = {MKT_NATION}
-                         THEN volume ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
-             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+           CAST(ROUND(SUM(CASE WHEN s_nationkey = {MKT_NATION}
+                               THEN volume ELSE CAST(0 AS DECIMAL(38,12)) END), 2)
+                AS DOUBLE)
+             / CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS mkt_share
     FROM base
     GROUP BY o_year
     """,
@@ -601,12 +602,17 @@ def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_vol = F.when(F.col("s_nationkey") == MKT_NATION, F.col("volume")).otherwise(
         F.lit(0).cast("decimal(38,12)")
     )
+    # the share divides the ROUNDED sums: the raw DECIMAL(38,12) sums carry
+    # unscaled values beyond 2^53, where decimal→double conversion is
+    # engine-specific (the ts-linear-trend trap, ARCHITECTURE.md); after
+    # ROUND(·, 2) the unscaled value fits a double exactly on both engines
     return base.groupBy("o_year").agg(
         F.round(F.sum("volume"), 2).cast("double").alias("total_revenue"),
         F.round(F.sum(nat_vol), 2).cast("double").alias("nation_revenue"),
-        (F.sum(nat_vol).cast("double") / F.sum("volume").cast("double")).alias(
-            "mkt_share"
-        ),
+        (
+            F.round(F.sum(nat_vol), 2).cast("double")
+            / F.round(F.sum("volume"), 2).cast("double")
+        ).alias("mkt_share"),
     )
 
 

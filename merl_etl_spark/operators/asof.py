@@ -183,6 +183,26 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _purchase_click_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared source prep + backward as-of for the purchase→click family
+    (join-asof and join-asof-tolerance): purchases matched to the latest
+    click at-or-before, clicks deduped to one row per ts (max event_id).
+    One definition so the attribution source rules can never diverge
+    between the plain and tolerance variants."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(F.col("ts").alias("c_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return asof_join_backward(
+        purchases, clicks, left_ts="p_ts", right_ts="c_ts", right_cols=["click_id", "c_ts"]
+    )
+
+
 @register(
     "join-asof",
     oracle=f"""
@@ -205,18 +225,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: every purchase event matched to the latest click
     event at-or-before it (the generalized timestamp→block 'closest before'
     lookup, merlin_etl.py:199-236).  Oracle uses DuckDB's native ASOF JOIN."""
-    events = load_table(spark, sf_dir, "events")
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
-    )
-    clicks = (
-        events.filter(F.col("event_type") == "click")
-        .groupBy(F.col("ts").alias("c_ts"))
-        .agg(F.max("event_id").alias("click_id"))
-    )
-    matched = asof_join_backward(
-        purchases, clicks, left_ts="p_ts", right_ts="c_ts", right_cols=["click_id", "c_ts"]
-    )
+    matched = _purchase_click_backward(spark, sf_dir)
     return matched.select(
         "purchase_id",
         "user_id",
@@ -502,19 +511,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry entirely (matches can only come from the same or previous
     bucket); not exploited here because the generic carry is already one
     broadcast row per bucket."""
-    events = load_table(spark, sf_dir, "events")
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
-    )
-    clicks = (
-        events.filter(F.col("event_type") == "click")
-        .groupBy(F.col("ts").alias("c_ts"))
-        .agg(F.max("event_id").alias("click_id"))
-    )
-    matched = asof_join_backward(
-        purchases, clicks, left_ts="p_ts", right_ts="c_ts",
-        right_cols=["click_id", "c_ts"],
-    )
+    matched = _purchase_click_backward(spark, sf_dir)
     in_tol = F.col("c_ts").isNotNull() & (
         F.unix_micros(F.col("p_ts").cast("timestamp"))
         - F.unix_micros(F.col("c_ts").cast("timestamp"))

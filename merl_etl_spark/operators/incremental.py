@@ -209,3 +209,82 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, TS_FMT_SPARK).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg-mv-merge — materialized-view maintenance by mergeable partial state
+# ---------------------------------------------------------------------------
+
+MV_SPLIT = 7000  # event_id boundary between the "old" snapshot and the delta
+
+
+@register(
+    "agg-mv-merge",
+    oracle=f"""
+    WITH old_state AS (
+      SELECT user_id, count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+             max(ts) AS mts
+      FROM events WHERE event_id < {MV_SPLIT} GROUP BY user_id
+    ),
+    delta_state AS (
+      SELECT user_id, count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+             max(ts) AS mts
+      FROM events WHERE event_id >= {MV_SPLIT} GROUP BY user_id
+    ),
+    merged AS (
+      SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+             SUM(sv) AS sv, max(mts) AS mts
+      FROM (SELECT * FROM old_state UNION ALL SELECT * FROM delta_state)
+      GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(ROUND(sv, 2) AS DOUBLE) AS total_value,
+           strftime(mts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+    FROM merged
+    """,
+)
+def agg_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance by PARTIAL-STATE MERGE: a per-user
+    aggregate snapshot built from historical events is combined with a
+    delta batch's state by merging the states themselves (sum of sums,
+    sum of counts, max of maxes) — the old RAW data is never rescanned.
+    This is the batch twin of the streaming top-100 maintenance and the
+    contract behind every incremental rollup table: the aggregate must be
+    ALGEBRAIC (expressible as mergeable partials), which count/sum/max
+    are; avg/quantiles ride along as post-merge derivations of partials.
+
+    The oracle mirrors the two-state merge so the driver hash pins the
+    merge algebra itself; tests/ additionally pin merge ≡ full rescan.
+    Scale shape: the snapshot is aggregate-sized (one row per user, not
+    per event); each refresh shuffles only the delta plus the state —
+    refresh cost tracks delta size, the whole point of an incremental
+    MV.  Decimal partials keep the merged sum exact and order-insensitive
+    at any refresh cadence."""
+    from merl_etl_spark.operators.joins import TS_FMT_SPARK
+
+    events = load_table(spark, sf_dir, "events")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+            F.max("ts").alias("mts"),
+        )
+
+    old_state = state(events.filter(F.col("event_id") < MV_SPLIT))
+    delta_state = state(events.filter(F.col("event_id") >= MV_SPLIT))
+    merged = (
+        old_state.unionByName(delta_state)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("sv").alias("sv"),
+            F.max("mts").alias("mts"),
+        )
+    )
+    return merged.select(
+        "user_id",
+        "n_events",
+        F.round("sv", 2).cast("double").alias("total_value"),
+        F.date_format("mts", TS_FMT_SPARK).alias("last_ts"),
+    )

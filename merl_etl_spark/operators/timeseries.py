@@ -395,13 +395,13 @@ TREND_ORIGIN = "2024-01-01 00:00:00"
     SELECT event_type, n,
            (CAST(n AS DOUBLE) * CAST(sxy2 AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(sxx2 AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_per_hour,
+             / NULLIF(CAST(n AS DOUBLE) * CAST(sxx2 AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS slope_per_hour,
            CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
              - ((CAST(n AS DOUBLE) * CAST(sxy2 AS DOUBLE)
                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-               / (CAST(n AS DOUBLE) * CAST(sxx2 AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               / NULLIF(CAST(n AS DOUBLE) * CAST(sxx2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept
     FROM r
     """,
@@ -449,7 +449,13 @@ def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxyd, sxxd = F.col("sxy2").cast("double"), F.col("sxx2").cast("double")
-    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    # degenerate series (all x identical → zero variance) yield NULL slope
+    # on BOTH engines (NULLIF in the oracle): an explicit guard, because
+    # zero-division otherwise diverges (Spark NULL vs DuckDB inf/NaN) and
+    # even Spark's own behavior flips with spark.sql.ansi.enabled
+    denom_raw = nd * sxxd - sxd * sxd
+    denom = F.when(denom_raw != 0, denom_raw)
+    slope = (nd * sxyd - sxd * syd) / denom
     return s.select(
         "event_type",
         "n",

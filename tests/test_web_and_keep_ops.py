@@ -40,7 +40,6 @@ def test_url_dedup_dispositions_partition_the_corpus(spark, sf_dir):
 def test_url_dedup_keeps_best_quality_per_url(spark, sf_dir):
     """Within a duplicated normalized URL, the kept/capped row has the
     max n_chars (doc_id tie-break) among its dup group."""
-    from merl_etl_spark.operators.web import _URL_SPARK
     from merl_etl_spark.sources.tables import load_table
 
     out = QUERIES["curate-url-dedup"](spark, sf_dir)
@@ -104,8 +103,6 @@ def test_streak_on_hand_built_days(spark, sf_dir, monkeypatch):
         rows, "event_id long, ts timestamp, user_id long, event_type string, "
               "value double, props string"
     )
-    import merl_etl_spark.operators.windows_analytic as wa
-
     monkeypatch.setattr(
         "merl_etl_spark.operators.windows_analytic.load_table",
         lambda _s, _d, _t: hand,
@@ -194,3 +191,32 @@ def test_streak_property_vs_bruteforce(spark, sf_dir, monkeypatch):
     for u, exp in expected.items():
         for k, v in exp.items():
             assert got[u][k] == v, (u, k, got[u], exp)
+
+
+# ---------------------------------------------------------------------------
+# agg-mv-merge: merge ≡ full rescan
+# ---------------------------------------------------------------------------
+
+def test_mv_merge_equals_full_rescan(spark, sf_dir):
+    from merl_etl_spark.operators.joins import TS_FMT_SPARK
+    from merl_etl_spark.sources.tables import load_table
+
+    got = QUERIES["agg-mv-merge"](spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    want = (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+            F.max("ts").alias("mts"),
+        )
+        .select(
+            "user_id", "n_events",
+            F.round("sv", 2).cast("double").alias("total_value"),
+            F.date_format("mts", TS_FMT_SPARK).alias("last_ts"),
+        )
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        map(tuple, ((str(v) for v in r) for r in df.select(sorted(df.columns)).collect()))
+    )
+    assert canon(got) == canon(want)
