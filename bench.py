@@ -109,6 +109,8 @@ HEADLINE = [
     "proj-unpivot",
     "ts-linear-trend",
     "agg-mv-merge",
+    "text-bpe-step",
+    "dedup-normalized",
 ]
 
 

@@ -871,3 +871,45 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+@register(
+    "dedup-normalized",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash
+      FROM documents
+    )
+    SELECT norm_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM n
+    GROUP BY norm_hash
+    HAVING count(*) > 1
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-keyed exact dedup: documents are keyed by the digest
+    of their CANONICAL form (casefold + whitespace collapse + trim) so
+    trivially-reformatted copies — the dominant duplicate class in
+    instruction/chat datasets, where the same prompt circulates with
+    case and spacing variants — collapse into one group.  Same
+    digest-groupBy shape as dedup-exact (one shuffle of 16-byte keys);
+    the normalization is a map-side expression chain, so the canonical
+    text itself never shuffles or persists.  Stricter canonicalizations
+    (punctuation stripping, unicode NFKC) extend the same expression
+    without changing the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    return (
+        docs.select(norm.alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

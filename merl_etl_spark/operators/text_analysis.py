@@ -325,3 +325,78 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.length("text") / 100).cast("bigint").alias("len_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text-bpe-step — one BPE training iteration: symbol-pair frequencies
+# ---------------------------------------------------------------------------
+
+BPE_TOP = 50
+
+
+@register(
+    "text-bpe-step",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (
+      SELECT w, count(*) AS wn FROM words WHERE length(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, wn
+      FROM wc, unnest(generate_series(1, length(w) - 1)) AS t(i)
+    ),
+    pc AS (
+      SELECT pair, CAST(SUM(wn) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY pair
+    ),
+    ranked AS (
+      SELECT pair, pair_count,
+             row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS merge_rank
+      FROM pc
+    )
+    SELECT merge_rank, pair, pair_count FROM ranked
+    WHERE merge_rank <= {BPE_TOP}
+    """,
+)
+def text_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration over the corpus: count adjacent
+    character-pair frequencies inside words (weighted by word frequency)
+    and rank the top merge candidates — the inner loop of byte-pair-
+    encoding tokenizer induction, the step every LLM vocabulary build
+    repeats ~50k times.  Expressed as pure relational algebra: tokenize →
+    aggregate to the DISTINCT-WORD domain first (the corpus may repeat a
+    word billions of times; pair explosion then runs once per distinct
+    word, weighted by its count — the same two-phase trick as
+    text-ngram-counts) → posexplode the pair positions → weighted keyed
+    sum → TakeOrdered top-k.
+
+    The `length >= 2` guard precedes the sequence expression because
+    Spark's ``sequence(1, 0)`` DESCENDS (ARCHITECTURE.md trap list)
+    instead of producing an empty array.  The final rank is a
+    WindowGroupLimit over the TakeOrdered candidate set, never the full
+    pair domain (bounded by charset², but the guard costs nothing).
+    Successive merges at production scale iterate this exact plan with
+    the learned merge applied map-side — plan shape unchanged per
+    round."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    wc = (
+        words.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    pairs = wc.select(
+        "w",
+        "wn",
+        F.posexplode(F.expr("sequence(1, length(w) - 1)")).alias("_p", "i"),
+    ).select(F.expr("substr(w, CAST(i AS INT), 2)").alias("pair"), "wn")
+    pc = pairs.groupBy("pair").agg(F.sum("wn").cast("long").alias("pair_count"))
+    top = pc.orderBy(F.desc("pair_count"), F.asc("pair")).limit(BPE_TOP)
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return top.withColumn("merge_rank", F.row_number().over(w).cast("long")).select(
+        "merge_rank", "pair", "pair_count"
+    )

@@ -108,7 +108,7 @@ SWEEP_DEFER: list[str] = [
     "win-streak", "curate-semdedup-keep",
     "analytics-market-share", "analytics-small-qty-revenue",
     "analytics-customer-distribution", "proj-unpivot", "ts-linear-trend",
-    "agg-mv-merge",
+    "agg-mv-merge", "text-bpe-step", "dedup-normalized",
 ]
 
 

@@ -128,6 +128,7 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "join-asof-nearest": 2,
     # ≤50 rows post-TakeOrdered feed the final rank (text_analysis.py:236)
     "text-ngram-counts": 1,
+    "text-bpe-step": 1,  # same bounded pattern: rank over the top-50 merges
     # global top-k rank: map-side Partial WindowGroupLimit caps the rows
     # reaching the single final partition at k per input partition, so the
     # three empty-partition nodes (Partial limit, Final limit, WindowExec)
