@@ -111,6 +111,7 @@ HEADLINE = [
     "agg-mv-merge",
     "text-bpe-step",
     "dedup-normalized",
+    "src-jsonl-corrupt",
 ]
 
 

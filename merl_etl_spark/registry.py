@@ -109,6 +109,7 @@ SWEEP_DEFER: list[str] = [
     "analytics-market-share", "analytics-small-qty-revenue",
     "analytics-customer-distribution", "proj-unpivot", "ts-linear-trend",
     "agg-mv-merge", "text-bpe-step", "dedup-normalized",
+    "src-jsonl-corrupt",
 ]
 
 
@@ -182,5 +183,6 @@ def load_all() -> None:
     import merl_etl_spark.operators.freq  # noqa: F401
     import merl_etl_spark.operators.intervals  # noqa: F401
     import merl_etl_spark.operators.web  # noqa: F401
+    import merl_etl_spark.sources.textfiles  # noqa: F401
 
     _apply_sweep_priority()
