@@ -112,6 +112,8 @@ HEADLINE = [
     "text-bpe-step",
     "dedup-normalized",
     "src-jsonl-corrupt",
+    "agg-k-anonymity",
+    "link-golden-record",
 ]
 
 

@@ -347,3 +347,53 @@ def analytics_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# agg-k-anonymity — privacy audit over quasi-identifier combinations
+# ---------------------------------------------------------------------------
+
+K_ANON = 5
+
+
+@register(
+    "agg-k-anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS group_size
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, c_nationkey, group_size,
+           group_size < {K_ANON} AS below_k,
+           CASE WHEN group_size < {K_ANON} THEN 'suppress_or_generalize'
+                ELSE 'releasable' END AS recommendation
+    FROM g
+    """,
+)
+def agg_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: group the table by its quasi-identifier
+    combination (here market segment × nation — the attributes an
+    adversary could link externally) and flag every equivalence class
+    smaller than k={K_ANON}, whose members are re-identifiable and must
+    be suppressed or generalized before release — the standard privacy
+    gate run over training data and analytics extracts before sharing.
+
+    One partial-agg shuffle on the quasi-identifier key; the audit
+    output is equivalence-class-sized (bounded by the QI domain, not the
+    row count), so the report stays tiny at any corpus scale.
+    Generalization ladders (nation → region, segment → 'ANY') re-run
+    the identical plan on coarser keys until every class clears k."""
+    customer = load_table(spark, sf_dir, "customer")
+    g = customer.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    below = F.col("group_size") < K_ANON
+    return g.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "group_size",
+        below.alias("below_k"),
+        F.when(below, F.lit("suppress_or_generalize"))
+        .otherwise("releasable")
+        .alias("recommendation"),
+    )

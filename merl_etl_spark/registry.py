@@ -109,7 +109,7 @@ SWEEP_DEFER: list[str] = [
     "analytics-market-share", "analytics-small-qty-revenue",
     "analytics-customer-distribution", "proj-unpivot", "ts-linear-trend",
     "agg-mv-merge", "text-bpe-step", "dedup-normalized",
-    "src-jsonl-corrupt",
+    "src-jsonl-corrupt", "agg-k-anonymity", "link-golden-record",
 ]
 
 
