@@ -39,7 +39,11 @@ def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
     cached = _FIXTURE_CACHE.get(key)
     if cached and os.path.isdir(cached):
         return cached
-    out = f"/tmp/merl_jsonl_fixture/{abs(hash(key))}"
+    # stable digest, NOT hash(): PYTHONHASHSEED randomizes str hashes per
+    # process, which would grow a fresh fixture dir on every run
+    import hashlib
+
+    out = "/tmp/merl_jsonl_fixture/" + hashlib.md5(repr(key).encode()).hexdigest()[:16]
     events = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") < JSONL_LIMIT
     )
