@@ -114,6 +114,7 @@ HEADLINE = [
     "src-jsonl-corrupt",
     "agg-k-anonymity",
     "link-golden-record",
+    "join-asof-keyed",
 ]
 
 

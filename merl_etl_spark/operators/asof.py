@@ -524,3 +524,78 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("click_id")).alias("click_id"),
         F.when(in_tol, F.date_format("c_ts", TS_FMT_SPARK)).alias("click_ts"),
     )
+
+
+@register(
+    "join-asof-keyed",
+    oracle=f"""
+    WITH l AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, ts AS c_ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT l.purchase_id, l.user_id,
+           strftime(l.p_ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           r.click_id,
+           strftime(r.c_ts, '{TS_FMT_DUCK}') AS click_ts
+    FROM l ASOF LEFT JOIN r
+      ON r.user_id = l.user_id AND r.c_ts <= l.p_ts
+    """,
+)
+def join_asof_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYED backward as-of join: each purchase matched to the SAME
+    USER's latest click at-or-before it — the per-entity form (per
+    symbol, per device, per wallet) that most real as-of workloads
+    want, and the batch twin of the watermarked stream-stream
+    attribution join.
+
+    The partition key makes this STRUCTURALLY SIMPLER than the global
+    as-of: no bucketed union-window with cross-bucket carry — both
+    sides union into one frame, and a ``last(click, ignorenulls)``
+    running window PARTITIONED BY user_id ORDER BY (ts, is_left,
+    event_id) carries each user's latest click forward linearly.  The
+    tie order puts right rows before left at equal ts (at-or-before
+    includes same-instant matches).  One shuffle on user_id; a user's
+    own history is the only per-partition state, so the shape holds at
+    any corpus scale with user-count parallelism (a pathologically hot
+    key would ride the standard salt-by-time-range split).  Oracle:
+    DuckDB's native keyed ASOF JOIN."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("t"),
+    ).withColumn("is_left", F.lit(1))
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("t"))
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("is_left", F.lit(0))
+        .withColumn("purchase_id", F.lit(None).cast("long"))
+    )
+    unioned = purchases.withColumn("click_id", F.lit(None).cast("long")).select(
+        "user_id", "t", "is_left", "purchase_id", "click_id"
+    ).unionByName(clicks.select("user_id", "t", "is_left", "purchase_id", "click_id"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_left", F.coalesce("click_id", F.lit(-1)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "last_click_t",
+        F.last(F.when(F.col("is_left") == 0, F.col("t")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("is_left") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.date_format("t", TS_FMT_SPARK).alias("purchase_ts"),
+        F.col("last_click_id").alias("click_id"),
+        F.date_format("last_click_t", TS_FMT_SPARK).alias("click_ts"),
+    )

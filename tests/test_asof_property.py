@@ -122,3 +122,41 @@ def test_asof_nearest_matches_naive(spark, seed, bucket):
         assert got[l_id] == expected, (
             f"l_id={l_id} ts={s} bucket={bucket}: got {got[l_id]}, want {expected}"
         )
+
+
+def test_keyed_asof_matches_per_user_naive(spark, sf_dir):
+    """join-asof-keyed must equal the per-user naive definition computed
+    driver-side from the raw events (greatest same-user click ts <=
+    purchase ts; click ties at a ts resolved to max event_id)."""
+    import bisect
+    from collections import defaultdict
+
+    from merl_etl_spark.registry import QUERIES, load_all
+    from merl_etl_spark.sources.tables import load_table
+
+    load_all()
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    ).collect()
+    clicks = defaultdict(dict)  # user -> ts -> max event_id
+    for r in events:
+        if r.event_type == "click":
+            cur = clicks[r.user_id].get(r.ts)
+            clicks[r.user_id][r.ts] = r.event_id if cur is None else max(cur, r.event_id)
+    sorted_clicks = {
+        u: sorted(d.items()) for u, d in clicks.items()
+    }
+    want = {}
+    for r in events:
+        if r.event_type != "purchase":
+            continue
+        cl = sorted_clicks.get(r.user_id, [])
+        i = bisect.bisect_right([t for t, _ in cl], r.ts)
+        want[r.event_id] = cl[i - 1][1] if i else None
+    got = {
+        row.purchase_id: row.click_id
+        for row in QUERIES["join-asof-keyed"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    diffs = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not diffs, f"{len(diffs)} mismatches, first: {list(diffs.items())[:3]}"
