@@ -115,6 +115,7 @@ HEADLINE = [
     "agg-k-anonymity",
     "link-golden-record",
     "join-asof-keyed",
+    "analytics-disjunctive-filter",
 ]
 
 

@@ -713,3 +713,64 @@ def analytics_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "analytics-disjunctive-filter",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS DECIMAL(38,12))), 2)
+             AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 5 AND 30
+           AND l.l_quantity BETWEEN 5 AND 40)
+       OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 10 AND 40
+           AND l.l_discount >= 0.06)
+    GROUP BY p.p_brand
+    """,
+)
+def analytics_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive predicate: revenue over an OR of three
+    brand/size/quantity conjunction arms — the predicate shape that
+    separates engines with real predicate simplification from those that
+    evaluate the whole disjunction post-join.  Catalyst extracts the
+    common sub-predicates per side: the part-only arm disjunction
+    ((brand ∧ size) ∨ (brand ∧ size) ∨ (type ∧ size)) pushes into the
+    part scan, and the lineitem-only residue stays on the fact side, so
+    both scans shrink BEFORE the join and only joined survivors evaluate
+    the full OR.  Revenue is the exact DECIMAL(38,12) product family,
+    rounded to 2 dp at the boundary (the >2^53 rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    volume = (
+        F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    ).cast("decimal(38,12)")
+    arm1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(5, 30)
+        & F.col("l_quantity").between(5, 40)
+    )
+    arm3 = (
+        (F.col("p_type") == "PROMO")
+        & F.col("p_size").between(10, 40)
+        & (F.col("l_discount") >= 0.06)
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(arm1 | arm2 | arm3)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(volume), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

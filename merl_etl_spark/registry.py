@@ -110,7 +110,7 @@ SWEEP_DEFER: list[str] = [
     "analytics-customer-distribution", "proj-unpivot", "ts-linear-trend",
     "agg-mv-merge", "text-bpe-step", "dedup-normalized",
     "src-jsonl-corrupt", "agg-k-anonymity", "link-golden-record",
-    "join-asof-keyed",
+    "join-asof-keyed", "analytics-disjunctive-filter",
 ]
 
 

@@ -536,3 +536,22 @@ def sink_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT event_type, count(*) AS n FROM v_events_compat GROUP BY event_type"
     )
+
+
+def observe_stats(df, *metrics, name: str = "audit"):
+    """Attach zero-cost audit metrics to a DataFrame via Spark's
+    ``observe`` API: the named aggregates are computed DURING whatever
+    action consumes the frame — no second scan, no cached recount.  This
+    is the scalable form of the reference's job-stats accounting
+    (merlin_etl.py:133-152 recounts via queries); pair with
+    :func:`run_with_audit` by returning ``obs.get`` as the stats dict
+    once the action has run.
+
+    Returns (observed_df, observation).  ``observation.get`` blocks
+    until an action has materialized the frame.  In streaming, use
+    ``df.observe("name", ...)`` and read ``observedMetrics`` off the
+    query progress instead (see tests/test_observe_audit.py)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs
