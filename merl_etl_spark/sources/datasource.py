@@ -55,6 +55,7 @@ from typing import Any
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -743,6 +744,89 @@ class UpsertParquetDataSource(DataSource):
         return UpsertParquetWriter(self.options, schema, overwrite)
 
 
+
+
+# ---------------------------------------------------------------------------
+# merl-jsonlog: Python Data Source STREAMING writer (exactly-once sink)
+# ---------------------------------------------------------------------------
+
+
+class LoggedPart(WriterCommitMessage):
+    """One staged JSONL part written by one streaming task."""
+
+    def __init__(self, path: str, rows: int):
+        self.path, self.rows = path, rows
+
+
+class JsonLogStreamWriter(DataSourceStreamWriter):
+    """Streaming sink through the Python Data Source API: tasks stage
+    their micro-batch partition as JSON-lines parts; the driver commit
+    finalizes the batch by moving every staged part under
+    ``<path>/batch=<epochId>/`` — and SKIPS the move when that batch
+    directory already exists, which is what makes the sink exactly-once
+    under checkpoint loss or batch replay (the same replayed epochId
+    lands on the already-committed directory and is dropped whole).
+    ``abort`` deletes the staged parts, so a failed batch is never
+    observable.  The idempotence contract mirrors the reference's
+    ON CONFLICT DO NOTHING event inserts (schema.sql:123) at the
+    micro-batch granularity instead of the row granularity."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("merl-jsonlog requires option('path', ...)")
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        staging = _os.path.join(self.path, "_staging")
+        _os.makedirs(staging, exist_ok=True)
+        part = _os.path.join(staging, f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return LoggedPart(part, n)
+
+    def commit(self, messages, batchId) -> None:
+        import os as _os
+
+        batch_dir = _os.path.join(self.path, f"batch={batchId}")
+        if _os.path.isdir(batch_dir):
+            # replayed epoch: the batch is already durable — drop the
+            # re-staged parts instead of double-writing
+            for m in messages:
+                if m and _os.path.exists(m.path):
+                    _os.remove(m.path)
+            return
+        _os.makedirs(batch_dir)
+        for i, m in enumerate(messages):
+            if m and _os.path.exists(m.path):
+                _os.replace(m.path, _os.path.join(batch_dir, f"part-{i:05d}.jsonl"))
+
+    def abort(self, messages, batchId) -> None:
+        import os as _os
+
+        for m in messages:
+            if m and _os.path.exists(m.path):
+                _os.remove(m.path)
+
+
+class JsonLogStreamDataSource(DataSource):
+    """``df.writeStream.format("merl-jsonlog").option("path", ...)`` —
+    see :class:`JsonLogStreamWriter`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "merl-jsonlog"
+
+    def streamWriter(self, schema, overwrite):
+        return JsonLogStreamWriter(self.options)
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -763,6 +847,7 @@ def register_sources(spark) -> None:
     spark.dataSource.register(PagedExplorerDataSource)
     spark.dataSource.register(BlockCursorStreamSource)
     spark.dataSource.register(UpsertParquetDataSource)
+    spark.dataSource.register(JsonLogStreamDataSource)
 
 
 # ---------------------------------------------------------------------------
