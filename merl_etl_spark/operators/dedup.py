@@ -878,7 +878,8 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH n AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash
+             md5(trim(regexp_replace(lower(text),
+                                     '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS norm_hash
       FROM documents
     )
     SELECT norm_hash,
@@ -901,8 +902,11 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (punctuation stripping, unicode NFKC) extend the same expression
     without changing the plan."""
     docs = load_table(spark, sf_dir, "documents")
+    # explicit whitespace class, NOT \s: Java's \s includes vertical tab
+    # while DuckDB's RE2 \s does not (review r6c finding — a \x0B in any
+    # document would hash differently per engine)
     norm = F.md5(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\r\f\x0B]+", " "))
     )
     return (
         docs.select(norm.alias("norm_hash"), "doc_id")

@@ -13,7 +13,7 @@ documents.
 Scale: the join is a plain equi-join on the blocking key, so the hazard
 is a degenerate block.  The blocking key is therefore REFINED with
 length bands (a sound refinement: edit distance ≤ t implies the name
-lengths differ by ≤ t, so two width-4 bands per record guarantee every
+lengths differ by ≤ t, so two width-W (W ≥ t) bands per record guarantee every
 qualifying pair still shares a block — proof in
 :func:`blocked_fuzzy_pairs`), which multiplies the key cardinality by
 the length spread and divides the quadratic in-block work accordingly.
@@ -50,8 +50,8 @@ def blocked_fuzzy_pairs(
 
     The physical join key is (block, length band): each record is
     emitted into bands ``floor(len/W)`` and ``floor(len/W)+1`` with
-    W = 2 ≥ threshold (the minimal sound width — smaller W means more,
-    smaller blocks and less quadratic mass).  Soundness: edit distance ≤ t bounds the length
+    W = max(threshold, 2) — the minimal sound width (smaller W means
+    more, smaller blocks and less quadratic mass).  Soundness: edit distance ≤ t bounds the length
     difference by t ≤ W, so the two records' band floors differ by at
     most 1, and the band sets {f, f+1} of both sides always intersect —
     no qualifying pair is missed.  Each pair is emitted EXACTLY once by
@@ -69,7 +69,10 @@ def blocked_fuzzy_pairs(
     Salting the probe side by key and replicating the build side across
     the SALT slices makes the physical key (block, band, salt), so a hot
     block's comparisons spread over SALT reducers of a shuffle join."""
-    W = 2
+    # soundness requires W >= threshold (the band-floor argument below);
+    # W was once hardcoded while threshold was a parameter — a caller with
+    # threshold > 2 would silently lose pairs (review r6c finding)
+    W = max(threshold, 2)
     SALT = 16
     band_f = (F.length(F.col(name_col)) / W).cast("long")
     a = df.select(
@@ -79,7 +82,7 @@ def blocked_fuzzy_pairs(
         band_f.alias("f_a"),
     ).select(
         "*", F.explode(F.array(F.col("f_a"), F.col("f_a") + 1)).alias("band")
-    ).withColumn("salt", F.pmod(F.col("key_a"), F.lit(SALT)))
+    ).withColumn("salt", F.pmod(F.hash("key_a"), F.lit(SALT)))  # hash: key may be a string
     b = df.select(
         F.col(key_col).alias("key_b"),
         F.col(name_col).alias("name_b"),

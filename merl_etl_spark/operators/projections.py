@@ -119,7 +119,8 @@ def proj_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
              l_discount, l_tax
       FROM lineitem WHERE l_orderkey <= 500
     )
-    UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    UNPIVOT INCLUDE NULLS
+    (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
     """,
 )
 def proj_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,7 +134,11 @@ def proj_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     per input row with NO shuffle and no data copy beyond the projected
     measures; column pruning still reaches the scan (only the 6 referenced
     columns are read).  Values pass through untouched (all four measures
-    are already double), so cross-engine equality is bit-trivial."""
+    are already double), so cross-engine equality is bit-trivial.
+    NULL measures are KEPT as rows (Spark's unpivot semantics); the
+    oracle says INCLUDE NULLS explicitly because DuckDB's UNPIVOT drops
+    them by default — a divergence that would surface on the first
+    fixture with a NULL measure (review r6c finding)."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") <= 500)

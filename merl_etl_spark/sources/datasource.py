@@ -772,18 +772,27 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
     micro-batch granularity instead of the row granularity."""
 
     def __init__(self, options):
+        import os as _os
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("merl-jsonlog requires option('path', ...)")
+        # FIXED staging path — no per-instance uuid and NO init-time sweep:
+        # Spark re-instantiates the writer in a separate commit-runner
+        # process, so any state created in __init__ (or cleanup done here)
+        # must be identical across instances; an instance-scoped dir made
+        # the commit instance sweep the task instances' freshly staged
+        # parts (review r6c follow-up).  Orphan cleanup happens in
+        # commit(), after the batch is durably published.
+        self.staging = _os.path.join(self.path, "_staging")
 
     def write(self, iterator):
         import json as _json
         import os as _os
         import uuid as _uuid
 
-        staging = _os.path.join(self.path, "_staging")
-        _os.makedirs(staging, exist_ok=True)
-        part = _os.path.join(staging, f"part-{_uuid.uuid4().hex}.jsonl")
+        _os.makedirs(self.staging, exist_ok=True)
+        part = _os.path.join(self.staging, f"part-{_uuid.uuid4().hex}.jsonl")
         n = 0
         with open(part, "w") as fh:
             for row in iterator:
@@ -792,27 +801,35 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
         return LoggedPart(part, n)
 
     def commit(self, messages, batchId) -> None:
+        """Finalize atomically: assemble the batch in a temp dir, then ONE
+        os.rename publishes it.  A crash at any point leaves either no
+        batch dir (replay re-stages and re-commits everything) or the
+        complete one (replay is absorbed) — never a partial batch that a
+        replay would mistake for durable (review r6c finding: the earlier
+        makedirs-then-move-parts sequence lost rows if the driver died
+        mid-move and the replay saw the half-full dir)."""
         import os as _os
+        import shutil as _shutil
 
         batch_dir = _os.path.join(self.path, f"batch={batchId}")
-        if _os.path.isdir(batch_dir):
-            # replayed epoch: the batch is already durable — drop the
-            # re-staged parts instead of double-writing
-            for m in messages:
+        if not _os.path.isdir(batch_dir):
+            tmp = batch_dir + ".inprogress"
+            _shutil.rmtree(tmp, ignore_errors=True)
+            _os.makedirs(tmp)
+            for i, m in enumerate(messages):
                 if m and _os.path.exists(m.path):
-                    _os.remove(m.path)
-            return
-        _os.makedirs(batch_dir)
-        for i, m in enumerate(messages):
-            if m and _os.path.exists(m.path):
-                _os.replace(m.path, _os.path.join(batch_dir, f"part-{i:05d}.jsonl"))
+                    _os.replace(m.path, _os.path.join(tmp, f"part-{i:05d}.jsonl"))
+            _os.rename(tmp, batch_dir)  # the atomic publish
+        # replayed epoch or success: anything still in staging is garbage —
+        # parts from failed/speculative tasks the driver never heard about,
+        # or a replay's re-staged copies.  Batches execute sequentially, so
+        # nothing live can be staging here.
+        _shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages, batchId) -> None:
-        import os as _os
+        import shutil as _shutil
 
-        for m in messages:
-            if m and _os.path.exists(m.path):
-                _os.remove(m.path)
+        _shutil.rmtree(self.staging, ignore_errors=True)
 
 
 class JsonLogStreamDataSource(DataSource):

@@ -42,8 +42,18 @@ def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
     # stable digest, NOT hash(): PYTHONHASHSEED randomizes str hashes per
     # process, which would grow a fresh fixture dir on every run
     import hashlib
+    import os as _os
+    import shutil
+    import uuid
 
     out = "/tmp/merl_jsonl_fixture/" + hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    if _os.path.isdir(out):
+        # another process already built this generation — reuse, never
+        # overwrite in place (an overwrite deletes the dir under a
+        # concurrent reader's lazy scan; review r6c finding)
+        _FIXTURE_CACHE[key] = out
+        return out
+    tmp = f"{out}.build-{uuid.uuid4().hex}"
     events = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") < JSONL_LIMIT
     )
@@ -56,8 +66,12 @@ def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
             .alias("value")
         )
         .write.mode("overwrite")
-        .text(out)
+        .text(tmp)
     )
+    try:
+        _os.rename(tmp, out)  # atomic publish; loser of a race cleans up
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
     _FIXTURE_CACHE[key] = out
     return out
 

@@ -37,7 +37,7 @@ def test_stream_writer_writes_all_rows_exactly_once(spark, sf_dir, tmp_path):
     rows = _rows_written(out)
     assert len(rows) == want
     assert len({r["event_id"] for r in rows}) == want
-    # no orphaned staging parts after commit
+    # no orphaned staging dirs after commit (per-writer staging swept)
     assert not glob.glob(os.path.join(out, "_staging", "*"))
 
 
@@ -63,3 +63,4 @@ def test_stream_writer_replay_is_idempotent(spark, sf_dir, tmp_path):
     rows = _rows_written(out)
     assert len(rows) == want, "replayed epoch must not double-write"
     assert not glob.glob(os.path.join(out, "_staging", "*"))
+    assert not glob.glob(os.path.join(out, "batch=*.inprogress"))

@@ -176,3 +176,33 @@ def test_explorer_status1_with_malformed_result_raises():
         parse_explorer_payload({"status": "1", "result": {"proxy": "dict"}})
     with pytest.raises(ExplorerError):
         parse_explorer_payload({"status": "1", "result": "backend unavailable"})
+
+
+# ---------------------------------------------------------------------------
+# round-6 continuation review findings
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_pairs_threshold_above_two_is_sound(spark):
+    """W must scale with threshold: edit distance 3 with a length gap of 3
+    (lengths 5 vs 8) must still be found when threshold=3 — the hardcoded
+    W=2 silently dropped this pair (bands disjoint)."""
+    from merl_etl_spark.operators.linkage import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abcde", "B"), (2, "abcdexyz", "B")], "k long, nm string, blk string"
+    )
+    got = blocked_fuzzy_pairs(df, "k", "nm", "blk", threshold=3).collect()
+    assert len(got) == 1 and got[0]["edit_dist"] == 3
+
+
+def test_fuzzy_pairs_string_keys_produce_pairs(spark):
+    """Salting must hash the key, not numerically cast it: with string
+    keys, pmod(key, 16) was NULL and every pair silently vanished."""
+    from merl_etl_spark.operators.linkage import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [("SYM_A", "hello", "B"), ("SYM_B", "hallo", "B")],
+        "k string, nm string, blk string",
+    )
+    got = blocked_fuzzy_pairs(df, "k", "nm", "blk").collect()
+    assert len(got) == 1 and got[0]["key_a"] == "SYM_A"
