@@ -141,6 +141,12 @@ def test_try_int_parses_or_defaults(spark, raws):
                 continue
         except (ValueError, TypeError):
             expected = -99
-        if raw is not None and raw.strip() != raw and raw.strip().lstrip("+-").isdigit():
-            continue  # whitespace-tolerant parses may differ; out of contract
+        # Spark's string→number cast trims EVERY ASCII char <= 0x20
+        # (controls included, e.g. '0\x1b' parses as 0), wider than
+        # Python's str.strip() — such inputs are out of the contract
+        # (hypothesis-found: the old str.strip() model missed \x1b)
+        spark_ws = "".join(chr(c) for c in range(0x21))
+        trimmed = raw.strip(spark_ws) if raw is not None else raw
+        if raw is not None and trimmed != raw and trimmed.lstrip("+-").isdigit():
+            continue
         assert r.v == expected, f"try_int({raw!r}) = {r.v}, expected {expected}"
