@@ -116,6 +116,8 @@ HEADLINE = [
     "link-golden-record",
     "join-asof-keyed",
     "analytics-disjunctive-filter",
+    "fn-regex-suite",
+    "dq-sequence-gaps",
 ]
 
 

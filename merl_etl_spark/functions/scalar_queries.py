@@ -191,3 +191,39 @@ def fn_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("wallet", F.col("c_custkey")), ("txs", F.col("c_nationkey"))
         ).alias("stats_json"),
     )
+
+
+@register(
+    "fn-regex-suite",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_words,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           regexp_matches(p_name, '^[a-z]+( [a-z]+)*$') AS only_lower_words,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS vowels_masked,
+           CAST(len(string_split_regex(p_name, ' +')) AS INT) AS n_tokens
+    FROM part
+    WHERE p_partkey <= 500
+    """,
+)
+def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar suite over part names: first capture, capture-group
+    selection, global replacement, full-string match, and match/token
+    counting — the extraction toolkit semi-structured columns need,
+    checked cross-engine (Java regex vs DuckDB RE2; the patterns here
+    deliberately stay in the common subset — no \\s classes, whose
+    engine-specific membership already bit dedup-normalized).  Counting
+    uses the SIZE of extract-all rather than emitting the array itself,
+    because the driver canonicalization cannot hash array cells
+    (fn-vector-quantize precedent).  Pure map — no shuffle."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.size(F.expr(r"regexp_extract_all(p_name, '[a-z]+', 0)")).alias("n_words"),
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.expr(r"p_name RLIKE '^[a-z]+( [a-z]+)*$'").alias("only_lower_words"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("vowels_masked"),
+        F.size(F.split("p_name", " +")).alias("n_tokens"),
+    )

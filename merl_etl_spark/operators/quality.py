@@ -397,3 +397,74 @@ def agg_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("releasable")
         .alias("recommendation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq-sequence-gaps — dropped-record detection over a monotone id stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq-sequence-gaps",
+    oracle="""
+    WITH kept AS (
+      SELECT event_id FROM events WHERE event_type <> 'error'
+    ),
+    gaps AS (
+      SELECT lag(event_id) OVER (ORDER BY event_id) AS prev_id, event_id
+      FROM kept
+    )
+    SELECT prev_id + 1 AS gap_start,
+           event_id - 1 AS gap_end,
+           event_id - prev_id - 1 AS gap_len
+    FROM gaps
+    WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    """,
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection: contiguous missing-id ranges in a monotone
+    stream (here: event_ids surviving an error filter) — the standard
+    completeness audit for ingestion pipelines keyed by block height /
+    offset / auto-increment id, answering "which records did we drop and
+    how many" as exact ranges rather than a lone count.
+
+    Scale shape: NOT a global-order lag (a single-partition sort of the
+    whole id domain).  Ids are range-bucketed; the in-bucket lag window
+    partitions by bucket (parallel, bounded), and the seams between
+    non-empty buckets are checked on the per-bucket min/max SUMMARY —
+    one row per bucket, the bounded-carry pattern the as-of join and
+    curate-shuffle-index already pin; only that summary sees a global
+    window.  The oracle states the spec as the simple global lag —
+    results are identical because every gap lies either inside one
+    bucket or between two adjacent non-empty buckets."""
+    from pyspark.sql.window import Window
+
+    RANGE = 1024
+    kept = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") != "error"
+    ).select("event_id", (F.col("event_id") - F.pmod("event_id", RANGE)).alias("bucket"))
+
+    w_in = Window.partitionBy("bucket").orderBy("event_id")
+    in_gaps = (
+        kept.withColumn("prev_id", F.lag("event_id").over(w_in))
+        .filter(F.col("prev_id").isNotNull() & (F.col("event_id") - F.col("prev_id") > 1))
+        .select(
+            (F.col("prev_id") + 1).alias("gap_start"),
+            (F.col("event_id") - 1).alias("gap_end"),
+            (F.col("event_id") - F.col("prev_id") - 1).alias("gap_len"),
+        )
+    )
+    summary = kept.groupBy("bucket").agg(
+        F.min("event_id").alias("min_id"), F.max("event_id").alias("max_id")
+    )
+    w_seam = Window.orderBy("bucket")  # bounded: one row per non-empty bucket
+    seam_gaps = (
+        summary.withColumn("prev_max", F.lag("max_id").over(w_seam))
+        .filter(F.col("prev_max").isNotNull() & (F.col("min_id") - F.col("prev_max") > 1))
+        .select(
+            (F.col("prev_max") + 1).alias("gap_start"),
+            (F.col("min_id") - 1).alias("gap_end"),
+            (F.col("min_id") - F.col("prev_max") - 1).alias("gap_len"),
+        )
+    )
+    return in_gaps.unionByName(seam_gaps)

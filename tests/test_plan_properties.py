@@ -145,6 +145,9 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # bucket-offset running sum over the ≤256-row bucket-count summary
     # (curation_ext.curate_shuffle_index) — the bounded-carry pattern
     "curate-shuffle-index": 1,
+    # seam lag over the one-row-per-bucket min/max summary (quality.py
+    # dq_sequence_gaps) — same bounded-carry pattern
+    "dq-sequence-gaps": 1,
 }
 
 
