@@ -50,7 +50,9 @@ from merl_etl_spark.sources.tables import load_table
     oracle=f"""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
-             count(*) AS n, round(avg(value), 6) AS avg_value
+             count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_value
       FROM events GROUP BY 1, 2
     ),
     span AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
@@ -79,14 +81,21 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keyed agg → one row per series → sequence+explode), so spine size
     is Σ series-lengths, never max-span × n-series.  The forward fill is
     a per-series window (`last(ignorenulls=True)`) — partitioned, never
-    global.  Averages are rounded to 6 dp *before* the fill so the
-    filled copies are bit-identical across engines."""
+    global.  The hourly average is an EXACT decimal sum divided once as
+    doubles — the original ``round(avg(value), 6)`` was doubly
+    nondeterministic: double sums depend on partition order, and Spark's
+    round half-ups the shortest decimal REPR while DuckDB rounds the
+    binary value (an sf0.1 full sweep caught a tie flipping; PERF.md
+    "sf0.1 oracle sweep")."""
     events = load_table(spark, sf_dir, "events")
     hourly = (
         events.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_value"),
         )
     )
     spine = (
@@ -126,7 +135,7 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type,
            strftime(ts, '{TS_FMT_DUCK}') AS ts_str,
            count(*) OVER w AS mov_n,
-           round(sum(value) OVER w, 6) AS mov_sum
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS mov_sum
     FROM events
     WINDOW w AS (PARTITION BY event_type
                  ORDER BY CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT)
@@ -143,8 +152,10 @@ def ts_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per run" to "one trailing aggregate per event".  The window is
     partitioned by series; Spark evaluates RANGE frames with a
     two-pointer pass over each sorted partition — O(series length), no
-    frame re-scan.  Sums are rounded to 6 dp (frame summation order is
-    engine-specific at the last ulp)."""
+    frame re-scan.  Frame sums are EXACT decimals cast to double at the
+    boundary — the earlier round(double-sum, 6) depended on engine
+    summation order right at rounding ties (the gap-fill sf0.1 finding,
+    fixed here proactively)."""
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
@@ -156,7 +167,7 @@ def ts_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
         F.count(F.lit(1)).over(w).alias("mov_n"),
-        F.round(F.sum("value").over(w), 6).alias("mov_sum"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("mov_sum"),
     )
 
 
@@ -373,8 +384,9 @@ TREND_ORIGIN = "2024-01-01 00:00:00"
     oracle=f"""
     WITH x AS (
       SELECT event_type,
-             CAST(CAST(epoch_us(ts) - epoch_us(TIMESTAMP '{TREND_ORIGIN}') AS DOUBLE)
-                  / 3600000000.0 AS DECIMAL(18,6)) AS xh,
+             CAST(CAST((epoch_us(ts) - epoch_us(TIMESTAMP '{TREND_ORIGIN}') + 1800)
+                       // 3600 AS DECIMAL(18,6))
+                  * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS xh,
              CAST(value AS DECIMAL(18,6)) AS y
       FROM events
     ),
@@ -422,13 +434,21 @@ def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     extends to any moment-expressible statistic (variance, covariance,
     correlation, polynomial fits via Vandermonde sums)."""
     events = load_table(spark, sf_dir, "events")
-    xh = (
-        (
-            F.unix_micros(F.col("ts").cast("timestamp"))
-            - F.unix_micros(F.lit(TREND_ORIGIN).cast("timestamp"))
-        ).cast("double")
-        / 3.6e9
-    ).cast("decimal(18,6)")
+    # xh (hours at 6 dp) is quantized with INTEGER arithmetic —
+    # (us + 1800) div 3600 yields half-up microunits-of-hours, identical
+    # on both engines.  The earlier double-division + decimal cast
+    # flipped on rounding ties: Spark's double→decimal cast half-ups the
+    # SHORTEST DECIMAL REPR while DuckDB rounds the true binary value,
+    # and an sf0.1 sweep found 14 event timestamps landing exactly on
+    # the "…45" repr boundary (PERF.md "sf0.1 oracle sweep").  The
+    # microunit integer is rebuilt into DECIMAL(18,6) by an exact
+    # decimal multiply (never a decimal division, which DuckDB lowers
+    # to double).
+    xh = F.expr(
+        f"CAST(CAST((unix_micros(CAST(ts AS TIMESTAMP)) "
+        f"- unix_micros(CAST('{TREND_ORIGIN}' AS TIMESTAMP)) + 1800) DIV 3600 "
+        f"AS DECIMAL(18,6)) * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))"
+    )
     x = events.select(
         "event_type", xh.alias("xh"), F.col("value").cast("decimal(18,6)").alias("y")
     )
