@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from merl_etl_spark.operators.aggregates import dec_sum
 from merl_etl_spark.operators.joins import TS_FMT_DUCK, TS_FMT_SPARK
 from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
@@ -52,7 +53,7 @@ from merl_etl_spark.sources.tables import load_table
       SELECT event_type, date_trunc('hour', ts) AS h,
              count(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-               / CAST(count(*) AS DOUBLE) AS avg_value
+               / CAST(count(value) AS DOUBLE) AS avg_value
       FROM events GROUP BY 1, 2
     ),
     span AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
@@ -92,9 +93,11 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(
             F.count(F.lit(1)).alias("n"),
+            # divide by count(value): avg semantics ignore NULLs, count(*)
+            # would silently shrink the mean on nullable data (review)
             (
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)).cast("double")
+                dec_sum(F.col("value")).cast("double")
+                / F.count("value").cast("double")
             ).alias("avg_value"),
         )
     )
@@ -384,8 +387,9 @@ TREND_ORIGIN = "2024-01-01 00:00:00"
     oracle=f"""
     WITH x AS (
       SELECT event_type,
-             CAST(CAST((epoch_us(ts) - epoch_us(TIMESTAMP '{TREND_ORIGIN}') + 1800)
-                       // 3600 AS DECIMAL(18,6))
+             CAST(CAST(((epoch_us(ts) - epoch_us(TIMESTAMP '{TREND_ORIGIN}') + 1800)
+                        - ((((epoch_us(ts) - epoch_us(TIMESTAMP '{TREND_ORIGIN}') + 1800)
+                             % 3600) + 3600) % 3600)) // 3600 AS DECIMAL(18,6))
                   * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS xh,
              CAST(value AS DECIMAL(18,6)) AS y
       FROM events
@@ -435,8 +439,8 @@ def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation, polynomial fits via Vandermonde sums)."""
     events = load_table(spark, sf_dir, "events")
     # xh (hours at 6 dp) is quantized with INTEGER arithmetic —
-    # (us + 1800) div 3600 yields half-up microunits-of-hours, identical
-    # on both engines.  The earlier double-division + decimal cast
+    # floor((us + 1800) / 3600) yields half-up (toward +inf) microunits
+    # of hours for deltas of EITHER sign, identical on both engines.  The earlier double-division + decimal cast
     # flipped on rounding ties: Spark's double→decimal cast half-ups the
     # SHORTEST DECIMAL REPR while DuckDB rounds the true binary value,
     # and an sf0.1 sweep found 14 event timestamps landing exactly on
@@ -444,9 +448,14 @@ def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # microunit integer is rebuilt into DECIMAL(18,6) by an exact
     # decimal multiply (never a decimal division, which DuckDB lowers
     # to double).
+    # floor (via pmod), not DIV: truncation-toward-zero would bias
+    # pre-origin (negative-delta) timestamps toward zero instead of
+    # rounding half-up on the same grid as positive ones (review)
     xh = F.expr(
         f"CAST(CAST((unix_micros(CAST(ts AS TIMESTAMP)) "
-        f"- unix_micros(CAST('{TREND_ORIGIN}' AS TIMESTAMP)) + 1800) DIV 3600 "
+        f"- unix_micros(CAST('{TREND_ORIGIN}' AS TIMESTAMP)) + 1800 "
+        f"- pmod(unix_micros(CAST(ts AS TIMESTAMP)) "
+        f"- unix_micros(CAST('{TREND_ORIGIN}' AS TIMESTAMP)) + 1800, 3600)) DIV 3600 "
         f"AS DECIMAL(18,6)) * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))"
     )
     x = events.select(

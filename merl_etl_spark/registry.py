@@ -39,7 +39,11 @@ ORACLES: dict[str, str] = {}
 SWEEP_PRIORITY: list[str] = [
     # -- tier 1: code churned in round 6 (capped_bucket_pairs now backs
     #    every LSH pair expansion; IVF probes moved in-engine; nearest
-    #    as-of fused into a single bucketed pass) ------------------------
+    #    as-of fused into a single bucketed pass; the ts determinism
+    #    fixes from the sf0.1 sweep go FIRST — churn outranks everything)
+    "ts-gap-fill",              # REWRITTEN avg: exact decimal sum / count(value)
+    "ts-moving-stats",          # REWRITTEN frame sum: exact decimal, no round
+    "ts-linear-trend",          # REWRITTEN quantization: integer floor grid
     "join-asof-nearest",        # REWRITTEN: fused single-pass composition
     "dedup-minhash-lsh",        # refactored onto capped_bucket_pairs
     "dedup-embedding-cosine",   # multi-table join now bucket-capped
@@ -76,8 +80,10 @@ SWEEP_PRIORITY: list[str] = [
     "filter-blockrange", "filter-eq-token", "filter-nonnull-fields",
     "proj-normalize",
     "sim-topk-cosine",
-    "text-langid", "text-tokens", "text-quality", "text-ngram-counts",
-    "text-pii-scrub", "text-fingerprint",
+    "text-langid", "text-tokens", "text-quality",
+    # (text-ngram-counts / text-pii-scrub / text-fingerprint displaced to
+    # the head of SWEEP_DEFER by the three churned ts-* entries above —
+    # their r4 greens are stale but their code is untouched)
 ]
 
 # Budget triage (review r6): never-driver-checked queries outrank
@@ -89,13 +95,16 @@ SWEEP_PRIORITY: list[str] = [
 # immediately after the prioritized block (positions 51-54) and MUST
 # lead the r7 sweep.
 SWEEP_DEFER: list[str] = [
+    "text-ngram-counts", "text-pii-scrub", "text-fingerprint",
     "fn-string-suite", "fn-format-suite", "fn-json-suite",
     "sample-hash-split",
     # late-round-6 additions that did not fit the budget either — never
     # driver-checked yet (locally hash-green at sf0.001+sf0.01); they and
     # the four above are the r7 tier-1 block:
     "analytics-funnel", "dedup-paragraph", "cdc-scd2-history",
-    "ts-gap-fill", "ts-moving-stats", "ts-twap", "analytics-retention-cohort",
+    # (ts-gap-fill / ts-moving-stats / ts-linear-trend promoted to
+    # tier 1 of SWEEP_PRIORITY after the sf0.1-sweep rewrites)
+    "ts-twap", "analytics-retention-cohort",
     "graph-pagerank", "link-fuzzy-match", "text-lm-score",
     "stream-session-window",
     # continuation-session round-6 additions (same status: locally
@@ -107,7 +116,7 @@ SWEEP_DEFER: list[str] = [
     "fn-url-suite", "curate-url-dedup", "join-asof-tolerance",
     "win-streak", "curate-semdedup-keep",
     "analytics-market-share", "analytics-small-qty-revenue",
-    "analytics-customer-distribution", "proj-unpivot", "ts-linear-trend",
+    "analytics-customer-distribution", "proj-unpivot",
     "agg-mv-merge", "text-bpe-step", "dedup-normalized",
     "src-jsonl-corrupt", "agg-k-anonymity", "link-golden-record",
     "join-asof-keyed", "analytics-disjunctive-filter",

@@ -206,3 +206,37 @@ def test_fuzzy_pairs_string_keys_produce_pairs(spark):
     )
     got = blocked_fuzzy_pairs(df, "k", "nm", "blk").collect()
     assert len(got) == 1 and got[0]["key_a"] == "SYM_A"
+
+
+def test_trend_quantization_floors_pre_origin_deltas(spark):
+    """xh grid must be floor-based (half-up toward +inf) for BOTH signs:
+    a timestamp 5399 µs BEFORE the origin lies nearer the -0.000001 grid
+    point — truncation toward zero would pin it to 0.000000."""
+    import datetime as dt
+
+    from merl_etl_spark.operators.timeseries import TREND_ORIGIN
+    import merl_etl_spark.operators.timeseries as ts
+    from pyspark.sql import functions as F
+
+    origin = dt.datetime.fromisoformat(TREND_ORIGIN)
+    rows = [
+        (1, origin - dt.timedelta(microseconds=5399)),   # → -1 µunit
+        (2, origin - dt.timedelta(microseconds=1800)),   # tie → 0 (half-up)
+        (3, origin + dt.timedelta(microseconds=1800)),   # tie → +1 (half-up)
+        (4, origin + dt.timedelta(microseconds=5399)),   # → +1 µunit
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    xh = F.expr(
+        f"CAST(CAST((unix_micros(CAST(ts AS TIMESTAMP)) "
+        f"- unix_micros(CAST('{TREND_ORIGIN}' AS TIMESTAMP)) + 1800 "
+        f"- pmod(unix_micros(CAST(ts AS TIMESTAMP)) "
+        f"- unix_micros(CAST('{TREND_ORIGIN}' AS TIMESTAMP)) + 1800, 3600)) DIV 3600 "
+        f"AS DECIMAL(18,6)) * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))"
+    )
+    got = {r["event_id"]: str(r["x"]) for r in df.select("event_id", xh.alias("x")).collect()}
+    assert got == {
+        1: "-0.000001",
+        2: "0.000000",
+        3: "0.000001",
+        4: "0.000001",
+    }, got

@@ -24,11 +24,15 @@ from tests.oracle_check import compare, duck_run  # noqa: E402
 
 
 def main() -> int:
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
     sf_dirs = sys.argv[1:] or [
-        "/root/testdata/sf0.001",
-        "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1",
+        os.path.join(base, d) for d in ("sf0.001", "sf0.01", "sf0.1")
     ]
+    missing = [d for d in sf_dirs if not os.path.isdir(d)]
+    if missing:
+        print(f"fixture dirs not found: {missing} "
+              f"(set SPARK_GRAFT_TESTDATA or pass dirs as args)")
+        return 2
     registry.load_all()
     spark = get_spark("oracle_sweep")
     fails: list[tuple[str, str]] = []
