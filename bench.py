@@ -118,6 +118,7 @@ HEADLINE = [
     "analytics-disjunctive-filter",
     "fn-regex-suite",
     "dq-sequence-gaps",
+    "win-frame-suite",
 ]
 
 

@@ -259,3 +259,52 @@ def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_streaks",
         "n_active_days",
     )
+
+
+@register(
+    "win-frame-suite",
+    oracle=f"""
+    SELECT event_id, event_type,
+           strftime(ts, '{TS_FMT_DUCK}') AS ts_str,
+           first_value(event_id) OVER w3 AS first_in_frame,
+           nth_value(event_id, 2) OVER w3 AS second_in_frame,
+           last_value(event_id) OVER w3 AS last_in_frame,
+           round(percent_rank() OVER wfull, 9) AS pct_rank,
+           round(cume_dist() OVER wfull, 9) AS cum_dist
+    FROM events
+    WHERE event_id < 5000
+    WINDOW
+      w3 AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      wfull AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """,
+)
+def win_frame_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame function suite: first/nth/last value over an explicit
+    trailing 3-row frame plus the distribution functions
+    (percent_rank, cume_dist) over the full partition — the §2.F frame
+    vocabulary win-analytic-suite's lag/lead/ntile rows don't cover.
+
+    All windows partition by series with a total (ts, event_id) order,
+    so frame contents are deterministic; the distribution ratios are
+    rounded to 9 dp on both engines (they are small-integer ratios —
+    (rank-1)/(n-1) — whose double quotients are already bit-identical,
+    the round is belt-and-braces for the n-1 division).  Frames are
+    linear two-pointer passes per partition — no re-scan per row."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    w3 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    wfull = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        F.first("event_id").over(w3).alias("first_in_frame"),
+        F.nth_value("event_id", 2).over(w3).alias("second_in_frame"),
+        F.last("event_id").over(w3).alias("last_in_frame"),
+        F.round(F.percent_rank().over(wfull), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(wfull), 9).alias("cum_dist"),
+    )

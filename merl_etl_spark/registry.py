@@ -120,7 +120,7 @@ SWEEP_DEFER: list[str] = [
     "agg-mv-merge", "text-bpe-step", "dedup-normalized",
     "src-jsonl-corrupt", "agg-k-anonymity", "link-golden-record",
     "join-asof-keyed", "analytics-disjunctive-filter",
-    "fn-regex-suite", "dq-sequence-gaps",
+    "fn-regex-suite", "dq-sequence-gaps", "win-frame-suite",
 ]
 
 
