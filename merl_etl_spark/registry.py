@@ -37,90 +37,69 @@ ORACLES: dict[str, str] = {}
 # Queries NOT listed here keep their module registration order and fill the
 # remaining budget.  Update per round: move anything you modify into tier 1.
 SWEEP_PRIORITY: list[str] = [
-    # -- tier 1: code churned in round 6 (capped_bucket_pairs now backs
-    #    every LSH pair expansion; IVF probes moved in-engine; nearest
-    #    as-of fused into a single bucketed pass; the ts determinism
-    #    fixes from the sf0.1 sweep go FIRST — churn outranks everything)
-    "ts-gap-fill",              # REWRITTEN avg: exact decimal sum / count(value)
-    "ts-moving-stats",          # REWRITTEN frame sum: exact decimal, no round
-    "ts-linear-trend",          # REWRITTEN quantization: integer floor grid
-    "join-asof-nearest",        # REWRITTEN: fused single-pass composition
-    "dedup-minhash-lsh",        # refactored onto capped_bucket_pairs
-    "dedup-embedding-cosine",   # multi-table join now bucket-capped
-    "sim-lsh-bucketed",         # single-table join now bucket-capped
-    "dedup-containment",        # rides the refactored LSH candidates
-    "dedup-ngram-jaccard",      # rides the refactored LSH candidates
-    "dedup-clusters",           # consumes the refactored pair list
-    # -- tier 2: first-ever hash oracle (rows-only through r5) -----------
-    "agg-approx-sketches",      # exact values + error-bound booleans
-    "sim-topk-pandas",          # 6-dp rounded kernel, full hash compare
-    # -- tier 2b: new in round 6 -----------------------------------------
-    "dedup-embedding-clusters",  # semantic-dedup components + keepers
-    "fn-vector-quantize",        # uint8 scalar quantization summary
-    "dedup-incremental-near",    # batch-vs-corpus LSH near-dup probe
-    "profile-columns",           # single-pass per-column profiler
-    "profile-histogram",         # equi-width value histogram
-    "layout-zorder",             # Morton-code layout bounding boxes
-    "text-tfidf",                # per-doc top-k TF-IDF terms
-    "text-bm25",                 # BM25 probe-query ranking
-    "dq-expectations",           # one-scan expectation-rule suite
-    "agg-anomaly-zscore",        # per-type 3-sigma outlier flags
-    "agg-hll-merge",             # mergeable-sketch rollup contract
-    "text-hybrid-rrf",           # RRF fusion of BM25 + tf arms
-    "agg-exact-quantiles",       # cross-engine percentile_disc parity
-    "join-salted-skew",          # salted join ≡ plain join hash proof
-    # -- tier 3: latest driver green is round 4 --------------------------
-    "text-chunking", "curate-pipeline",
-    "dedup-exact", "dedup-simhash", "dedup-simhash-pairs",
-    "text-decontaminate", "text-repetition", "curate-source-cap",
-    "join-latest-bucket", "sql-api-top100", "setop-union-intersect-except",
-    "sort-source-asc",
-    "fn-numeric-suite", "fn-datetime-suite",
-    "uint256-exact-sum", "uint256-exact-scale",
-    "filter-blockrange", "filter-eq-token", "filter-nonnull-fields",
-    "proj-normalize",
-    "sim-topk-cosine",
-    "text-langid", "text-tokens", "text-quality",
-    # (text-ngram-counts / text-pii-scrub / text-fingerprint displaced to
-    # the head of SWEEP_DEFER by the three churned ts-* entries above —
-    # their r4 greens are stale but their code is untouched)
-]
-
-# Budget triage (review r6): never-driver-checked queries outrank
-# stale-green ones, so the four tier-3 entries with the strongest
-# non-driver evidence — the scalar fn-suites (hypothesis-tested
-# expression libraries, untouched since their r4 green) and
-# sample-hash-split (property-tested, untouched) — are deliberately
-# deferred past the 50-slot budget this round.  They register
-# immediately after the prioritized block (positions 51-54) and MUST
-# lead the r7 sweep.
-SWEEP_DEFER: list[str] = [
-    "text-ngram-counts", "text-pii-scrub", "text-fingerprint",
-    "fn-string-suite", "fn-format-suite", "fn-json-suite",
-    "sample-hash-split",
-    # late-round-6 additions that did not fit the budget either — never
-    # driver-checked yet (locally hash-green at sf0.001+sf0.01); they and
-    # the four above are the r7 tier-1 block:
+    # ROUND 7 = consolidation (VERDICT r6 "Next round" #1): the 39 queries
+    # that have never had a driver CORRECTNESS row, plus sim-ivf-ann
+    # (rows-only, last row r4) and the 7 stale-r4 greens, fill the budget.
+    # NO new queries enter ahead of this block.
+    #
+    # -- tier 1: never driver-checked AND code churned in round 7 --------
+    "link-fuzzy-match",          # linkage prefilter (VERDICT r6 task #2)
+    "link-golden-record",        # rides the same blocked_fuzzy_pairs
+    "win-frame-suite",           # ADVICE r6: drop round() tie risk
+    "analytics-market-share",    # ADVICE r6: NULLIF denominator guard
+    "src-jsonl-corrupt",         # ADVICE r6: fixture cache-key fix
+    # -- tier 1b: driver-green r6 but code churned in round 7 ------------
+    "sim-topk-pandas",           # query side generalized to a DataFrame
+    # -- tier 2: never driver-checked (round-6 extension tiers) ----------
     "analytics-funnel", "dedup-paragraph", "cdc-scd2-history",
-    # (ts-gap-fill / ts-moving-stats / ts-linear-trend promoted to
-    # tier 1 of SWEEP_PRIORITY after the sf0.1-sweep rewrites)
     "ts-twap", "analytics-retention-cohort",
-    "graph-pagerank", "link-fuzzy-match", "text-lm-score",
-    "stream-session-window",
-    # continuation-session round-6 additions (same status: locally
-    # hash-green at sf0.001+sf0.01, never driver-checked):
+    "graph-pagerank", "text-lm-score", "stream-session-window",
     "agg-countmin", "agg-heavy-hitters", "ts-ohlc-bars",
     "win-cumulative-distinct", "graph-triangles",
     "join-interval-overlap", "curate-shuffle-index",
     "analytics-basket-affinity", "profile-dataset-card", "sim-knn-graph",
     "fn-url-suite", "curate-url-dedup", "join-asof-tolerance",
     "win-streak", "curate-semdedup-keep",
-    "analytics-market-share", "analytics-small-qty-revenue",
-    "analytics-customer-distribution", "proj-unpivot",
-    "agg-mv-merge", "text-bpe-step", "dedup-normalized",
-    "src-jsonl-corrupt", "agg-k-anonymity", "link-golden-record",
-    "join-asof-keyed", "analytics-disjunctive-filter",
-    "fn-regex-suite", "dq-sequence-gaps", "win-frame-suite",
+    "analytics-small-qty-revenue", "analytics-customer-distribution",
+    "proj-unpivot", "agg-mv-merge", "text-bpe-step", "dedup-normalized",
+    "agg-k-anonymity", "join-asof-keyed", "analytics-disjunctive-filter",
+    "fn-regex-suite", "dq-sequence-gaps",
+    # -- tier 2b: rows-only op, last driver row r4 -----------------------
+    "sim-ivf-ann",
+    # -- tier 3: latest driver green is round 4 (code untouched since;
+    #    hypothesis properties green every round) -----------------------
+    "text-ngram-counts", "text-pii-scrub", "text-fingerprint",
+    "fn-string-suite", "fn-format-suite", "fn-json-suite",
+    "sample-hash-split",
+]
+
+# Budget triage (round 7): the prioritized block is 48 entries, so the
+# first ~2 SWEEP_DEFER entries land in the driver's ~50-slot budget as
+# churn insurance.  The defer list is the round-8 priority seed: all 48
+# r5-latest-green queries, which will be two rounds stale by then —
+# numerically sensitive window/as-of suites lead so they pick up this
+# round's spare slots.
+SWEEP_DEFER: list[str] = [
+    "win-analytic-suite", "join-asof-blocktime",
+    "win-sessionize", "join-asof", "join-asof-forward",
+    "join-range-interval", "agg-conditional-flow",
+    "agg-conditional-flow-coalesce", "agg-pivot", "agg-rollup", "agg-cube",
+    "agg-max-scalar", "agg-count-rows", "agg-scalar-rollup",
+    "agg-greatest-rowwise", "agg-running-max",
+    "cdc-snapshot-diff", "dedup-incremental",
+    "analytics-pricing-summary", "analytics-shipping-priority",
+    "analytics-regional-volume",
+    "join-cross-1row", "join-semi-top100", "join-outer-anti",
+    "win-rank-top100", "sort-topk-rank100", "plan-top100-derive",
+    "sort-limit-top10", "sort-movers-multi", "filter-time-window",
+    "stream-tumbling-6h", "stream-sliding-60m", "stream-cursor-resume",
+    "sink-upsert-holders", "sink-insert-ignore-tx", "sink-upsert-cursor",
+    "sink-view", "fn-vector-suite",
+    "src-datasource-paged", "src-blockcursor-replay",
+    "mm-binary-meta", "mm-frame-sample", "mm-resize-plan",
+    "mm-feature-extract",
+    "curate-token-pack", "sample-stratified", "curate-mixture-weights",
+    "curate-corpus-pipeline",
 ]
 
 
