@@ -550,7 +550,7 @@ MKT_NATION = 3  # supplier nation of interest (by stable key, not name)
            CAST(ROUND(SUM(CASE WHEN s_nationkey = {MKT_NATION}
                                THEN volume ELSE CAST(0 AS DECIMAL(38,12)) END), 2)
                 AS DOUBLE)
-             / CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS mkt_share
+             / NULLIF(CAST(ROUND(SUM(volume), 2) AS DOUBLE), 0) AS mkt_share
     FROM base
     GROUP BY o_year
     """,
@@ -605,14 +605,16 @@ def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the share divides the ROUNDED sums: the raw DECIMAL(38,12) sums carry
     # unscaled values beyond 2^53, where decimal→double conversion is
     # engine-specific (the ts-linear-trend trap, ARCHITECTURE.md); after
-    # ROUND(·, 2) the unscaled value fits a double exactly on both engines
+    # ROUND(·, 2) the unscaled value fits a double exactly on both engines.
+    # A total that rounds to 0.00 yields NULL on both engines (NULLIF
+    # guard, same stance as ts-linear-trend) instead of Spark-NULL vs
+    # DuckDB-inf divergence — unreachable on TPC-H volumes, guarded anyway.
+    total_dbl = F.round(F.sum("volume"), 2).cast("double")
+    nation_dbl = F.round(F.sum(nat_vol), 2).cast("double")
     return base.groupBy("o_year").agg(
-        F.round(F.sum("volume"), 2).cast("double").alias("total_revenue"),
-        F.round(F.sum(nat_vol), 2).cast("double").alias("nation_revenue"),
-        (
-            F.round(F.sum(nat_vol), 2).cast("double")
-            / F.round(F.sum("volume"), 2).cast("double")
-        ).alias("mkt_share"),
+        total_dbl.alias("total_revenue"),
+        nation_dbl.alias("nation_revenue"),
+        F.when(total_dbl != 0, nation_dbl / total_dbl).alias("mkt_share"),
     )
 
 

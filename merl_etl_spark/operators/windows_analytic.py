@@ -269,8 +269,8 @@ def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
            first_value(event_id) OVER w3 AS first_in_frame,
            nth_value(event_id, 2) OVER w3 AS second_in_frame,
            last_value(event_id) OVER w3 AS last_in_frame,
-           round(percent_rank() OVER wfull, 9) AS pct_rank,
-           round(cume_dist() OVER wfull, 9) AS cum_dist
+           percent_rank() OVER wfull AS pct_rank,
+           cume_dist() OVER wfull AS cum_dist
     FROM events
     WHERE event_id < 5000
     WINDOW
@@ -287,10 +287,11 @@ def win_frame_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All windows partition by series with a total (ts, event_id) order,
     so frame contents are deterministic; the distribution ratios are
-    rounded to 9 dp on both engines (they are small-integer ratios —
-    (rank-1)/(n-1) — whose double quotients are already bit-identical,
-    the round is belt-and-braces for the n-1 division).  Frames are
-    linear two-pointer passes per partition — no re-scan per row."""
+    emitted as RAW doubles on both engines — they are small-integer
+    ratios ((rank-1)/(n-1)) whose IEEE quotients are bit-identical, and
+    a round() would only ADD the shortest-repr rounding-tie risk
+    documented in ARCHITECTURE.md (ADVICE r6).  Frames are linear
+    two-pointer passes per partition — no re-scan per row."""
     events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
     w3 = (
         Window.partitionBy("event_type")
@@ -305,6 +306,6 @@ def win_frame_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w3).alias("first_in_frame"),
         F.nth_value("event_id", 2).over(w3).alias("second_in_frame"),
         F.last("event_id").over(w3).alias("last_in_frame"),
-        F.round(F.percent_rank().over(wfull), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(wfull), 9).alias("cum_dist"),
+        F.percent_rank().over(wfull).alias("pct_rank"),
+        F.cume_dist().over(wfull).alias("cum_dist"),
     )

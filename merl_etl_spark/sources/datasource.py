@@ -769,7 +769,16 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
     ``abort`` deletes the staged parts, so a failed batch is never
     observable.  The idempotence contract mirrors the reference's
     ON CONFLICT DO NOTHING event inserts (schema.sql:123) at the
-    micro-batch granularity instead of the row granularity."""
+    micro-batch granularity instead of the row granularity.
+
+    Ownership contract (ADVICE r6): the output path — including its
+    ``_staging`` subdir — belongs to exactly ONE streaming query at a
+    time; Spark's checkpoint lock enforces this for a given checkpoint
+    location, and pointing a second query (or a second checkpoint) at
+    the same path is misuse.  The sink defends the contract by failing
+    LOUDLY instead of silently: ``commit`` raises if any part named in a
+    commit message is missing (e.g. swept by a foreign writer), so Spark
+    aborts and replays the batch rather than publishing it incomplete."""
 
     def __init__(self, options):
         import os as _os
@@ -813,11 +822,25 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
 
         batch_dir = _os.path.join(self.path, f"batch={batchId}")
         if not _os.path.isdir(batch_dir):
+            # Every commit message MUST have its staged part on disk: a
+            # missing part means the staging dir was disturbed (a second
+            # writer on the same path, manual cleanup) and publishing
+            # would silently lose that partition's rows under the sink's
+            # own exactly-once contract.  Raise so Spark fails/replays
+            # the batch instead (ADVICE r6 — was a silent skip).
+            lost = [m.path for m in messages if m and not _os.path.exists(m.path)]
+            if lost:
+                raise RuntimeError(
+                    f"merl-jsonlog batch {batchId}: {len(lost)} staged part(s) "
+                    f"named in commit messages are missing (first: {lost[0]}); "
+                    "the staging dir was disturbed — refusing to publish an "
+                    "incomplete batch (single-writer ownership contract)"
+                )
             tmp = batch_dir + ".inprogress"
             _shutil.rmtree(tmp, ignore_errors=True)
             _os.makedirs(tmp)
             for i, m in enumerate(messages):
-                if m and _os.path.exists(m.path):
+                if m:
                     _os.replace(m.path, _os.path.join(tmp, f"part-{i:05d}.jsonl"))
             _os.rename(tmp, batch_dir)  # the atomic publish
         # replayed epoch or success: anything still in staging is garbage —

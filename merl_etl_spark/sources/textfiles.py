@@ -35,7 +35,11 @@ def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
     deterministic corruption and return its directory path."""
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
-    key = (src, st.st_mtime_ns, st.st_size)
+    # The constants and the broken-line template are part of the key:
+    # changing any of them must invalidate the cached /tmp fixture, or the
+    # stale file surfaces as a baffling oracle-hash failure (ADVICE r6).
+    key = (src, st.st_mtime_ns, st.st_size, CORRUPT_MOD, JSONL_LIMIT,
+           "{broken::<event_id>")
     cached = _FIXTURE_CACHE.get(key)
     if cached and os.path.isdir(cached):
         return cached

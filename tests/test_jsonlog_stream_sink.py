@@ -64,3 +64,34 @@ def test_stream_writer_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert len(rows) == want, "replayed epoch must not double-write"
     assert not glob.glob(os.path.join(out, "_staging", "*"))
     assert not glob.glob(os.path.join(out, "batch=*.inprogress"))
+
+
+def test_commit_raises_when_staged_part_is_missing(tmp_path):
+    """A commit message naming a vanished part (staging dir disturbed by a
+    second writer / manual sweep) must FAIL the batch so Spark replays it,
+    not publish the surviving parts as a silently-incomplete batch
+    (ADVICE r6 — was a silent skip)."""
+    import pytest
+
+    from merl_etl_spark.sources.datasource import JsonLogStreamWriter, LoggedPart
+
+    out = tmp_path / "log"
+    staging = out / "_staging"
+    staging.mkdir(parents=True)
+    present = staging / "part-aaaa.jsonl"
+    present.write_text('{"event_id": 1}\n')
+    w = JsonLogStreamWriter({"path": str(out)})
+    msgs = [
+        LoggedPart(str(present), 1),
+        LoggedPart(str(staging / "part-swept.jsonl"), 1),  # never written
+    ]
+    with pytest.raises(RuntimeError, match="staged part"):
+        w.commit(msgs, batchId=0)
+    assert not (out / "batch=0").exists(), "incomplete batch must not publish"
+    # the surviving part is left staged for the replay's abort/cleanup
+    assert present.exists()
+
+    # replayed epoch onto an ALREADY-committed dir still absorbs whole —
+    # the missing-part check only gates first publication
+    (out / "batch=1").mkdir()
+    w.commit([LoggedPart(str(staging / "gone.jsonl"), 1)], batchId=1)
