@@ -68,36 +68,89 @@ def blocked_fuzzy_pairs(
     by 20× stress; the AQE-coalescing cousin of dedup.spread_pairs).
     Salting the probe side by key and replicating the build side across
     the SALT slices makes the physical key (block, band, salt), so a hot
-    block's comparisons spread over SALT reducers of a shuffle join."""
+    block's comparisons spread over SALT reducers of a shuffle join.
+
+    Candidate mass is bounded BELOW block size by three sound prefilters
+    that run before levenshtein, cheapest first (VERDICT r6 task #2 —
+    levenshtein on every surviving candidate made ER the slowest family;
+    each filter provably never drops a qualifying pair):
+
+    1. exact length gap — every unit edit changes the length by ≤ 1, so
+       edit ≤ t ⟹ |len_a − len_b| ≤ t.  Two int ops; removes the band
+       slack (width-W bands admit gaps up to 2W−1).
+    2. character-histogram L1 — for ANY fixed partition of characters
+       into buckets, a substitution moves one char between ≤ 2 buckets
+       (L1 change ≤ 2) and an indel changes one bucket by 1, so edit ≤ t
+       ⟹ Σ_buckets |cnt_a − cnt_b| ≤ 2t.  Bucket counts are precomputed
+       once per RECORD (O(n) regexp passes, never per pair); the pair
+       check is four int subtractions.
+    3. pigeonhole segments (the PassJoin filter) — split name_a into
+       t+1 contiguous segments: t edits touch ≤ t of them, so at least
+       one segment is untouched and therefore occurs VERBATIM in name_b
+       (shifted by the net indels before it).  Keep a pair only when
+       some segment of name_a is a substring of name_b (trivially true,
+       hence sound, when len_a < t+1 and a segment is empty).  Segments
+       are precomputed per record on the build side.
+
+    Only pairs surviving all three reach the O(len_a·len_b) levenshtein
+    DP; on random same-block candidates the chain rejects ~everything
+    for ~a tenth of the compare cost, while true near-matches pass all
+    three and are unaffected — output is byte-identical."""
     # soundness requires W >= threshold (the band-floor argument below);
     # W was once hardcoded while threshold was a parameter — a caller with
     # threshold > 2 would silently lose pairs (review r6c finding)
     W = max(threshold, 2)
     SALT = 16
-    band_f = (F.length(F.col(name_col)) / W).cast("long")
+    HIST = ["a-g", "h-m", "n-s", "t-z"]  # any char partition is sound
+    nseg = threshold + 1
+    name = F.col(name_col)
+    hist = [
+        (F.length(name) - F.length(F.regexp_replace(name, f"[{b}]", "")))
+        for b in HIST
+    ]
+    band_f = (F.length(name) / W).cast("long")
+    seg_cols = []
+    for i in range(nseg):
+        start = (F.length(name) * i / nseg).cast("long") + 1
+        end = (F.length(name) * (i + 1) / nseg).cast("long")
+        seg_cols.append(name.substr(start, end - start + 1).alias(f"seg{i}_a"))
     a = df.select(
         F.col(key_col).alias("key_a"),
-        F.col(name_col).alias("name_a"),
+        name.alias("name_a"),
         F.col(block_col).alias("block"),
+        F.length(name).alias("ln_a"),
+        *[h.alias(f"h{i}_a") for i, h in enumerate(hist)],
+        *seg_cols,
         band_f.alias("f_a"),
     ).select(
         "*", F.explode(F.array(F.col("f_a"), F.col("f_a") + 1)).alias("band")
     ).withColumn("salt", F.pmod(F.hash("key_a"), F.lit(SALT)))  # hash: key may be a string
     b = df.select(
         F.col(key_col).alias("key_b"),
-        F.col(name_col).alias("name_b"),
+        name.alias("name_b"),
         F.col(block_col).alias("block"),
+        F.length(name).alias("ln_b"),
+        *[h.alias(f"h{i}_b") for i, h in enumerate(hist)],
         band_f.alias("f_b"),
     ).select(
         "*", F.explode(F.array(F.col("f_b"), F.col("f_b") + 1)).alias("band")
     ).select(
         "*", F.explode(F.array(*[F.lit(i) for i in range(SALT)])).alias("salt")
     )
+    hist_l1 = sum(
+        F.abs(F.col(f"h{i}_a") - F.col(f"h{i}_b")) for i in range(len(HIST))
+    )
+    seg_hit = F.col("ln_a") < nseg  # an empty segment matches trivially
+    for i in range(nseg):
+        seg_hit = seg_hit | F.contains(F.col("name_b"), F.col(f"seg{i}_a"))
     return (
         a.hint("shuffle_hash")
         .join(b, ["block", "band", "salt"])
         .filter(F.col("key_a") < F.col("key_b"))
         .filter(F.col("band") == F.greatest("f_a", "f_b"))
+        .filter(F.abs(F.col("ln_a") - F.col("ln_b")) <= threshold)
+        .filter(hist_l1 <= 2 * threshold)
+        .filter(seg_hit)
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("edit_dist") <= threshold)
         .select("key_a", "key_b", "name_a", "name_b", "block", "edit_dist")
