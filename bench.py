@@ -119,6 +119,11 @@ HEADLINE = [
     "fn-regex-suite",
     "dq-sequence-gaps",
     "win-frame-suite",
+    # round-8 additions: the IVF driver contract (brute-force arm +
+    # equi-join recall/dominance checks) and the decoder-free binary
+    # near-dup tier
+    "sim-ivf-ann",
+    "mm-binary-simhash",
 ]
 
 

@@ -607,7 +607,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toy width was measured quadratic at 100k docs (16-value buckets),
     which is why the production width is not optional (PERF.md round-3
     stress)."""
-    fp = dedup_simhash(spark, sf_dir)
+    return simhash_band_pairs(dedup_simhash(spark, sf_dir))
+
+
+def simhash_band_pairs(fp: DataFrame) -> DataFrame:
+    """Banded hamming-ball pairing over ``(doc_id, simhash)`` fingerprint
+    rows: explode into 4×16-bit (band_id, band_value) keys, one composite
+    equi-self-join, exact ``bit_count`` verify ≤ SIM_HAM_MAX.  Exact by
+    pigeonhole (see :func:`dedup_simhash_pairs`).  Shared by the text
+    simhash tier and the binary-payload tier (mm-binary-simhash)."""
     banded = fp.select(
         "doc_id",
         "simhash",

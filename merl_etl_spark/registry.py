@@ -37,60 +37,28 @@ ORACLES: dict[str, str] = {}
 # Queries NOT listed here keep their module registration order and fill the
 # remaining budget.  Update per round: move anything you modify into tier 1.
 SWEEP_PRIORITY: list[str] = [
-    # ROUND 7 = consolidation (VERDICT r6 "Next round" #1): the 39 queries
-    # that have never had a driver CORRECTNESS row, plus sim-ivf-ann
-    # (rows-only, last row r4) and the 7 stale-r4 greens, fill the budget.
-    # NO new queries enter ahead of this block.
+    # ROUND 8 (VERDICT r7 "Next round" #3): refresh the r5 cohort — the
+    # 46 queries whose latest driver green is round 5 (two rounds stale)
+    # fill the budget behind this round's churn.
     #
-    # -- tier 1: never driver-checked AND code churned in round 7 --------
-    "link-fuzzy-match",          # linkage prefilter (VERDICT r6 task #2)
-    "link-golden-record",        # rides the same blocked_fuzzy_pairs
-    "win-frame-suite",           # ADVICE r6: drop round() tie risk
-    "analytics-market-share",    # ADVICE r6: NULLIF denominator guard
-    "src-jsonl-corrupt",         # ADVICE r6: fixture cache-key fix
-    # -- tier 1b: driver-green r6 but code churned in round 7 ------------
-    "sim-topk-pandas",           # query side generalized to a DataFrame
-    # -- tier 2: never driver-checked (round-6 extension tiers) ----------
-    "analytics-funnel", "dedup-paragraph", "cdc-scd2-history",
-    "ts-twap", "analytics-retention-cohort",
-    "graph-pagerank", "text-lm-score", "stream-session-window",
-    "agg-countmin", "agg-heavy-hitters", "ts-ohlc-bars",
-    "win-cumulative-distinct", "graph-triangles",
-    "join-interval-overlap", "curate-shuffle-index",
-    "analytics-basket-affinity", "profile-dataset-card", "sim-knn-graph",
-    "fn-url-suite", "curate-url-dedup", "join-asof-tolerance",
-    "win-streak", "curate-semdedup-keep",
-    "analytics-small-qty-revenue", "analytics-customer-distribution",
-    "proj-unpivot", "agg-mv-merge", "text-bpe-step", "dedup-normalized",
-    "agg-k-anonymity", "join-asof-keyed", "analytics-disjunctive-filter",
-    "fn-regex-suite", "dq-sequence-gaps",
-    # -- tier 2b: rows-only op, last driver row r4 -----------------------
-    "sim-ivf-ann",
-    # -- tier 3: latest driver green is round 4 (code untouched since;
-    #    hypothesis properties green every round) -----------------------
-    "text-ngram-counts", "text-pii-scrub", "text-fingerprint",
-    "fn-string-suite", "fn-format-suite", "fn-json-suite",
-    "sample-hash-split",
-]
-
-# Budget triage (round 7): the prioritized block is 48 entries, so the
-# first ~2 SWEEP_DEFER entries land in the driver's ~50-slot budget as
-# churn insurance.  The defer list is the round-8 priority seed: all 48
-# r5-latest-green queries, which will be two rounds stale by then —
-# numerically sensitive window/as-of suites lead so they pick up this
-# round's spare slots.
-SWEEP_DEFER: list[str] = [
-    "win-analytic-suite", "join-asof-blocktime",
+    # -- tier 1: code churned in round 8 ---------------------------------
+    "sim-topk-pandas",    # crossJoin→explode plan fix (VERDICT r7 #1)
+    "sim-ivf-ann",        # NEW contract-boolean oracle (VERDICT r7 #2)
+    "mm-binary-simhash",  # NEW: decoder-free binary near-dup (VERDICT r7 #5)
+    "link-fuzzy-match",   # bounded-levenshtein prefilter (ADVICE r7 #2)
+    # -- tier 2: stale-green — latest driver green is round 5 ------------
+    # numerically-sensitive window/as-of/stream suites first
     "win-sessionize", "join-asof", "join-asof-forward",
-    "join-range-interval", "agg-conditional-flow",
-    "agg-conditional-flow-coalesce", "agg-pivot", "agg-rollup", "agg-cube",
+    "join-range-interval", "win-rank-top100",
+    "agg-conditional-flow", "agg-conditional-flow-coalesce",
+    "agg-pivot", "agg-rollup", "agg-cube",
     "agg-max-scalar", "agg-count-rows", "agg-scalar-rollup",
     "agg-greatest-rowwise", "agg-running-max",
-    "cdc-snapshot-diff", "dedup-incremental",
     "analytics-pricing-summary", "analytics-shipping-priority",
     "analytics-regional-volume",
+    "cdc-snapshot-diff", "dedup-incremental",
     "join-cross-1row", "join-semi-top100", "join-outer-anti",
-    "win-rank-top100", "sort-topk-rank100", "plan-top100-derive",
+    "sort-topk-rank100", "plan-top100-derive",
     "sort-limit-top10", "sort-movers-multi", "filter-time-window",
     "stream-tumbling-6h", "stream-sliding-60m", "stream-cursor-resume",
     "sink-upsert-holders", "sink-insert-ignore-tx", "sink-upsert-cursor",
@@ -100,6 +68,35 @@ SWEEP_DEFER: list[str] = [
     "mm-feature-extract",
     "curate-token-pack", "sample-stratified", "curate-mixture-weights",
     "curate-corpus-pipeline",
+]
+
+# Budget triage (round 8): the prioritized block is 50 entries, so the
+# defer list leads with the remaining round-8 churn insurance —
+# link-golden-record rides the SAME blocked_fuzzy_pairs helper as
+# link-fuzzy-match (one driver check covers the shared path; both are
+# locally hash-green at sf0.001/0.01/0.1) and src-jsonl-corrupt's change
+# is a constant extraction (behavior-preserving by construction).  Then
+# the r6 cohort, which becomes the round-9 priority seed.
+SWEEP_DEFER: list[str] = [
+    "link-golden-record", "src-jsonl-corrupt",
+    "ts-gap-fill", "ts-moving-stats", "ts-linear-trend",
+    "join-asof-nearest", "join-latest-bucket", "join-salted-skew",
+    "agg-anomaly-zscore", "agg-approx-sketches", "agg-exact-quantiles",
+    "agg-hll-merge",
+    "dedup-exact", "dedup-minhash-lsh", "dedup-simhash",
+    "dedup-simhash-pairs", "dedup-ngram-jaccard", "dedup-containment",
+    "dedup-clusters", "dedup-embedding-cosine", "dedup-embedding-clusters",
+    "dedup-incremental-near", "sim-lsh-bucketed", "sim-topk-cosine",
+    "text-langid", "text-quality", "text-tokens", "text-repetition",
+    "text-tfidf", "text-bm25", "text-hybrid-rrf", "text-chunking",
+    "text-decontaminate",
+    "curate-pipeline", "curate-source-cap",
+    "filter-blockrange", "filter-eq-token", "filter-nonnull-fields",
+    "proj-normalize", "setop-union-intersect-except", "sort-source-asc",
+    "sql-api-top100", "layout-zorder",
+    "profile-columns", "profile-histogram",
+    "fn-datetime-suite", "fn-numeric-suite", "fn-vector-quantize",
+    "dq-expectations", "uint256-exact-scale", "uint256-exact-sum",
 ]
 
 

@@ -61,6 +61,11 @@ def test_embedding_dedup_has_no_nested_loop_join(spark, sf_dir):
 # against.  Everything else in the tier must stay equi-join-only.
 _BOUNDED_NESTED_LOOP_OK = {
     "sim-topk-cosine",
+    # the driver contract embeds the sim-topk-cosine brute-force arm as
+    # its exact-recall reference — same bounded query-set broadcast; the
+    # contract's own additions (semi-join hits, rank-join dominance,
+    # per-query aggregates) are all equi-joins
+    "sim-ivf-ann",
     # 1-row broadcast of the scalar batch boundary (max(doc_id) div 2) —
     # a bounded scalar-subquery join, not an all-pairs; the digest probe
     # itself is a hash anti-join
@@ -76,7 +81,7 @@ _BOUNDED_NESTED_LOOP_OK = {
     sorted(
         q
         for q in QUERIES
-        if q.startswith(("dedup-", "sim-", "text-decontaminate"))
+        if q.startswith(("dedup-", "sim-", "text-decontaminate", "mm-binary"))
         and q not in _BOUNDED_NESTED_LOOP_OK
     ),
 )
