@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from merl_etl_spark.lineage import cut_lineage
 from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
 
@@ -415,7 +416,7 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
     # for curate-semdedup-keep).  On a cluster this would be a
     # reliable-checkpoint/cache of a pair list that is tiny relative to
     # the corpus (near-dup edges only).
-    edges = edges.localCheckpoint(eager=True)
+    edges = cut_lineage(edges, eager=True)
     labels = (
         edges.select(F.col("x").alias("node"))
         .distinct()
@@ -438,7 +439,7 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
         )
         # truncate lineage: without this, iteration k re-executes all k-1
         # previous joins (quadratic recompute + unbounded plan depth)
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = cut_lineage(new_labels, eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from merl_etl_spark.lineage import cut_lineage
 from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
 
@@ -227,13 +228,14 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared"), F.asc("id_a"), F.asc("id_b"))
         .limit(TRI_EDGE_TOP)
         .select("id_a", "id_b")
-        # the edge list is referenced three times below (e1/e2/e3); without a
-        # materialization barrier Spark re-runs the full pair-mining pipeline
-        # once per reference (no Exchange to reuse above a TakeOrdered) —
-        # 3× the dominant cost for a ≤TRI_EDGE_TOP-row frame.  Same eager
-        # cut as the dedup tier's component iteration (dedup.py:433).
-        .localCheckpoint(eager=True)
     )
+    # the edge list is referenced three times below (e1/e2/e3); without a
+    # materialization barrier Spark re-runs the full pair-mining pipeline
+    # once per reference (no Exchange to reuse above a TakeOrdered) —
+    # 3× the dominant cost for a ≤TRI_EDGE_TOP-row frame.  Same eager
+    # cut as the dedup tier's component iteration (dedup.py:433);
+    # executor-local vs durable per lineage.cut_lineage.
+    edges = cut_lineage(edges, eager=True)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")

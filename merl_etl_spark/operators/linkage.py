@@ -151,8 +151,18 @@ def blocked_fuzzy_pairs(
         .filter(F.abs(F.col("ln_a") - F.col("ln_b")) <= threshold)
         .filter(hist_l1 <= 2 * threshold)
         .filter(seg_hit)
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("edit_dist") <= threshold)
+        # bounded levenshtein (ADVICE r7 #2): the 3-arg form abandons the
+        # O(len²) DP as soon as the running distance exceeds threshold —
+        # the dominant win on the surviving candidates, whose lengths the
+        # prefilters can't shrink.  SENTINEL HAZARD: above the threshold
+        # it returns -1, which a bare `<= threshold` filter would KEEP;
+        # the >= 0 conjunct excludes it.  Surviving values are identical
+        # to the unbounded form, so oracles are unchanged.
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("name_a", "name_b", threshold).cast("long"),
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= threshold))
         .select("key_a", "key_b", "name_a", "name_b", "block", "edit_dist")
     )
 

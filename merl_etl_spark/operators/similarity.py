@@ -29,6 +29,7 @@ from merl_etl_spark.operators.dedup import (
     capped_bucket_pairs,
     spread_pairs,
 )
+from merl_etl_spark.lineage import cut_lineage
 from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
 
@@ -846,7 +847,7 @@ def curate_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one materialization feeds BOTH consumers (component edges and medoid
     # scoring) — the candidate pipeline is the whole cost of this query,
     # and the pair list itself is tiny (near-dup edges only)
-    pairs = embedding_cosine_pairs(emb, threshold=0.4).localCheckpoint(eager=False)
+    pairs = cut_lineage(embedding_cosine_pairs(emb, threshold=0.4), eager=False)
     from merl_etl_spark.operators.dedup import connected_components
 
     comp = connected_components(

@@ -771,16 +771,26 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
     ON CONFLICT DO NOTHING event inserts (schema.sql:123) at the
     micro-batch granularity instead of the row granularity.
 
-    Ownership contract (ADVICE r6): the output path — including its
-    ``_staging`` subdir — belongs to exactly ONE streaming query at a
-    time; Spark's checkpoint lock enforces this for a given checkpoint
-    location, and pointing a second query (or a second checkpoint) at
-    the same path is misuse.  The sink defends the contract by failing
-    LOUDLY instead of silently: ``commit`` raises if any part named in a
-    commit message is missing (e.g. swept by a foreign writer), so Spark
-    aborts and replays the batch rather than publishing it incomplete."""
+    Ownership contract (ADVICE r6; marker added r8): the output path —
+    including its ``_staging`` subdir — belongs to exactly ONE streaming
+    query at a time; Spark's checkpoint lock enforces this for a given
+    checkpoint location, and pointing a second query (or a second
+    checkpoint) at the same path is misuse.  The sink defends the
+    contract two ways: a ``_staging/.owner`` marker claimed by the first
+    task of each batch cycle makes a SECOND concurrent writer fail fast
+    in ``write`` (and fences ``commit``: publishing requires the marker
+    to be this query's own), and ``commit`` raises if any part named in
+    a commit message is missing (e.g. swept by a foreign writer), so
+    Spark aborts and replays the batch rather than publishing it
+    incomplete.  The marker lives only between a batch's first staged
+    part and that batch's commit/abort sweep, so a clean shutdown never
+    leaves one behind; after a hard mid-batch crash a restart FROM THE
+    SAME CHECKPOINT re-derives the same token and walks through its own
+    stale marker, while any OTHER query fails closed with a message
+    naming the dir to remove — deliberate, since liveness of a foreign
+    owner cannot be probed portably (the HDFS-lease-recovery trade)."""
 
-    def __init__(self, options):
+    def __init__(self, options, run_id: str | None = None):
         import os as _os
 
         self.path = options.get("path")
@@ -794,6 +804,76 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
         # parts (review r6c follow-up).  Orphan cleanup happens in
         # commit(), after the batch is durably published.
         self.staging = _os.path.join(self.path, "_staging")
+        # Per-query fencing token.  It must be DERIVED (never minted):
+        # the task path constructs this writer from class+options in the
+        # planning worker while the commit runner calls streamWriter on
+        # a separately-pickled DataSource instance, so generated state
+        # (uuid in __init__) diverges between the two.  The one identity
+        # both sides share is the options dict, and Spark injects the
+        # query's checkpoint location into it — whose own lock already
+        # guarantees one LIVE query per location, making it the natural
+        # fencing key: two concurrent queries necessarily differ, while
+        # a restart from the same checkpoint re-derives the same token
+        # and therefore walks through its own crash-leftover marker.
+        # Empty (no checkpoint option, no explicit run_id) = fencing off.
+        if run_id is None:
+            ckpt = options.get("checkpointlocation", "")
+            if ckpt:
+                import hashlib as _hashlib
+
+                run_id = _hashlib.md5(str(ckpt).encode()).hexdigest()
+            else:
+                run_id = ""
+        self.run_id = run_id
+        self.owner_label = options.get("owner", "")
+        self.marker = _os.path.join(self.staging, ".owner")
+
+    def _claim_or_verify_owner(self) -> None:
+        """Atomically claim the staging marker for this query, or raise
+        if another query's live marker holds the path."""
+        import json as _json
+
+        if not self.run_id:  # fencing off (no checkpoint identity)
+            return
+        content = _json.dumps(
+            {"run_id": self.run_id, "owner": self.owner_label}
+        )
+        try:
+            with open(self.marker, "x") as fh:
+                fh.write(content)
+            return
+        except FileExistsError:
+            pass
+        try:
+            with open(self.marker) as fh:
+                held = _json.load(fh)
+        except (OSError, ValueError):
+            held = {}
+        if held.get("run_id") != self.run_id:
+            raise RuntimeError(
+                f"merl-jsonlog: output path {self.path!r} is owned by "
+                f"another streaming query (marker {self.marker} holds "
+                f"run_id={held.get('run_id')!r} owner="
+                f"{held.get('owner')!r}); refusing to write.  If the "
+                "previous owner crashed mid-batch, remove the _staging "
+                "dir after confirming it is no longer live."
+            )
+
+    def _owns_marker(self) -> bool:
+        """True when the marker is this query's own or absent (absent =
+        nothing live is staged; fencing applies only between a batch's
+        first write and its commit)."""
+        import json as _json
+
+        if not self.run_id:  # fencing off (no checkpoint identity)
+            return True
+        try:
+            with open(self.marker) as fh:
+                return _json.load(fh).get("run_id") == self.run_id
+        except OSError:
+            return True
+        except ValueError:
+            return False
 
     def write(self, iterator):
         import json as _json
@@ -801,6 +881,10 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
         import uuid as _uuid
 
         _os.makedirs(self.staging, exist_ok=True)
+        # fail fast BEFORE staging any bytes when a second live writer
+        # holds the path (concurrent tasks of the SAME query all claim
+        # the same run_id, so only a foreign query trips this)
+        self._claim_or_verify_owner()
         part = _os.path.join(self.staging, f"part-{_uuid.uuid4().hex}.jsonl")
         n = 0
         with open(part, "w") as fh:
@@ -821,6 +905,16 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
         import shutil as _shutil
 
         batch_dir = _os.path.join(self.path, f"batch={batchId}")
+        if not self._owns_marker():
+            # fenced out: a newer query claimed the path between this
+            # query's staging and its commit — neither publish nor sweep
+            # (the staging contents now belong to the new owner)
+            raise RuntimeError(
+                f"merl-jsonlog batch {batchId}: ownership marker "
+                f"{self.marker} is no longer this query's own — another "
+                "writer claimed the path; refusing to publish or sweep "
+                "(single-writer ownership contract)"
+            )
         if not _os.path.isdir(batch_dir):
             # Every commit message MUST have its staged part on disk: a
             # missing part means the staging dir was disturbed (a second
@@ -852,18 +946,27 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
     def abort(self, messages, batchId) -> None:
         import shutil as _shutil
 
-        _shutil.rmtree(self.staging, ignore_errors=True)
+        # sweep only what is ours: when a newer writer has claimed the
+        # path, the staging contents are its live parts, not our garbage
+        if self._owns_marker():
+            _shutil.rmtree(self.staging, ignore_errors=True)
 
 
 class JsonLogStreamDataSource(DataSource):
     """``df.writeStream.format("merl-jsonlog").option("path", ...)`` —
-    see :class:`JsonLogStreamWriter`."""
+    see :class:`JsonLogStreamWriter`.  Optional ``option("owner", ...)``
+    labels the ownership marker for diagnostics."""
 
     @classmethod
     def name(cls) -> str:
         return "merl-jsonlog"
 
     def streamWriter(self, schema, overwrite):
+        # the writer derives its fencing token from the checkpoint
+        # location in options — the only identity shared by the
+        # task-path instance (constructed fresh from class+options in
+        # the planning worker) and the commit-runner instance
+        # (streamWriter on a separately-pickled DataSource)
         return JsonLogStreamWriter(self.options)
 
 

@@ -26,6 +26,11 @@ from merl_etl_spark.sources.tables import load_table
 
 CORRUPT_MOD = 13  # every 13th event_id is written as a broken line
 JSONL_LIMIT = 2000  # events serialized into the fixture
+# Single source for the broken-line template prefix: used in BOTH the
+# fixture cache key and the F.lit() building the broken line, so editing
+# the template automatically invalidates cached fixtures (ADVICE r7 #1 —
+# a hand-synced literal in the key could silently drift).
+BROKEN_PREFIX = "{broken::"
 
 _FIXTURE_CACHE: dict[tuple, str] = {}
 
@@ -39,7 +44,7 @@ def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
     # changing any of them must invalidate the cached /tmp fixture, or the
     # stale file surfaces as a baffling oracle-hash failure (ADVICE r6).
     key = (src, st.st_mtime_ns, st.st_size, CORRUPT_MOD, JSONL_LIMIT,
-           "{broken::<event_id>")
+           BROKEN_PREFIX + "<event_id>")
     cached = _FIXTURE_CACHE.get(key)
     if cached and os.path.isdir(cached):
         return cached
@@ -62,7 +67,7 @@ def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
         F.col("event_id") < JSONL_LIMIT
     )
     line = F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
-    broken = F.concat(F.lit("{broken::"), F.col("event_id").cast("string"))
+    broken = F.concat(F.lit(BROKEN_PREFIX), F.col("event_id").cast("string"))
     (
         events.select(
             F.when(F.col("event_id") % CORRUPT_MOD == 0, broken)

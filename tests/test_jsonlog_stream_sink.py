@@ -95,3 +95,66 @@ def test_commit_raises_when_staged_part_is_missing(tmp_path):
     # the missing-part check only gates first publication
     (out / "batch=1").mkdir()
     w.commit([LoggedPart(str(staging / "gone.jsonl"), 1)], batchId=1)
+
+
+class _Row:
+    def __init__(self, i: int):
+        self.i = i
+
+    def asDict(self) -> dict:
+        return {"event_id": self.i}
+
+
+def test_second_concurrent_writer_fails_fast(tmp_path):
+    """VERDICT r7 task #4: a second streaming query pointed at the same
+    output path must fail BEFORE staging bytes (ownership marker claimed
+    by the first writer), instead of racing the staging dir; concurrent
+    tasks of the SAME query (same run_id) all proceed."""
+    import pytest
+
+    from merl_etl_spark.sources.datasource import JsonLogStreamWriter
+
+    out = tmp_path / "log"
+    a = JsonLogStreamWriter({"path": str(out), "owner": "query-A"}, run_id="aaa")
+    m1 = a.write(iter([_Row(1)]))
+
+    b = JsonLogStreamWriter({"path": str(out), "owner": "query-B"}, run_id="bbb")
+    with pytest.raises(RuntimeError, match="owned by another"):
+        b.write(iter([_Row(2)]))
+    assert len(list((out / "_staging").glob("part-*.jsonl"))) == 1
+
+    # a second task instance of the SAME query shares the claim
+    a2 = JsonLogStreamWriter({"path": str(out), "owner": "query-A"}, run_id="aaa")
+    m2 = a2.write(iter([_Row(3)]))
+    a.commit([m1, m2], batchId=0)
+    assert (out / "batch=0").is_dir()
+    # commit's sweep releases the claim for the next batch cycle
+    assert not (out / "_staging").exists()
+
+
+def test_fenced_commit_refuses_to_publish_or_sweep(tmp_path):
+    """If the marker stops being this query's own between staging and
+    commit (a newer writer took over the path), commit must neither
+    publish nor sweep — the staging contents belong to the new owner."""
+    import json
+
+    import pytest
+
+    from merl_etl_spark.sources.datasource import JsonLogStreamWriter
+
+    out = tmp_path / "log"
+    a = JsonLogStreamWriter({"path": str(out)}, run_id="aaa")
+    m1 = a.write(iter([_Row(1)]))
+    # a newer query's takeover: marker now names a different run
+    (out / "_staging" / ".owner").write_text(
+        json.dumps({"run_id": "bbb", "owner": "usurper"})
+    )
+    foreign_part = out / "_staging" / "part-foreign.jsonl"
+    foreign_part.write_text('{"event_id": 9}\n')
+    with pytest.raises(RuntimeError, match="no longer this query's own"):
+        a.commit([m1], batchId=0)
+    assert not (out / "batch=0").exists()
+    assert foreign_part.exists(), "fenced commit must not sweep the new owner's parts"
+    # abort is fenced the same way: sweep only what is ours
+    a.abort([m1], batchId=0)
+    assert foreign_part.exists()
