@@ -10,20 +10,16 @@ the LSH dedup tier (dedup.py) with levenshtein instead of MinHash —
 appropriate when keys are short strings (names, symbols) rather than
 documents.
 
-Scale: the join is a plain equi-join on the blocking key, so the hazard
-is a degenerate block.  The blocking key is therefore REFINED with
-length bands (a sound refinement: edit distance ≤ t implies the name
-lengths differ by ≤ t, so two width-W (W ≥ t) bands per record guarantee every
-qualifying pair still shares a block — proof in
-:func:`blocked_fuzzy_pairs`), which multiplies the key cardinality by
-the length spread and divides the quadratic in-block work accordingly.
-Found by 20× stress: brand-only blocking left ~25 join keys over 400k
-rows — 16k-row blocks, billions of in-block comparisons serialized on
-two tasks; the band refinement restored both the block bound and the
-parallelism with byte-identical output (the oracle is untouched — it
-states the SPEC, all within-brand pairs under the threshold).
-levenshtein is JVM-side (no Python), O(len²) per pair on ≤30-char
-strings.
+Scale: any block/band-shaped key leaves candidate mass quadratic in
+records-per-key (Σ size²) — measured fatal at a 100×-records corpus.
+The round-8 candidate generation is PassJoin (Li/Deng/Feng, ICDE 2011):
+the pigeonhole segment itself becomes part of the equi-join key, so
+candidate volume is (true matches × bounded multiplicity) + exact-
+segment coincidences — corpus-linear emission with no size² term (proof
+and plan notes in :func:`blocked_fuzzy_pairs`).  The oracle is
+untouched — it states the SPEC, all within-brand pairs under the
+threshold.  levenshtein is JVM-side (no Python), bounded 3-arg form,
+O(len·t) effective per surviving pair on ≤30-char strings.
 """
 
 from __future__ import annotations
@@ -48,59 +44,52 @@ def blocked_fuzzy_pairs(
     distance is ≤ threshold.  Returns (key_a, key_b, name_a, name_b,
     block, edit_dist).
 
-    The physical join key is (block, length band): each record is
-    emitted into bands ``floor(len/W)`` and ``floor(len/W)+1`` with
-    W = max(threshold, 2) — the minimal sound width (smaller W means
-    more, smaller blocks and less quadratic mass).  Soundness: edit distance ≤ t bounds the length
-    difference by t ≤ W, so the two records' band floors differ by at
-    most 1, and the band sets {f, f+1} of both sides always intersect —
-    no qualifying pair is missed.  Each pair is emitted EXACTLY once by
-    keeping only the ``band == greatest(f_a, f_b)`` copy (when the
-    floors differ that is the single common band; when they are equal
-    both bands are common and the rule picks the lower).  The refinement
-    changes no results, only the join-key cardinality — which is what
-    bounds the quadratic in-block comparison at scale.
+    ROUND-8 REWRITE — the segment IS the join key.  Rounds 6-7 used the
+    physical key (block, length-band, salt) with pigeonhole-segment /
+    histogram / length-gap prefilters applied AFTER the join; that key
+    refined brand blocks only by the length spread, so candidate mass
+    grew as Σ_blocks size² — fine at fixture scale, measured QUADRATIC
+    in records-per-block at a 100×-records corpus (2M parts → ~3.6e10
+    joined rows before any prefilter; the join stalled for >25 min).
+    PassJoin (Li/Deng/Feng, ICDE 2011 — the published
+    exact-match-segment algorithm) moves the pigeonhole segment from a
+    post-join filter INTO the equi-join key:
 
-    The join is additionally SALTED and forced off broadcast: with a
-    broadcast build side, the quadratic compare work runs in the PROBE
-    side's task count — for a compact parquet input that is one or two
-    file splits, serializing billions of comparisons on two cores (found
-    by 20× stress; the AQE-coalescing cousin of dedup.spread_pairs).
-    Salting the probe side by key and replicating the build side across
-    the SALT slices makes the physical key (block, band, salt), so a hot
-    block's comparisons spread over SALT reducers of a shuffle join.
+    - partitioned side: each record emits its t+1 segments as
+      (block, len, seg_idx, seg_text) — 3 rows/record at t=2;
+    - probe side: each record emits, for every partitioned length
+      L ∈ [len−t, len+t] (the length gap bound), every segment index,
+      every position shift ∈ [−t, t] (≤ t edits shift an untouched
+      segment's alignment by ≤ t), the corresponding substring —
+      ≤ (2t+1)²·(t+1) = 75 keys/record, array_distinct'd;
+    - equi-join on (block, L, seg_idx, seg_text) + pair dedup.
 
-    Candidate mass is bounded BELOW block size by three sound prefilters
-    that run before levenshtein, cheapest first (VERDICT r6 task #2 —
-    levenshtein on every surviving candidate made ER the slowest family;
-    each filter provably never drops a qualifying pair):
+    Soundness: edit(a,b) ≤ t touches ≤ t of a's t+1 segments, so one is
+    untouched and occurs verbatim in b within ±t of its position — the
+    probe side emitted exactly that key.  Records shorter than t+1
+    chars have empty segments (the pigeonhole survivor can be empty ⇒
+    keyless); they ride a separate block-keyed arm whose quadratic mass
+    is bounded by the count of sub-(t+1)-char names.  Candidate volume
+    is now (true matches × segment multiplicity) + exact-segment
+    coincidences — emission is corpus-LINEAR and no block-size² term
+    exists anywhere, which is what survives 100 TB.  The old salting is
+    gone with the cause: shuffle_hash on the fine-grained segment key
+    spreads the verify work across reducers by construction (hot keys =
+    genuinely identical segments, which AQE skew-split handles).
 
-    1. exact length gap — every unit edit changes the length by ≤ 1, so
-       edit ≤ t ⟹ |len_a − len_b| ≤ t.  Two int ops; removes the band
-       slack (width-W bands admit gaps up to 2W−1).
-    2. character-histogram L1 — for ANY fixed partition of characters
+    Verification on the surviving candidates keeps the two sound
+    prefilters that are not implied by the key (each provably never
+    drops a qualifying pair):
+
+    1. character-histogram L1 — for ANY fixed partition of characters
        into buckets, a substitution moves one char between ≤ 2 buckets
        (L1 change ≤ 2) and an indel changes one bucket by 1, so edit ≤ t
        ⟹ Σ_buckets |cnt_a − cnt_b| ≤ 2t.  Bucket counts are precomputed
        once per RECORD (O(n) regexp passes, never per pair); the pair
-       check is four int subtractions.
-    3. pigeonhole segments (the PassJoin filter) — split name_a into
-       t+1 contiguous segments: t edits touch ≤ t of them, so at least
-       one segment is untouched and therefore occurs VERBATIM in name_b
-       (shifted by the net indels before it).  Keep a pair only when
-       some segment of name_a is a substring of name_b (trivially true,
-       hence sound, when len_a < t+1 and a segment is empty).  Segments
-       are precomputed per record on the build side.
-
-    Only pairs surviving all three reach the O(len_a·len_b) levenshtein
-    DP; on random same-block candidates the chain rejects ~everything
-    for ~a tenth of the compare cost, while true near-matches pass all
-    three and are unaffected — output is byte-identical."""
-    # soundness requires W >= threshold (the band-floor argument below);
-    # W was once hardcoded while threshold was a parameter — a caller with
-    # threshold > 2 would silently lose pairs (review r6c finding)
-    W = max(threshold, 2)
-    SALT = 16
+       check is four int subtractions.  (The length gap ≤ t is implied
+       by the probe's L-window; the segment containment IS the key.)
+    2. bounded levenshtein — the 3-arg form abandons the O(len²) DP as
+       soon as the running distance exceeds the threshold."""
     HIST = ["a-g", "h-m", "n-s", "t-z"]  # any char partition is sound
     nseg = threshold + 1
     name = F.col(name_col)
@@ -108,61 +97,171 @@ def blocked_fuzzy_pairs(
         (F.length(name) - F.length(F.regexp_replace(name, f"[{b}]", "")))
         for b in HIST
     ]
-    band_f = (F.length(name) / W).cast("long")
-    seg_cols = []
-    for i in range(nseg):
-        start = (F.length(name) * i / nseg).cast("long") + 1
-        end = (F.length(name) * (i + 1) / nseg).cast("long")
-        seg_cols.append(name.substr(start, end - start + 1).alias(f"seg{i}_a"))
-    a = df.select(
-        F.col(key_col).alias("key_a"),
-        name.alias("name_a"),
+    from merl_etl_spark.operators.dedup import spread_pairs
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        name.alias("name"),
         F.col(block_col).alias("block"),
-        F.length(name).alias("ln_a"),
-        *[h.alias(f"h{i}_a") for i, h in enumerate(hist)],
-        *seg_cols,
-        band_f.alias("f_a"),
-    ).select(
-        "*", F.explode(F.array(F.col("f_a"), F.col("f_a") + 1)).alias("band")
-    ).withColumn("salt", F.pmod(F.hash("key_a"), F.lit(SALT)))  # hash: key may be a string
-    b = df.select(
-        F.col(key_col).alias("key_b"),
-        name.alias("name_b"),
-        F.col(block_col).alias("block"),
-        F.length(name).alias("ln_b"),
-        *[h.alias(f"h{i}_b") for i, h in enumerate(hist)],
-        band_f.alias("f_b"),
-    ).select(
-        "*", F.explode(F.array(F.col("f_b"), F.col("f_b") + 1)).alias("band")
-    ).select(
-        "*", F.explode(F.array(*[F.lit(i) for i in range(SALT)])).alias("salt")
+        F.length(name).alias("ln"),
+        *[h.alias(f"h{i}") for i, h in enumerate(hist)],
     )
+    # pin the emission parallelism: the probe side does 75 substring
+    # extractions + an array_distinct per record BEFORE any exchange, so
+    # with a compact parquet input (1-2 file splits) that work would
+    # serialize on one core (measured 5.2 s of an 8.7 s query at sf0.1)
+    # — the input-split cousin of the broadcast-probe trap.  spread_pairs
+    # is the AQE-exempt keyed repartition the dedup tier uses for the
+    # same bytes-underestimate-work shape.
+    base = spread_pairs(base, "key")
+
+    # ---- partitioned side: the t+1 exact segments (non-empty ⇔ ln ≥ nseg)
+    def _start(lexpr: str, i: int) -> str:
+        return f"(CAST({lexpr} * {i} / {nseg} AS INT) + 1)"
+
+    def _slen(lexpr: str, i: int) -> str:
+        return (
+            f"(CAST({lexpr} * {i + 1} / {nseg} AS INT)"
+            f" - CAST({lexpr} * {i} / {nseg} AS INT))"
+        )
+
+    seg_structs = ", ".join(
+        f"struct({i} AS segi, substring(name, {_start('ln', i)}, "
+        f"{_slen('ln', i)}) AS seg)"
+        for i in range(nseg)
+    )
+    a = (
+        base.filter(F.col("ln") >= nseg)
+        .select(
+            F.col("key").alias("key_a"),
+            F.col("name").alias("name_a"),
+            "block",
+            F.col("ln").alias("jl"),
+            *[F.col(f"h{i}").alias(f"h{i}_a") for i in range(len(HIST))],
+            F.explode(F.expr(f"array({seg_structs})")).alias("s"),
+        )
+        .select("key_a", "name_a", "block", "jl",
+                *[f"h{i}_a" for i in range(len(HIST))], "s.segi", "s.seg")
+    )
+
+    # ---- probe side: substrings matching any admissible (L, segi, shift)
+    probe_entries = []
+    for dL in range(-threshold, threshold + 1):
+        L = f"(ln + {dL})"
+        for i in range(nseg):
+            for shift in range(-threshold, threshold + 1):
+                spos = f"({_start(L, i)} + {shift})"
+                slen = _slen(L, i)
+                probe_entries.append(
+                    f"IF({L} >= {nseg} AND {slen} > 0 AND {spos} >= 1 "
+                    f"AND {spos} + {slen} - 1 <= ln, "
+                    f"struct({L} AS jl, {i} AS segi, "
+                    f"substring(name, {spos}, {slen}) AS seg), NULL)"
+                )
+    probe_expr = (
+        "array_distinct(filter(array(" + ", ".join(probe_entries)
+        + "), x -> x IS NOT NULL))"
+    )
+    b = (
+        # ln >= nseg keeps the two arms DISJOINT: any pair involving a
+        # sub-nseg-char record is owned by the short arm (short record on
+        # its a-side), so the union below cannot double-emit a pair
+        base.filter(F.col("ln") >= nseg)
+        .select(
+            F.col("key").alias("key_b"),
+            F.col("name").alias("name_b"),
+            "block",
+            F.col("ln").alias("ln_b"),
+            *[F.col(f"h{i}").alias(f"h{i}_b") for i in range(len(HIST))],
+            F.explode(F.expr(probe_expr)).alias("p"),
+        )
+        .select("key_b", "name_b", "block", "ln_b",
+                *[f"h{i}_b" for i in range(len(HIST))],
+                "p.jl", "p.segi", "p.seg")
+    )
+
     hist_l1 = sum(
         F.abs(F.col(f"h{i}_a") - F.col(f"h{i}_b")) for i in range(len(HIST))
     )
-    seg_hit = F.col("ln_a") < nseg  # an empty segment matches trivially
-    for i in range(nseg):
-        seg_hit = seg_hit | F.contains(F.col("name_b"), F.col(f"seg{i}_a"))
-    return (
+    cand = (
         a.hint("shuffle_hash")
-        .join(b, ["block", "band", "salt"])
+        .join(b, ["block", "jl", "segi", "seg"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .filter(F.col("band") == F.greatest("f_a", "f_b"))
+    )
+
+    # ---- short-name arm: ln < nseg records have (possibly) empty
+    # segments, so the pigeonhole survivor can be keyless; their pair
+    # mass is bounded by (#short names)² within a block — sub-(t+1)-char
+    # strings, a degenerate sliver of any real corpus.  Both directions
+    # are covered by putting the SHORT record on the a-side.
+    short_a = base.filter(F.col("ln") < nseg).select(
+        F.col("key").alias("key_a"),
+        F.col("name").alias("name_a"),
+        "block",
+        *[F.col(f"h{i}").alias(f"h{i}_a") for i in range(len(HIST))],
+        F.col("ln").alias("ln_a"),
+    )
+    all_b = base.select(
+        F.col("key").alias("key_b"),
+        F.col("name").alias("name_b"),
+        "block",
+        *[F.col(f"h{i}").alias(f"h{i}_b") for i in range(len(HIST))],
+        F.col("ln").alias("ln_b"),
+    )
+    short_cand = (
+        short_a.join(all_b, "block")
         .filter(F.abs(F.col("ln_a") - F.col("ln_b")) <= threshold)
+        .filter(F.col("key_a") != F.col("key_b"))
+        .select(
+            F.least("key_a", "key_b").alias("key_a2"),
+            F.greatest("key_a", "key_b").alias("key_b2"),
+            F.when(F.col("key_a") < F.col("key_b"), F.col("name_a"))
+            .otherwise(F.col("name_b")).alias("name_a"),
+            F.when(F.col("key_a") < F.col("key_b"), F.col("name_b"))
+            .otherwise(F.col("name_a")).alias("name_b"),
+            "block",
+            *[
+                F.when(F.col("key_a") < F.col("key_b"), F.col(f"h{i}_a"))
+                .otherwise(F.col(f"h{i}_b")).alias(f"h{i}_a2")
+                for i in range(len(HIST))
+            ],
+            *[
+                F.when(F.col("key_a") < F.col("key_b"), F.col(f"h{i}_b"))
+                .otherwise(F.col(f"h{i}_a")).alias(f"h{i}_b2")
+                for i in range(len(HIST))
+            ],
+        )
+        .withColumnsRenamed(
+            {"key_a2": "key_a", "key_b2": "key_b",
+             **{f"h{i}_a2": f"h{i}_a" for i in range(len(HIST))},
+             **{f"h{i}_b2": f"h{i}_b" for i in range(len(HIST))}}
+        )
+    )
+
+    verify_cols = ["key_a", "key_b", "name_a", "name_b", "block",
+                   *[f"h{i}_a" for i in range(len(HIST))],
+                   *[f"h{i}_b" for i in range(len(HIST))]]
+    merged = cand.select(*verify_cols).unionByName(short_cand.select(*verify_cols))
+    return (
+        merged
         .filter(hist_l1 <= 2 * threshold)
-        .filter(seg_hit)
+        # verify BEFORE deduplicating: a candidate pair reached by k
+        # segment keys appears k (≤ t+1) times, so filtering first costs
+        # ≤ (t+1)× the per-pair check but shrinks the dedup shuffle from
+        # the full candidate stream (~2M rows at sf0.1) to the verified
+        # matches — the single pair-keyed exchange in the plan
         # bounded levenshtein (ADVICE r7 #2): the 3-arg form abandons the
-        # O(len²) DP as soon as the running distance exceeds threshold —
-        # the dominant win on the surviving candidates, whose lengths the
-        # prefilters can't shrink.  SENTINEL HAZARD: above the threshold
-        # it returns -1, which a bare `<= threshold` filter would KEEP;
-        # the >= 0 conjunct excludes it.  Surviving values are identical
-        # to the unbounded form, so oracles are unchanged.
+        # O(len²) DP as soon as the running distance exceeds threshold.
+        # SENTINEL HAZARD: above the threshold it returns -1, which a
+        # bare `<= threshold` filter would KEEP; the >= 0 conjunct
+        # excludes it.  Surviving values are identical to the unbounded
+        # form, so oracles are unchanged.
         .withColumn(
             "edit_dist",
             F.levenshtein("name_a", "name_b", threshold).cast("long"),
         )
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= threshold))
+        .dropDuplicates(["key_a", "key_b"])
         .select("key_a", "key_b", "name_a", "name_b", "block", "edit_dist")
     )
 

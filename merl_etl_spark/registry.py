@@ -45,7 +45,7 @@ SWEEP_PRIORITY: list[str] = [
     "sim-topk-pandas",    # crossJoin→explode plan fix (VERDICT r7 #1)
     "sim-ivf-ann",        # NEW contract-boolean oracle (VERDICT r7 #2)
     "mm-binary-simhash",  # NEW: decoder-free binary near-dup (VERDICT r7 #5)
-    "link-fuzzy-match",   # bounded-levenshtein prefilter (ADVICE r7 #2)
+    "link-fuzzy-match",   # PassJoin segment-keyed rewrite + bounded levenshtein
     # -- tier 2: stale-green — latest driver green is round 5 ------------
     # numerically-sensitive window/as-of/stream suites first
     "win-sessionize", "join-asof", "join-asof-forward",
