@@ -252,23 +252,38 @@ MM_GRAM_STRIDE = 4
 )
 def mm_binary_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decoder-free near-dup detection over opaque binary payloads
-    (VERDICT r7 task #5): 64-bit simhash over distinct 8-byte grams
-    (stride 4) of the raw bytes, then the SAME banded hamming-ball
-    pairing as the text tier (dedup.simhash_band_pairs — 4×16-bit bands,
-    exact by pigeonhole).  This is the image/audio analogue of
-    dedup-simhash-pairs: re-encoded or lightly-corrupted copies of the
-    same media blob share most byte grams, so they land within a small
-    hamming ball without any decoder in the loop.
+    (VERDICT r7 task #5) — the registered, oracle-comparable form: the
+    generic byte-gram kernel :func:`binary_simhash_pairs` applied to the
+    fixture's ASCII payloads.  The ASCII gate lives HERE, not in the
+    kernel (review r8 finding: a gate inside the kernel would silently
+    drop every real media blob — bytes ≥ 0x80 — which is exactly the
+    input the operator exists for); it exists only because DuckDB md5
+    digests VARCHAR and blobs can't be sliced, so the oracle can only
+    replay byte==char shingling for ASCII payloads.  A production
+    caller uses :func:`binary_simhash_pairs` directly on any bytes."""
+    ascii_docs = binary_docs(spark, sf_dir).filter(
+        F.octet_length(F.col("payload"))
+        == F.length(F.col("payload").cast("string"))
+    )
+    return binary_simhash_pairs(ascii_docs)
+
+
+def binary_simhash_pairs(b: DataFrame) -> DataFrame:
+    """Byte-gram simhash near-dup pairs over ``(doc_id, payload:binary)``
+    rows — byte-correct for ANY payload: 64-bit simhash over distinct
+    8-byte grams (stride 4) of the raw bytes, then the SAME banded
+    hamming-ball pairing as the text tier (dedup.simhash_band_pairs —
+    4×16-bit bands, exact by pigeonhole).  This is the image/audio
+    analogue of dedup-simhash-pairs: re-encoded or lightly-corrupted
+    copies of the same media blob share most byte grams, so they land
+    within a small hamming ball without any decoder in the loop.
+    Payloads shorter than one gram are excluded (no shingle identity).
 
     Everything before the band join is a projection + one groupBy —
     per-doc gram expansion is len/stride rows, hashed JVM-side; payload
     bytes never shuffle (only 8-byte digests do).  At 100 TB the band
     join inherits the text tier's scale shape (2^16 values per band)."""
-    b = binary_docs(spark, sf_dir).filter(
-        (F.octet_length(F.col("payload"))
-         == F.length(F.col("payload").cast("string")))
-        & (F.octet_length(F.col("payload")) >= MM_GRAM_BYTES)
-    )
+    b = b.filter(F.octet_length(F.col("payload")) >= MM_GRAM_BYTES)
     grams = (
         b.select(
             "doc_id",

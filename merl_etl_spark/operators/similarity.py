@@ -429,10 +429,15 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     A red row means the index machinery (cell assignment, probe
     selection, exact re-scoring) broke, not that the fixture drifted.
     The brute-force arm is the documented bounded nested-loop baseline
-    (sim-topk-cosine); everything the contract adds is equi-joins and
-    per-query aggregates, so the contract costs one extra corpus map."""
-    ivf = ivf_ann_neighbors(spark, sf_dir)
-    brute = sim_topk_cosine(spark, sf_dir)
+    (sim-topk-cosine).  Each arm is REFERENCED by multiple consumers
+    (ivf: stats/hits/dom; brute: hits/dom), so both are cut once with a
+    lazy lineage cut (review r8 finding: without it the per-arm corpus
+    scan + score + window top-k pipelines re-execute per consumer —
+    ReuseExchange only dedups the shuffles below each window); the
+    curate-semdedup-keep one-materialization-feeds-all-consumers
+    pattern.  The cut frames are |Q|×10 rows — driver-scale."""
+    ivf = cut_lineage(ivf_ann_neighbors(spark, sf_dir), eager=False)
+    brute = cut_lineage(sim_topk_cosine(spark, sf_dir), eager=False)
 
     stats = ivf.groupBy("query_id").agg(F.count("*").alias("n_results"))
     hits = (

@@ -830,25 +830,56 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
 
     def _claim_or_verify_owner(self) -> None:
         """Atomically claim the staging marker for this query, or raise
-        if another query's live marker holds the path."""
+        if another query's live marker holds the path.
+
+        The claim is full-content-atomic (review r8 finding: a bare
+        ``open('x')``-then-write exposes a zero-byte marker that a
+        concurrent reader — including a sibling task of the SAME query —
+        would misread as a foreign owner): the content is written to a
+        private temp file and ``os.link``-ed into place, which fails
+        with FileExistsError when a marker already exists (rename would
+        silently overwrite a live claim).  A reader therefore sees
+        either no marker or a complete one; an unparseable marker can
+        only be alien garbage and is reclaimed by replacement."""
         import json as _json
+        import os as _os
+        import uuid as _uuid
 
         if not self.run_id:  # fencing off (no checkpoint identity)
             return
         content = _json.dumps(
             {"run_id": self.run_id, "owner": self.owner_label}
         )
+        tmp = f"{self.marker}.claim-{_uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(content)
         try:
-            with open(self.marker, "x") as fh:
-                fh.write(content)
+            _os.link(tmp, self.marker)  # atomic create-if-absent
             return
         except FileExistsError:
             pass
+        finally:
+            try:
+                _os.unlink(tmp)
+            except OSError:
+                pass
+        held: dict = {}
         try:
             with open(self.marker) as fh:
                 held = _json.load(fh)
-        except (OSError, ValueError):
-            held = {}
+        except OSError:
+            # marker vanished between link-failure and read: the owner
+            # committed/aborted concurrently — retry the claim once
+            return self._claim_or_verify_owner()
+        except ValueError:
+            # unparseable marker = garbage (claims are content-atomic
+            # now, so this cannot be a mid-write of a live owner);
+            # replace it with our own claim
+            tmp2 = f"{self.marker}.claim-{_uuid.uuid4().hex}"
+            with open(tmp2, "w") as fh:
+                fh.write(content)
+            _os.replace(tmp2, self.marker)
+            return
         if held.get("run_id") != self.run_id:
             raise RuntimeError(
                 f"merl-jsonlog: output path {self.path!r} is owned by "
@@ -873,7 +904,10 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
         except OSError:
             return True
         except ValueError:
-            return False
+            # claims are content-atomic (temp + link), so an unparseable
+            # marker is garbage, not a live owner's mid-write — treat as
+            # unowned so our own cleanup/publish is not wedged
+            return True
 
     def write(self, iterator):
         import json as _json

@@ -132,6 +132,25 @@ def test_second_concurrent_writer_fails_fast(tmp_path):
     assert not (out / "_staging").exists()
 
 
+def test_garbage_marker_is_reclaimed_not_wedged(tmp_path):
+    """A zero-byte/garbage marker (crash debris — claims are content-
+    atomic via temp+link, so it cannot be a live owner's mid-write) must
+    not fence out a writer or wedge its cleanup (review r8 finding: the
+    pre-atomic claim could strand an empty marker that every restart
+    then misread as a foreign owner)."""
+    from merl_etl_spark.sources.datasource import JsonLogStreamWriter
+
+    out = tmp_path / "log"
+    staging = out / "_staging"
+    staging.mkdir(parents=True)
+    (staging / ".owner").write_text("")  # crash-truncated claim
+    w = JsonLogStreamWriter({"path": str(out)}, run_id="aaa")
+    m = w.write(iter([_Row(1)]))  # reclaims instead of raising
+    w.commit([m], batchId=0)
+    assert (out / "batch=0").is_dir()
+    assert not staging.exists()
+
+
 def test_fenced_commit_refuses_to_publish_or_sweep(tmp_path):
     """If the marker stops being this query's own between staging and
     commit (a newer writer took over the path), commit must neither
