@@ -124,6 +124,13 @@ HEADLINE = [
     # near-dup tier
     "sim-ivf-ann",
     "mm-binary-simhash",
+    # round-8 second wave: span-level dedup, DSIR importance weighting,
+    # Gopher rule gating, Markov session flow, decimal-exact EWMA
+    "dedup-substring",
+    "curate-dsir",
+    "text-gopher-rules",
+    "analytics-markov-transitions",
+    "ts-ewma",
 ]
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from merl_etl_spark.operators.aggregates import dec_sum
 from merl_etl_spark.registry import register
@@ -775,4 +776,64 @@ def analytics_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(volume), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics-markov-transitions — first-order event-type transition matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytics-markov-transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS prev_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p,
+           row_number() OVER (PARTITION BY prev_type ORDER BY n DESC, next_type) AS rnk
+    FROM t
+    """,
+)
+def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current event type), plus the per-row transition
+    rank — the session-flow model behind funnel discovery and next-step
+    prediction (the reference's report pipelines stop at per-type counts;
+    this is the natural next analytic).
+
+    Determinism: transition probabilities are a single IEEE division of
+    two exact BIGINT counts; the rank carries a (n DESC, next_type) total
+    order.  Scale (100 TB): lead() is a per-user window (bounded series),
+    the transition count is a keyed agg with map-side partials, and the
+    matrix itself is |types|^2 rows — tiny — so the final window over it
+    is trivially cheap.  One shuffle for the window, one for the agg.
+    """
+    events = load_table(spark, sf_dir, "events")
+    seq = events.select(
+        "event_type",
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("next_type"),
+    )
+    t = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    wr = Window.partitionBy("prev_type").orderBy(F.col("n").desc(), "next_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias("p"),
+        F.row_number().over(wr).cast("long").alias("rnk"),
     )

@@ -514,3 +514,117 @@ def curate_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         (F.col("off") + F.col("r") - 1).alias("shuffle_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-dsir — hashed-n-gram importance weights (DSIR)
+# ---------------------------------------------------------------------------
+
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# raw document by how target-like its hashed bag-of-bigrams is under two
+# smoothed unigram-over-buckets distributions.  Here the target
+# distribution is the English slice of the corpus (lang = 'en') and the
+# raw distribution is everything else.
+DSIR_BUCKETS = 256
+
+
+@register(
+    "curate-dsir",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS g
+      FROM words
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b,
+             count(*) AS c
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    bucket AS (
+      SELECT b,
+             SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS t,
+             SUM(CASE WHEN lang <> 'en' THEN c ELSE 0 END) AS r
+      FROM feat GROUP BY 1
+    ),
+    tot AS (SELECT SUM(t) AS tt, SUM(r) AS rr FROM bucket),
+    lam AS (
+      SELECT b,
+             CAST(round(ln(((t + 1.0) * (rr + {DSIR_BUCKETS}.0))
+                           / ((r + 1.0) * (tt + {DSIR_BUCKETS}.0))), 6)
+                  AS DECIMAL(18,6)) AS lam
+      FROM bucket, tot
+    )
+    SELECT f.doc_id,
+           (f.lang = 'en') AS is_target,
+           CAST(SUM(f.c) AS BIGINT) AS n_feats,
+           CAST(SUM(f.c * l.lam) AS DECIMAL(38,6)) AS dsir_weight
+    FROM feat f JOIN lam l USING (b)
+    GROUP BY 1, 2
+    """,
+)
+def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document (Xie et al. 2023): hashed
+    word-bigram features (md5 → 256 buckets), add-1-smoothed target
+    (lang='en') vs raw bucket distributions, per-doc weight
+    = sum_b c_b * ln(p_target(b) / p_raw(b)).
+
+    Determinism: the per-bucket log-ratio is the ONLY transcendental —
+    rounded to 6 dp once on the 256-row bucket table (the retrieval.py
+    ln() contract), then frozen as DECIMAL(18,6); the per-doc weight is
+    an exact integer-weighted decimal sum, order-independent at any DOP.
+
+    Scale (100 TB): feature extraction is a narrow explode + keyed agg
+    (map-side partials); the bucket distribution table is a fixed 256
+    rows, so both the totals (broadcast 1-row cross join) and the
+    per-doc scoring join (broadcast) never shuffle the corpus more than
+    once.  This is the exact shape DSIR runs at CommonCrawl scale.
+    """
+    B = DSIR_BUCKETS
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # bigram explode (~|words| rows/doc) feeds two consumers (bucket
+        # distributions + per-doc scoring); pin its parallelism so it is
+        # not serialized on the parquet split count (spread_pairs rule)
+        .select("doc_id", "lang", F.split("text", " ").alias("words"))
+        .repartition(n_shuffle, "doc_id")
+    )
+    bg = docs.select(
+        "doc_id", "lang", F.explode(F.expr(ngram_shingles_expr(2))).alias("g")
+    )
+    feat = bg.groupBy(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % B).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bucket = feat.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("t"),
+        F.sum(F.when(F.col("lang") != "en", F.col("c")).otherwise(0)).alias("r"),
+    )
+    tot = bucket.agg(F.sum("t").alias("tt"), F.sum("r").alias("rr"))
+    lam = bucket.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("t") + 1.0) * (F.col("rr") + float(B)))
+                / ((F.col("r") + 1.0) * (F.col("tt") + float(B)))
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lam"),
+    )
+    return (
+        feat.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", (F.col("lang") == "en").alias("is_target"))
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lam")).cast("decimal(38,6)").alias("dsir_weight"),
+        )
+    )

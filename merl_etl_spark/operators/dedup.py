@@ -926,3 +926,93 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup-substring — exact duplicate-SPAN detection (Lee et al. 2021 shape)
+# ---------------------------------------------------------------------------
+
+# Character-window parameters: a 40-char window every 10 chars.  Real
+# pipelines use ~50-token windows over the tokenized corpus (Lee et al.
+# 2021, "Deduplicating Training Data Makes Language Models Better");
+# the character form keeps the Spark/DuckDB twin expressions identical
+# while exercising the same plan shape (window explode → fingerprint
+# groupBy → doc-level rollup).
+SUBSTR_W = 40
+SUBSTR_STRIDE = 10
+
+
+@register(
+    "dedup-substring",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - {SUBSTR_W - 1}, {SUBSTR_STRIDE})) AS p
+      FROM documents WHERE length(text) >= {SUBSTR_W}
+    ),
+    w AS (SELECT doc_id, md5(substr(text, p, {SUBSTR_W})) AS h FROM pos),
+    stats AS (SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1)
+    SELECT w.doc_id,
+           count(*) AS n_windows,
+           CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+           CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS dup_ratio,
+           max(s.nd) AS max_span_docs
+    FROM w JOIN stats s USING (h)
+    GROUP BY 1
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact-duplicate detection: fingerprint overlapping
+    40-char windows (stride 10) of every document, find windows shared by
+    ≥2 distinct documents, and roll up per-document duplicated-span
+    coverage (n_dup_windows / n_windows) plus the fan-out of the most
+    widely shared span.  This is the span-granular tier below document/
+    paragraph dedup — the signal behind boilerplate stripping and the
+    "remove repeated spans" pass of LM corpus preparation.
+
+    Scale (100 TB): window emission is a map-side explode (len/stride
+    rows per doc, each reduced to a 16-byte md5 before any exchange —
+    the raw text moves at most once, in the parallelism-pin repartition,
+    which a many-split cluster scan wouldn't need at all); the
+    fingerprint rollup and the doc-level rollup are keyed aggs, and the
+    one join is a shuffled equi-join on the fingerprint (a hot
+    boilerplate span concentrates its COUNT into one partial — counts,
+    not pair lists, so no quadratic bucket).  Swap the md5 for xxhash64
+    on a real cluster; md5 here because both engines render it
+    identically for the oracle.
+    """
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= SUBSTR_W)
+        .select("doc_id", "text")
+        # per-doc window emission (~len/stride md5s) is heavy work hiding
+        # behind a light scan: without an explicit keyed repartition it
+        # serializes on the parquet file-split count, and the two
+        # consumers below (fingerprint agg + probe side) each re-run it
+        # (the spread_pairs rule: streams whose BYTES under-estimate
+        # their WORK pin their parallelism explicitly)
+        .repartition(n_shuffle, "doc_id")
+    )
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {SUBSTR_W - 1}, {SUBSTR_STRIDE}),"
+                f" p -> substring(text, p, {SUBSTR_W}))"
+            )
+        ).alias("win"),
+    ).select("doc_id", F.md5("win").alias("h"))
+    stats = w.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        w.join(stats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(dup).alias("n_dup_windows"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
+            F.max("nd").alias("max_span_docs"),
+        )
+    )

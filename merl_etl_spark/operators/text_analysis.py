@@ -400,3 +400,115 @@ def text_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("merge_rank", F.row_number().over(w).cast("long")).select(
         "merge_rank", "pair", "pair_count"
     )
+
+
+# ---------------------------------------------------------------------------
+# text-gopher-rules — the Gopher/MassiveText document-quality rule set
+# ---------------------------------------------------------------------------
+
+# The Gopher paper's "must contain ≥2 of 8 marker stopwords" rule
+# (Rae et al. 2021, §A.1.1; canonical list: the, be, to, of, and, that,
+# have, with).  The fixture corpus is a closed-vocabulary word soup in
+# which only "the"/"a" of any common English stopword list occur, so the
+# marker list here swaps the six absent words for the fixture-adjacent
+# function words — same rule, same 8-word shape, and it actually
+# discriminates on this corpus (≈63% pass at sf0.01).
+_GOPHER_STOPS = ["the", "a", "of", "and", "is", "to", "in", "for"]
+
+
+@register(
+    "text-gopher-rules",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             string_split(text, ' ') AS words,
+             length(replace(text, ' ', '')) AS n_nonspace,
+             len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))
+               AS n_symbols
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang,
+             len(words) AS n_words,
+             n_nonspace, n_symbols,
+             len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha_words,
+             len(list_distinct(list_filter(words,
+                 w -> w IN ({', '.join("'" + s + "'" for s in _GOPHER_STOPS)}))))
+               AS n_stop_distinct
+      FROM m
+    )
+    SELECT doc_id, lang, n_words,
+           CAST(n_nonspace AS DOUBLE) / n_words AS mean_word_len,
+           CAST(n_alpha_words AS DOUBLE) / n_words AS alpha_word_ratio,
+           n_stop_distinct,
+           (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+           (CAST(n_nonspace AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0) AS ok_mean_word_len,
+           (CAST(n_symbols AS DOUBLE) / n_words <= 0.1) AS ok_symbol_ratio,
+           (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8) AS ok_alpha_words,
+           (n_stop_distinct >= 2) AS ok_stop_words,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (CAST(n_nonspace AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+            AND (CAST(n_symbols AS DOUBLE) / n_words <= 0.1)
+            AND (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
+            AND (n_stop_distinct >= 2)) AS keep
+    FROM c
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality rules (Rae et al. 2021 §A.1.1) as named
+    per-document boolean flags plus the combined keep decision: word-count
+    bounds, mean-word-length band, symbol-to-word ratio, alpha-word
+    fraction, and the 2-of-8 stopword requirement.  Complements
+    text-quality (continuous score) with the thresholded rule form
+    training pipelines actually gate on.
+
+    Determinism: every flag is a comparison of a rational (int/int IEEE
+    division) against a literal — no transcendental, no float sums.
+    Scale (100 TB): embarrassingly parallel narrow projection; all array
+    ops run inside whole-stage codegen, nothing shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    m = docs.select(
+        "doc_id",
+        "lang",
+        words.alias("words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
+        (
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("#"), F.lit(0)))
+            + F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\.\.\."), F.lit(0)))
+        ).alias("n_symbols"),
+    )
+    c = m.select(
+        "doc_id",
+        "lang",
+        F.size("words").cast("long").alias("n_words"),
+        "n_nonspace",
+        "n_symbols",
+        F.size(F.filter("words", lambda w: w.rlike("[a-zA-Z]"))).alias("n_alpha_words"),
+        F.size(
+            F.array_distinct(F.filter("words", lambda w: w.isin(_GOPHER_STOPS)))
+        ).cast("long").alias("n_stop_distinct"),
+    )
+    mwl = F.col("n_nonspace").cast("double") / F.col("n_words")
+    awr = F.col("n_alpha_words").cast("double") / F.col("n_words")
+    syr = F.col("n_symbols").cast("double") / F.col("n_words")
+    ok_wc = F.col("n_words").between(50, 100000)
+    ok_mwl = (mwl >= 3.0) & (mwl <= 10.0)
+    ok_sym = syr <= 0.1
+    ok_alpha = awr >= 0.8
+    ok_stop = F.col("n_stop_distinct") >= 2
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        mwl.alias("mean_word_len"),
+        awr.alias("alpha_word_ratio"),
+        "n_stop_distinct",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stop_words"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep"),
+    )

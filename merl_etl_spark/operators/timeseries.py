@@ -32,6 +32,8 @@ global fact table.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -490,4 +492,91 @@ def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         slope.alias("slope_per_hour"),
         (syd / nd - slope * (sxd / nd)).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts-ewma — exponentially weighted moving average, decimal-exact
+# ---------------------------------------------------------------------------
+
+# EWMA with alpha = 1/2 over the trailing EWMA_K observations.  The
+# recursive form s_t = a*x_t + (1-a)*s_{t-1} is not window-expressible,
+# but the truncated expansion s_t = sum_k (1/2)^k * x_{t-k} / sum_k
+# (1/2)^k is a 12-term lag dot product — and because every weight is a
+# power of two, each term is EXACT in decimal (scale 6 + 11 = 17), so
+# the weighted sum is order-independent and bit-deterministic.  The
+# single rounding (scale 17 → 6) happens on identical exact decimals in
+# both engines (half-away-from-zero in both — the ts-linear-trend
+# pattern), after which the double division is IEEE-identical.
+EWMA_K = 12
+_EWMA_W = [Decimal(1) / (1 << k) for k in range(EWMA_K)]
+
+
+def _ewma_oracle() -> str:
+    terms = " + ".join(
+        f"CASE WHEN lag(xd, {k}) OVER w IS NULL THEN CAST(0 AS DECIMAL(18,6))"
+        f" ELSE lag(xd, {k}) OVER w * {w} END"
+        for k, w in enumerate(_EWMA_W)
+    )
+    dens = " + ".join(
+        f"CASE WHEN lag(xd, {k}) OVER w IS NULL THEN 0 ELSE {w} END"
+        for k, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    WITH x AS (
+      SELECT event_id, event_type, ts,
+             CAST(value AS DECIMAL(18,6)) AS xd
+      FROM events
+    ),
+    s AS (
+      SELECT event_id, event_type, ts,
+             round({terms}, 6) AS num6,
+             CAST({dens} AS DOUBLE) AS den
+      FROM x
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_id, event_type,
+           strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+           CAST(num6 AS DOUBLE) / NULLIF(den, 0) AS ewma
+    FROM s
+    """
+
+
+@register("ts-ewma", oracle=_ewma_oracle())
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA (alpha=1/2, 12-tap truncation, per-series) over the
+    event stream — the smoothing step behind alerting baselines and
+    trend monitors (reference analogue: the rolling report windows in
+    scripts/ingest_activity_and_report.sh).
+
+    Scale (100 TB): one keyed window per series (event_type) — the same
+    partition unit as ts-moving-stats; the 12 lag() taps share a single
+    sort within the window exchange, so the whole query is one shuffle.
+    No global sort, no self-join against shifted copies.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    xd = F.col("value").cast("decimal(18,6)")
+    x = events.select("event_id", "event_type", "ts", xd.alias("xd"))
+    zero = F.lit(Decimal("0.000000")).cast("decimal(18,6)")
+    num = None
+    den = None
+    for k, wk in enumerate(_EWMA_W):
+        xk = F.lag("xd", k).over(w)
+        term = F.when(xk.isNull(), zero).otherwise(xk * F.lit(wk))
+        dterm = F.when(xk.isNull(), F.lit(0.0)).otherwise(F.lit(float(wk)))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    s = x.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(num, 6).alias("num6"),
+        den.alias("den"),
+    )
+    return s.select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        (F.col("num6").cast("double") / F.when(F.col("den") != 0, F.col("den"))).alias("ewma"),
     )

@@ -46,6 +46,12 @@ SWEEP_PRIORITY: list[str] = [
     "sim-ivf-ann",        # NEW contract-boolean oracle (VERDICT r7 #2)
     "mm-binary-simhash",  # NEW: decoder-free binary near-dup (VERDICT r7 #5)
     "link-fuzzy-match",   # PassJoin segment-keyed rewrite + bounded levenshtein
+    # -- tier 1b: NEW queries this round (never driver-checked) ----------
+    "dedup-substring",            # duplicate-span detection (Lee et al. shape)
+    "curate-dsir",                # hashed-ngram importance weights (DSIR)
+    "text-gopher-rules",          # Gopher rule-set quality flags
+    "analytics-markov-transitions",  # event-type transition matrix
+    "ts-ewma",                    # decimal-exact trailing EWMA
     # -- tier 2: stale-green — latest driver green is round 5 ------------
     # numerically-sensitive window/as-of/stream suites first
     "win-sessionize", "join-asof", "join-asof-forward",
@@ -62,12 +68,10 @@ SWEEP_PRIORITY: list[str] = [
     "sort-limit-top10", "sort-movers-multi", "filter-time-window",
     "stream-tumbling-6h", "stream-sliding-60m", "stream-cursor-resume",
     "sink-upsert-holders", "sink-insert-ignore-tx", "sink-upsert-cursor",
-    "sink-view", "fn-vector-suite",
-    "src-datasource-paged", "src-blockcursor-replay",
-    "mm-binary-meta", "mm-frame-sample", "mm-resize-plan",
-    "mm-feature-extract",
+    "sink-view",
+    "src-blockcursor-replay",
+    "mm-binary-meta", "mm-frame-sample",
     "curate-token-pack", "sample-stratified", "curate-mixture-weights",
-    "curate-corpus-pipeline",
 ]
 
 # Budget triage (round 8): the prioritized block is 50 entries, so the
@@ -78,6 +82,14 @@ SWEEP_PRIORITY: list[str] = [
 # is a constant extraction (behavior-preserving by construction).  Then
 # the r6 cohort, which becomes the round-9 priority seed.
 SWEEP_DEFER: list[str] = [
+    # displaced by the five new round-8 queries (tier 1b): these four have
+    # the strongest secondary evidence in the r5 cohort — mm-resize-plan /
+    # mm-feature-extract share multimodal.py's pytest surface with the two
+    # mm queries still in budget, src-datasource-paged has the full DS-API
+    # edge-test suite, and curate-corpus-pipeline / fn-vector-suite are
+    # compositions of stages individually green this round or last.
+    "src-datasource-paged", "mm-resize-plan", "mm-feature-extract",
+    "curate-corpus-pipeline", "fn-vector-suite",
     "link-golden-record", "src-jsonl-corrupt",
     "ts-gap-fill", "ts-moving-stats", "ts-linear-trend",
     "join-asof-nearest", "join-latest-bucket", "join-salted-skew",

@@ -1,0 +1,147 @@
+"""Semantic tests for the round-8 extension operators (EWMA, Markov
+transitions, Gopher rules, DSIR weighting, substring-span dedup) — the
+oracle-parity suite pins cross-engine equality; these pin *semantics*:
+invariants that hold by construction of the operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from merl_etl_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+# ---------------------------------------------------------------------------
+# ts-ewma
+# ---------------------------------------------------------------------------
+
+def test_ewma_first_row_equals_value_and_stays_in_range(spark, sf_dir):
+    """The first observation of every series is its own EWMA (single tap,
+    weight 1), and every EWMA is a convex combination of observed values,
+    so it must stay inside the series' [min, max] envelope."""
+    out = QUERIES["ts-ewma"](spark, sf_dir)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    first = (
+        events.groupBy("event_type")
+        .agg(F.min(F.struct("ts", "event_id", "value")).alias("s"))
+        .select("event_type", F.col("s.event_id").alias("event_id"), F.col("s.value").alias("v"))
+    )
+    j = out.join(first, ["event_type", "event_id"]).select("v", "ewma").collect()
+    assert j, "no first rows matched"
+    for r in j:
+        assert abs(r["ewma"] - r["v"]) < 1e-6, (r["v"], r["ewma"])
+    env = events.groupBy("event_type").agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bad = (
+        out.join(env, "event_type")
+        .where((F.col("ewma") < F.col("lo") - 1e-6) | (F.col("ewma") > F.col("hi") + 1e-6))
+        .count()
+    )
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# analytics-markov-transitions
+# ---------------------------------------------------------------------------
+
+def test_markov_rows_are_distributions_and_mass_balances(spark, sf_dir):
+    """Per-prev-type probabilities sum to 1, and the matrix's total count
+    equals (events - users): each user with k events contributes k-1
+    transitions."""
+    out = QUERIES["analytics-markov-transitions"](spark, sf_dir)
+    sums = out.groupBy("prev_type").agg(F.sum("p").alias("sp"), F.sum("n").alias("sn")).collect()
+    assert sums
+    for r in sums:
+        assert abs(r["sp"] - 1.0) < 1e-9, r
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r["sn"] for r in sums) == n_events - n_users
+
+
+# ---------------------------------------------------------------------------
+# text-gopher-rules
+# ---------------------------------------------------------------------------
+
+def test_gopher_keep_is_conjunction_of_flags(spark, sf_dir):
+    out = QUERIES["text-gopher-rules"](spark, sf_dir)
+    flags = ["ok_word_count", "ok_mean_word_len", "ok_symbol_ratio", "ok_alpha_words", "ok_stop_words"]
+    conj = F.lit(True)
+    for f in flags:
+        conj = conj & F.col(f)
+    assert out.where(F.col("keep") != conj).count() == 0
+    # the rule set must actually discriminate on the fixture (mixed
+    # langs → the alpha/stopword rules split the corpus)
+    kept = out.where("keep").count()
+    total = out.count()
+    assert 0 < kept < total, (kept, total)
+
+
+def test_gopher_ratio_columns_are_consistent(spark, sf_dir):
+    """The emitted ratio columns must agree with their own flags — the
+    flags are thresholded forms of the published ratios, so a reader can
+    re-derive every decision from the row itself."""
+    out = QUERIES["text-gopher-rules"](spark, sf_dir)
+    bad = out.where(
+        (F.col("ok_mean_word_len") != F.col("mean_word_len").between(3.0, 10.0))
+        | (F.col("ok_alpha_words") != (F.col("alpha_word_ratio") >= 0.8))
+        | (F.col("ok_stop_words") != (F.col("n_stop_distinct") >= 2))
+    ).count()
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# curate-dsir
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_separate_target_from_raw(spark, sf_dir):
+    """The point of importance weighting: target-language docs must score
+    higher on average than raw docs (their bigrams are over-represented
+    in the target distribution)."""
+    out = QUERIES["curate-dsir"](spark, sf_dir)
+    avgs = {
+        r["is_target"]: r["aw"]
+        for r in out.groupBy("is_target")
+        .agg(F.avg(F.col("dsir_weight").cast("double")).alias("aw"))
+        .collect()
+    }
+    assert set(avgs) == {True, False}
+    assert avgs[True] > avgs[False]
+
+
+def test_dsir_target_flag_matches_lang(spark, sf_dir):
+    out = QUERIES["curate-dsir"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    bad = (
+        out.join(docs, "doc_id")
+        .where(F.col("is_target") != (F.col("lang") == "en"))
+        .count()
+    )
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# dedup-substring
+# ---------------------------------------------------------------------------
+
+def test_substring_window_counts_and_dup_bounds(spark, sf_dir):
+    """The per-doc window count must equal the closed-form
+    floor((len-W)/stride)+1 for docs with len ≥ W (an independent pin on
+    the sequence() emission), dup counts are bounded by window counts,
+    dup_ratio is exactly their quotient, and the word-soup fixture must
+    actually contain cross-document duplicated spans."""
+    out = QUERIES["dedup-substring"](spark, sf_dir)
+    assert out.where(F.col("n_dup_windows") > F.col("n_windows")).count() == 0
+    assert out.where(F.col("max_span_docs") < 1).count() == 0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(F.length("text") >= 40)
+    expected = docs.select(
+        "doc_id",
+        (F.floor((F.length("text") - 40) / 10) + 1).cast("long").alias("exp_windows"),
+    )
+    assert out.count() == docs.count()
+    assert out.join(expected, "doc_id").where(F.col("n_windows") != F.col("exp_windows")).count() == 0
+    bad_ratio = out.where(
+        F.abs(F.col("dup_ratio") - F.col("n_dup_windows") / F.col("n_windows")) > 1e-12
+    ).count()
+    assert bad_ratio == 0
+    assert out.where(F.col("n_dup_windows") > 0).count() > 0, "no duplicated spans found"
