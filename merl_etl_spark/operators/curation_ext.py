@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from merl_etl_spark.operators.dedup import DUCK_SHINGLES, ngram_shingles_expr
+from merl_etl_spark.operators.dedup import (
+    DUCK_SHINGLES,
+    md5_bucket_duck,
+    md5_bucket_spark,
+    ngram_shingles_expr,
+    pin_parallelism,
+)
 from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
 
@@ -542,7 +548,7 @@ DSIR_BUCKETS = 256
     ),
     feat AS (
       SELECT doc_id, lang,
-             ('0x' || substr(md5(g), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b,
+             {md5_bucket_duck('g', DSIR_BUCKETS)} AS b,
              count(*) AS c
       FROM bg GROUP BY 1, 2, 3
     ),
@@ -586,14 +592,13 @@ def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     once.  This is the exact shape DSIR runs at CommonCrawl scale.
     """
     B = DSIR_BUCKETS
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        # bigram explode (~|words| rows/doc) feeds two consumers (bucket
-        # distributions + per-doc scoring); pin its parallelism so it is
-        # not serialized on the parquet split count (spread_pairs rule)
-        .select("doc_id", "lang", F.split("text", " ").alias("words"))
-        .repartition(n_shuffle, "doc_id")
+    # the bigram explode (~|words| rows/doc) feeds two consumers (bucket
+    # distributions + per-doc scoring) — pin its parallelism
+    docs = pin_parallelism(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", F.split("text", " ").alias("words")
+        ),
+        "doc_id",
     )
     bg = docs.select(
         "doc_id", "lang", F.explode(F.expr(ngram_shingles_expr(2))).alias("g")
@@ -601,7 +606,7 @@ def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = bg.groupBy(
         "doc_id",
         "lang",
-        (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % B).alias("b"),
+        md5_bucket_spark(F.col("g"), B).alias("b"),
     ).agg(F.count(F.lit(1)).alias("c"))
     bucket = feat.groupBy("b").agg(
         F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("t"),

@@ -72,6 +72,18 @@ def md5_halves_spark(m):
     ]
 
 
+def md5_bucket_duck(text_expr: str, buckets: int) -> str:
+    """DuckDB: md5(text) → one of ``buckets`` hash buckets.  Same
+    single-source rule as :func:`md5_halves_duck`: the first-8-hex-digit
+    split must stay in lockstep with :func:`md5_bucket_spark`."""
+    return f"('0x' || substr(md5({text_expr}), 1, 8))::BIGINT % {buckets}"
+
+
+def md5_bucket_spark(col, buckets: int):
+    """Spark twin of :func:`md5_bucket_duck`."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % buckets
+
+
 WORDS_SHINGLES = ngram_shingles_expr(3)
 DUCK_SHINGLES = (
     "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)), "
@@ -322,8 +334,17 @@ def spread_pairs(pairs: DataFrame, key: str) -> DataFrame:
     the join reuses the exchange rather than adding one.  General rule:
     any stream whose BYTES under-estimate its downstream WORK must pin
     its parallelism explicitly."""
-    n = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return pairs.repartition(n, key)
+    return pin_parallelism(pairs, key)
+
+
+def pin_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Keyed repartition at the session's shuffle parallelism — the
+    spread_pairs rule generalized to any stream whose BYTES
+    under-estimate its downstream WORK (heavy per-row emissions hiding
+    behind a 1-2-split scan, candidate streams fanning out into payload
+    work; rationale in :func:`spread_pairs`)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, key)
 
 
 def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
@@ -982,18 +1003,14 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a real cluster; md5 here because both engines render it
     identically for the oracle.
     """
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    docs = (
+    # the window emission (~len/stride md5s per doc) is heavy work hiding
+    # behind a light scan, and BOTH consumers below (fingerprint agg +
+    # probe side) re-run it — pin its parallelism
+    docs = pin_parallelism(
         load_table(spark, sf_dir, "documents")
         .where(F.length("text") >= SUBSTR_W)
-        .select("doc_id", "text")
-        # per-doc window emission (~len/stride md5s) is heavy work hiding
-        # behind a light scan: without an explicit keyed repartition it
-        # serializes on the parquet file-split count, and the two
-        # consumers below (fingerprint agg + probe side) each re-run it
-        # (the spread_pairs rule: streams whose BYTES under-estimate
-        # their WORK pin their parallelism explicitly)
-        .repartition(n_shuffle, "doc_id")
+        .select("doc_id", "text"),
+        "doc_id",
     )
     w = docs.select(
         "doc_id",

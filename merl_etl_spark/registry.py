@@ -82,7 +82,7 @@ SWEEP_PRIORITY: list[str] = [
 # is a constant extraction (behavior-preserving by construction).  Then
 # the r6 cohort, which becomes the round-9 priority seed.
 SWEEP_DEFER: list[str] = [
-    # displaced by the five new round-8 queries (tier 1b): these four have
+    # displaced by the five new round-8 queries (tier 1b): these five have
     # the strongest secondary evidence in the r5 cohort — mm-resize-plan /
     # mm-feature-extract share multimodal.py's pytest surface with the two
     # mm queries still in budget, src-datasource-paged has the full DS-API
