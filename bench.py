@@ -131,6 +131,7 @@ HEADLINE = [
     "text-gopher-rules",
     "analytics-markov-transitions",
     "ts-ewma",
+    "text-entropy",
 ]
 
 

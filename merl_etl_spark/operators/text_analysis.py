@@ -512,3 +512,73 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stop_words"),
         (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text-entropy — per-document Shannon entropy of the word distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "text-entropy",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    c AS (SELECT doc_id, t, count(*) AS c FROM w GROUP BY 1, 2),
+    s AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             SUM(c * CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)))
+               AS sc
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           round(ln(CAST(n_tokens AS DOUBLE)), 6)
+             - CAST(sc AS DOUBLE) / n_tokens AS word_entropy,
+           (round(ln(CAST(n_tokens AS DOUBLE)), 6)
+             - CAST(sc AS DOUBLE) / n_tokens)
+             / NULLIF(round(ln(CAST(n_distinct AS DOUBLE)), 6), 0) AS entropy_norm
+    FROM s
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's word distribution — the
+    low-entropy tail is keyword-stuffed/boilerplate spam, the
+    near-maximal tail is random token soup; entropy_norm (H / ln(distinct
+    words)) rescales to [0, 1] so thresholds transfer across document
+    lengths.  Complements text-repetition (which looks at top-1 mass)
+    with the full-distribution statistic.
+
+    Determinism: H = ln(n) - (Σ c·ln c)/n; each ln() is rounded to 6 dp
+    on an INTEGER argument (≤ a few hundred distinct values corpus-wide —
+    the retrieval.py ln() contract), the weighted sum is an exact decimal,
+    and the final divisions are IEEE doubles of identical inputs.
+    Scale (100 TB): one explode + two keyed aggs, all map-side
+    combinable; nothing beyond (doc_id, word) ever shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.col("c") * F.round(F.log(F.col("c").cast("double")), 6).cast("decimal(18,6)")
+        ).alias("sc"),
+    )
+    h = (
+        F.round(F.log(F.col("n_tokens").cast("double")), 6)
+        - F.col("sc").cast("double") / F.col("n_tokens")
+    )
+    hnorm_den = F.round(F.log(F.col("n_distinct").cast("double")), 6)
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        h.alias("word_entropy"),
+        (h / F.when(hnorm_den != 0, hnorm_den)).alias("entropy_norm"),
+    )

@@ -52,6 +52,7 @@ SWEEP_PRIORITY: list[str] = [
     "text-gopher-rules",          # Gopher rule-set quality flags
     "analytics-markov-transitions",  # event-type transition matrix
     "ts-ewma",                    # decimal-exact trailing EWMA
+    "text-entropy",               # word-distribution Shannon entropy
     # -- tier 2: stale-green — latest driver green is round 5 ------------
     # numerically-sensitive window/as-of/stream suites first
     "win-sessionize", "join-asof", "join-asof-forward",
@@ -70,7 +71,7 @@ SWEEP_PRIORITY: list[str] = [
     "sink-upsert-holders", "sink-insert-ignore-tx", "sink-upsert-cursor",
     "sink-view",
     "src-blockcursor-replay",
-    "mm-binary-meta", "mm-frame-sample",
+    "mm-binary-meta",
     "curate-token-pack", "sample-stratified", "curate-mixture-weights",
 ]
 
@@ -82,14 +83,14 @@ SWEEP_PRIORITY: list[str] = [
 # is a constant extraction (behavior-preserving by construction).  Then
 # the r6 cohort, which becomes the round-9 priority seed.
 SWEEP_DEFER: list[str] = [
-    # displaced by the five new round-8 queries (tier 1b): these five have
-    # the strongest secondary evidence in the r5 cohort — mm-resize-plan /
-    # mm-feature-extract share multimodal.py's pytest surface with the two
-    # mm queries still in budget, src-datasource-paged has the full DS-API
-    # edge-test suite, and curate-corpus-pipeline / fn-vector-suite are
-    # compositions of stages individually green this round or last.
+    # displaced by the six new round-8 queries (tier 1b): these six have
+    # the strongest secondary evidence in the r5 cohort — the mm queries
+    # share multimodal.py's pytest surface with mm-binary-meta (still in
+    # budget), src-datasource-paged has the full DS-API edge-test suite,
+    # and curate-corpus-pipeline / fn-vector-suite are compositions of
+    # stages individually green this round or last.
     "src-datasource-paged", "mm-resize-plan", "mm-feature-extract",
-    "curate-corpus-pipeline", "fn-vector-suite",
+    "mm-frame-sample", "curate-corpus-pipeline", "fn-vector-suite",
     "link-golden-record", "src-jsonl-corrupt",
     "ts-gap-fill", "ts-moving-stats", "ts-linear-trend",
     "join-asof-nearest", "join-latest-bucket", "join-salted-skew",

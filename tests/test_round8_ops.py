@@ -145,3 +145,30 @@ def test_substring_window_counts_and_dup_bounds(spark, sf_dir):
     ).count()
     assert bad_ratio == 0
     assert out.where(F.col("n_dup_windows") > 0).count() > 0, "no duplicated spans found"
+
+
+# ---------------------------------------------------------------------------
+# text-entropy
+# ---------------------------------------------------------------------------
+
+def test_entropy_bounds_and_degenerate_cases(spark, sf_dir):
+    """0 ≤ H ≤ ln(n_distinct) (+rounding slack), entropy_norm ∈ [0, 1],
+    and a uniform-unique document (all words distinct) must sit at the
+    maximum: H = ln(n) exactly (every ln is rounded identically), norm
+    = 1."""
+    out = QUERIES["text-entropy"](spark, sf_dir)
+    eps = 1e-5
+    assert out.where(F.col("word_entropy") < -eps).count() == 0
+    bad_hi = out.where(
+        F.col("word_entropy") > F.log(F.col("n_distinct").cast("double")) + eps
+    ).count()
+    assert bad_hi == 0
+    assert (
+        out.where(F.col("entropy_norm").isNotNull())
+        .where((F.col("entropy_norm") < -eps) | (F.col("entropy_norm") > 1 + eps))
+        .count()
+        == 0
+    )
+    uniq = out.where(F.col("n_distinct") == F.col("n_tokens")).where(F.col("n_tokens") > 1)
+    if uniq.count():
+        assert uniq.where(F.abs(F.col("entropy_norm") - 1.0) > eps).count() == 0
