@@ -132,6 +132,7 @@ HEADLINE = [
     "analytics-markov-transitions",
     "ts-ewma",
     "text-entropy",
+    "dq-referential",
 ]
 
 

@@ -468,3 +468,88 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return in_gaps.unionByName(seam_gaps)
+
+
+# ---------------------------------------------------------------------------
+# dq-referential — cross-table foreign-key orphan detection
+# ---------------------------------------------------------------------------
+
+# (relation label, child table, child key, parent table, parent key,
+#  parent filter SQL or None).  The last relation is DELIBERATELY
+# violated (parent restricted to even customer keys) so the non-zero
+# orphan path is exercised on the referentially-consistent fixture —
+# the same convention as dq-expectations' failing uniqueness rule.
+_FK_RELATIONS = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", None),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey", None),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey", None),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", None),
+    ("events.user_id->customer[even]", "events", "user_id", "customer", "c_custkey",
+     "c_custkey % 2 = 0"),
+)
+
+
+def _dq_referential_oracle() -> str:
+    blocks = []
+    for rel, child, ckey, parent, pkey, pfilter in _FK_RELATIONS:
+        pwhere = f" WHERE {pfilter}" if pfilter else ""
+        blocks.append(f"""
+    SELECT '{rel}' AS relation,
+           count(*) AS n_rows,
+           CAST(SUM(CASE WHEN c.{ckey} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_keys,
+           CAST(SUM(CASE WHEN c.{ckey} IS NOT NULL AND p.{pkey} IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+           (SUM(CASE WHEN c.{ckey} IS NOT NULL AND p.{pkey} IS NULL
+                     THEN 1 ELSE 0 END) = 0) AS ok
+    FROM {child} c LEFT JOIN (SELECT DISTINCT {pkey} FROM {parent}{pwhere}) p
+      ON c.{ckey} = p.{pkey}""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+@register("dq-referential", oracle=_dq_referential_oracle())
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    declared foreign-key relation, count child rows whose key has no
+    parent (orphans) and NULL keys (a separate completeness issue, never
+    counted as an orphan) — the cross-table tier dq-expectations'
+    single-scan predicate rules cannot express.
+
+    Scale (100 TB): the child side pre-aggregates to (key, row_count)
+    before any join — the anti-join probes DISTINCT child keys, not
+    child rows, so a 100 B-row fact table joins as its key cardinality;
+    parents reduce to distinct-key sets.  Each relation is an
+    independent keyed-shuffle pipeline (no cross-relation barrier), and
+    orphan totals are exact BIGINT sums of the per-key row counts.
+    """
+    out = None
+    for rel, child, ckey, parent, pkey, pfilter in _FK_RELATIONS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        if pfilter:
+            p = p.filter(F.expr(pfilter))
+        pkeys = p.select(F.col(pkey).alias("pk")).distinct()
+        ck = c.groupBy(F.col(ckey).alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
+        orphan = (
+            ck.filter(F.col("k").isNotNull())
+            .join(pkeys, F.col("k") == F.col("pk"), "left_anti")
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_orphan_rows"))
+        )
+        totals = ck.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("k").isNull(), F.col("cnt"))), F.lit(0)
+            ).cast("long").alias("n_null_keys"),
+        )
+        row = (
+            totals.crossJoin(F.broadcast(orphan))
+            .select(
+                F.lit(rel).alias("relation"),
+                "n_rows",
+                "n_null_keys",
+                "n_orphan_rows",
+                (F.col("n_orphan_rows") == 0).alias("ok"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -53,6 +53,7 @@ SWEEP_PRIORITY: list[str] = [
     "analytics-markov-transitions",  # event-type transition matrix
     "ts-ewma",                    # decimal-exact trailing EWMA
     "text-entropy",               # word-distribution Shannon entropy
+    "dq-referential",             # cross-table FK orphan audit
     # -- tier 2: stale-green — latest driver green is round 5 ------------
     # numerically-sensitive window/as-of/stream suites first
     "win-sessionize", "join-asof", "join-asof-forward",
@@ -70,7 +71,6 @@ SWEEP_PRIORITY: list[str] = [
     "stream-tumbling-6h", "stream-sliding-60m", "stream-cursor-resume",
     "sink-upsert-holders", "sink-insert-ignore-tx", "sink-upsert-cursor",
     "sink-view",
-    "src-blockcursor-replay",
     "mm-binary-meta",
     "curate-token-pack", "sample-stratified", "curate-mixture-weights",
 ]
@@ -83,14 +83,18 @@ SWEEP_PRIORITY: list[str] = [
 # is a constant extraction (behavior-preserving by construction).  Then
 # the r6 cohort, which becomes the round-9 priority seed.
 SWEEP_DEFER: list[str] = [
-    # displaced by the six new round-8 queries (tier 1b): these six have
-    # the strongest secondary evidence in the r5 cohort — the mm queries
-    # share multimodal.py's pytest surface with mm-binary-meta (still in
-    # budget), src-datasource-paged has the full DS-API edge-test suite,
-    # and curate-corpus-pipeline / fn-vector-suite are compositions of
+    # displaced by the seven new round-8 queries (tier 1b): never-checked
+    # queries rank above stale-green in the rotation doctrine (tier 2 vs
+    # tier 3 above), and these seven have the strongest secondary
+    # evidence in the r5 cohort — the mm queries share multimodal.py's
+    # pytest surface with mm-binary-meta (still in budget),
+    # src-datasource-paged and src-blockcursor-replay have the full
+    # DS-API / streaming-replay edge-test suites, and
+    # curate-corpus-pipeline / fn-vector-suite are compositions of
     # stages individually green this round or last.
     "src-datasource-paged", "mm-resize-plan", "mm-feature-extract",
-    "mm-frame-sample", "curate-corpus-pipeline", "fn-vector-suite",
+    "mm-frame-sample", "src-blockcursor-replay",
+    "curate-corpus-pipeline", "fn-vector-suite",
     "link-golden-record", "src-jsonl-corrupt",
     "ts-gap-fill", "ts-moving-stats", "ts-linear-trend",
     "join-asof-nearest", "join-latest-bucket", "join-salted-skew",

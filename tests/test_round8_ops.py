@@ -172,3 +172,26 @@ def test_entropy_bounds_and_degenerate_cases(spark, sf_dir):
     uniq = out.where(F.col("n_distinct") == F.col("n_tokens")).where(F.col("n_tokens") > 1)
     if uniq.count():
         assert uniq.where(F.abs(F.col("entropy_norm") - 1.0) > eps).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# dq-referential
+# ---------------------------------------------------------------------------
+
+def test_referential_consistent_fks_pass_and_planted_violation_fires(spark, sf_dir):
+    """The TPC-H-consistent relations must report zero orphans; the
+    deliberately-violated relation (parent restricted to even customer
+    keys) must report orphans equal to the independently-computed count
+    of events whose user_id is odd (odd keys were filtered out of the
+    parent)."""
+    out = {r["relation"]: r for r in QUERIES["dq-referential"](spark, sf_dir).collect()}
+    assert len(out) == 5
+    for rel, r in out.items():
+        assert r["ok"] == (r["n_orphan_rows"] == 0)
+        if "[even]" not in rel:
+            assert r["n_orphan_rows"] == 0, rel
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expected_orphans = events.where("user_id % 2 <> 0").count()
+    bad = out["events.user_id->customer[even]"]
+    assert bad["n_orphan_rows"] == expected_orphans
+    assert not bad["ok"]
