@@ -493,15 +493,18 @@ def _dq_referential_oracle() -> str:
     blocks = []
     for rel, child, ckey, parent, pkey, pfilter in _FK_RELATIONS:
         pwhere = f" WHERE {pfilter}" if pfilter else ""
+        # COALESCE every SUM: over an empty child table SUM() is NULL
+        # while count(*) is 0 — both engines must agree on the total
+        # (0, 0, 0, true) row (latent-divergence review finding)
         blocks.append(f"""
     SELECT '{rel}' AS relation,
            count(*) AS n_rows,
-           CAST(SUM(CASE WHEN c.{ckey} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_null_keys,
-           CAST(SUM(CASE WHEN c.{ckey} IS NOT NULL AND p.{pkey} IS NULL
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
-           (SUM(CASE WHEN c.{ckey} IS NOT NULL AND p.{pkey} IS NULL
-                     THEN 1 ELSE 0 END) = 0) AS ok
+           CAST(COALESCE(SUM(CASE WHEN c.{ckey} IS NULL THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_null_keys,
+           CAST(COALESCE(SUM(CASE WHEN c.{ckey} IS NOT NULL AND p.{pkey} IS NULL
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphan_rows,
+           (COALESCE(SUM(CASE WHEN c.{ckey} IS NOT NULL AND p.{pkey} IS NULL
+                     THEN 1 ELSE 0 END), 0) = 0) AS ok
     FROM {child} c LEFT JOIN (SELECT DISTINCT {pkey} FROM {parent}{pwhere}) p
       ON c.{ckey} = p.{pkey}""")
     return "\nUNION ALL\n".join(blocks)
@@ -536,7 +539,9 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_orphan_rows"))
         )
         totals = ck.agg(
-            F.sum("cnt").alias("n_rows"),
+            # coalesce like the oracle: an empty child table must yield
+            # the (0, 0, 0, true) row in BOTH engines
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_rows"),
             F.coalesce(
                 F.sum(F.when(F.col("k").isNull(), F.col("cnt"))), F.lit(0)
             ).cast("long").alias("n_null_keys"),
