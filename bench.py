@@ -133,6 +133,7 @@ HEADLINE = [
     "ts-ewma",
     "text-entropy",
     "dq-referential",
+    "text-winnowing",
 ]
 
 

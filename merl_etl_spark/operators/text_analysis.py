@@ -582,3 +582,124 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("word_entropy"),
         (h / F.when(hnorm_den != 0, hnorm_den)).alias("entropy_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text-winnowing — winnowed k-gram fingerprints (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+# k-gram length and winnow window: any shared substring of length
+# >= WINNOW_W + WINNOW_K - 1 (17 chars here) is GUARANTEED to share a
+# selected fingerprint — the MOSS guarantee — while storing only
+# ~2/(W+1) of the dense k-gram hashes dedup-substring keeps.
+WINNOW_K = 8
+WINNOW_W = 10
+
+
+@register(
+    "text-winnowing",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - {WINNOW_K - 1})) AS p
+      FROM documents WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    h AS (
+      SELECT doc_id, p,
+             ('0x' || substr(md5(substr(text, p, {WINNOW_K})), 1, 8))::BIGINT AS kh,
+             length(text) - {WINNOW_K} + 1 AS n_kgrams
+      FROM pos
+    ),
+    wmin AS (
+      SELECT doc_id, n_kgrams, p,
+             min(kh) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+               AS fp
+      FROM h
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, n_kgrams, fp
+      FROM wmin WHERE p <= n_kgrams - {WINNOW_W - 1}
+    ),
+    share AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM fps GROUP BY 1)
+    SELECT f.doc_id,
+           max(f.n_kgrams) AS n_kgrams,
+           count(*) AS n_fingerprints,
+           CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_fp,
+           CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS shared_ratio
+    FROM fps f JOIN share s USING (fp)
+    GROUP BY 1
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every 8-char k-gram, keep the
+    MINIMUM hash of each 10-hash sliding window, dedupe — any shared
+    substring of length ≥ 17 chars shares a selected fingerprint, at
+    ~2/(W+1) of the storage of the dense window table dedup-substring
+    builds.  Output: per-doc fingerprint counts plus how many selected
+    fingerprints recur in other documents.
+
+    Determinism: fingerprints are exact integer min-comparisons over
+    md5-derived 32-bit values — no floats anywhere but the final ratio
+    of two BIGINTs.  Scale (100 TB): the k-gram hash projection is
+    map-side; the winnow min is a per-document window with a BOUNDED
+    forward frame (O(n·W), not the O(n²) unboundedFollowing trap); the
+    sharing rollup is the same count-shaped fingerprint groupBy as
+    dedup-substring — never pair lists.
+    """
+    from merl_etl_spark.operators.dedup import pin_parallelism
+
+    docs = pin_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", "text"),
+        "doc_id",
+    )
+    h = docs.select(
+        "doc_id",
+        (F.length("text") - WINNOW_K + 1).alias("n_kgrams"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {WINNOW_K - 1}),"
+                f" p -> struct(p AS p, substring(text, p, {WINNOW_K}) AS g))"
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "n_kgrams",
+        F.col("s.p").alias("p"),
+        F.conv(F.substring(F.md5("s.g"), 1, 8), 16, 10).cast("long").alias("kh"),
+    )
+    from pyspark.sql.window import Window
+
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    fps = (
+        h.select(
+            "doc_id",
+            "n_kgrams",
+            "p",
+            F.min("kh").over(wf).alias("fp"),
+        )
+        .where(F.col("p") <= F.col("n_kgrams") - (WINNOW_W - 1))
+        .select("doc_id", "n_kgrams", "fp")
+        .distinct()
+    )
+    share = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        fps.join(share, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_kgrams").cast("long").alias("n_kgrams"),
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum(shared).cast("long").alias("n_shared_fp"),
+            (F.sum(shared).cast("double") / F.count(F.lit(1))).alias("shared_ratio"),
+        )
+    )

@@ -54,6 +54,7 @@ SWEEP_PRIORITY: list[str] = [
     "ts-ewma",                    # decimal-exact trailing EWMA
     "text-entropy",               # word-distribution Shannon entropy
     "dq-referential",             # cross-table FK orphan audit
+    "text-winnowing",             # MOSS winnowed fingerprints
     # -- tier 2: stale-green — latest driver green is round 5 ------------
     # numerically-sensitive window/as-of/stream suites first
     "win-sessionize", "join-asof", "join-asof-forward",
@@ -72,7 +73,7 @@ SWEEP_PRIORITY: list[str] = [
     "sink-upsert-holders", "sink-insert-ignore-tx", "sink-upsert-cursor",
     "sink-view",
     "mm-binary-meta",
-    "curate-token-pack", "sample-stratified", "curate-mixture-weights",
+    "curate-token-pack", "sample-stratified",
 ]
 
 # Budget triage (round 8): the prioritized block is 50 entries, so the
@@ -83,18 +84,20 @@ SWEEP_PRIORITY: list[str] = [
 # is a constant extraction (behavior-preserving by construction).  Then
 # the r6 cohort, which becomes the round-9 priority seed.
 SWEEP_DEFER: list[str] = [
-    # displaced by the seven new round-8 queries (tier 1b): never-checked
+    # displaced by the eight new round-8 queries (tier 1b): never-checked
     # queries rank above stale-green in the rotation doctrine (tier 2 vs
-    # tier 3 above), and these seven have the strongest secondary
-    # evidence in the r5 cohort — the mm queries share multimodal.py's
-    # pytest surface with mm-binary-meta (still in budget),
-    # src-datasource-paged and src-blockcursor-replay have the full
-    # DS-API / streaming-replay edge-test suites, and
-    # curate-corpus-pipeline / fn-vector-suite are compositions of
-    # stages individually green this round or last.
+    # tier 3 above), so 38 of the 46-query r5 cohort refresh this round
+    # and these eight — the cohort entries with the strongest secondary
+    # evidence — lead the round-9 seed: the mm queries share
+    # multimodal.py's pytest surface with mm-binary-meta (still in
+    # budget), src-datasource-paged and src-blockcursor-replay have the
+    # full DS-API / streaming-replay edge-test suites, and
+    # curate-corpus-pipeline / fn-vector-suite / curate-mixture-weights
+    # are compositions or small aggregates of stages individually green
+    # this round or last.
     "src-datasource-paged", "mm-resize-plan", "mm-feature-extract",
     "mm-frame-sample", "src-blockcursor-replay",
-    "curate-corpus-pipeline", "fn-vector-suite",
+    "curate-corpus-pipeline", "fn-vector-suite", "curate-mixture-weights",
     "link-golden-record", "src-jsonl-corrupt",
     "ts-gap-fill", "ts-moving-stats", "ts-linear-trend",
     "join-asof-nearest", "join-latest-bucket", "join-salted-skew",

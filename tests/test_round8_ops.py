@@ -195,3 +195,22 @@ def test_referential_consistent_fks_pass_and_planted_violation_fires(spark, sf_d
     bad = out["events.user_id->customer[even]"]
     assert bad["n_orphan_rows"] == expected_orphans
     assert not bad["ok"]
+
+
+# ---------------------------------------------------------------------------
+# text-winnowing
+# ---------------------------------------------------------------------------
+
+def test_winnowing_density_guarantee_and_bounds(spark, sf_dir):
+    """Winnowing's density bound: the number of selected fingerprints is
+    at most the number of windows (n_kgrams - W + 1) and at least
+    ceil(windows / W) — each window contributes its min, and a selected
+    hash can cover at most W consecutive windows.  Shared counts are
+    bounded by totals, and the word-soup fixture must share spans."""
+    out = QUERIES["text-winnowing"](spark, sf_dir)
+    W = 10
+    windows = F.col("n_kgrams") - (W - 1)
+    assert out.where(F.col("n_fingerprints") > windows).count() == 0
+    assert out.where(F.col("n_fingerprints") < F.ceil(windows / W)).count() == 0
+    assert out.where(F.col("n_shared_fp") > F.col("n_fingerprints")).count() == 0
+    assert out.where(F.col("n_shared_fp") > 0).count() > 0, "no shared fingerprints"
