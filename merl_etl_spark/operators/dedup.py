@@ -72,16 +72,27 @@ def md5_halves_spark(m):
     ]
 
 
+def md5_u32_duck(text_expr: str) -> str:
+    """DuckDB: md5(text) → unsigned 32-bit BIGINT (first 8 hex digits).
+    Same single-source rule as :func:`md5_halves_duck`: the split must
+    stay in lockstep with :func:`md5_u32_spark`."""
+    return f"('0x' || substr(md5({text_expr}), 1, 8))::BIGINT"
+
+
+def md5_u32_spark(col):
+    """Spark twin of :func:`md5_u32_duck`."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def md5_bucket_duck(text_expr: str, buckets: int) -> str:
-    """DuckDB: md5(text) → one of ``buckets`` hash buckets.  Same
-    single-source rule as :func:`md5_halves_duck`: the first-8-hex-digit
-    split must stay in lockstep with :func:`md5_bucket_spark`."""
-    return f"('0x' || substr(md5({text_expr}), 1, 8))::BIGINT % {buckets}"
+    """DuckDB: md5(text) → one of ``buckets`` hash buckets (the u32
+    split modulo the bucket count)."""
+    return f"{md5_u32_duck(text_expr)} % {buckets}"
 
 
 def md5_bucket_spark(col, buckets: int):
     """Spark twin of :func:`md5_bucket_duck`."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % buckets
+    return md5_u32_spark(col) % buckets
 
 
 WORDS_SHINGLES = ngram_shingles_expr(3)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from merl_etl_spark.operators.dedup import md5_u32_duck, md5_u32_spark, pin_parallelism
 from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
 
@@ -591,7 +592,11 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k-gram length and winnow window: any shared substring of length
 # >= WINNOW_W + WINNOW_K - 1 (17 chars here) is GUARANTEED to share a
 # selected fingerprint — the MOSS guarantee — while storing only
-# ~2/(W+1) of the dense k-gram hashes dedup-substring keeps.
+# ~2/(W+1) of the DENSE every-position k-gram hash table.  Relative to
+# dedup-substring (40-char windows strided by 10, ~n/10 hashes/doc,
+# guarantee only for spans >= 49 chars) winnowing keeps ~1.8x the
+# hashes but detects shared spans ~3x shorter — the two tiers trade
+# storage for guarantee granularity.
 WINNOW_K = 8
 WINNOW_W = 10
 
@@ -606,7 +611,7 @@ WINNOW_W = 10
     ),
     h AS (
       SELECT doc_id, p,
-             ('0x' || substr(md5(substr(text, p, {WINNOW_K})), 1, 8))::BIGINT AS kh,
+             {md5_u32_duck(f'substr(text, p, {WINNOW_K})')} AS kh,
              length(text) - {WINNOW_K} + 1 AS n_kgrams
       FROM pos
     ),
@@ -638,8 +643,10 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIGMOD 2003 — the MOSS algorithm): hash every 8-char k-gram, keep the
     MINIMUM hash of each 10-hash sliding window, dedupe — any shared
     substring of length ≥ 17 chars shares a selected fingerprint, at
-    ~2/(W+1) of the storage of the dense window table dedup-substring
-    builds.  Output: per-doc fingerprint counts plus how many selected
+    ~2/(W+1) of the DENSE every-position k-gram table.  (Relative to
+    dedup-substring's strided windows this keeps ~1.8× the hashes but
+    guarantees spans ~3× shorter — see the module constant note.)
+    Output: per-doc fingerprint counts plus how many selected
     fingerprints recur in other documents.
 
     Determinism: fingerprints are exact integer min-comparisons over
@@ -650,8 +657,6 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing rollup is the same count-shaped fingerprint groupBy as
     dedup-substring — never pair lists.
     """
-    from merl_etl_spark.operators.dedup import pin_parallelism
-
     docs = pin_parallelism(
         load_table(spark, sf_dir, "documents")
         .where(F.length("text") >= WINNOW_K + WINNOW_W - 1)
@@ -671,7 +676,7 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_kgrams",
         F.col("s.p").alias("p"),
-        F.conv(F.substring(F.md5("s.g"), 1, 8), 16, 10).cast("long").alias("kh"),
+        md5_u32_spark(F.col("s.g")).alias("kh"),
     )
     from pyspark.sql.window import Window
 
