@@ -542,22 +542,9 @@ def _ewma_oracle() -> str:
     """
 
 
-@register("ts-ewma", oracle=_ewma_oracle())
-def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing EWMA (alpha=1/2, 12-tap truncation, per-series) over the
-    event stream — the smoothing step behind alerting baselines and
-    trend monitors (reference analogue: the rolling report windows in
-    scripts/ingest_activity_and_report.sh).
-
-    Scale (100 TB): one keyed window per series (event_type) — the same
-    partition unit as ts-moving-stats; the 12 lag() taps share a single
-    sort within the window exchange, so the whole query is one shuffle.
-    No global sort, no self-join against shifted copies.
-    """
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    xd = F.col("value").cast("decimal(18,6)")
-    x = events.select("event_id", "event_type", "ts", xd.alias("xd"))
+def _ewma_taps(w):
+    """(num, den) tap-sum columns over window ``w`` — shared by both
+    execution modes so the arithmetic cannot diverge."""
     zero = F.lit(Decimal("0.000000")).cast("decimal(18,6)")
     num = None
     den = None
@@ -567,16 +554,94 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         dterm = F.when(xk.isNull(), F.lit(0.0)).otherwise(F.lit(float(wk)))
         num = term if num is None else num + term
         den = dterm if den is None else den + dterm
-    s = x.select(
-        "event_id",
-        "event_type",
-        "ts",
-        F.round(num, 6).alias("num6"),
-        den.alias("den"),
-    )
+    return num, den
+
+
+def _ewma_finish(s: DataFrame) -> DataFrame:
     return s.select(
         "event_id",
         "event_type",
         F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
         (F.col("num6").cast("double") / F.when(F.col("den") != 0, F.col("den"))).alias("ewma"),
     )
+
+
+# Sharded execution mode (spark.merl.ewma.sharded=true): a per-series
+# window parallelizes only as far as the SERIES COUNT — 5 event types
+# put a 10M-row sort on 5 cores (ARCHITECTURE.md "Per-series windows
+# parallelize by series count"; measured 25 s at 100×).  Because the
+# 12-tap frame is BOUNDED, the series can be cut into fixed-size chunks
+# computed independently: each row only needs its 11 predecessors, so
+# replicating the last 11 rows of every chunk into the next chunk
+# ("carry" rows, filtered from the output) makes the chunked windows
+# exactly equal to the global one.  Global row numbers come from the
+# curate-shuffle-index pattern — per-(series, day) in-bucket ranks plus
+# broadcast cumulative offsets over the tiny (series × days) count
+# table — never a global sort.  Parallelism becomes series × chunks.
+EWMA_SHARDED_CONF = "spark.merl.ewma.sharded"
+EWMA_CHUNK = 512  # rows per chunk; raise on a real cluster (must be >= EWMA_K)
+
+
+@register("ts-ewma", oracle=_ewma_oracle())
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA (alpha=1/2, 12-tap truncation, per-series) over the
+    event stream — the smoothing step behind alerting baselines and
+    trend monitors (reference analogue: the rolling report windows in
+    scripts/ingest_activity_and_report.sh).
+
+    Scale (100 TB): default mode is one keyed window per series
+    (event_type) — the same partition unit as ts-moving-stats; the 12
+    lag() taps share a single sort within the window exchange, so the
+    whole query is one shuffle.  When the corpus has FEW series (the
+    series-count parallelism cliff), set ``spark.merl.ewma.sharded=true``
+    for the chunked-overlap plan described above — bit-identical output
+    (pinned by tests/test_round8_ops.py::test_ewma_sharded_mode_equals_default).
+    """
+    events = load_table(spark, sf_dir, "events")
+    xd = F.col("value").cast("decimal(18,6)")
+    x = events.select("event_id", "event_type", "ts", xd.alias("xd"))
+    if spark.conf.get(EWMA_SHARDED_CONF, "false").lower() != "true":
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        num, den = _ewma_taps(w)
+        return _ewma_finish(
+            x.select("event_id", "event_type", "ts",
+                     F.round(num, 6).alias("num6"), den.alias("den"))
+        )
+    # ---- sharded mode ----
+    K = EWMA_K
+    day = F.date_trunc("day", "ts")
+    xb = x.withColumn("day", day)
+    counts = xb.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    w_off = (
+        Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "event_type", "day", (F.sum("n").over(w_off) - F.col("n")).alias("off")
+    )
+    w_in = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    ranked = (
+        xb.withColumn("rn_in", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), ["event_type", "day"])
+        .select(
+            "event_id", "event_type", "ts", "xd",
+            (F.col("off") + F.col("rn_in")).alias("rn"),
+        )
+    )
+    chunk = F.floor((F.col("rn") - 1) / EWMA_CHUNK)
+    real = ranked.select("*", chunk.alias("chunk"), F.lit(False).alias("carry"))
+    carried = (
+        ranked.where(((F.col("rn") - 1) % EWMA_CHUNK) >= EWMA_CHUNK - (K - 1))
+        .select("*", (chunk + 1).alias("chunk"), F.lit(True).alias("carry"))
+    )
+    wc = Window.partitionBy("event_type", "chunk").orderBy("rn")
+    num, den = _ewma_taps(wc)
+    s = (
+        real.unionByName(carried)
+        .select(
+            "event_id", "event_type", "ts", "carry",
+            F.round(num, 6).alias("num6"), den.alias("den"),
+        )
+        .where(~F.col("carry"))
+    )
+    return _ewma_finish(s)

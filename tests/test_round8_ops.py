@@ -216,3 +216,27 @@ def test_winnowing_density_guarantee_and_bounds(spark, sf_dir):
     assert out.where(F.col("n_fingerprints") < 1).count() == 0
     assert out.where(F.col("n_shared_fp") > F.col("n_fingerprints")).count() == 0
     assert out.where(F.col("n_shared_fp") > 0).count() > 0, "no shared fingerprints"
+
+
+def test_ewma_sharded_mode_equals_default(spark, sf_dir):
+    """The chunked-overlap sharded plan (spark.merl.ewma.sharded=true)
+    must be BIT-identical to the per-series window: the carry rows give
+    every chunk-local lag the same 11 predecessors the global window
+    sees, and both modes share _ewma_taps, so even the rounding inputs
+    are the same exact decimals."""
+    from merl_etl_spark.operators.timeseries import EWMA_SHARDED_CONF
+
+    def rows():
+        return sorted(
+            (r["event_type"], r["event_id"], r["ts_s"], r["ewma"])
+            for r in QUERIES["ts-ewma"](spark, sf_dir).collect()
+        )
+
+    spark.conf.set(EWMA_SHARDED_CONF, "true")
+    try:
+        sharded = rows()
+    finally:
+        spark.conf.set(EWMA_SHARDED_CONF, "false")
+    default = rows()
+    assert len(sharded) == len(default) > 0
+    assert sharded == default
