@@ -579,6 +579,14 @@ def _ewma_finish(s: DataFrame) -> DataFrame:
 # broadcast cumulative offsets over the tiny (series × days) count
 # table — never a global sort.  Parallelism becomes series × chunks.
 EWMA_SHARDED_CONF = "spark.merl.ewma.sharded"
+# rank-pass bucket granularity (day|hour|minute): the in-bucket rank
+# window partitions by (series, bucket), so a corpus concentrated in few
+# days needs a finer unit to keep the rank pass wide — the bucket must
+# be TIME-ordered (all of bucket b precedes bucket b+1), which is why a
+# hash bucket cannot work here.  A single bucket must also stay under
+# 2^31 rows (row_number is int-valued).
+EWMA_BUCKET_CONF = "spark.merl.ewma.bucket"
+_EWMA_BUCKET_UNITS = ("day", "hour", "minute")
 EWMA_CHUNK = 512  # rows per chunk; raise on a real cluster (must be >= EWMA_K)
 
 
@@ -609,39 +617,65 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # ---- sharded mode ----
     K = EWMA_K
-    day = F.date_trunc("day", "ts")
-    xb = x.withColumn("day", day)
-    counts = xb.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    unit = spark.conf.get(EWMA_BUCKET_CONF, "day")
+    if unit not in _EWMA_BUCKET_UNITS:
+        raise ValueError(f"{EWMA_BUCKET_CONF} must be one of {_EWMA_BUCKET_UNITS}")
+    bucket = F.date_trunc(unit, "ts")
+    xb = x.withColumn("bkt", bucket)
+    counts = xb.groupBy("event_type", "bkt").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy("bkt") sorts a NULL bucket (null ts) first — the same
+    # NULLS FIRST position those rows take in the default mode's
+    # (ts, event_id) window order
     w_off = (
-        Window.partitionBy("event_type").orderBy("day")
+        Window.partitionBy("event_type").orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = counts.select(
-        "event_type", "day", (F.sum("n").over(w_off) - F.col("n")).alias("off")
+        F.col("event_type").alias("o_type"),
+        F.col("bkt").alias("o_bkt"),
+        (F.sum("n").over(w_off) - F.col("n")).alias("off"),
     )
-    w_in = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    w_in = Window.partitionBy("event_type", "bkt").orderBy("ts", "event_id")
     ranked = (
         xb.withColumn("rn_in", F.row_number().over(w_in))
-        .join(F.broadcast(offsets), ["event_type", "day"])
+        # null-SAFE bucket match: a plain equi-join drops null-ts rows
+        # (NULL keys never match), silently diverging from default mode
+        .join(
+            F.broadcast(offsets),
+            (F.col("event_type") == F.col("o_type"))
+            & F.col("bkt").eqNullSafe(F.col("o_bkt")),
+        )
         .select(
             "event_id", "event_type", "ts", "xd",
             (F.col("off") + F.col("rn_in")).alias("rn"),
         )
     )
-    chunk = F.floor((F.col("rn") - 1) / EWMA_CHUNK)
-    real = ranked.select("*", chunk.alias("chunk"), F.lit(False).alias("carry"))
-    carried = (
-        ranked.where(((F.col("rn") - 1) % EWMA_CHUNK) >= EWMA_CHUNK - (K - 1))
-        .select("*", (chunk + 1).alias("chunk"), F.lit(True).alias("carry"))
+    # single-pass chunk assignment: each row emits (chunk, carry=false)
+    # plus, when it sits in the last K-1 rows of its chunk, a duplicate
+    # into the next chunk (carry=true, filtered from the output) — a
+    # conditional-array explode, NOT a union of two branches, so the
+    # scan/rank/join subtree executes once instead of twice
+    chunk = (F.floor((F.col("rn") - 1) / EWMA_CHUNK)).alias("chunk")
+    pos_in_chunk = (F.col("rn") - 1) % EWMA_CHUNK
+    one = F.array(F.struct(chunk, F.lit(False).alias("carry")))
+    two = F.array(
+        F.struct(chunk, F.lit(False).alias("carry")),
+        F.struct(
+            (F.floor((F.col("rn") - 1) / EWMA_CHUNK) + 1).alias("chunk"),
+            F.lit(True).alias("carry"),
+        ),
+    )
+    assigned = ranked.select(
+        "event_id", "event_type", "ts", "xd", "rn",
+        F.explode(F.when(pos_in_chunk >= EWMA_CHUNK - (K - 1), two).otherwise(one)).alias("a"),
+    ).select(
+        "event_id", "event_type", "ts", "xd", "rn",
+        F.col("a.chunk").alias("chunk"), F.col("a.carry").alias("carry"),
     )
     wc = Window.partitionBy("event_type", "chunk").orderBy("rn")
     num, den = _ewma_taps(wc)
-    s = (
-        real.unionByName(carried)
-        .select(
-            "event_id", "event_type", "ts", "carry",
-            F.round(num, 6).alias("num6"), den.alias("den"),
-        )
-        .where(~F.col("carry"))
-    )
+    s = assigned.select(
+        "event_id", "event_type", "ts", "carry",
+        F.round(num, 6).alias("num6"), den.alias("den"),
+    ).where(~F.col("carry"))
     return _ewma_finish(s)

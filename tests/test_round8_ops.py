@@ -240,3 +240,51 @@ def test_ewma_sharded_mode_equals_default(spark, sf_dir):
     default = rows()
     assert len(sharded) == len(default) > 0
     assert sharded == default
+
+
+def test_ewma_sharded_keeps_null_ts_rows_and_validates_bucket_unit(spark, sf_dir):
+    """Review regression pins: (1) a null-ts row must survive sharded
+    mode (the offsets join is null-safe; a plain equi-join dropped it);
+    (2) the hour-granularity bucket produces the same answer; (3) an
+    unknown bucket unit fails loudly."""
+    import datetime as dt
+
+    import pytest
+
+    import merl_etl_spark.operators.timeseries as ts_mod
+    from merl_etl_spark.operators.timeseries import (
+        EWMA_BUCKET_CONF,
+        EWMA_SHARDED_CONF,
+    )
+
+    rows = [
+        (i, "a", dt.datetime(2024, 1, 1 + i % 5, 3, i % 50), float(i % 7))
+        for i in range(1, 300)
+    ]
+    rows.append((999, "a", None, 42.0))
+    synth = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    orig = ts_mod.load_table
+    ts_mod.load_table = lambda s, d, n: synth
+    try:
+        def run():
+            return sorted(
+                (r["event_id"], r["ewma"])
+                for r in QUERIES["ts-ewma"](spark, sf_dir).collect()
+            )
+
+        spark.conf.set(EWMA_SHARDED_CONF, "false")
+        default = run()
+        spark.conf.set(EWMA_SHARDED_CONF, "true")
+        assert run() == default
+        spark.conf.set(EWMA_BUCKET_CONF, "hour")
+        assert run() == default
+        spark.conf.set(EWMA_BUCKET_CONF, "fortnight")
+        with pytest.raises(ValueError, match="spark.merl.ewma.bucket"):
+            QUERIES["ts-ewma"](spark, sf_dir)
+    finally:
+        ts_mod.load_table = orig
+        spark.conf.set(EWMA_SHARDED_CONF, "false")
+        spark.conf.set(EWMA_BUCKET_CONF, "day")
+    assert len(default) == 300
