@@ -227,3 +227,75 @@ def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_name", "[aeiou]", "_").alias("vowels_masked"),
         F.size(F.split("p_name", " +")).alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn-transcendental-canary — driver-environment determinism probe
+# ---------------------------------------------------------------------------
+
+# VERDICT r8 #7: curate-dsir went driver-red while locally 3-SF green — an
+# environment-sensitive transcendental somewhere in its ln→round→decimal
+# path.  This canary pins ONE row per transcendental class the engine
+# relies on, so if the driver environment ever diverges from local again,
+# the mismatching row names WHICH function/argument-class flipped instead
+# of leaving a mystery hash on a 60k-row query.
+#
+# Classes covered (each expression is portable SQL rendered IDENTICALLY
+# into both engines from this single list — they cannot drift apart):
+#   ln_int_*    integer-argument ln()  — the text-entropy / new-DSIR class
+#   ln_ratio_*  float-ratio ln()       — the class the old DSIR λ used and
+#                                        that flipped in the r8 driver env
+#   sqrt_*      sqrt()                 — cosine/zscore denominators
+#   pow_frac    fractional pow()       — BM25/decay shapes
+#   exp_*       exp()                  — inverse-log reconstructions
+# All rounded once to the same 6-dp contract the operators use, then
+# frozen as DECIMAL(18,6).
+_CANARY_CASES: list[tuple[str, str]] = [
+    ("ln_int_2", "ln(2)"),
+    ("ln_int_7", "ln(7)"),
+    ("ln_int_257", "ln(257)"),
+    ("ln_int_65537", "ln(65537)"),
+    ("ln_int_1000003", "ln(1000003)"),
+    ("ln_int_1000000007", "ln(1000000007)"),
+    # ratio args go through CAST(... AS DOUBLE): Spark parses a bare
+    # `3.0` literal as DECIMAL, so `3.0/7.0` would be scale-truncated
+    # decimal division there but double division in DuckDB — the canary
+    # itself caught this divergence on first run
+    ("ln_ratio_small", "ln(CAST(3 AS DOUBLE) / CAST(7 AS DOUBLE))"),
+    ("ln_ratio_counts",
+     "ln((CAST(135 AS DOUBLE) * 65792) / (CAST(149 AS DOUBLE) * 65536))"),
+    ("ln_ratio_neartie",
+     "ln((CAST(903 AS DOUBLE) * 12345) / (CAST(1001 AS DOUBLE) * 11111))"),
+    ("sqrt_2", "sqrt(2)"),
+    ("sqrt_10", "sqrt(10)"),
+    ("sqrt_ratio", "sqrt(CAST(12345 AS DOUBLE) / CAST(999 AS DOUBLE))"),
+    ("pow_frac", "pow(CAST(7 AS DOUBLE), CAST(0.5 AS DOUBLE))"),
+    ("pow_bm25_shape", "pow(CAST(1.2 AS DOUBLE), CAST(0.75 AS DOUBLE))"),
+    ("exp_1", "exp(1)"),
+    ("exp_neg_ratio", "exp(CAST(-135 AS DOUBLE) / CAST(256 AS DOUBLE))"),
+]
+
+
+def _canary_sql() -> str:
+    """Render the canary as one UNION ALL of literal rows — the SAME text
+    is executed by Spark SQL and DuckDB, so the two sides share every
+    character of every expression."""
+    rows = "\n    UNION ALL ".join(
+        f"SELECT '{cid}' AS case_id, "
+        f"CAST(round({expr}, 6) AS DECIMAL(18,6)) AS val"
+        for cid, expr in _CANARY_CASES
+    )
+    return rows
+
+
+@register("fn-transcendental-canary", oracle=_canary_sql())
+def fn_transcendental_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Environment determinism canary (VERDICT r8 #7): one literal row per
+    transcendental class (integer-ln, ratio-ln, sqrt, fractional pow, exp)
+    rounded to the operators' 6-dp contract.  Fixture-independent by
+    design — it probes the ENGINES, not the data; a red driver row here
+    names the exact function/argument class whose libm rounding differs
+    between the driver environment and local, which is the diagnosis the
+    curate-dsir r8 mystery cost a round to reach.  Zero shuffles, 16
+    rows."""
+    return spark.sql(_canary_sql())

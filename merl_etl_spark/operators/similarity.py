@@ -55,6 +55,14 @@ def cosine(a: str, b: str) -> F.Column:
 
 DUCK_EMB = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings"
 
+# Query set + result size shared by the whole top-k/ANN tier (ADVICE r8:
+# these were literals duplicated across sim-topk-cosine / sim-topk-pandas /
+# sim-ivf-ann and their oracles — interpolated from ONE place so changing
+# the top-k or the query set cannot silently break the contract comparison).
+SIM_NQUERY = 5   # queries = vec_id < SIM_NQUERY
+SIM_TOPK = 10    # neighbors retrieved per query
+
+
 N_DEDUP_TABLES = 4  # independent sign-bit tables for the near-dup candidate pass
 
 
@@ -208,7 +216,7 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim-topk-cosine",
     oracle=f"""
     WITH e AS ({DUCK_EMB}),
-    q AS (SELECT * FROM e WHERE vec_id < 5),
+    q AS (SELECT * FROM e WHERE vec_id < {SIM_NQUERY}),
     scored AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
              list_cosine_similarity(q.v, e.v) AS cos_sim
@@ -220,7 +228,7 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
       FROM scored
     )
-    WHERE rnk <= 10
+    WHERE rnk <= {SIM_TOPK}
     """,
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,7 +239,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = emb.filter(F.col("vec_id") < 5).select(
+    q = emb.filter(F.col("vec_id") < SIM_NQUERY).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     scored = (
@@ -243,7 +251,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 10)
+        .filter(F.col("rnk") <= SIM_TOPK)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
 
@@ -366,7 +374,7 @@ def ivf_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_sim").desc(), F.col("cell").asc()
     )
     probes = (
-        assigned.filter(F.col("vec_id") < 5)
+        assigned.filter(F.col("vec_id") < SIM_NQUERY)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("arr").alias("qv"),
@@ -386,7 +394,7 @@ def ivf_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 10)
+        .filter(F.col("rnk") <= SIM_TOPK)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rnk")
     )
 
@@ -398,17 +406,17 @@ def ivf_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 0.4 fixture average).  0.2 documents the dial's hard floor with margin
 # for fixture regeneration; clustered real corpora sit far above it.
 IVF_RECALL_FLOOR = 0.2
-_IVF_TOPK = 10
+_IVF_TOPK = SIM_TOPK
 
 
 @register(
     "sim-ivf-ann",
-    oracle="""
+    oracle=f"""
     SELECT CAST(vec_id AS BIGINT) AS query_id,
-           CAST(10 AS BIGINT) AS n_results,
+           CAST({_IVF_TOPK} AS BIGINT) AS n_results,
            TRUE AS recall_ok,
            TRUE AS dominated_ok
-    FROM embeddings WHERE vec_id < 5
+    FROM embeddings WHERE vec_id < {SIM_NQUERY}
     """,
 )
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,7 +488,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim-topk-pandas",
     oracle=f"""
     WITH e AS ({DUCK_EMB}),
-    q AS (SELECT * FROM e WHERE vec_id < 5),
+    q AS (SELECT * FROM e WHERE vec_id < {SIM_NQUERY}),
     scored AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
              round(list_cosine_similarity(q.v, e.v), 6) AS cos_sim
@@ -492,7 +500,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
       FROM scored
     )
-    WHERE rnk <= 10
+    WHERE rnk <= {SIM_TOPK}
     """,
 )
 def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,7 +535,7 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.withColumn("chunk", F.pmod(F.hash("vec_id"), F.lit(NCHUNK)))
     queries = (
-        emb.filter(F.col("vec_id") < 5)
+        emb.filter(F.col("vec_id") < SIM_NQUERY)
         .withColumnsRenamed({"vec_id": "query_id", "embedding": "q_emb"})
         # replicate across chunks as a PURE PROJECTION (no join node): a
         # crossJoin(range(NCHUNK)) plans as BroadcastNestedLoopJoin Cross,
@@ -580,7 +588,7 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", F.round("cos_sim", 6))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 10)
+        .filter(F.col("rnk") <= SIM_TOPK)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
 

@@ -134,6 +134,13 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ts-moving-stats — trailing 60-minute RANGE frame per series
 # ---------------------------------------------------------------------------
 
+# Sharded execution mode (same dial family as spark.merl.ewma.*): shard
+# each series into fixed time buckets and carry frame-reachable rows into
+# the next shard, turning series-count parallelism into series × shards.
+MOVSTATS_SHARDED_CONF = "spark.merl.movstats.sharded"
+MOVSTATS_BUCKET_CONF = "spark.merl.movstats.bucket"  # shard width, seconds
+
+
 @register(
     "ts-moving-stats",
     oracle=f"""
@@ -160,19 +167,90 @@ def ts_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame re-scan.  Frame sums are EXACT decimals cast to double at the
     boundary — the earlier round(double-sum, 6) depended on engine
     summation order right at rounding ties (the gap-fill sf0.1 finding,
-    fixed here proactively)."""
+    fixed here proactively).
+
+    Sharded mode (VERDICT r8 #5 — the ts-ewma chunked-overlap pattern
+    generalized to a bounded RANGE frame): the default plan's
+    parallelism is the series count (5 event types = 5 cores at ANY
+    cluster size).  With ``spark.merl.movstats.sharded=true`` each
+    series is bucketed into MOVSTATS_BUCKET-second time shards and a
+    row whose trailing frame can reach into the NEXT shard (the last
+    FRAME seconds of each shard) is duplicated there as a flagged carry
+    copy — every row's 60-minute lookback then lives entirely inside
+    one (series, shard) partition, so parallelism becomes
+    series × shards.  For a RANGE frame the carry is TIME-bounded, so
+    no global row numbering is needed (that machinery is only required
+    for ROWS frames like the EWMA's 12 taps).  Carry copies feed frames
+    but are dropped from the output; results are bit-identical to the
+    default mode (pinned by tests incl. null-ts rows, which shard to a
+    single NULL bucket per series with no carries — the same
+    all-nulls-in-one-frame-group semantics Spark's RANGE window gives
+    them in the default plan)."""
     events = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+    FRAME = 3600
+    sec = F.unix_timestamp("ts")
+    vd = F.col("value").cast("decimal(18,6)")
+    if spark.conf.get(MOVSTATS_SHARDED_CONF, "false").lower() != "true":
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(sec)
+            .rangeBetween(-FRAME, 0)
+        )
+        return events.select(
+            "event_id",
+            "event_type",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+            F.count(F.lit(1)).over(w).alias("mov_n"),
+            F.sum(vd).over(w).cast("double").alias("mov_sum"),
+        )
+    # ---- sharded mode ----
+    width = int(spark.conf.get(MOVSTATS_BUCKET_CONF, str(4 * FRAME)))
+    if width < FRAME:
+        raise ValueError(
+            f"{MOVSTATS_BUCKET_CONF} must be >= the {FRAME}s frame "
+            "(a narrower shard cannot contain a full lookback carry)"
+        )
+    x = events.select(
+        "event_id", "event_type", "ts", sec.alias("sec"), vd.alias("vd")
     )
-    return events.select(
-        "event_id",
-        "event_type",
-        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
-        F.count(F.lit(1)).over(w).alias("mov_n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("mov_sum"),
+    shard = F.floor(F.col("sec") / width)
+    # single-pass conditional-array explode (NOT a union — the EWMA
+    # lesson: a union duplicates the whole upstream subtree): every row
+    # lands in its own shard; rows in the trailing FRAME seconds of a
+    # shard also emit a carry copy into the next shard
+    own = F.struct(shard.alias("shard"), F.lit(False).alias("carry"))
+    both = F.array(
+        own, F.struct((shard + 1).alias("shard"), F.lit(True).alias("carry"))
+    )
+    assigned = x.select(
+        "*",
+        F.explode(
+            F.when(F.col("sec").isNull(), F.array(own))  # null ts: one NULL shard, no carry
+            # pmod, not %: a pre-epoch (negative) sec would make % negative
+            # and silently skip the carry at the shard boundary
+            .when(F.pmod(F.col("sec"), F.lit(width)) >= width - FRAME, both)
+            .otherwise(F.array(own))
+        ).alias("a"),
+    ).select(
+        "event_id", "event_type", "ts", "sec", "vd",
+        F.col("a.shard").alias("shard"), F.col("a.carry").alias("carry"),
+    )
+    wc = (
+        Window.partitionBy("event_type", "shard")
+        .orderBy("sec")
+        .rangeBetween(-FRAME, 0)
+    )
+    return (
+        assigned.select(
+            "event_id",
+            "event_type",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+            F.count(F.lit(1)).over(wc).alias("mov_n"),
+            F.sum("vd").over(wc).cast("double").alias("mov_sum"),
+            "carry",
+        )
+        .where(~F.col("carry"))
+        .drop("carry")
     )
 
 
@@ -533,7 +611,7 @@ def _ewma_oracle() -> str:
              round({terms}, 6) AS num6,
              CAST({dens} AS DOUBLE) AS den
       FROM x
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id)
     )
     SELECT event_id, event_type,
            strftime(ts, '{TS_FMT_DUCK}') AS ts_s,

@@ -37,69 +37,30 @@ ORACLES: dict[str, str] = {}
 # Queries NOT listed here keep their module registration order and fill the
 # remaining budget.  Update per round: move anything you modify into tier 1.
 SWEEP_PRIORITY: list[str] = [
-    # ROUND 8 (VERDICT r7 "Next round" #3): refresh the r5 cohort — the
-    # 46 queries whose latest driver green is round 5 (two rounds stale)
-    # fill the budget behind this round's churn.
+    # ROUND 9 (VERDICT r8 "Next round" #1-#3): tier 1 = this round's churn
+    # (curate-dsir lambda restructured onto integer-argument ln()s;
+    # ts-ewma oracle NULLS FIRST pin; similarity-tier constant
+    # interpolation is behavior-preserving but rides along), tier 1b =
+    # never-driver-checked new queries, tier 2 = the 8 r5-cohort entries
+    # deferred in r8 (the judge re-verified all 8 at sf0.01 but driver
+    # rows are the hard signal) + the two r8-churn deferrals, tier 3 =
+    # the r6 cohort (3 rounds stale this round), oldest evidence first.
     #
-    # -- tier 1: code churned in round 8 ---------------------------------
-    "sim-topk-pandas",    # crossJoin→explode plan fix (VERDICT r7 #1)
-    "sim-ivf-ann",        # NEW contract-boolean oracle (VERDICT r7 #2)
-    "mm-binary-simhash",  # NEW: decoder-free binary near-dup (VERDICT r7 #5)
-    "link-fuzzy-match",   # PassJoin segment-keyed rewrite + bounded levenshtein
+    # -- tier 1: code churned in round 9 ---------------------------------
+    "curate-dsir",        # λ → integer-argument ln()s (VERDICT r8 #1)
+    "ts-ewma",            # oracle window pins NULLS FIRST (ADVICE r8)
+    "sim-ivf-ann",        # oracle now interpolates _IVF_TOPK/SIM_NQUERY
     # -- tier 1b: NEW queries this round (never driver-checked) ----------
-    "dedup-substring",            # duplicate-span detection (Lee et al. shape)
-    "curate-dsir",                # hashed-ngram importance weights (DSIR)
-    "text-gopher-rules",          # Gopher rule-set quality flags
-    "analytics-markov-transitions",  # event-type transition matrix
-    "ts-ewma",                    # decimal-exact trailing EWMA
-    "text-entropy",               # word-distribution Shannon entropy
-    "dq-referential",             # cross-table FK orphan audit
-    "text-winnowing",             # MOSS winnowed fingerprints
-    # -- tier 2: stale-green — latest driver green is round 5 ------------
-    # numerically-sensitive window/as-of/stream suites first
-    "win-sessionize", "join-asof", "join-asof-forward",
-    "join-range-interval", "win-rank-top100",
-    "agg-conditional-flow", "agg-conditional-flow-coalesce",
-    "agg-pivot", "agg-rollup", "agg-cube",
-    "agg-max-scalar", "agg-count-rows", "agg-scalar-rollup",
-    "agg-greatest-rowwise", "agg-running-max",
-    "analytics-pricing-summary", "analytics-shipping-priority",
-    "analytics-regional-volume",
-    "cdc-snapshot-diff", "dedup-incremental",
-    "join-cross-1row", "join-semi-top100", "join-outer-anti",
-    "sort-topk-rank100", "plan-top100-derive",
-    "sort-limit-top10", "sort-movers-multi", "filter-time-window",
-    "stream-tumbling-6h", "stream-sliding-60m", "stream-cursor-resume",
-    "sink-upsert-holders", "sink-insert-ignore-tx", "sink-upsert-cursor",
-    "sink-view",
-    "mm-binary-meta",
-    "curate-token-pack", "sample-stratified",
-]
-
-# Budget triage (round 8): the prioritized block is 50 entries, so the
-# defer list leads with the remaining round-8 churn insurance —
-# link-golden-record rides the SAME blocked_fuzzy_pairs helper as
-# link-fuzzy-match (one driver check covers the shared path; both are
-# locally hash-green at sf0.001/0.01/0.1) and src-jsonl-corrupt's change
-# is a constant extraction (behavior-preserving by construction).  Then
-# the r6 cohort, which becomes the round-9 priority seed.
-SWEEP_DEFER: list[str] = [
-    # displaced by the eight new round-8 queries (tier 1b): never-checked
-    # queries rank above stale-green in the rotation doctrine (tier 2 vs
-    # tier 3 above), so 38 of the 46-query r5 cohort refresh this round
-    # and these eight — the cohort entries with the strongest secondary
-    # evidence — lead the round-9 seed: the mm queries share
-    # multimodal.py's pytest surface with mm-binary-meta (still in
-    # budget), src-datasource-paged and src-blockcursor-replay have the
-    # full DS-API / streaming-replay edge-test suites, and
-    # curate-corpus-pipeline / fn-vector-suite / curate-mixture-weights
-    # are compositions or small aggregates of stages individually green
-    # this round or last.
+    "fn-transcendental-canary",  # env determinism probe (VERDICT r8 #7)
+    "ts-moving-stats",    # sharded bounded-window execution mode added
+    # -- tier 2: r5-cohort entries deferred in r8 + r8-churn deferrals ---
     "src-datasource-paged", "mm-resize-plan", "mm-feature-extract",
     "mm-frame-sample", "src-blockcursor-replay",
     "curate-corpus-pipeline", "fn-vector-suite", "curate-mixture-weights",
     "link-golden-record", "src-jsonl-corrupt",
-    "ts-gap-fill", "ts-moving-stats", "ts-linear-trend",
+    # -- tier 3: r6 cohort (latest driver green is round 6) --------------
+    # numerically-sensitive suites first, then the float-free plumbing
+    "ts-gap-fill", "ts-linear-trend",
     "join-asof-nearest", "join-latest-bucket", "join-salted-skew",
     "agg-anomaly-zscore", "agg-approx-sketches", "agg-exact-quantiles",
     "agg-hll-merge",
@@ -111,12 +72,24 @@ SWEEP_DEFER: list[str] = [
     "text-tfidf", "text-bm25", "text-hybrid-rrf", "text-chunking",
     "text-decontaminate",
     "curate-pipeline", "curate-source-cap",
+    "fn-datetime-suite", "fn-numeric-suite", "fn-vector-quantize",
+]
+
+# Budget triage (round 9): the prioritized block above is 51 entries, so
+# the remaining ~3 budget slots take the head of this defer list.  The
+# r6-cohort tail deferred here is the lowest-risk slice of the cohort:
+# filter/proj/setop/sort plumbing with no float math (hash-stable by
+# construction), profile-* (count-shaped), sql-api-top100/layout-zorder
+# (thin wrappers over driver-green operators), and the uint256 suite
+# (exact decimal, hypothesis-pinned).  Anything left at r6 after this
+# round leads the round-10 seed.
+SWEEP_DEFER: list[str] = [
+    "dq-expectations",
+    "uint256-exact-scale", "uint256-exact-sum",
     "filter-blockrange", "filter-eq-token", "filter-nonnull-fields",
     "proj-normalize", "setop-union-intersect-except", "sort-source-asc",
     "sql-api-top100", "layout-zorder",
     "profile-columns", "profile-histogram",
-    "fn-datetime-suite", "fn-numeric-suite", "fn-vector-quantize",
-    "dq-expectations", "uint256-exact-scale", "uint256-exact-sum",
 ]
 
 

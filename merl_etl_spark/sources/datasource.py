@@ -850,45 +850,58 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
         content = _json.dumps(
             {"run_id": self.run_id, "owner": self.owner_label}
         )
-        tmp = f"{self.marker}.claim-{_uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            fh.write(content)
-        try:
-            _os.link(tmp, self.marker)  # atomic create-if-absent
-            return
-        except FileExistsError:
-            pass
-        finally:
-            try:
-                _os.unlink(tmp)
-            except OSError:
-                pass
-        held: dict = {}
-        try:
-            with open(self.marker) as fh:
-                held = _json.load(fh)
-        except OSError:
-            # marker vanished between link-failure and read: the owner
-            # committed/aborted concurrently — retry the claim once
-            return self._claim_or_verify_owner()
-        except ValueError:
-            # unparseable marker = garbage (claims are content-atomic
-            # now, so this cannot be a mid-write of a live owner);
-            # replace it with our own claim
-            tmp2 = f"{self.marker}.claim-{_uuid.uuid4().hex}"
-            with open(tmp2, "w") as fh:
+        # Bounded claim loop (ADVICE r8): the vanished-marker and
+        # garbage-reclaim paths RETRY THE ATOMIC os.link rather than
+        # recursing unboundedly or os.replace-ing — a replace could
+        # clobber a competitor's freshly-linked VALID marker in the
+        # window between our failed link and the replace; unlink-the-
+        # garbage-then-relink can never overwrite a complete claim.
+        for _attempt in range(3):
+            tmp = f"{self.marker}.claim-{_uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
                 fh.write(content)
-            _os.replace(tmp2, self.marker)
-            return
-        if held.get("run_id") != self.run_id:
-            raise RuntimeError(
-                f"merl-jsonlog: output path {self.path!r} is owned by "
-                f"another streaming query (marker {self.marker} holds "
-                f"run_id={held.get('run_id')!r} owner="
-                f"{held.get('owner')!r}); refusing to write.  If the "
-                "previous owner crashed mid-batch, remove the _staging "
-                "dir after confirming it is no longer live."
-            )
+            try:
+                _os.link(tmp, self.marker)  # atomic create-if-absent
+                return
+            except FileExistsError:
+                pass
+            finally:
+                try:
+                    _os.unlink(tmp)
+                except OSError:
+                    pass
+            try:
+                with open(self.marker) as fh:
+                    held = _json.load(fh)
+            except OSError:
+                # marker vanished between link-failure and read: the
+                # owner committed/aborted concurrently — retry the claim
+                continue
+            except ValueError:
+                # unparseable marker = garbage (claims are content-atomic
+                # now, so this cannot be a mid-write of a live owner);
+                # unlink it and retry the atomic claim
+                try:
+                    _os.unlink(self.marker)
+                except OSError:
+                    pass
+                continue
+            if held.get("run_id") != self.run_id:
+                raise RuntimeError(
+                    f"merl-jsonlog: output path {self.path!r} is owned by "
+                    f"another streaming query (marker {self.marker} holds "
+                    f"run_id={held.get('run_id')!r} owner="
+                    f"{held.get('owner')!r}); refusing to write.  If the "
+                    "previous owner crashed mid-batch, remove the _staging "
+                    "dir after confirming it is no longer live."
+                )
+            return  # marker is our own (a sibling task claimed it)
+        raise RuntimeError(
+            f"merl-jsonlog: could not claim ownership marker "
+            f"{self.marker} after 3 attempts (pathological marker "
+            "churn — concurrent claimants appearing and vanishing); "
+            "refusing to write."
+        )
 
     def _owns_marker(self) -> bool:
         """True when the marker is this query's own or absent (absent =

@@ -34,11 +34,16 @@ def main() -> int:
               f"(set SPARK_GRAFT_TESTDATA or pass dirs as args)")
         return 2
     registry.load_all()
+    # MERL_SWEEP_ONLY=a,b,c restricts the sweep to the named queries —
+    # for targeted re-validation after touching one operator.
+    only = {q for q in os.environ.get("MERL_SWEEP_ONLY", "").split(",") if q}
     spark = get_spark("oracle_sweep")
     fails: list[tuple[str, str]] = []
     for sf in sf_dirs:
         for name in registry.QUERIES:
             if name not in registry.ORACLES:
+                continue
+            if only and name not in only:
                 continue
             t0 = time.perf_counter()
             try:
