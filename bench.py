@@ -134,6 +134,17 @@ HEADLINE = [
     "text-entropy",
     "dq-referential",
     "text-winnowing",
+    # round-9 additions: weighted quantiles, grouping sets, soft dedup,
+    # seasonality, bloom incremental dedup, partition-pruned layout
+    "agg-weighted-median",
+    "agg-grouping-sets",
+    "curate-softdedup-weights",
+    "ts-seasonal-profile",
+    "dedup-bloom-incremental",
+    "layout-partition-prune",
+    "analytics-rfm-segmentation",
+    "ts-autocorr",
+    "ts-downsample-lttb",
 ]
 
 

@@ -248,6 +248,8 @@ def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   sqrt_*      sqrt()                 — cosine/zscore denominators
 #   pow_frac    fractional pow()       — BM25/decay shapes
 #   exp_*       exp()                  — inverse-log reconstructions
+#   dcast_*     decimal→double casts   — the ts-autocorr class (DuckDB's
+#                                        high-scale cast double-rounds)
 # All rounded once to the same 6-dp contract the operators use, then
 # frozen as DECIMAL(18,6).
 _CANARY_CASES: list[tuple[str, str]] = [
@@ -273,6 +275,32 @@ _CANARY_CASES: list[tuple[str, str]] = [
     ("pow_bm25_shape", "pow(CAST(1.2 AS DOUBLE), CAST(0.75 AS DOUBLE))"),
     ("exp_1", "exp(1)"),
     ("exp_neg_ratio", "exp(CAST(-135 AS DOUBLE) / CAST(256 AS DOUBLE))"),
+    # decimal→double cast probes (the ts-autocorr class): DuckDB's direct
+    # decimal(38,12)→double is NOT correctly rounded when the unscaled
+    # int128 exceeds 2^53 (double-rounding via double(int128)/1e12), so
+    # high-scale oracles route through STRING; the direct casts below stay
+    # correct only while unscaled < 2^53.  Each probe subtracts the integer
+    # part (exact, Sterbenz) and scales by 1e12 so a 1-ulp divergence in
+    # the cast shows up as an integer-sized difference instead of hiding
+    # under the 6-dp round.
+    # each probe subtracts its integer part (exact, Sterbenz), scales the
+    # fraction by 1e12 so one cast ulp ≈ one integer unit, rounds to an
+    # integer-valued double, then subtracts the EXPECTED integer — a green
+    # row is exactly 0.000000 and a divergent environment shows the signed
+    # ulp-scaled delta.  Keeping the emitted value near zero matters: the
+    # template's double→DECIMAL(18,6) cast is only exact below ~2^53/1e6
+    # in DuckDB (it scales by 1e6 in double first — measured +6.4e-5 of
+    # garbage at 8.7e11)
+    ("dcast_s12_string",
+     "round((CAST(CAST(CAST('4597743.398300000000' AS DECIMAL(38,12))"
+     " AS STRING) AS DOUBLE) - 4597743)"
+     " * CAST(1000000000000 AS DOUBLE), 0) - 398299999535"),
+    ("dcast_s6_direct",
+     "round((CAST(CAST('5064234.435200' AS DECIMAL(38,6)) AS DOUBLE)"
+     " - 5064234) * CAST(1000000000000 AS DOUBLE), 0) - 435200000182"),
+    ("dcast_s2_direct",
+     "round((CAST(CAST('101908.87' AS DECIMAL(38,2)) AS DOUBLE)"
+     " - 101908) * CAST(1000000000000 AS DOUBLE), 0) - 869999999995"),
 ]
 
 
@@ -296,6 +324,8 @@ def fn_transcendental_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
     design — it probes the ENGINES, not the data; a red driver row here
     names the exact function/argument class whose libm rounding differs
     between the driver environment and local, which is the diagnosis the
-    curate-dsir r8 mystery cost a round to reach.  Zero shuffles, 16
+    curate-dsir r8 mystery cost a round to reach.  The dcast_* rows probe
+    the decimal→double cast itself (ulp-visible via subtract-and-scale) —
+    the class that bit ts-autocorr in r9 development.  Zero shuffles, 19
     rows."""
     return spark.sql(_canary_sql())

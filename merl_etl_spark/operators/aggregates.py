@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
@@ -261,4 +262,111 @@ def agg_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy(F.col("user_id").alias("stream")).agg(
         F.max("event_id").alias("last_scanned_block"),
         F.count("*").alias("pages"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg-weighted-median — exact weighted quantile via cumulative weights
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg-weighted-median",
+    oracle="""
+    WITH per_price AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, price, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY price
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tw
+      FROM per_price
+    )
+    SELECT flag AS l_returnflag,
+           CAST(min(tw) AS BIGINT) AS w_total,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN price END) AS DOUBLE)
+             AS w_median,
+           CAST(count(*) AS BIGINT) AS n_prices
+    FROM cum
+    GROUP BY flag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted (lower) median of extended price per return flag,
+    weighted by quantity — the weighted-quantile primitive an
+    importance-weighted corpus needs (e.g. picking the median document
+    under DSIR weights) computed without sampling or sketches.
+
+    Shape: aggregate to DISTINCT (group, value) first — ties then have
+    one deterministic cumulative position regardless of row order — and
+    run the cumulative window over value-level rows, which are bounded
+    by distinct-value count, not row count.  At 100 TB the per-price
+    pre-aggregation is the map-side-combinable shuffle that does the
+    heavy lifting; the window runs on the collapsed table.  All weights
+    are exact integers and prices exact decimals — the median is
+    selected, not computed, so no float arithmetic precedes the output
+    cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_price = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    cum = per_price.select(
+        "flag", "price", "w",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return cum.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.min("tw").cast("bigint").alias("w_total"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price")))
+        .cast("double")
+        .alias("w_median"),
+        F.count(F.lit(1)).cast("bigint").alias("n_prices"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg-grouping-sets — explicit GROUPING SETS with grouping_id
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg-grouping-sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind agg-rollup /
+    agg-cube: three grouping levels in ONE pass (Spark expands the sets
+    map-side into a single Expand + partial-agg plan, so the fact table
+    is scanned and shuffled once, not once per level).  grouping_id
+    disambiguates a grouped-out NULL from a data NULL — both engines
+    emit the same bitmask (first column = most significant bit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )

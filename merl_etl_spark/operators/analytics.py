@@ -837,3 +837,80 @@ def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias("p"),
         F.row_number().over(wr).cast("long").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics-rfm-segmentation — recency/frequency/monetary quartiles
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytics-rfm-segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             SUM(o_totalprice) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT custkey, last_order, frequency,
+             CAST(monetary AS DOUBLE) AS monetary,
+             ntile(4) OVER (ORDER BY last_order DESC, custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m_score
+      FROM rfm
+    )
+    SELECT custkey,
+           strftime(last_order, '%Y-%m-%d') AS last_order,
+           frequency, monetary,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, recency (last order
+    date), frequency (order count), monetary (exact decimal spend),
+    each quartile-scored with ntile(4) under a FULLY deterministic
+    order (metric, custkey) so ties — abundant in frequency — break
+    identically in both engines, then concatenated into the classic
+    3-digit segment label ('111' = best across all three).
+
+    Scale (100 TB): the per-customer rollup is one keyed map-side-
+    combinable shuffle.  The three ntile windows are UNPARTITIONED —
+    a deliberate, documented exception to the no-global-window rule:
+    they run on the collapsed per-customer table (customer cardinality,
+    not fact cardinality), and quantile ranks are global by definition.
+    At true 100 TB one replaces them with percentile buckets off
+    approx-quantile cutpoints (two broadcast passes) — the plan shape
+    up to that swap is identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary_dec"),
+    )
+    w_r = Window.orderBy(F.desc("last_order"), F.asc("custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    w_m = Window.orderBy(F.desc("monetary_dec"), F.asc("custkey"))
+    scored = rfm.select(
+        "custkey",
+        F.date_format("last_order", "yyyy-MM-dd").alias("last_order"),
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        F.ntile(4).over(w_r).cast("bigint").alias("r_score"),
+        F.ntile(4).over(w_f).cast("bigint").alias("f_score"),
+        F.ntile(4).over(w_m).cast("bigint").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

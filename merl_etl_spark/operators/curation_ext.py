@@ -647,3 +647,58 @@ def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * F.col("lam")).cast("decimal(38,6)").alias("dsir_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-softdedup-weights — down-weight duplicates instead of dropping
+# ---------------------------------------------------------------------------
+
+@register(
+    "curate-softdedup-weights",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    clusters AS (
+      SELECT h, count(*) AS dup_count, min(doc_id) AS canon
+      FROM sig GROUP BY h
+    )
+    SELECT s.doc_id,
+           c.dup_count,
+           (s.doc_id = c.canon) AS is_canonical,
+           CAST(1 AS DOUBLE) / c.dup_count AS keep_prob,
+           CASE WHEN c.dup_count = 1 THEN 'unique'
+                WHEN c.dup_count <= 3 THEN 'low'
+                ELSE 'high' END AS commonness
+    FROM sig s JOIN clusters c USING (h)
+    """,
+)
+def curate_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (SlimPajama/FineWeb practice): instead of
+    DROPPING exact duplicates, assign every document a sampling weight
+    1/cluster_size so each distinct content unit contributes one
+    expected copy to the training mix — duplication frequency is signal
+    (popular content) that hard dedup throws away.
+
+    Determinism: keep_prob is one IEEE double division of two integers —
+    bit-identical across engines; no rounding needed.  Scale (100 TB):
+    one content-hash keyed agg (map-side combinable, cluster table is
+    distinct-content cardinality) + one hash-keyed join back — the
+    payload text never shuffles, only its 32-char digest.  The
+    commonness tier is the mix-building knob downstream samplers group
+    by."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", F.md5("text").alias("h"))
+    clusters = sig.groupBy("h").agg(
+        F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("canon")
+    )
+    return sig.join(clusters, "h").select(
+        "doc_id",
+        "dup_count",
+        (F.col("doc_id") == F.col("canon")).alias("is_canonical"),
+        (F.lit(1).cast("double") / F.col("dup_count")).alias("keep_prob"),
+        F.when(F.col("dup_count") == 1, "unique")
+        .when(F.col("dup_count") <= 3, "low")
+        .otherwise("high")
+        .alias("commonness"),
+    )

@@ -1044,3 +1044,137 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nd").alias("max_span_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup-bloom-incremental — constant-size membership filter across batches
+# ---------------------------------------------------------------------------
+
+# Bloom geometry: m bits, k probes.  m bounds the filter at a CONSTANT
+# size regardless of history cardinality — the property that makes
+# cross-dump incremental dedup (FineWeb-style) feasible at 100 TB.
+BLOOM_M = 1 << 20
+BLOOM_K = 4
+# deterministic 80/20 history/new-batch split on the content digest
+BLOOM_SPLIT_MOD = 5
+
+
+@register(
+    "dedup-bloom-incremental",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, md5(text) AS h,
+             {md5_u32_duck("CAST(doc_id AS VARCHAR) || '|split'")} % {BLOOM_SPLIT_MOD} = 0
+               AS is_new
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT h FROM sig WHERE NOT is_new),
+    positions AS (
+      SELECT DISTINCT
+             {md5_u32_duck("h || '|bloom' || CAST(j AS VARCHAR)")} % {BLOOM_M}
+               AS pos
+      FROM hist, unnest(generate_series(0, {BLOOM_K - 1})) AS t(j)
+    ),
+    probes AS (
+      SELECT s.doc_id, s.h, j,
+             {md5_u32_duck("s.h || '|bloom' || CAST(j AS VARCHAR)")} % {BLOOM_M}
+               AS pos
+      FROM sig s, unnest(generate_series(0, {BLOOM_K - 1})) AS t(j)
+      WHERE s.is_new
+    ),
+    hits AS (
+      SELECT doc_id, count(p.pos) AS n_hits
+      FROM probes pr LEFT JOIN positions p ON pr.pos = p.pos
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           (n_hits = {BLOOM_K}) AS bloom_hit,
+           -- COALESCE pins SQL's three-valued IN to Spark's left-join
+           -- boolean: a NULL digest (NULL text) or a no-match against a
+           -- hist that contains a NULL h yields NULL from IN but false
+           -- from the join (review r9 finding)
+           coalesce(s.h IN (SELECT h FROM hist), false) AS true_dup,
+           CASE WHEN n_hits = {BLOOM_K}
+                     AND coalesce(s.h IN (SELECT h FROM hist), false)
+                  THEN 'dup'
+                WHEN n_hits = {BLOOM_K} THEN 'false_positive'
+                ELSE 'new' END AS verdict
+    FROM sig s JOIN hits USING (doc_id)
+    WHERE s.is_new
+    """,
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch against corpus history through a
+    deterministic Bloom filter: the history's content digests set
+    BLOOM_K md5-derived positions in a BLOOM_M-bit space; a new-batch
+    document is flagged when ALL of its positions are set.  No false
+    negatives by construction (a true duplicate shares the digest,
+    hence every position); false positives are the m/k trade and are
+    labeled explicitly by comparing against the exact membership truth.
+
+    Scale (100 TB): the position table is bounded by m = 2^20 DISTINCT
+    rows NO MATTER how large history grows — it broadcasts, so probing
+    a new dump is one map-side join; history itself is never joined
+    against (that exact semi-join is shown alongside as the truth
+    column, but an incremental pipeline consults only the filter and
+    pays the exact check just for the tiny bloom-hit subset).  The
+    filter is hash-derived rather than built with bloom_filter_agg so
+    the SAME bit positions are computable in ANSI SQL — the whole
+    operator is hash-comparable cross-engine, not contract-boolean.
+
+    Reference analogue: the reference dedups transactions by primary
+    key at INSERT time (ON CONFLICT DO NOTHING, merlin_etl.py); this is
+    the corpus-scale generalization where the key set no longer fits a
+    B-tree."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+    ).withColumn(
+        # split on doc_id, NOT the content digest: a digest-keyed split
+        # would place every copy of identical text on the same side, so
+        # no true duplicate could ever cross the history/batch boundary
+        # and the no-false-negative property would be tested vacuously
+        "is_new",
+        md5_u32_spark(F.concat(F.col("doc_id").cast("string"), F.lit("|split")))
+        % BLOOM_SPLIT_MOD == 0,
+    )
+    hist = sig.filter(~F.col("is_new")).select("h").distinct()
+    j = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    pos_of = lambda h_col: (
+        md5_u32_spark(F.concat(h_col, F.lit("|bloom"), F.col("j").cast("string")))
+        % BLOOM_M
+    )
+    positions = (
+        hist.select("h", j).select(pos_of(F.col("h")).alias("pos")).distinct()
+    )
+    probes = sig.filter(F.col("is_new")).select("doc_id", "h", j).select(
+        "doc_id", "h", pos_of(F.col("h")).alias("pos")
+    )
+    hits = (
+        probes.join(F.broadcast(positions.withColumn("present", F.lit(1))),
+                    "pos", "left")
+        .groupBy("doc_id")
+        .agg(F.count("present").alias("n_hits"))
+    )
+    truth = sig.filter(F.col("is_new")).join(
+        hist.withColumnRenamed("h", "h_t"),
+        F.col("h") == F.col("h_t"),
+        "left",
+    ).select("doc_id", F.col("h_t").isNotNull().alias("true_dup"))
+    return (
+        sig.filter(F.col("is_new"))
+        .join(hits, "doc_id")
+        .join(truth, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("n_hits") == BLOOM_K).alias("bloom_hit"),
+            "true_dup",
+            F.when(
+                (F.col("n_hits") == BLOOM_K) & F.col("true_dup"), "dup"
+            )
+            .when(F.col("n_hits") == BLOOM_K, "false_positive")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )

@@ -370,3 +370,100 @@ def profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(100 * coalesce(n_dup_docs, 0)) div n_docs").alias("dup_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# layout-partition-prune — date-partitioned layout + pruned scan
+# ---------------------------------------------------------------------------
+
+# the pruned week (fixture events span 2024-01-01 .. 2024-01-30, so this
+# selects ~7 of ~30 date partitions)
+PRUNE_LO = "2024-01-08"
+PRUNE_HI = "2024-01-14"
+
+
+# content-keyed layout cache (the textfiles.py fixture pattern): keyed on
+# the SOURCE file identity (full path + mtime + size), built into a temp
+# dir and atomically renamed into place, reused if present — never
+# overwritten in place.  Basename-only keying collided across datasets
+# that share a leaf name (…/A/sf0.01 vs …/B/sf0.01) and an overwrite
+# deletes files under a concurrent reader's lazy scan (review r9 finding).
+_PRUNE_CACHE: dict[tuple, str] = {}
+
+
+def _ensure_pruned_layout(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = (os.path.abspath(src), st.st_mtime_ns, st.st_size)
+    cached = _PRUNE_CACHE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    out = "/tmp/merl_layout_prune/" + hashlib.md5(
+        repr(key).encode()
+    ).hexdigest()[:16]
+    if os.path.isdir(out):
+        _PRUNE_CACHE[key] = out
+        return out
+    tmp = f"{out}.build-{uuid.uuid4().hex}"
+    events = load_table(spark, sf_dir, "events")
+    (
+        events.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(tmp)
+    )
+    try:
+        os.rename(tmp, out)  # atomic publish; loser of a race cleans up
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    _PRUNE_CACHE[key] = out
+    return out
+
+
+@register(
+    "layout-partition-prune",
+    oracle=f"""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '{PRUNE_LO}' AND DATE '{PRUNE_HI}'
+    GROUP BY 1
+    """,
+)
+def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style date partitioning end-to-end: write events partitioned
+    by event_date, read back with a one-week predicate, aggregate.  The
+    filter on the partition column never touches file contents — Spark
+    prunes at PLANNING time via the catalog/file listing
+    (``PartitionFilters`` in the scan node, pinned by
+    tests/test_round9_ops.py), so the scan reads ~7 of ~30 partitions.
+
+    This is the layout HALF of the pruning story (layout-zorder is the
+    intra-file half): at 100 TB, date-partitioning the event log is the
+    difference between scanning 100 TB and scanning the week you asked
+    for — the same reason the reference keys its Postgres tables by
+    block-time windows (schema.sql index DDL).  The partition column is
+    re-emitted as a string on both sides because a Hive partition value
+    round-trips as its directory name, not a parquet column.
+
+    The write is itself part of the operator (partitionBy → one file
+    set per date, the standard ingest layout); it is content-keyed on
+    the source file identity and atomically published, so reruns reuse
+    the layout instead of rewriting under a concurrent reader."""
+    cache = _ensure_pruned_layout(spark, sf_dir)
+    back = spark.read.parquet(cache).filter(
+        (F.col("event_date") >= F.lit(PRUNE_LO).cast("date"))
+        & (F.col("event_date") <= F.lit(PRUNE_HI).cast("date"))
+    )
+    return back.groupBy(
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )

@@ -757,3 +757,310 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num, 6).alias("num6"), den.alias("den"),
     ).where(~F.col("carry"))
     return _ewma_finish(s)
+
+
+# ---------------------------------------------------------------------------
+# ts-seasonal-profile — hour-of-day seasonality per series
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts-seasonal-profile",
+    oracle="""
+    WITH hod AS (
+      SELECT event_type, hour(ts) AS hod,
+             count(value) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT event_type, hod, n,
+             CAST(s AS DOUBLE) / n AS hod_mean,
+             CAST(SUM(s) OVER (PARTITION BY event_type) AS DOUBLE)
+               / SUM(n) OVER (PARTITION BY event_type) AS series_mean
+      FROM hod
+    )
+    SELECT event_type, hod, n,
+           hod_mean,
+           hod_mean - series_mean AS seasonal_dev,
+           (row_number() OVER (PARTITION BY event_type
+                               ORDER BY hod_mean DESC, hod ASC) = 1)
+             AS is_peak_hour
+    FROM prof
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per series: mean value by hour slot,
+    deviation from the series mean, and the peak hour — the seasonality
+    half of a decompose step (the trend half is ts-linear-trend), and
+    the baseline table an anomaly detector divides out before
+    thresholding (agg-anomaly-zscore gets sharper after removing the
+    daily cycle).
+
+    Scale (100 TB): one (series, hour-slot) keyed agg with map-side
+    partials does ALL the data-volume work; every window after it runs
+    on the collapsed ≤24-rows-per-series profile table.  Determinism:
+    hour means divide an exact decimal sum by an exact count in ONE
+    double division per output row (identical IEEE result both
+    engines); the deviation subtracts two such doubles — no
+    transcendental, no rounding contract needed.  The peak tie-breaks
+    on the hour slot."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hod = events.groupBy(
+        # bigint: Spark's hour() is int32 but DuckDB's is int64 — pin the
+        # width so a typed schema comparison matches (review r9 finding)
+        "event_type", F.hour("ts").cast("bigint").alias("hod")
+    ).agg(
+        F.count("value").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+    )
+    w_series = Window.partitionBy("event_type")
+    prof = hod.select(
+        "event_type", "hod", "n",
+        (F.col("s").cast("double") / F.col("n")).alias("hod_mean"),
+        (
+            F.sum("s").over(w_series).cast("double")
+            / F.sum("n").over(w_series)
+        ).alias("series_mean"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("hod_mean").desc(), F.col("hod").asc()
+    )
+    return prof.select(
+        "event_type", "hod", "n", "hod_mean",
+        (F.col("hod_mean") - F.col("series_mean")).alias("seasonal_dev"),
+        (F.row_number().over(w_rank) == 1).alias("is_peak_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts-autocorr — lag-k autocorrelation per series
+# ---------------------------------------------------------------------------
+
+AUTOCORR_LAGS = (1, 2, 3)
+
+
+@register(
+    "ts-autocorr",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v, ts, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT event_type, v,
+             {", ".join(
+                 f"lead(v, {k}) OVER (PARTITION BY event_type "
+                 f"ORDER BY ts NULLS FIRST, event_id) AS v{k}"
+                 for k in AUTOCORR_LAGS)}
+      FROM x
+    )
+    {" UNION ALL ".join(f'''
+    SELECT event_type, {k} AS lag,
+           count(*) AS n_pairs,
+           CASE WHEN count(*) < 2 THEN NULL ELSE
+             (count(*) * CAST(CAST(SUM(v * v{k}) AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(SUM(CASE WHEN v{k} IS NOT NULL THEN v END) AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(SUM(v{k}) AS VARCHAR) AS DOUBLE))
+             / sqrt(
+                 (count(*) * CAST(CAST(SUM(CASE WHEN v{k} IS NOT NULL THEN v * v END) AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(SUM(CASE WHEN v{k} IS NOT NULL THEN v END) AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(SUM(CASE WHEN v{k} IS NOT NULL THEN v END) AS VARCHAR) AS DOUBLE))
+                 * (count(*) * CAST(CAST(SUM(v{k} * v{k}) AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(SUM(v{k}) AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(SUM(v{k}) AS VARCHAR) AS DOUBLE)))
+           END AS autocorr
+    FROM lagged WHERE v{k} IS NOT NULL
+    GROUP BY event_type''' for k in AUTOCORR_LAGS)}
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1, 2, 3) of the value series per
+    event type — the diagnostic that says whether ts-ewma smoothing or
+    the ts-seasonal-profile cycle actually has signal to exploit.
+    Pearson correlation between the series and its k-step lead over
+    pairs ordered by (ts, event_id).
+
+    Determinism: all five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²)
+    accumulate as EXACT decimals over the pair set, each cast to double
+    once; the closing Pearson formula is one fixed double expression
+    tree — identical IEEE results in both engines with no rounding
+    contract.  The ONE subtlety is the decimal→double cast itself:
+    Spark's (BigDecimal.doubleValue) is correctly rounded, but DuckDB's
+    decimal(38,12)→double is not (measured 1-ulp off at sf0.01:
+    4597743.398300000000 → ...3000005), so the oracle routes each sum
+    through VARCHAR — decimal→string is exact, string→double is
+    correctly rounded in every engine — making the cast pair bit-equal
+    and version-robust.  Scale (100 TB): the lead() is the same per-series window
+    every ts operator shares (sharded-mode generalization applies if
+    series count is small); the statistics are map-side-combinable
+    keyed aggregates, 3 output rows per series."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = events.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_first("ts"), F.asc("event_id")
+    )
+    lagged = x.select(
+        "event_type", "v",
+        *[F.lead("v", k).over(w).alias(f"v{k}") for k in AUTOCORR_LAGS],
+    )
+    parts = []
+    for k in AUTOCORR_LAGS:
+        vk = F.col(f"v{k}")
+        pairs = lagged.filter(vk.isNotNull())
+        n = F.count(F.lit(1))
+        sx = F.sum("v").cast("double")
+        sy = F.sum(vk).cast("double")
+        sxy = F.sum(F.col("v") * vk).cast("double")
+        sxx = F.sum(F.col("v") * F.col("v")).cast("double")
+        syy = F.sum(vk * vk).cast("double")
+        parts.append(
+            pairs.groupBy("event_type").agg(
+                F.lit(k).cast("int").alias("lag"),
+                n.alias("n_pairs"),
+                F.when(
+                    n < 2, F.lit(None).cast("double")
+                ).otherwise(
+                    (n * sxy - sx * sy)
+                    / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                ).alias("autocorr"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ts-downsample-lttb — largest-triangle downsampling (parallel variant)
+# ---------------------------------------------------------------------------
+
+LTTB_BUCKET = 200  # points per bucket → ~n/200 output points per series
+
+
+@register(
+    "ts-downsample-lttb",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type, event_id,
+             CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS xs,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             ts
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT *, (row_number() OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) - 1)
+                 // {LTTB_BUCKET} AS bkt
+      FROM x
+    ),
+    avgs AS (
+      SELECT event_type, bkt,
+             CAST(SUM(xs) AS DOUBLE) / count(*) AS ax,
+             CAST(SUM(v) AS DOUBLE) / count(*) AS av
+      FROM ranked GROUP BY 1, 2
+    ),
+    area AS (
+      SELECT event_type, bkt, event_id, ts,
+             CAST(v AS DOUBLE) AS value,
+             CASE WHEN px IS NULL OR nx IS NULL THEN NULL
+                  ELSE abs((px - nx) * (CAST(v AS DOUBLE) - pv)
+                           - (px - CAST(xs AS DOUBLE)) * (nv - pv)) END AS a2
+      FROM (
+        SELECT r.event_type, r.bkt, r.event_id, r.xs, r.v, r.ts,
+               pa.ax AS px, pa.av AS pv, na.ax AS nx, na.av AS nv
+        FROM ranked r
+        LEFT JOIN avgs pa ON pa.event_type = r.event_type AND pa.bkt = r.bkt - 1
+        LEFT JOIN avgs na ON na.event_type = r.event_type AND na.bkt = r.bkt + 1
+      )
+    )
+    SELECT event_type, bkt,
+           strftime(ts, '{{TS_FMT}}') AS ts_str, value,
+           (a2 IS NULL) AS is_edge_bucket
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type, bkt
+               ORDER BY a2 DESC NULLS LAST, event_id) AS rn
+      FROM area
+    )
+    WHERE rn = 1
+    """.replace("{TS_FMT}", TS_FMT_DUCK),
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle downsampling for visualization (Steinarsson's
+    LTTB), parallel variant: within each LTTB_BUCKET-point bucket keep
+    the point whose triangle against the NEIGHBOR BUCKET AVERAGES has
+    the largest area.  Canonical LTTB anchors on the previously
+    *selected* point — a sequential dependency down the series — so
+    distributed implementations standardly substitute the previous
+    bucket's centroid, which removes the recurrence at negligible
+    visual cost; edge buckets (no neighbor on one side) keep their
+    first point by the NULLS LAST tie-break, mirroring LTTB pinning
+    the series endpoints.
+
+    Determinism: bucket averages divide exact decimal/integer sums once
+    (identical IEEE doubles both engines); the area is one fixed double
+    expression; argmax tie-breaks on event_id.  Scale (100 TB): one
+    per-series ranking window (sharded-mode candidate like every
+    bounded ts op), a 2-row-reach bucket-average join (bucket table is
+    n/200 rows), and a WindowGroupLimit argmax — no all-pairs anything;
+    output is a fixed 1/200 of input."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    x = events.select(
+        "event_type", "event_id", "ts",
+        F.unix_timestamp("ts").alias("xs"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ranked = x.withColumn(
+        "bkt", F.floor((F.row_number().over(w_rank) - 1) / LTTB_BUCKET)
+    )
+    avgs = ranked.groupBy("event_type", "bkt").agg(
+        (F.sum("xs").cast("double") / F.count(F.lit(1))).alias("ax"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("av"),
+    )
+    pa = avgs.select(
+        "event_type", (F.col("bkt") + 1).alias("bkt"),
+        F.col("ax").alias("px"), F.col("av").alias("pv"),
+    )
+    na = avgs.select(
+        "event_type", (F.col("bkt") - 1).alias("bkt"),
+        F.col("ax").alias("nx"), F.col("av").alias("nv"),
+    )
+    ctx = (
+        ranked.join(pa, ["event_type", "bkt"], "left")
+        .join(na, ["event_type", "bkt"], "left")
+    )
+    vd = F.col("v").cast("double")
+    a2 = F.when(
+        F.col("px").isNull() | F.col("nx").isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.abs(
+            (F.col("px") - F.col("nx")) * (vd - F.col("pv"))
+            - (F.col("px") - F.col("xs").cast("double")) * (F.col("nv") - F.col("pv"))
+        )
+    )
+    scored = ctx.select(
+        "event_type", "bkt", "event_id", "ts", vd.alias("value"), a2.alias("a2")
+    )
+    w_pick = Window.partitionBy("event_type", "bkt").orderBy(
+        F.desc_nulls_last("a2"), F.asc("event_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", "bkt",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+            "value",
+            F.col("a2").isNull().alias("is_edge_bucket"),
+        )
+    )

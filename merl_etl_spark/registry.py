@@ -53,6 +53,15 @@ SWEEP_PRIORITY: list[str] = [
     # -- tier 1b: NEW queries this round (never driver-checked) ----------
     "fn-transcendental-canary",  # env determinism probe (VERDICT r8 #7)
     "ts-moving-stats",    # sharded bounded-window execution mode added
+    "agg-weighted-median",       # exact weighted quantile (cum-weight select)
+    "agg-grouping-sets",         # explicit GROUPING SETS + grouping_id
+    "curate-softdedup-weights",  # 1/cluster-size sampling weights
+    "ts-seasonal-profile",       # hour-of-day seasonality per series
+    "dedup-bloom-incremental",   # constant-size bloom membership filter
+    "layout-partition-prune",    # hive-partitioned write + pruned scan
+    "analytics-rfm-segmentation",  # deterministic ntile quartile scoring
+    "ts-autocorr",               # lag-k Pearson from exact decimal stats
+    "ts-downsample-lttb",        # largest-triangle viz downsampling
     # -- tier 2: r5-cohort entries deferred in r8 + r8-churn deferrals ---
     "src-datasource-paged", "mm-resize-plan", "mm-feature-extract",
     "mm-frame-sample", "src-blockcursor-replay",
@@ -67,15 +76,12 @@ SWEEP_PRIORITY: list[str] = [
     "dedup-exact", "dedup-minhash-lsh", "dedup-simhash",
     "dedup-simhash-pairs", "dedup-ngram-jaccard", "dedup-containment",
     "dedup-clusters", "dedup-embedding-cosine", "dedup-embedding-clusters",
-    "dedup-incremental-near", "sim-lsh-bucketed", "sim-topk-cosine",
+    "sim-lsh-bucketed", "sim-topk-cosine",
     "text-langid", "text-quality", "text-tokens", "text-repetition",
-    "text-tfidf", "text-bm25", "text-hybrid-rrf", "text-chunking",
-    "text-decontaminate",
-    "curate-pipeline", "curate-source-cap",
-    "fn-datetime-suite", "fn-numeric-suite", "fn-vector-quantize",
+    "text-tfidf", "text-bm25",
 ]
 
-# Budget triage (round 9): the prioritized block above is 51 entries, so
+# Budget triage (round 9): the prioritized block above is 50 entries, so
 # the remaining ~3 budget slots take the head of this defer list.  The
 # r6-cohort tail deferred here is the lowest-risk slice of the cohort:
 # filter/proj/setop/sort plumbing with no float math (hash-stable by
@@ -84,6 +90,13 @@ SWEEP_PRIORITY: list[str] = [
 # (exact decimal, hypothesis-pinned).  Anything left at r6 after this
 # round leads the round-10 seed.
 SWEEP_DEFER: list[str] = [
+    # nine r6-cohort entries displaced by this round's nine NEW queries
+    # (never-checked > stale-green, the doctrine the r8 judge accepted):
+    # suite wrappers over scalar functions hypothesis-pinned in pytest,
+    # plus two curation compositions of stages green in r7-r8
+    "dedup-incremental-near", "text-hybrid-rrf", "text-chunking",
+    "text-decontaminate", "curate-pipeline", "curate-source-cap",
+    "fn-datetime-suite", "fn-numeric-suite", "fn-vector-quantize",
     "dq-expectations",
     "uint256-exact-scale", "uint256-exact-sum",
     "filter-blockrange", "filter-eq-token", "filter-nonnull-fields",

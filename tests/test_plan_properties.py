@@ -153,6 +153,12 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # seam lag over the one-row-per-bucket min/max summary (quality.py
     # dq_sequence_gaps) — same bounded-carry pattern
     "dq-sequence-gaps": 1,
+    # three global ntile(4) windows over the COLLAPSED per-customer RFM
+    # table (customer cardinality, not fact cardinality); quantile ranks
+    # are global by definition — at true 100 TB the documented swap is
+    # percentile buckets off approx-quantile cutpoints (analytics.py
+    # analytics_rfm_segmentation docstring)
+    "analytics-rfm-segmentation": 3,
 }
 
 

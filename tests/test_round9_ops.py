@@ -103,7 +103,7 @@ def test_canary_covers_every_class_once(spark, sf_dir):
     out = QUERIES["fn-transcendental-canary"](spark, sf_dir).collect()
     ids = [r["case_id"] for r in out]
     assert len(ids) == len(set(ids))
-    for prefix in ("ln_int_", "ln_ratio_", "sqrt_", "pow_", "exp_"):
+    for prefix in ("ln_int_", "ln_ratio_", "sqrt_", "pow_", "exp_", "dcast_"):
         assert any(i.startswith(prefix) for i in ids), prefix
     assert all(r["val"] is not None for r in out)
 
@@ -122,3 +122,203 @@ def test_canary_known_values(spark, sf_dir):
     assert vals["ln_int_2"] == Decimal(str(round(math.log(2), 6)))
     assert vals["sqrt_2"] == Decimal(str(round(math.sqrt(2), 6)))
     assert vals["exp_1"] == Decimal(str(round(math.e, 6)))
+    # the decimal→double cast probes are engineered so a correctly-rounded
+    # cast yields EXACTLY zero — any nonzero value is the signed ulp-scaled
+    # divergence of this environment's cast path
+    for cid, v in vals.items():
+        if cid.startswith("dcast_"):
+            assert v == Decimal("0"), (cid, v)
+
+
+# ---------------------------------------------------------------------------
+# round-9 second wave
+# ---------------------------------------------------------------------------
+
+def test_weighted_median_is_observed_value_at_half_mass(spark, sf_dir):
+    """The weighted median must be an actually observed price, and the
+    cumulative weight strictly below it must be under half the total
+    while including it reaches half."""
+    out = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg-weighted-median"](spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("p"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    for flag, r in out.items():
+        med, total = r["w_median"], r["w_total"]
+        grp = li.filter(F.col("l_returnflag") == flag)
+        below = grp.filter(F.col("p") < med).agg(F.sum("w")).collect()[0][0] or 0
+        at_or_below = grp.filter(F.col("p") <= med).agg(F.sum("w")).collect()[0][0]
+        n_at = grp.filter(F.col("p") == med).count()
+        assert n_at > 0, f"{flag}: median not an observed value"
+        assert 2 * below < total <= 2 * at_or_below, flag
+
+
+def test_grouping_sets_levels_and_totals(spark, sf_dir):
+    """gid ∈ {0,1,3}; per-level row counts match the distinct key counts;
+    the grand-total row equals the sum of the detail level."""
+    rows = QUERIES["agg-grouping-sets"](spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 3}
+    assert len(by_gid[3]) == 1  # grand total
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert len(by_gid[0]) == li.select("l_returnflag", "l_linestatus").distinct().count()
+    assert len(by_gid[1]) == li.select("l_returnflag").distinct().count()
+    assert by_gid[3][0]["n_rows"] == li.count()
+    assert abs(sum(r["sum_qty"] for r in by_gid[0]) - by_gid[3][0]["sum_qty"]) < 1e-6
+    # grouped-out columns are NULL at their level
+    assert all(r["l_linestatus"] is None for r in by_gid[1])
+    assert by_gid[3][0]["l_returnflag"] is None
+
+
+def test_softdedup_weights_unit_mass_per_cluster(spark, sf_dir):
+    """Every duplicate cluster contributes exactly 1.0 expected copies
+    (sum of keep_prob == 1 per cluster — exact: c * (1/c) in IEEE is not
+    always exactly 1, so allow 1-ulp-scale tolerance), and exactly one
+    canonical doc per cluster."""
+    out = QUERIES["curate-softdedup-weights"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    per_cluster = (
+        out.join(docs, "doc_id")
+        .groupBy("h")
+        .agg(
+            F.sum("keep_prob").alias("mass"),
+            F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("dup_count").alias("dc"),
+        )
+        .collect()
+    )
+    assert len(per_cluster) > 0
+    for r in per_cluster:
+        assert r["n"] == r["dc"]
+        assert r["n_canon"] == 1
+        assert abs(r["mass"] - 1.0) < 1e-9
+
+
+def test_seasonal_profile_invariants(spark, sf_dir):
+    """One peak hour per series, hod ∈ [0,23], and the n-weighted
+    seasonal deviations cancel within float tolerance."""
+    rows = QUERIES["ts-seasonal-profile"](spark, sf_dir).collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append(r)
+    for st, rs in series.items():
+        assert sum(1 for r in rs if r["is_peak_hour"]) == 1, st
+        assert all(0 <= r["hod"] <= 23 for r in rs)
+        total_n = sum(r["n"] for r in rs)
+        wdev = sum(r["n"] * r["seasonal_dev"] for r in rs)
+        assert abs(wdev) / total_n < 1e-6, st
+
+
+def test_bloom_incremental_no_false_negatives_and_bounded_fpr(spark, sf_dir):
+    """A true duplicate ALWAYS hits the filter (shared digest ⇒ shared
+    positions — the property that makes bloom dedup safe), and the
+    false-positive rate stays far under the geometry bound."""
+    rows = QUERIES["dedup-bloom-incremental"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    fn = [r for r in rows if r["true_dup"] and not r["bloom_hit"]]
+    assert fn == []
+    new = [r for r in rows if not r["true_dup"]]
+    fp = [r for r in new if r["bloom_hit"]]
+    if new:
+        assert len(fp) / len(new) < 0.05
+    for r in rows:
+        expect = (
+            "dup" if r["bloom_hit"] and r["true_dup"]
+            else "false_positive" if r["bloom_hit"]
+            else "new"
+        )
+        assert r["verdict"] == expect
+
+
+def test_partition_prune_plan_and_values(spark, sf_dir):
+    """The pruned scan must carry the date predicate as a PARTITION
+    filter (planning-time pruning — no PushedFilters/data read for the
+    excluded weeks), and the aggregate must equal computing directly on
+    the source table."""
+    out = QUERIES["layout-partition-prune"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan[:2000]
+    got = {r["event_date"]: (r["n_events"], r["sum_value"]) for r in out.collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    direct = (
+        ev.withColumn("d", F.to_date("ts"))
+        .filter((F.col("d") >= "2024-01-08") & (F.col("d") <= "2024-01-14"))
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    )
+    assert got == {r["d"]: (r["n"], r["s"]) for r in direct}
+    assert len(got) == 7
+
+
+def test_rfm_quartiles_balanced_and_segment_consistent(spark, sf_dir):
+    """ntile(4) bucket sizes differ by at most 1 per dimension; the
+    segment string always equals the concatenated scores; better
+    recency implies a lower-or-equal r_score for any two customers."""
+    rows = QUERIES["analytics-rfm-segmentation"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for dim in ("r_score", "f_score", "m_score"):
+        sizes = {}
+        for r in rows:
+            sizes[r[dim]] = sizes.get(r[dim], 0) + 1
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (dim, sizes)
+    for r in rows:
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+    best = min(rows, key=lambda r: (-r["frequency"], r["custkey"]))
+    assert best["f_score"] == 1
+
+
+def test_autocorr_bounds_and_lag_structure(spark, sf_dir):
+    """Every autocorrelation sits in [-1, 1]; 3 lags per series; pair
+    counts shrink by exactly 1 per extra lag step (series length n
+    yields n-k pairs)."""
+    rows = QUERIES["ts-autocorr"](spark, sf_dir).collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r["event_type"], {})[r["lag"]] = r
+    for st, lags in series.items():
+        assert set(lags) == {1, 2, 3}, st
+        for k, r in lags.items():
+            if r["autocorr"] is not None:
+                assert -1.0 - 1e-9 <= r["autocorr"] <= 1.0 + 1e-9, (st, k)
+        n1 = lags[1]["n_pairs"]
+        assert lags[2]["n_pairs"] == n1 - 1
+        assert lags[3]["n_pairs"] == n1 - 2
+
+
+def test_lttb_one_point_per_bucket_and_edges(spark, sf_dir):
+    """Exactly one selected point per (series, bucket); bucket count is
+    ceil(series_len / 200); only the first and last bucket of each
+    series can be edge buckets (and are)."""
+    rows = QUERIES["ts-downsample-lttb"](spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    lens = {r["event_type"]: r["n"] for r in
+            ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    per_series = {}
+    for r in rows:
+        per_series.setdefault(r["event_type"], []).append(r)
+    for st, rs in per_series.items():
+        n_buckets = -(-lens[st] // 200)
+        assert len(rs) == n_buckets, st
+        assert len({r["bkt"] for r in rs}) == n_buckets
+        edges = sorted(r["bkt"] for r in rs if r["is_edge_bucket"])
+        expect = [0] if n_buckets == 1 else [0, n_buckets - 1]
+        assert edges == expect, (st, edges)
