@@ -145,6 +145,13 @@ HEADLINE = [
     "analytics-rfm-segmentation",
     "ts-autocorr",
     "ts-downsample-lttb",
+    # round-9 second wave: components, path mining, attribution,
+    # volume anomalies, quality-tiered sampling
+    "graph-components",
+    "analytics-path-mining",
+    "analytics-attribution-lasttouch",
+    "dq-volume-anomaly",
+    "curate-quality-sampling",
 ]
 
 

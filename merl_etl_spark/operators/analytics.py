@@ -914,3 +914,170 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics-path-mining — top event-type paths of length 3
+# ---------------------------------------------------------------------------
+
+PATH_TOP = 20
+
+
+@register(
+    "analytics-path-mining",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    p AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS t FROM p)
+    SELECT path, n,
+           CAST(n AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) AS share,
+           row_number() OVER (ORDER BY n DESC, path) AS rnk
+    FROM p
+    ORDER BY n DESC, path LIMIT {PATH_TOP}
+    """,
+)
+def analytics_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PATH_TOP event-type paths of length 3 across all user
+    streams — the n-step extension of the markov transition matrix
+    (1-step), the shape behind "what do users actually do" journey
+    reports and funnel discovery.
+
+    Determinism: path counts are exact integers; share is one IEEE
+    division of two exact BIGINTs; the rank carries a total order
+    (n DESC, path).  Null-ts / null-type rows are filtered on BOTH
+    sides — Spark windows order NULLS FIRST where DuckDB defaults to
+    NULLS LAST, and concat_ws skips a NULL leg where SQL '||'
+    propagates it (review r9w2 finding; the sharded-EWMA null-ts trap).
+    Scale (100 TB): the double-lead is ONE per-user window pass (both
+    leads share the sort; the path frame is lineage-cut because two
+    consumers — the total and the rank — would otherwise re-run the
+    scan+window), the path count is a keyed agg with map-side partials
+    bounded by |types|^3 distinct keys (125 here), and the final rank
+    window runs over that bounded matrix — allowlisted as such in the
+    plan-property gate."""
+    from merl_etl_spark.lineage import cut_lineage
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    p = (
+        seq.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = cut_lineage(p, eager=False)
+    tot = p.agg(F.sum("n").alias("t"))
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n",
+            (F.col("n").cast("double") / F.col("t").cast("double")).alias("share"),
+            F.row_number().over(wr).cast("long").alias("rnk"),
+        )
+        .orderBy(F.col("n").desc(), "path")
+        .limit(PATH_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics-attribution-lasttouch — conversion attribution via carry-forward
+# ---------------------------------------------------------------------------
+
+ATTR_TOUCH_TYPES = ("click", "view")
+ATTR_CONVERSION = "purchase"
+ATTR_WINDOW_S = 7 * 24 * 3600  # attribution lookback
+
+
+@register(
+    "analytics-attribution-lasttouch",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type IN {ATTR_TOUCH_TYPES}
+                             THEN event_id END IGNORE NULLS)
+               OVER w AS touch_id,
+             last_value(CASE WHEN event_type IN {ATTR_TOUCH_TYPES}
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             last_value(CASE WHEN event_type IN {ATTR_TOUCH_TYPES}
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS touch_us
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN epoch_us(ts) - touch_us <= {ATTR_WINDOW_S * 1_000_000}
+                THEN touch_id END AS attributed_id,
+           CASE WHEN epoch_us(ts) - touch_us <= {ATTR_WINDOW_S * 1_000_000}
+                THEN touch_type END AS attributed_type,
+           CASE WHEN epoch_us(ts) - touch_us <= {ATTR_WINDOW_S * 1_000_000}
+                THEN (epoch_us(ts) - touch_us) // 1000000 END AS gap_s
+    FROM s WHERE event_type = '{ATTR_CONVERSION}'
+    """,
+)
+def analytics_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is attributed to
+    the user's most recent preceding click/view within a 7-day lookback
+    (or NULL if none) — the marketing-analytics join the reference's
+    per-type counters cannot express.
+
+    Spark-first shape: ONE per-user window pass carries the last touch
+    forward (last(..., ignorenulls) over ROWS UNBOUNDED PRECEDING..1
+    PRECEDING — the purchase row itself is excluded by the frame, not
+    by a self-join), then the purchase filter and lookback test are
+    maps.  No self-join, no as-of join machinery: the carry-forward
+    frame IS the as-of here because both sides live in the same stream.
+
+    Determinism: the (ts, event_id) total order pins which touch is
+    "last" under timestamp ties; the gap is exact integer microseconds
+    floored once to whole seconds.  Scale (100 TB): one keyed window
+    (user-partitioned — millions of partitions, no skew cliff), then
+    narrow maps; output is conversion-cardinality."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*ATTR_TOUCH_TYPES)
+    us = F.unix_micros("ts")
+    s = events.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w).alias("touch_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w).alias("touch_type"),
+        F.last(F.when(is_touch, us), ignorenulls=True).over(w).alias("touch_us"),
+    )
+    in_window = (us - F.col("touch_us")) <= ATTR_WINDOW_S * 1_000_000
+    return s.filter(F.col("event_type") == ATTR_CONVERSION).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.when(in_window, F.col("touch_id")).alias("attributed_id"),
+        F.when(in_window, F.col("touch_type")).alias("attributed_type"),
+        F.when(in_window, F.expr(f"(unix_micros(ts) - touch_us) DIV 1000000"))
+        .alias("gap_s"),
+    )

@@ -702,3 +702,99 @@ def curate_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("high")
         .alias("commonness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-quality-sampling — quality-tiered deterministic sampling rates
+# ---------------------------------------------------------------------------
+
+# Integer quality gates (each is a pure integer comparison — no float
+# ratios), one tier point per gate passed:
+#   length   n_tokens >= 20
+#   vocab    2*n_distinct > n_tokens      (distinct ratio > 1/2)
+#   digits   10*n_digits < n_chars        (digit ratio  < 1/10)
+#   punct    5*n_punct  < n_chars         (punct ratio  < 1/5)
+# Keep-rate percentage by tier: junk is thinned hard, clean text kept.
+QSAMP_RATES = (5, 15, 40, 70, 100)  # tier 0..4
+QSAMP_SALT = "|qsamp"
+
+
+@register(
+    "curate-quality-sampling",
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             CAST(n_tokens >= 20 AS BIGINT)
+             + CAST(2 * n_distinct > n_tokens AS BIGINT)
+             + CAST(10 * n_digits < n_chars AS BIGINT)
+             + CAST(5 * n_punct < n_chars AS BIGINT) AS tier
+      FROM m
+    )
+    SELECT doc_id, tier,
+           CAST(CASE tier {" ".join(f"WHEN {i} THEN {r}" for i, r in enumerate(QSAMP_RATES))} END
+                AS BIGINT) AS sample_pct,
+           {md5_bucket_duck(f"CAST(doc_id AS VARCHAR) || '{QSAMP_SALT}'", 100)}
+             < CASE tier {" ".join(f"WHEN {i} THEN {r}" for i, r in enumerate(QSAMP_RATES))} END
+             AS kept
+    FROM t
+    """,
+)
+def curate_quality_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tiered subsampling: score each document 0-4 on integer
+    quality gates (length, vocabulary diversity, digit density,
+    punctuation density — the text-quality ratio family recast as
+    exact integer comparisons), then keep a deterministic hash sample
+    at a tier-specific rate (QSAMP_RATES) — the "thin the junk, keep
+    the clean text" curation step between filtering (drop outright)
+    and DSIR-style importance weighting (continuous reweight).
+
+    Determinism: gates and tiers are integer arithmetic; the keep
+    decision is the md5-bucket coin every sampling operator here uses
+    (sample-hash-split) — replayable in any engine, stable across
+    runs/partitionings.  Scale (100 TB): embarrassingly parallel
+    narrow projection, zero shuffles; the sample is decided per-row
+    with no global state, so it composes with streaming ingest."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    m = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0))
+        ).alias("n_digits"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), F.lit(0))
+        ).alias("n_punct"),
+    )
+    tier = (
+        (F.col("n_tokens") >= 20).cast("long")
+        + (2 * F.col("n_distinct") > F.col("n_tokens")).cast("long")
+        + (10 * F.col("n_digits") < F.col("n_chars")).cast("long")
+        + (5 * F.col("n_punct") < F.col("n_chars")).cast("long")
+    )
+    t = m.select("doc_id", tier.alias("tier"))
+    # tier directly indexes QSAMP_RATES (element_at is 1-based)
+    pct = F.element_at(
+        F.array(*[F.lit(r).cast("long") for r in QSAMP_RATES]),
+        (F.col("tier") + 1).cast("int"),
+    )
+    coin = md5_bucket_spark(
+        F.concat(F.col("doc_id").cast("string"), F.lit(QSAMP_SALT)), 100
+    )
+    return t.select(
+        "doc_id",
+        "tier",
+        pct.alias("sample_pct"),
+        (coin < pct).alias("kept"),
+    )

@@ -263,3 +263,193 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.asc("node"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# graph-components — fixed-iteration connected components (min-label)
+# ---------------------------------------------------------------------------
+
+# Edge threshold: customer↔supplier pairs with >= CC_MIN_W shared line
+# items — repeat business, the meaningful relationship (the raw trade
+# graph is denser still).
+CC_MIN_W = 2
+# Rounds: each round is neighbor-min THEN one pointer jump
+# (lbl' = nm(nm(v)) — Shiloach-Vishkin shortcutting), so the min label
+# spreads one hop along edges and label chains compress geometrically.
+# Plain neighbor-min alone needs ~eccentricity rounds (measured 10+ at
+# sf0.1); with the jump the fixture graphs converge in <= 8 — 10 gives
+# margin, and non-convergence is OBSERVED (converged=false, identical
+# in both engines), never divergence.
+CC_ITERS = 10
+
+
+# AS MATERIALIZED is load-bearing: nm{i} is SELF-JOINED (the pointer
+# jump) and l{i} feeds two next-round CTEs, so an inlining planner
+# doubles the tree per round — 2^CC_ITERS scans of lineitem ("too many
+# open files" was the observed failure mode at CC_ITERS=10).
+def _cc_iter_sql(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+    nb{i} AS MATERIALIZED (
+      SELECT e.dst AS node, min(l.lbl) AS nl
+      FROM cc_edges e JOIN {prev} l ON l.node = e.src
+      GROUP BY e.dst
+    ),
+    nm{i} AS MATERIALIZED (
+      SELECT l.node, least(l.lbl, COALESCE(nb.nl, l.lbl)) AS lbl
+      FROM {prev} l LEFT JOIN nb{i} nb ON nb.node = l.node
+    ),
+    l{i} AS MATERIALIZED (
+      SELECT a.node, COALESCE(b.lbl, a.lbl) AS lbl
+      FROM nm{i} a LEFT JOIN nm{i} b ON b.node = a.lbl
+    )"""
+
+
+_CC_ORACLE = f"""
+WITH e0 AS MATERIALIZED (
+  SELECT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2 HAVING count(*) >= {CC_MIN_W}
+),
+cc_edges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM e0
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM e0
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM cc_edges),{
+    ",".join(_cc_iter_sql(i) for i in range(1, CC_ITERS + 1))},
+chg AS (
+  SELECT count(*) AS n_changed
+  FROM l{CC_ITERS} a JOIN l{CC_ITERS - 1} b ON a.node = b.node
+  WHERE a.lbl <> b.lbl
+)
+SELECT CAST(lbl AS BIGINT) AS component,
+       count(*) AS n_nodes,
+       (SELECT n_changed = 0 FROM chg) AS converged
+FROM l{CC_ITERS} GROUP BY lbl
+"""
+
+
+def min_label_propagation(edges: DataFrame, iters: int) -> tuple:
+    """``iters`` rounds of neighbor-min label propagation + one pointer
+    jump per round over a symmetric integer edge list ``(src, dst)``.
+    Returns ``(last, second_last)`` — the ``(node, lbl)`` frames after
+    rounds ``iters`` and ``iters-1``, so the caller can both read the
+    labels and OBSERVE convergence (equality of the two frames).
+
+    Relationship to dedup.py's ``connected_components`` (which the
+    ER/dedup tiers use): that loop iterates ADAPTIVELY to a fixpoint
+    with driver-side convergence checks and eager cuts — the right
+    call when correctness requires full convergence and no SQL oracle
+    must replay the exact round count.  This one runs a FIXED round
+    count with a lazy plan (oracle-replayable as unrolled CTEs) and
+    adds the pointer jump; they serve different contracts and are kept
+    separate deliberately.  The loop shape also serves any
+    min/max-semilattice propagation (reachability flags, earliest
+    timestamps)."""
+    edges = cut_lineage(edges, eager=False)
+    prev = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    last = second_last = prev
+    for i in range(1, iters + 1):
+        nb = (
+            edges.join(prev.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nl"))
+        )
+        nm = (
+            prev.join(nb, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nl", F.col("lbl"))).alias("lbl"),
+            )
+        )
+        # pointer jump: follow my label to ITS label (nm(nm(v))); the nm
+        # frame is referenced twice so cut it — without the cut each
+        # round's subtree doubles and the plan is 2^K nodes deep (the
+        # exact blowup the oracle's AS MATERIALIZED guards against)
+        nm = cut_lineage(nm, eager=False)
+        cur = (
+            nm.alias("a")
+            .join(
+                nm.select(
+                    F.col("node").alias("jnode"), F.col("lbl").alias("jlbl")
+                ),
+                F.col("a.lbl") == F.col("jnode"),
+                "left",
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.coalesce("jlbl", F.col("a.lbl")).alias("lbl"),
+            )
+        )
+        if i == iters:
+            last, second_last = cur, prev
+        prev = cur
+    # `last` typically feeds BOTH a change counter and a census — cut it
+    # so the tail rounds aren't re-executed per consumer
+    return cut_lineage(last, eager=False), second_last
+
+
+@register("graph-components", oracle=_CC_ORACLE)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the repeat-business trade graph
+    (customer↔supplier edges with >= CC_MIN_W shared line items) by
+    CC_ITERS rounds of min-label propagation WITH pointer jumping
+    (each round: neighbor-min, then lbl' = nm(nm(v)) — the
+    Shiloach-Vishkin shortcut that compresses label chains
+    geometrically), emitting the component census plus a ``converged``
+    flag (did the last round change any label).  At a fixpoint the
+    labels provably equal each component's minimum node id (labels are
+    monotone non-increasing, stay within the component's id set, and a
+    neighbor-min fixpoint is edge-wise constant).  Components are the
+    backbone primitive the ER tier uses internally (linkage.py golden
+    records, dedup.py cluster ids); this registers the standalone graph
+    operator with a driver oracle.
+
+    Determinism: node ids are integers (custkey*2 / suppkey*2+1), every
+    step is an integer min — bit-stable in any engine; the oracle
+    unrolls the identical rounds as chained CTEs.  Convergence is
+    OBSERVED, not assumed: if CC_ITERS rounds don't reach a fixpoint on
+    some corpus, both engines emit the same labels with
+    converged=false rather than diverging.
+
+    Scale (100 TB): each round is the pagerank shape — a |V|-row label
+    frame equi-joined to the edge list on src, min-aggregated on dst
+    (map-side combinable) — plus one |V|⋈|V| self-join for the jump,
+    so rounds cost three keyed shuffles on label-sized frames and the
+    edge list can stay hash-partitioned on src across all rounds.
+    A lineage cut halfway keeps the composed plan shallow; at
+    production round counts, checkpoint each round (the
+    spark.merl.checkpoint.reliable knob)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= CC_MIN_W)
+    )
+    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    last, second_last = min_label_propagation(edges, CC_ITERS)
+    changed = (
+        last.withColumnRenamed("lbl", "a")
+        .join(second_last.withColumnRenamed("lbl", "b"), "node")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("a") != F.col("b"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_changed")
+        )
+    )
+    return (
+        last.groupBy(F.col("lbl").alias("component"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(F.broadcast(changed))
+        .select("component", "n_nodes", (F.col("n_changed") == 0).alias("converged"))
+    )

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
@@ -558,3 +559,123 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dq-volume-anomaly — robust daily-volume outlier days (median/MAD, integer)
+# ---------------------------------------------------------------------------
+
+# |n - median| > VOL_K * MAD flags a day.  All arithmetic stays integer:
+# with med2 = the sum of the two middle daily counts (= 2*median; the
+# middles coincide for odd day counts) and mad2 = the middle-sum of the
+# per-day deviations d2 = |2n - med2| (= 4*MAD), the test
+# |n - med| > K*MAD is exactly  2*d2 > K*mad2.
+VOL_K = 3
+
+
+@register(
+    "dq-volume-anomaly",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    r AS (
+      SELECT day, n,
+             row_number() OVER (ORDER BY n, day) AS rn,
+             count(*) OVER () AS nd
+      FROM d
+    ),
+    m AS (
+      SELECT sum(CASE WHEN rn = (nd + 1) // 2 THEN n ELSE 0 END)
+             + sum(CASE WHEN rn = (nd + 2) // 2 THEN n ELSE 0 END) AS med2
+      FROM r
+    ),
+    dev AS (
+      SELECT r.day, r.n, abs(2 * r.n - (SELECT med2 FROM m)) AS d2
+      FROM r
+    ),
+    dr AS (
+      SELECT day, n, d2,
+             row_number() OVER (ORDER BY d2, day) AS rn,
+             count(*) OVER () AS nd
+      FROM dev
+    ),
+    q AS (
+      SELECT sum(CASE WHEN rn = (nd + 1) // 2 THEN d2 ELSE 0 END)
+             + sum(CASE WHEN rn = (nd + 2) // 2 THEN d2 ELSE 0 END) AS mad2
+      FROM dr
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n,
+           CAST((SELECT med2 FROM m) AS BIGINT) AS med_x2,
+           CAST((SELECT mad2 FROM q) AS BIGINT) AS mad_x4,
+           2 * d2 > {VOL_K} * (SELECT mad2 FROM q) AS is_anomaly
+    FROM dr
+    """,
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly flags: a day is anomalous when its
+    event count deviates from the median daily count by more than
+    VOL_K median-absolute-deviations — the day-over-day freshness/
+    volume check a production pipeline alarms on (z-scores break on the
+    very outliers they hunt; median/MAD does not).
+
+    Determinism: counts are integers and median/MAD are ORDER
+    STATISTICS, kept exact by carrying 2*median and 4*MAD as integer
+    middle-sums — the flag comparison is pure integer arithmetic, no
+    division anywhere.  MAD = 0 (over half the days identical) degrades
+    to flagging any deviation, identically in both engines.
+
+    Scale (100 TB): the day rollup is one map-side-combinable keyed
+    shuffle; everything after runs on ONE ROW PER DAY (~365/year), so
+    the two rank windows over it are bounded-input by construction
+    (allowlisted as such in the plan-property gate)."""
+    from merl_etl_spark.lineage import cut_lineage
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # everything below runs on ONE ROW PER DAY but references this frame
+    # through four branches (median, deviations, MAD, final) — cut it so
+    # the full-table day rollup executes once, not once per branch
+    d = cut_lineage(d, eager=False)
+    w_n = Window.orderBy("n", "day")
+    r = d.select(
+        "day", "n",
+        F.row_number().over(w_n).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("nd"),
+    )
+    lo = F.expr("(nd + 1) DIV 2")
+    hi = F.expr("(nd + 2) DIV 2")
+    m = r.agg(
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("n")).otherwise(0))
+            + F.sum(F.when(F.col("rn") == hi, F.col("n")).otherwise(0))
+        ).alias("med_x2")
+    )
+    dev = r.select("day", "n").crossJoin(F.broadcast(m)).select(
+        "day", "n", "med_x2",
+        F.abs(2 * F.col("n") - F.col("med_x2")).alias("d2"),
+    )
+    w_d = Window.orderBy("d2", "day")
+    dr = dev.select(
+        "*",
+        F.row_number().over(w_d).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+    )
+    q = dr.agg(
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("d2")).otherwise(0))
+            + F.sum(F.when(F.col("rn") == hi, F.col("d2")).otherwise(0))
+        ).alias("mad_x4")
+    )
+    return dr.crossJoin(F.broadcast(q)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "med_x2",
+        "mad_x4",
+        (2 * F.col("d2") > VOL_K * F.col("mad_x4")).alias("is_anomaly"),
+    )

@@ -62,6 +62,12 @@ SWEEP_PRIORITY: list[str] = [
     "analytics-rfm-segmentation",  # deterministic ntile quartile scoring
     "ts-autocorr",               # lag-k Pearson from exact decimal stats
     "ts-downsample-lttb",        # largest-triangle viz downsampling
+    # -- tier 1b, second wave ---------------------------------------------
+    "graph-components",          # fixed-iteration min-label propagation
+    "analytics-path-mining",     # top length-3 event paths
+    "analytics-attribution-lasttouch",  # carry-forward conversion attribution
+    "dq-volume-anomaly",         # integer-exact median/MAD outlier days
+    "curate-quality-sampling",   # quality-tiered deterministic sampling
     # -- tier 2: r5-cohort entries deferred in r8 + r8-churn deferrals ---
     "src-datasource-paged", "mm-resize-plan", "mm-feature-extract",
     "mm-frame-sample", "src-blockcursor-replay",
@@ -73,11 +79,11 @@ SWEEP_PRIORITY: list[str] = [
     "join-asof-nearest", "join-latest-bucket", "join-salted-skew",
     "agg-anomaly-zscore", "agg-approx-sketches", "agg-exact-quantiles",
     "agg-hll-merge",
-    "dedup-exact", "dedup-minhash-lsh", "dedup-simhash",
-    "dedup-simhash-pairs", "dedup-ngram-jaccard", "dedup-containment",
-    "dedup-clusters", "dedup-embedding-cosine", "dedup-embedding-clusters",
+    "dedup-minhash-lsh", "dedup-simhash",
+    "dedup-ngram-jaccard", "dedup-containment",
+    "dedup-embedding-cosine", "dedup-embedding-clusters",
     "sim-lsh-bucketed", "sim-topk-cosine",
-    "text-langid", "text-quality", "text-tokens", "text-repetition",
+    "text-quality", "text-repetition",
     "text-tfidf", "text-bm25",
 ]
 
@@ -90,13 +96,16 @@ SWEEP_PRIORITY: list[str] = [
 # (exact decimal, hypothesis-pinned).  Anything left at r6 after this
 # round leads the round-10 seed.
 SWEEP_DEFER: list[str] = [
-    # nine r6-cohort entries displaced by this round's nine NEW queries
-    # (never-checked > stale-green, the doctrine the r8 judge accepted):
-    # suite wrappers over scalar functions hypothesis-pinned in pytest,
-    # plus two curation compositions of stages green in r7-r8
+    # fourteen r6-cohort entries displaced by this round's fourteen NEW
+    # queries (never-checked > stale-green, the doctrine the r8 judge
+    # accepted): suite wrappers over scalar functions hypothesis-pinned
+    # in pytest, two curation compositions of stages green in r7-r8, and
+    # five hash/count-shaped dedup/text entries with no float math
     "dedup-incremental-near", "text-hybrid-rrf", "text-chunking",
     "text-decontaminate", "curate-pipeline", "curate-source-cap",
     "fn-datetime-suite", "fn-numeric-suite", "fn-vector-quantize",
+    "dedup-exact", "dedup-simhash-pairs", "dedup-clusters",
+    "text-langid", "text-tokens",
     "dq-expectations",
     "uint256-exact-scale", "uint256-exact-sum",
     "filter-blockrange", "filter-eq-token", "filter-nonnull-fields",

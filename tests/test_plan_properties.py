@@ -159,6 +159,14 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # percentile buckets off approx-quantile cutpoints (analytics.py
     # analytics_rfm_segmentation docstring)
     "analytics-rfm-segmentation": 3,
+    # one global rank over the |types|^3-row path matrix (125 rows here)
+    # — the bounded-summary pattern (analytics.py analytics_path_mining)
+    "analytics-path-mining": 1,
+    # two rank + two count windows over the one-row-per-day volume
+    # frame, each appearing in two consumer branches (~365 rows/year;
+    # quality.py dq_volume_anomaly — the day rollup beneath them is
+    # lineage-cut so the fact scan runs once)
+    "dq-volume-anomaly": 6,
 }
 
 

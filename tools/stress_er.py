@@ -60,9 +60,6 @@ def timed(label, df):
 def main() -> int:
     registry.load_all()
     spark = get_spark("stress_er")
-    # durable lineage cuts: components over 177M directed edges OOM the
-    # driver JVM under the default localCheckpoint (PERF.md r8)
-    spark.conf.set("spark.merl.checkpoint.reliable", "true")
 
     def patched(spark_, sf_dir, name):
         if name == "part":
@@ -71,13 +68,27 @@ def main() -> int:
 
     linkage.load_table = patched
     try:
+        # fuzzy leg: default executor-local cuts (the r8 measurement mode)
         timed("link-fuzzy-match 100x (2M parts, 100x entities)",
               registry.QUERIES["link-fuzzy-match"](spark, SF))
         if "--fuzzy-only" not in sys.argv:
+            # golden-record leg: durable lineage cuts — components over
+            # ~177M directed edges OOM the driver JVM under the default
+            # localCheckpoint (PERF.md r8).  Reliable mode REQUIRES a
+            # checkpoint directory; without one every cut_lineage call
+            # dies with "checkpoint directory has not been set".
+            spark.conf.set("spark.merl.checkpoint.reliable", "true")
+            spark.sparkContext.setCheckpointDir("/tmp/merl_ckpt_stress")
             timed("link-golden-record 100x (2M parts)",
                   registry.QUERIES["link-golden-record"](spark, SF))
     finally:
         linkage.load_table = orig_load
+        spark.conf.set("spark.merl.checkpoint.reliable", "false")
+        # the reliable checkpoints of components over ~177M directed
+        # edges are multi-GB — drop them, or repeated runs fill /tmp
+        import shutil
+
+        shutil.rmtree("/tmp/merl_ckpt_stress", ignore_errors=True)
     return 0
 
 
