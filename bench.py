@@ -152,6 +152,9 @@ HEADLINE = [
     "analytics-attribution-lasttouch",
     "dq-volume-anomaly",
     "curate-quality-sampling",
+    # round-9 third wave: MERGE semantics + bounded-vocab PMI
+    "cdc-merge-apply",
+    "text-cooccurrence-pmi",
 ]
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from merl_etl_spark.operators.aggregates import dec_sum
+from merl_etl_spark.operators.dedup import md5_u32_duck
 from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
 
@@ -287,4 +288,130 @@ def agg_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sv", 2).cast("double").alias("total_value"),
         F.date_format("mts", TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc-merge-apply — MERGE INTO semantics over an ordered changelog
+# ---------------------------------------------------------------------------
+
+# deterministic op synthesis: every ~MERGE_DEL_MOD-th changelog entry is
+# a DELETE tombstone, the rest are upserts
+MERGE_DEL_MOD = 10
+
+
+@register(
+    "cdc-merge-apply",
+    oracle=f"""
+    WITH cap AS (SELECT max(event_id) // 2 AS cap FROM events),
+    base AS (
+      SELECT user_id, base_value FROM (
+        SELECT user_id, CAST(value AS DECIMAL(18,6)) AS base_value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events, cap WHERE event_id <= cap AND ts IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    log_raw AS (
+      SELECT user_id, ts, event_id,
+             CAST(value AS DECIMAL(18,6)) AS value,
+             CASE WHEN {md5_u32_duck("CAST(event_id AS VARCHAR) || '|op'")}
+                       % {MERGE_DEL_MOD} = 0
+                  THEN 'D' ELSE 'U' END AS op
+      FROM events, cap WHERE event_id > cap AND ts IS NOT NULL
+    ),
+    last_op AS (
+      SELECT user_id, op, value, n_ops FROM (
+        SELECT user_id, op, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_ops
+        FROM log_raw
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.user_id, l.user_id) AS user_id,
+           CASE WHEN l.user_id IS NULL THEN 'kept'
+                WHEN l.op = 'D' THEN 'deleted'
+                WHEN b.user_id IS NULL THEN 'inserted'
+                ELSE 'updated' END AS status,
+           CASE WHEN l.user_id IS NULL THEN b.base_value
+                WHEN l.op = 'D' THEN NULL
+                ELSE l.value END AS final_value,
+           COALESCE(l.n_ops, 0) AS n_ops
+    FROM base b FULL OUTER JOIN last_op l ON l.user_id = b.user_id
+    """,
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics applied as a batch: a base snapshot (each
+    user's last value in the first half of the stream) merged with an
+    ordered changelog (the second half, every MERGE_DEL_MOD-th entry a
+    DELETE tombstone, the rest upserts), last-writer-wins per key.
+    Emits the full disposition ledger — kept / updated / inserted /
+    deleted — with the post-merge value (NULL for tombstoned keys), the
+    lakehouse MERGE primitive the reference approximates with
+    ON CONFLICT upserts (merlin_etl.py) but cannot express deletes in.
+
+    Determinism: the winner per key is a row_number under the total
+    (ts DESC, event_id DESC) order; values are exact decimals of
+    scanned columns; op synthesis is the md5-bucket coin.  Scale
+    (100 TB): one window pass over the changelog keyed by user (the
+    only wide exchange), then a key-cardinality full outer join — the
+    same two-shuffle shape as a real MERGE's find-matches phase; at
+    petabyte base sizes the join side prunes to changed keys first
+    (the base scan here is already aggregated to key cardinality)."""
+    from merl_etl_spark.operators.dedup import md5_u32_spark
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cap = events.agg(F.expr("max(event_id) DIV 2").alias("cap"))
+    ev = events.crossJoin(F.broadcast(cap))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        ev.filter(F.col("event_id") <= F.col("cap"))
+        .select(
+            "user_id",
+            F.col("value").cast("decimal(18,6)").alias("base_value"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    log_raw = ev.filter(F.col("event_id") > F.col("cap")).select(
+        "user_id", "ts", "event_id",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+        F.when(
+            md5_u32_spark(
+                F.concat(F.col("event_id").cast("string"), F.lit("|op"))
+            ) % MERGE_DEL_MOD == 0,
+            "D",
+        ).otherwise("U").alias("op"),
+    )
+    last_op = (
+        log_raw.select(
+            "user_id", "op", "value",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_ops"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    b = base.withColumnRenamed("user_id", "b_uid")
+    merged = b.join(
+        last_op.withColumnRenamed("user_id", "l_uid"),
+        b["b_uid"] == F.col("l_uid"),
+        "full_outer",
+    )
+    return merged.select(
+        F.coalesce("b_uid", "l_uid").alias("user_id"),
+        F.when(F.col("l_uid").isNull(), "kept")
+        .when(F.col("op") == "D", "deleted")
+        .when(F.col("b_uid").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("status"),
+        F.when(F.col("l_uid").isNull(), F.col("base_value"))
+        .when(F.col("op") == "D", F.lit(None).cast("decimal(18,6)"))
+        .otherwise(F.col("value"))
+        .alias("final_value"),
+        F.coalesce("n_ops", F.lit(0)).cast("long").alias("n_ops"),
     )

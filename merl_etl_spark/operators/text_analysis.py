@@ -708,3 +708,110 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(shared).cast("double") / F.count(F.lit(1))).alias("shared_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text-cooccurrence-pmi — pointwise mutual information over a bounded vocab
+# ---------------------------------------------------------------------------
+
+PMI_VOCAB = 100   # top-V words by document frequency form the vocabulary
+PMI_TOP = 50      # emit the top pairs by co-occurrence count
+
+
+@register(
+    "text-cooccurrence-pmi",
+    oracle=f"""
+    WITH dw AS MATERIALIZED (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL)
+      WHERE w <> ''
+    ),
+    vocab AS MATERIALIZED (
+      SELECT w FROM (
+        SELECT w, count(*) AS df FROM dw GROUP BY w
+        ORDER BY df DESC, w LIMIT {PMI_VOCAB}
+      )
+    ),
+    dv AS MATERIALIZED (
+      SELECT dw.doc_id, dw.w FROM dw JOIN vocab USING (w)
+    ),
+    cx AS MATERIALIZED (SELECT w, count(*) AS c FROM dv GROUP BY w),
+    n AS (SELECT count(DISTINCT doc_id) AS n
+          FROM documents WHERE text IS NOT NULL),
+    pairs AS (
+      SELECT a.w AS x, b.w AS y, count(*) AS c_xy
+      FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2
+    )
+    SELECT x, y, c_xy,
+           -- outer cast pins the widened subtraction type (engines
+           -- grow decimal precision differently); values are exact
+           CAST(CAST(round(ln((SELECT n FROM n) * c_xy), 6) AS DECIMAL(18,6))
+                - CAST(round(ln(cxx.c), 6) AS DECIMAL(18,6))
+                - CAST(round(ln(cyy.c), 6) AS DECIMAL(18,6))
+                AS DECIMAL(18,6)) AS pmi
+    FROM pairs JOIN cx cxx ON cxx.w = x JOIN cx cyy ON cyy.w = y
+    ORDER BY c_xy DESC, x, y LIMIT {PMI_TOP}
+    """,
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level pointwise mutual information for word pairs over
+    a bounded vocabulary (top PMI_VOCAB words by document frequency):
+    PMI(x,y) = ln(N·c_xy) − ln(c_x) − ln(c_y) with presence counts —
+    the distributional-association statistic behind collocation mining
+    and embedding-corpus diagnostics.
+
+    Determinism: every ln() takes an INTEGER argument and is rounded
+    ONCE to 6 dp before exact decimal subtraction — the text-entropy /
+    DSIR pattern that is driver-green; counts are exact integers and
+    the top-PMI_TOP cut carries a (c_xy DESC, x, y) total order.
+    Scale (100 TB): the vocabulary cap bounds the per-doc pair
+    expansion at |vocab∩doc|², and pair counts are map-side-combinable
+    keyed aggregates over at most PMI_VOCAB² keys; the doc-word frame
+    is lineage-cut because vocabulary, marginals, and pairs all consume
+    it.  The unbounded-vocab variant is the classic skew trap — cap
+    first, then count."""
+    from merl_etl_spark.lineage import cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dw = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    dw = cut_lineage(dw, eager=False)
+    vocab = (
+        dw.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "w")
+        .limit(PMI_VOCAB)
+        .select("w")
+    )
+    dv = dw.join(F.broadcast(vocab), "w")
+    dv = cut_lineage(dv, eager=False)
+    cx = dv.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n"))
+    a = dv.select(F.col("doc_id"), F.col("w").alias("x"))
+    b = dv.select(F.col("doc_id").alias("doc_id_b"), F.col("w").alias("y"))
+    pairs = (
+        a.join(b, (a["doc_id"] == b["doc_id_b"]) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    ln6 = lambda col: F.expr(f"CAST(round(ln({col}), 6) AS DECIMAL(18,6))")
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .join(F.broadcast(cx.withColumnRenamed("w", "x").withColumnRenamed("c", "cx")), "x")
+        .join(F.broadcast(cx.withColumnRenamed("w", "y").withColumnRenamed("c", "cy")), "y")
+        .select(
+            "x", "y", "c_xy",
+            (ln6("n * c_xy") - ln6("cx") - ln6("cy"))
+            .cast("decimal(18,6)")
+            .alias("pmi"),
+        )
+        .orderBy(F.col("c_xy").desc(), "x", "y")
+        .limit(PMI_TOP)
+    )

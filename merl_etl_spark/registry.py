@@ -68,6 +68,9 @@ SWEEP_PRIORITY: list[str] = [
     "analytics-attribution-lasttouch",  # carry-forward conversion attribution
     "dq-volume-anomaly",         # integer-exact median/MAD outlier days
     "curate-quality-sampling",   # quality-tiered deterministic sampling
+    # -- tier 1b, third wave ----------------------------------------------
+    "cdc-merge-apply",           # MERGE semantics over an ordered changelog
+    "text-cooccurrence-pmi",     # bounded-vocab PMI, integer-argument ln
     # -- tier 2: r5-cohort entries deferred in r8 + r8-churn deferrals ---
     "src-datasource-paged", "mm-resize-plan", "mm-feature-extract",
     "mm-frame-sample", "src-blockcursor-replay",
@@ -80,7 +83,6 @@ SWEEP_PRIORITY: list[str] = [
     "agg-anomaly-zscore", "agg-approx-sketches", "agg-exact-quantiles",
     "agg-hll-merge",
     "dedup-minhash-lsh", "dedup-simhash",
-    "dedup-ngram-jaccard", "dedup-containment",
     "dedup-embedding-cosine", "dedup-embedding-clusters",
     "sim-lsh-bucketed", "sim-topk-cosine",
     "text-quality", "text-repetition",
@@ -96,16 +98,17 @@ SWEEP_PRIORITY: list[str] = [
 # (exact decimal, hypothesis-pinned).  Anything left at r6 after this
 # round leads the round-10 seed.
 SWEEP_DEFER: list[str] = [
-    # fourteen r6-cohort entries displaced by this round's fourteen NEW
+    # sixteen r6-cohort entries displaced by this round's sixteen NEW
     # queries (never-checked > stale-green, the doctrine the r8 judge
     # accepted): suite wrappers over scalar functions hypothesis-pinned
     # in pytest, two curation compositions of stages green in r7-r8, and
-    # five hash/count-shaped dedup/text entries with no float math
+    # hash/count/rational-shaped dedup/text entries with no float sums
     "dedup-incremental-near", "text-hybrid-rrf", "text-chunking",
     "text-decontaminate", "curate-pipeline", "curate-source-cap",
     "fn-datetime-suite", "fn-numeric-suite", "fn-vector-quantize",
     "dedup-exact", "dedup-simhash-pairs", "dedup-clusters",
     "text-langid", "text-tokens",
+    "dedup-ngram-jaccard", "dedup-containment",
     "dq-expectations",
     "uint256-exact-scale", "uint256-exact-sum",
     "filter-blockrange", "filter-eq-token", "filter-nonnull-fields",

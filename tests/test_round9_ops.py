@@ -513,3 +513,94 @@ def test_quality_sampling_exact_python_replay(spark, sf_dir):
             % 100
         )
         assert r["kept"] == (coin < QSAMP_RATES[tier])
+
+
+# ---------------------------------------------------------------------------
+# round-9 third wave: MERGE apply + bounded-vocab PMI
+# ---------------------------------------------------------------------------
+
+def test_merge_apply_all_four_statuses_synthetic(spark):
+    """The fixture's users are all active in both stream halves, so the
+    kept/inserted branches never fire there — pin all four dispositions
+    on a synthetic stream.  Op synthesis is md5-keyed on event_id, so
+    pick event ids whose coin is known by replaying the hash."""
+    import datetime as dt
+    import hashlib
+
+    import merl_etl_spark.operators.incremental as inc_mod
+    from merl_etl_spark.operators.incremental import MERGE_DEL_MOD
+
+    def coin(eid: int) -> bool:  # True = DELETE tombstone
+        h = int(hashlib.md5(f"{eid}|op".encode()).hexdigest()[:8], 16)
+        return h % MERGE_DEL_MOD == 0
+
+    base_t = dt.datetime(2024, 1, 1)
+    lo = [  # base half: users 1 (kept), 2 (updated), 3 (deleted)
+        (1, 1, base_t, 10.0),
+        (2, 2, base_t, 20.0),
+        (3, 3, base_t, 30.0),
+    ]
+    # changelog half: user 2 upsert, user 3 delete, user 4 insert —
+    # search ids with the right coin so the op synthesis yields that.
+    # All candidates live in [10000, 12000): cap = max(event_id) DIV 2
+    # < 6000, so base ids (< 10) stay below and changelog ids above the
+    # split no matter which three are picked
+    ids = iter(range(10_000, 12_000))
+    eid_u2 = next(i for i in ids if not coin(i))
+    eid_d3 = next(i for i in ids if coin(i))
+    eid_u4 = next(i for i in ids if not coin(i))
+    hi = [
+        (eid_u2, 2, base_t + dt.timedelta(hours=1), 21.0),
+        (eid_d3, 3, base_t + dt.timedelta(hours=1), 0.0),
+        (eid_u4, 4, base_t + dt.timedelta(hours=1), 40.0),
+    ]
+    synth = spark.createDataFrame(
+        lo + hi, "event_id long, user_id long, ts timestamp, value double"
+    )
+    orig = inc_mod.load_table
+    inc_mod.load_table = lambda s, d, n: synth
+    try:
+        rows = {
+            r["user_id"]: (r["status"], r["final_value"], r["n_ops"])
+            for r in QUERIES["cdc-merge-apply"](spark, "unused").collect()
+        }
+    finally:
+        inc_mod.load_table = orig
+    from decimal import Decimal
+
+    assert rows[1] == ("kept", Decimal("10.000000"), 0)
+    assert rows[2] == ("updated", Decimal("21.000000"), 1)
+    assert rows[3] == ("deleted", None, 1)
+    assert rows[4] == ("inserted", Decimal("40.000000"), 1)
+
+
+def test_pmi_matches_python_counts(spark, sf_dir):
+    """Recompute N, the marginals, and the co-occurrence counts in
+    Python for the emitted pairs, and check PMI against math.log with
+    the 6-dp-rounded-per-term contract."""
+    import math
+    from decimal import Decimal
+
+    from merl_etl_spark.operators.text_analysis import PMI_TOP
+    from merl_etl_spark.sources.tables import load_table
+
+    docs = [
+        (r["doc_id"], set(w for w in r["text"].split(" ") if w))
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    ]
+    n = len(docs)
+    out = QUERIES["text-cooccurrence-pmi"](spark, sf_dir).collect()
+    assert 0 < len(out) <= PMI_TOP
+    for r in out[:10]:  # spot-check the head
+        cx = sum(1 for _, ws in docs if r["x"] in ws)
+        cy = sum(1 for _, ws in docs if r["y"] in ws)
+        cxy = sum(1 for _, ws in docs if r["x"] in ws and r["y"] in ws)
+        assert r["c_xy"] == cxy and r["x"] < r["y"]
+        expect = (
+            Decimal(str(round(math.log(n * cxy), 6)))
+            - Decimal(str(round(math.log(cx), 6)))
+            - Decimal(str(round(math.log(cy), 6)))
+        )
+        assert r["pmi"] == expect, (r, expect)

@@ -21,7 +21,9 @@ from merl_etl_spark import registry  # noqa: E402
 from merl_etl_spark.session import get_spark  # noqa: E402
 import merl_etl_spark.operators.analytics as analytics  # noqa: E402
 import merl_etl_spark.operators.curation_ext as curation_ext  # noqa: E402
+import merl_etl_spark.operators.incremental as incremental  # noqa: E402
 import merl_etl_spark.operators.quality as quality  # noqa: E402
+import merl_etl_spark.operators.text_analysis as text_analysis  # noqa: E402
 from merl_etl_spark.operators.graph import min_label_propagation  # noqa: E402
 from merl_etl_spark.sources.tables import load_table as orig_load  # noqa: E402
 
@@ -54,7 +56,8 @@ def main() -> int:
     registry.load_all()
     spark = get_spark("stress_r9w2")
 
-    for mod in (analytics, quality, curation_ext):
+    mods = (analytics, quality, curation_ext, incremental, text_analysis)
+    for mod in mods:
         mod.load_table = patched
     try:
         forced("analytics-path-mining 100x (10M events)",
@@ -65,8 +68,12 @@ def main() -> int:
                registry.QUERIES["dq-volume-anomaly"](spark, SF))
         forced("curate-quality-sampling 100x (500k docs)",
                registry.QUERIES["curate-quality-sampling"](spark, SF))
+        forced("cdc-merge-apply 100x (10M events)",
+               registry.QUERIES["cdc-merge-apply"](spark, SF))
+        forced("text-cooccurrence-pmi 100x (500k docs)",
+               registry.QUERIES["text-cooccurrence-pmi"](spark, SF))
     finally:
-        for mod in (analytics, quality, curation_ext):
+        for mod in mods:
             mod.load_table = orig_load
 
     # synthetic ring graph: 200k rings of 10 nodes -> 2M nodes, 4M
