@@ -361,8 +361,13 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the base scan here is already aggregated to key cardinality)."""
     from merl_etl_spark.operators.dedup import md5_u32_spark
 
-    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    cap = events.agg(F.expr("max(event_id) DIV 2").alias("cap"))
+    all_events = load_table(spark, sf_dir, "events")
+    # cap comes from the UNFILTERED stream (the oracle's and
+    # cdc-snapshot-diff's convention) — computing it after the ts filter
+    # would split the stream at a different event_id whenever a null-ts
+    # row holds the max id (review r9w3 finding, reproduced divergence)
+    cap = all_events.agg(F.expr("max(event_id) DIV 2").alias("cap"))
+    events = all_events.filter(F.col("ts").isNotNull())
     ev = events.crossJoin(F.broadcast(cap))
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()

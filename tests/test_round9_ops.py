@@ -554,8 +554,15 @@ def test_merge_apply_all_four_statuses_synthetic(spark):
         (eid_d3, 3, base_t + dt.timedelta(hours=1), 0.0),
         (eid_u4, 4, base_t + dt.timedelta(hours=1), 40.0),
     ]
+    # a null-ts row holding the MAX event_id: excluded from both halves
+    # by the ts filter, but it must still drive the cap (= 12001 DIV 2 =
+    # 6000, keeping base ids below and changelog ids above) exactly as
+    # the oracle computes it from the unfiltered stream (review r9w3:
+    # a post-filter cap diverged row-for-row on this shape)
+    null_row = [(12_001, 5, None, 99.0)]
     synth = spark.createDataFrame(
-        lo + hi, "event_id long, user_id long, ts timestamp, value double"
+        lo + hi + null_row,
+        "event_id long, user_id long, ts timestamp, value double",
     )
     orig = inc_mod.load_table
     inc_mod.load_table = lambda s, d, n: synth
@@ -572,6 +579,7 @@ def test_merge_apply_all_four_statuses_synthetic(spark):
     assert rows[2] == ("updated", Decimal("21.000000"), 1)
     assert rows[3] == ("deleted", None, 1)
     assert rows[4] == ("inserted", Decimal("40.000000"), 1)
+    assert 5 not in rows  # the null-ts row is cap-only, never data
 
 
 def test_pmi_matches_python_counts(spark, sf_dir):
