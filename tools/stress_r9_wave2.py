@@ -19,11 +19,14 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from merl_etl_spark import registry  # noqa: E402
 from merl_etl_spark.session import get_spark  # noqa: E402
+import merl_etl_spark.operators.aggregates as aggregates  # noqa: E402
 import merl_etl_spark.operators.analytics as analytics  # noqa: E402
 import merl_etl_spark.operators.curation_ext as curation_ext  # noqa: E402
+import merl_etl_spark.operators.dedup as dedup  # noqa: E402
 import merl_etl_spark.operators.incremental as incremental  # noqa: E402
 import merl_etl_spark.operators.quality as quality  # noqa: E402
 import merl_etl_spark.operators.text_analysis as text_analysis  # noqa: E402
+import merl_etl_spark.operators.timeseries as timeseries  # noqa: E402
 from merl_etl_spark.operators.graph import min_label_propagation  # noqa: E402
 from merl_etl_spark.sources.tables import load_table as orig_load  # noqa: E402
 
@@ -49,6 +52,18 @@ def patched(spark_, sf_dir, name):
         return spark_.read.parquet(f"{STRESS}/ev.parquet")
     if name == "documents":
         return spark_.read.parquet(f"{STRESS}/docs.parquet")
+    if name == "lineitem":
+        return spark_.read.parquet(f"{STRESS}/li.parquet")
+    if name == "orders":
+        # entity-scaled 100x orders (15M rows, 100x customers) — the
+        # stress corpus set has no orders table
+        rep = F.explode(F.sequence(F.lit(0), F.lit(99))).alias("rep")
+        o = orig_load(spark_, sf_dir, "orders")
+        return o.select("*", rep).select(
+            (F.col("o_orderkey") + F.col("rep") * 10_000_000).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("rep") * 10_000_000).alias("o_custkey"),
+            "o_orderstatus", "o_totalprice", "o_orderdate",
+        )
     return orig_load(spark_, sf_dir, name)
 
 
@@ -56,7 +71,8 @@ def main() -> int:
     registry.load_all()
     spark = get_spark("stress_r9w2")
 
-    mods = (analytics, quality, curation_ext, incremental, text_analysis)
+    mods = (analytics, quality, curation_ext, incremental, text_analysis,
+            aggregates, dedup, timeseries)
     for mod in mods:
         mod.load_table = patched
     try:
@@ -72,9 +88,52 @@ def main() -> int:
                registry.QUERIES["cdc-merge-apply"](spark, SF))
         forced("text-cooccurrence-pmi 100x (500k docs)",
                registry.QUERIES["text-cooccurrence-pmi"](spark, SF))
+        # wave-1 operators
+        forced("agg-weighted-median 100x (60M lineitem)",
+               registry.QUERIES["agg-weighted-median"](spark, SF))
+        forced("agg-grouping-sets 100x (60M lineitem)",
+               registry.QUERIES["agg-grouping-sets"](spark, SF))
+        forced("curate-softdedup-weights 100x (500k docs)",
+               registry.QUERIES["curate-softdedup-weights"](spark, SF))
+        forced("ts-seasonal-profile 100x (10M events)",
+               registry.QUERIES["ts-seasonal-profile"](spark, SF))
+        forced("ts-autocorr 100x (10M events)",
+               registry.QUERIES["ts-autocorr"](spark, SF))
+        forced("ts-downsample-lttb 100x (10M events)",
+               registry.QUERIES["ts-downsample-lttb"](spark, SF))
+        forced("dedup-bloom-incremental 100x (500k docs)",
+               registry.QUERIES["dedup-bloom-incremental"](spark, SF))
+        forced("analytics-rfm-segmentation 100x (15M orders, 15M customers)",
+               registry.QUERIES["analytics-rfm-segmentation"](spark, SF))
     finally:
         for mod in mods:
             mod.load_table = orig_load
+
+    # layout-partition-prune 100x, measured directly (its content-keyed
+    # cache keys off the REAL fixture file, so patching load_table would
+    # silently reuse the fixture-scale layout): one date-partitioned
+    # write of the 10M-event table + one pruned week read
+    import shutil
+    import uuid
+
+    from merl_etl_spark.operators.profiling import PRUNE_HI, PRUNE_LO
+
+    ev = spark.read.parquet(f"{STRESS}/ev.parquet")
+    out = f"/tmp/merl_prune_stress_{uuid.uuid4().hex}"
+    t0 = time.perf_counter()
+    (ev.withColumn("event_date", F.to_date("ts"))
+       .write.mode("overwrite").partitionBy("event_date").parquet(out))
+    t_write = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    back = spark.read.parquet(out).filter(
+        (F.col("event_date") >= F.lit(PRUNE_LO).cast("date"))
+        & (F.col("event_date") <= F.lit(PRUNE_HI).cast("date"))
+    ).groupBy("event_date").agg(F.count(F.lit(1)).alias("n"))
+    n = back.agg(F.sum("n")).collect()[0][0]
+    t_read = time.perf_counter() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    print(f"layout-partition-prune 100x (10M events): write={t_write:.1f}s "
+          f"pruned-week-agg={t_read:.1f}s rows_in_week={n}", flush=True)
 
     # synthetic ring graph: 200k rings of 10 nodes -> 2M nodes, 4M
     # directed edges, 200k components with known minima (ring*10)
