@@ -668,36 +668,37 @@ _EWMA_BUCKET_UNITS = ("day", "hour", "minute")
 EWMA_CHUNK = 512  # rows per chunk; raise on a real cluster (must be >= EWMA_K)
 
 
-@register("ts-ewma", oracle=_ewma_oracle())
-def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing EWMA (alpha=1/2, 12-tap truncation, per-series) over the
-    event stream — the smoothing step behind alerting baselines and
-    trend monitors (reference analogue: the rolling report windows in
-    scripts/ingest_activity_and_report.sh).
+def _chunked_rows(x: DataFrame, unit: str, chunk_size: int, k_carry: int,
+                  side: str, unit_conf: str = "") -> DataFrame:
+    """The chunked-overlap machinery shared by every sharded bounded
+    ROWS-frame mode (ts-ewma lags, ts-autocorr leads): assign each row a
+    GLOBAL per-series row number ``rn`` (per-(series, time-bucket)
+    in-bucket ranks + broadcast cumulative offsets — never a global
+    sort), cut the series into ``chunk_size``-row chunks, and duplicate
+    the ``k_carry`` boundary rows into the adjacent chunk as flagged
+    ``carry`` copies: the LAST k rows into the NEXT chunk for a trailing
+    (``side='lag'``) frame, the FIRST k rows into the PREVIOUS chunk for
+    a lookahead (``side='lead'``) frame.  A window over
+    (event_type, chunk) ORDER BY rn then sees exactly the rows a global
+    (ts, event_id) window would for any frame bounded by k rows on that
+    side; consumers compute their taps and filter ``carry``.
 
-    Scale (100 TB): default mode is one keyed window per series
-    (event_type) — the same partition unit as ts-moving-stats; the 12
-    lag() taps share a single sort within the window exchange, so the
-    whole query is one shuffle.  When the corpus has FEW series (the
-    series-count parallelism cliff), set ``spark.merl.ewma.sharded=true``
-    for the chunked-overlap plan described above — bit-identical output
-    (pinned by tests/test_round8_ops.py::test_ewma_sharded_mode_equals_default).
-    """
-    events = load_table(spark, sf_dir, "events")
-    xd = F.col("value").cast("decimal(18,6)")
-    x = events.select("event_id", "event_type", "ts", xd.alias("xd"))
-    if spark.conf.get(EWMA_SHARDED_CONF, "false").lower() != "true":
-        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-        num, den = _ewma_taps(w)
-        return _ewma_finish(
-            x.select("event_id", "event_type", "ts",
-                     F.round(num, 6).alias("num6"), den.alias("den"))
-        )
-    # ---- sharded mode ----
-    K = EWMA_K
-    unit = spark.conf.get(EWMA_BUCKET_CONF, "day")
+    ``x`` must carry event_type / ts / event_id; every other column is
+    passed through.  The carry duplication is a conditional-array
+    explode, NOT a union — a union would execute the scan/rank/join
+    subtree twice (the round-8 EWMA lesson)."""
+    if side not in ("lag", "lead"):
+        raise ValueError(f"side must be lag|lead, got {side!r}")
+    # validate HERE, not in callers: an unrecognized unit makes
+    # date_trunc return NULL for every row → one (series, NULL) rank
+    # partition per series, silently recreating the single-partition
+    # cliff this helper exists to avoid (review r9w4 finding)
     if unit not in _EWMA_BUCKET_UNITS:
-        raise ValueError(f"{EWMA_BUCKET_CONF} must be one of {_EWMA_BUCKET_UNITS}")
+        raise ValueError(
+            f"{unit_conf or 'bucket unit'} must be one of "
+            f"{_EWMA_BUCKET_UNITS}, got {unit!r}"
+        )
+    payload = [c for c in x.columns]
     bucket = F.date_trunc(unit, "ts")
     xb = x.withColumn("bkt", bucket)
     counts = xb.groupBy("event_type", "bkt").agg(F.count(F.lit(1)).alias("n"))
@@ -723,33 +724,62 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == F.col("o_type"))
             & F.col("bkt").eqNullSafe(F.col("o_bkt")),
         )
-        .select(
-            "event_id", "event_type", "ts", "xd",
-            (F.col("off") + F.col("rn_in")).alias("rn"),
-        )
+        .select(*payload, (F.col("off") + F.col("rn_in")).alias("rn"))
     )
-    # single-pass chunk assignment: each row emits (chunk, carry=false)
-    # plus, when it sits in the last K-1 rows of its chunk, a duplicate
-    # into the next chunk (carry=true, filtered from the output) — a
-    # conditional-array explode, NOT a union of two branches, so the
-    # scan/rank/join subtree executes once instead of twice
-    chunk = (F.floor((F.col("rn") - 1) / EWMA_CHUNK)).alias("chunk")
-    pos_in_chunk = (F.col("rn") - 1) % EWMA_CHUNK
+    chunk = (F.floor((F.col("rn") - 1) / chunk_size)).alias("chunk")
+    pos_in_chunk = (F.col("rn") - 1) % chunk_size
     one = F.array(F.struct(chunk, F.lit(False).alias("carry")))
+    if side == "lag":
+        dup_cond = pos_in_chunk >= chunk_size - k_carry
+        neighbor = F.floor((F.col("rn") - 1) / chunk_size) + 1
+    else:
+        # rn > chunk_size excludes chunk 0's head rows — their backward
+        # carry would land in a nonexistent chunk -1 and be filtered
+        dup_cond = (pos_in_chunk <= k_carry - 1) & (F.col("rn") > chunk_size)
+        neighbor = F.floor((F.col("rn") - 1) / chunk_size) - 1
     two = F.array(
         F.struct(chunk, F.lit(False).alias("carry")),
-        F.struct(
-            (F.floor((F.col("rn") - 1) / EWMA_CHUNK) + 1).alias("chunk"),
-            F.lit(True).alias("carry"),
-        ),
+        F.struct(neighbor.alias("chunk"), F.lit(True).alias("carry")),
     )
-    assigned = ranked.select(
-        "event_id", "event_type", "ts", "xd", "rn",
-        F.explode(F.when(pos_in_chunk >= EWMA_CHUNK - (K - 1), two).otherwise(one)).alias("a"),
+    return ranked.select(
+        *payload, "rn",
+        F.explode(F.when(dup_cond, two).otherwise(one)).alias("a"),
     ).select(
-        "event_id", "event_type", "ts", "xd", "rn",
+        *payload, "rn",
         F.col("a.chunk").alias("chunk"), F.col("a.carry").alias("carry"),
     )
+
+
+@register("ts-ewma", oracle=_ewma_oracle())
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA (alpha=1/2, 12-tap truncation, per-series) over the
+    event stream — the smoothing step behind alerting baselines and
+    trend monitors (reference analogue: the rolling report windows in
+    scripts/ingest_activity_and_report.sh).
+
+    Scale (100 TB): default mode is one keyed window per series
+    (event_type) — the same partition unit as ts-moving-stats; the 12
+    lag() taps share a single sort within the window exchange, so the
+    whole query is one shuffle.  When the corpus has FEW series (the
+    series-count parallelism cliff), set ``spark.merl.ewma.sharded=true``
+    for the chunked-overlap plan described above — bit-identical output
+    (pinned by tests/test_round8_ops.py::test_ewma_sharded_mode_equals_default).
+    """
+    events = load_table(spark, sf_dir, "events")
+    xd = F.col("value").cast("decimal(18,6)")
+    x = events.select("event_id", "event_type", "ts", xd.alias("xd"))
+    if spark.conf.get(EWMA_SHARDED_CONF, "false").lower() != "true":
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        num, den = _ewma_taps(w)
+        return _ewma_finish(
+            x.select("event_id", "event_type", "ts",
+                     F.round(num, 6).alias("num6"), den.alias("den"))
+        )
+    # ---- sharded mode (the shared _chunked_rows machinery) ----
+    K = EWMA_K
+    unit = spark.conf.get(EWMA_BUCKET_CONF, "day")
+    assigned = _chunked_rows(x, unit, EWMA_CHUNK, K - 1, "lag",
+                             unit_conf=EWMA_BUCKET_CONF)
     wc = Window.partitionBy("event_type", "chunk").orderBy("rn")
     num, den = _ewma_taps(wc)
     s = assigned.select(
@@ -838,6 +868,14 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 AUTOCORR_LAGS = (1, 2, 3)
+# Sharded execution mode: the lead() taps are a bounded LOOKAHEAD frame,
+# so the ts-ewma chunked-overlap machinery applies with the carry on the
+# other side — the first max(AUTOCORR_LAGS) rows of each chunk duplicate
+# into the PREVIOUS chunk (see _chunked_rows).  Output is bit-identical:
+# the pair set per (series, lag) is exactly the global window's, and the
+# sufficient statistics are exact decimals (order-insensitive sums).
+AUTOCORR_SHARDED_CONF = "spark.merl.autocorr.sharded"
+AUTOCORR_BUCKET_CONF = "spark.merl.autocorr.bucket"  # day|hour|minute
 
 
 @register(
@@ -891,10 +929,21 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     4597743.398300000000 → ...3000005), so the oracle routes each sum
     through VARCHAR — decimal→string is exact, string→double is
     correctly rounded in every engine — making the cast pair bit-equal
-    and version-robust.  Scale (100 TB): the lead() is the same per-series window
-    every ts operator shares (sharded-mode generalization applies if
-    series count is small); the statistics are map-side-combinable
-    keyed aggregates, 3 output rows per series."""
+    and version-robust.
+
+    Scale (100 TB): the statistics are map-side-combinable keyed
+    aggregates, 3 output rows per series; the lead() is the per-series
+    window cliff (5 series = 5 sort partitions at any cluster size —
+    measured 25.8 s at 10M rows) unless
+    ``spark.merl.autocorr.sharded=true``, which runs the leads over
+    (series, chunk) partitions via the shared _chunked_rows machinery
+    (lookahead side: the first max-lag rows of each chunk carry into
+    the previous one) — bit-identical pair sets, series × chunks
+    parallelism.  The lead frame is lineage-cut in both modes because
+    the three per-lag aggregates would otherwise re-run it three
+    times."""
+    from merl_etl_spark.lineage import cut_lineage
+
     events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     x = events.select(
         "event_type",
@@ -902,13 +951,26 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.asc_nulls_first("ts"), F.asc("event_id")
-    )
-    lagged = x.select(
-        "event_type", "v",
-        *[F.lead("v", k).over(w).alias(f"v{k}") for k in AUTOCORR_LAGS],
-    )
+    if spark.conf.get(AUTOCORR_SHARDED_CONF, "false").lower() != "true":
+        w = Window.partitionBy("event_type").orderBy(
+            F.asc_nulls_first("ts"), F.asc("event_id")
+        )
+        lagged = x.select(
+            "event_type", "v",
+            *[F.lead("v", k).over(w).alias(f"v{k}") for k in AUTOCORR_LAGS],
+        )
+    else:
+        unit = spark.conf.get(AUTOCORR_BUCKET_CONF, "day")
+        assigned = _chunked_rows(
+            x, unit, EWMA_CHUNK, max(AUTOCORR_LAGS), "lead",
+            unit_conf=AUTOCORR_BUCKET_CONF,
+        )
+        wc = Window.partitionBy("event_type", "chunk").orderBy("rn")
+        lagged = assigned.select(
+            "event_type", "v", "carry",
+            *[F.lead("v", k).over(wc).alias(f"v{k}") for k in AUTOCORR_LAGS],
+        ).where(~F.col("carry")).drop("carry")
+    lagged = cut_lineage(lagged, eager=False)
     parts = []
     for k in AUTOCORR_LAGS:
         vk = F.col(f"v{k}")

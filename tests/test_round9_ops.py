@@ -612,3 +612,74 @@ def test_pmi_matches_python_counts(spark, sf_dir):
             - Decimal(str(round(math.log(cy), 6)))
         )
         assert r["pmi"] == expect, (r, expect)
+
+
+# ---------------------------------------------------------------------------
+# ts-autocorr sharded mode (the lead-side _chunked_rows generalization)
+# ---------------------------------------------------------------------------
+
+def _autocorr_rows(spark, sf_dir):
+    return sorted(
+        (r["event_type"], r["lag"], r["n_pairs"], r["autocorr"])
+        for r in QUERIES["ts-autocorr"](spark, sf_dir).collect()
+    )
+
+
+def test_autocorr_sharded_mode_equals_default(spark, sf_dir):
+    """Lookahead-side chunked-overlap (first max-lag rows of each chunk
+    carried into the previous one) must reproduce the global per-series
+    lead() pair set exactly — the sums are exact decimals, so equality
+    is bit-level."""
+    from merl_etl_spark.operators.timeseries import AUTOCORR_SHARDED_CONF
+
+    spark.conf.set(AUTOCORR_SHARDED_CONF, "true")
+    try:
+        sharded = _autocorr_rows(spark, sf_dir)
+    finally:
+        spark.conf.set(AUTOCORR_SHARDED_CONF, "false")
+    default = _autocorr_rows(spark, sf_dir)
+    assert len(sharded) == len(default) > 0
+    assert sharded == default
+
+
+def test_autocorr_sharded_null_ts_and_chunk_boundaries(spark):
+    """Null-ts rows (NULLS FIRST in both modes' order) and rows exactly
+    on chunk boundaries must not shift the lead alignment; a synthetic
+    series longer than several chunks exercises multiple carries."""
+    import merl_etl_spark.operators.timeseries as ts_mod
+    from merl_etl_spark.operators.timeseries import (
+        AUTOCORR_BUCKET_CONF,
+        AUTOCORR_SHARDED_CONF,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # series "a" gets 2099 rows → chunk indices 0..4 of 512, so four
+        # carry boundaries are exercised (review r9w4: the earlier 1350
+        # rows covered only two)
+        (i, "a" if i % 4 else "b", base + dt.timedelta(seconds=i * 613),
+         float((i * 7) % 23))
+        for i in range(1, 2800)
+    ]
+    rows += [(9001, "a", None, 3.0), (9002, "b", None, 9.0)]
+    synth = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    orig = ts_mod.load_table
+    ts_mod.load_table = lambda s, d, n: synth
+    try:
+        default = _autocorr_rows(spark, "unused")
+        spark.conf.set(AUTOCORR_SHARDED_CONF, "true")
+        assert _autocorr_rows(spark, "unused") == default
+        spark.conf.set(AUTOCORR_BUCKET_CONF, "hour")
+        assert _autocorr_rows(spark, "unused") == default
+        # invalid unit fails loudly (inside _chunked_rows, so every
+        # sharded mode inherits the check) — a silent fallback would
+        # recreate the single-partition cliff via an all-NULL bucket
+        spark.conf.set(AUTOCORR_BUCKET_CONF, "fortnight")
+        with pytest.raises(ValueError, match="spark.merl.autocorr.bucket"):
+            QUERIES["ts-autocorr"](spark, "unused")
+    finally:
+        ts_mod.load_table = orig
+        spark.conf.set(AUTOCORR_SHARDED_CONF, "false")
+        spark.conf.set(AUTOCORR_BUCKET_CONF, "day")
