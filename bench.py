@@ -152,9 +152,11 @@ HEADLINE = [
     "analytics-attribution-lasttouch",
     "dq-volume-anomaly",
     "curate-quality-sampling",
-    # round-9 third wave: MERGE semantics + bounded-vocab PMI
+    # round-9 third wave: MERGE semantics + bounded-vocab PMI +
+    # co-located bucketed join
     "cdc-merge-apply",
     "text-cooccurrence-pmi",
+    "layout-bucketed-join",
 ]
 
 

@@ -467,3 +467,93 @@ def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# layout-bucketed-join — co-located join + rollup over pre-bucketed tables
+# ---------------------------------------------------------------------------
+
+BKT_N = 16
+
+
+def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple:
+    """Materialize orders/customer as BKT_N-bucket catalog tables keyed
+    by custkey, content-keyed on the source file identity (the
+    textfiles.py cache convention) so reruns reuse instead of rewrite.
+    saveAsTable is required — bucket metadata lives in the catalog, not
+    the parquet files."""
+    import hashlib
+    import os
+
+    from merl_etl_spark.operators.skew import write_bucketed
+
+    stats = []
+    for t in ("orders", "customer"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(src)
+        stats.append((os.path.abspath(src), st.st_mtime_ns, st.st_size))
+    tag = hashlib.md5(repr((stats, BKT_N)).encode()).hexdigest()[:12]
+    t_o, t_c = f"merl_bkt_orders_{tag}", f"merl_bkt_customer_{tag}"
+    if not spark.catalog.tableExists(t_o):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            t_o, ["o_custkey"], BKT_N, ["o_custkey"],
+        )
+    if not spark.catalog.tableExists(t_c):
+        write_bucketed(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_name", "c_mktsegment"
+            ),
+            t_c, ["c_custkey"], BKT_N, ["c_custkey"],
+        )
+    return t_o, t_c
+
+
+@register(
+    "layout-bucketed-join",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           max(c.c_mktsegment) AS mktsegment,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_spend
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketing half of the physical-layout tier (layout-zorder =
+    intra-file clustering, layout-partition-prune = directory pruning,
+    THIS = co-located joins): orders and customer are persisted as
+    BKT_N-bucket catalog tables hashed on custkey, so the join AND the
+    per-customer rollup both consume the existing bucket distribution —
+    the whole query plans with ZERO shuffle exchanges (pinned by
+    tests/test_round9_ops.py::test_bucketed_join_plan_is_exchange_free).
+    The rollup groups by the bucket key alone (mktsegment rides along as
+    max() — single-valued per customer) precisely so the aggregate can
+    reuse the join's output partitioning.
+
+    This is the write-once/join-many trade the reference makes with its
+    B-tree indexes (schema.sql:125-130) re-expressed as Spark physics:
+    at 100 TB, bucketing the fact and dimension tables on the join key
+    turns every subsequent join/rollup on that key from a full shuffle
+    into a local merge — the single biggest recurring-shuffle saving a
+    warehouse layout can buy.  The merge hint only suppresses the
+    broadcast fallback at fixture scale; at production scale SMJ is what
+    the planner picks anyway."""
+    t_o, t_c = _ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(t_o).hint("merge")
+    c = spark.table(t_c)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.max("c_mktsegment").alias("mktsegment"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )

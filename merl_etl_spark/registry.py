@@ -71,6 +71,7 @@ SWEEP_PRIORITY: list[str] = [
     # -- tier 1b, third wave ----------------------------------------------
     "cdc-merge-apply",           # MERGE semantics over an ordered changelog
     "text-cooccurrence-pmi",     # bounded-vocab PMI, integer-argument ln
+    "layout-bucketed-join",      # co-located bucketed join, zero exchanges
     # -- tier 2: r5-cohort entries deferred in r8 + r8-churn deferrals ---
     "src-datasource-paged", "mm-resize-plan", "mm-feature-extract",
     "mm-frame-sample", "src-blockcursor-replay",
@@ -79,7 +80,7 @@ SWEEP_PRIORITY: list[str] = [
     # -- tier 3: r6 cohort (latest driver green is round 6) --------------
     # numerically-sensitive suites first, then the float-free plumbing
     "ts-gap-fill", "ts-linear-trend",
-    "join-asof-nearest", "join-latest-bucket", "join-salted-skew",
+    "join-asof-nearest", "join-salted-skew",
     "agg-anomaly-zscore", "agg-approx-sketches", "agg-exact-quantiles",
     "agg-hll-merge",
     "dedup-minhash-lsh", "dedup-simhash",
@@ -109,6 +110,7 @@ SWEEP_DEFER: list[str] = [
     "dedup-exact", "dedup-simhash-pairs", "dedup-clusters",
     "text-langid", "text-tokens",
     "dedup-ngram-jaccard", "dedup-containment",
+    "join-latest-bucket",
     "dq-expectations",
     "uint256-exact-scale", "uint256-exact-sum",
     "filter-blockrange", "filter-eq-token", "filter-nonnull-fields",

@@ -683,3 +683,48 @@ def test_autocorr_sharded_null_ts_and_chunk_boundaries(spark):
         ts_mod.load_table = orig
         spark.conf.set(AUTOCORR_SHARDED_CONF, "false")
         spark.conf.set(AUTOCORR_BUCKET_CONF, "day")
+
+
+# ---------------------------------------------------------------------------
+# layout-bucketed-join
+# ---------------------------------------------------------------------------
+
+def test_bucketed_join_plan_is_exchange_free(spark, sf_dir):
+    """The whole query — SortMergeJoin AND the per-customer rollup —
+    must consume the bucket distribution: ZERO shuffle exchanges
+    anywhere in the physical plan.  This is the property the operator
+    exists to demonstrate; a broadcast fallback or a re-shuffled
+    aggregate would silently pass value checks while losing it."""
+    df = QUERIES["layout-bucketed-join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_bucketed_join_values_match_plain_join(spark, sf_dir):
+    """The layout must never change the answer: compare against the
+    straightforward unbucketed join+rollup."""
+    from merl_etl_spark.sources.tables import load_table
+
+    got = sorted(
+        map(tuple, QUERIES["layout-bucketed-join"](spark, sf_dir).collect())
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    plain = sorted(
+        map(
+            tuple,
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy(F.col("c_custkey").alias("custkey"))
+            .agg(
+                F.max("c_mktsegment").alias("mktsegment"),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_spend"),
+            )
+            .collect(),
+        )
+    )
+    assert got == plain and len(got) > 0
