@@ -230,28 +230,49 @@ def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# fn-transcendental-canary — driver-environment determinism probe
+# fn-canary-* — driver-environment determinism probes, ONE QUERY PER CLASS
 # ---------------------------------------------------------------------------
 
-# VERDICT r8 #7: curate-dsir went driver-red while locally 3-SF green — an
-# environment-sensitive transcendental somewhere in its ln→round→decimal
-# path.  This canary pins ONE row per transcendental class the engine
-# relies on, so if the driver environment ever diverges from local again,
-# the mismatching row names WHICH function/argument-class flipped instead
-# of leaving a mystery hash on a 60k-row query.
+# VERDICT r8 #7 introduced a single 19-row canary; it went red in the r9
+# driver env together with three operator queries, proving an environment
+# divergence — but one hash boolean over 19 rows cannot say WHICH row
+# diverged.  VERDICT r9 #1: split it into one registered query per class,
+# so the driver's per-query hash booleans NAME the divergent class
+# directly in CORRECTNESS_r10.
 #
 # Classes covered (each expression is portable SQL rendered IDENTICALLY
-# into both engines from this single list — they cannot drift apart):
-#   ln_int_*    integer-argument ln()  — the text-entropy / new-DSIR class
+# into both engines from a single list — they cannot drift apart):
+#   ln_int_*    integer-argument ln()  — the text-entropy / DSIR class
 #   ln_ratio_*  float-ratio ln()       — the class the old DSIR λ used and
 #                                        that flipped in the r8 driver env
 #   sqrt_*      sqrt()                 — cosine/zscore denominators
-#   pow_frac    fractional pow()       — BM25/decay shapes
+#   pow_*       fractional pow()       — BM25/decay shapes
 #   exp_*       exp()                  — inverse-log reconstructions
 #   dcast_*     decimal→double casts   — the ts-autocorr class (DuckDB's
 #                                        high-scale cast double-rounds)
-# All rounded once to the same 6-dp contract the operators use, then
-# frozen as DECIMAL(18,6).
+# Transcendental classes are rounded once to the same 6-dp contract the
+# operators use, then frozen as DECIMAL(18,6).
+#
+# Two NON-transcendental classes added for r10 separate "the math
+# diverged" from "the value representation/hash layer diverged" — if
+# either goes red while holding pure literals, the problem is not libm:
+#   drepr_*     pure DECIMAL literals/arithmetic (no doubles anywhere):
+#               negative values, zero, NULL, widened precision — the
+#               output SHAPE shared by all four r9-red queries
+#   fprepr_*    pure DOUBLE literals / exact IEEE integer arithmetic —
+#               the raw-passthrough class ten r9-green ts-* queries prove
+#               safe; a red here would implicate the hash layer itself
+#
+# r10 finding that drove the emission types below: a full-registry scan
+# showed the four r9-red queries are EXACTLY the four queries whose
+# OUTPUT schema contains a DECIMAL column (every driver-green query in
+# r1-r9 history emits none) — value content (negative/NULL/positive)
+# does not correlate.  So the transcendental classes emit their 6-dp
+# values as STRING (exact decimal text, hash-stable regardless of the
+# repr layer, still libm-sensitive — a red names the math class), while
+# fn-canary-decimal-repr DELIBERATELY keeps a DECIMAL column: it is the
+# one query allowed to go red, and its red/green bit directly tests the
+# repr-layer hypothesis against the driver env.
 _CANARY_CASES: list[tuple[str, str]] = [
     ("ln_int_2", "ln(2)"),
     ("ln_int_7", "ln(7)"),
@@ -303,29 +324,119 @@ _CANARY_CASES: list[tuple[str, str]] = [
      " - 101908) * CAST(1000000000000 AS DOUBLE), 0) - 869999999995"),
 ]
 
+# Non-transcendental representation probes.  Each entry is (case_id,
+# full SELECT-expression WITH its own cast) because unlike the
+# transcendental rows these must NOT share the round→DECIMAL template —
+# the whole point is to emit the exact output shapes the operators use
+# with zero lossy conversions in between.
+_CANARY_REPR_CASES: list[tuple[str, str]] = [
+    # ---- drepr: pure decimal literals & exact decimal arithmetic ----
+    ("drepr_pos", "CAST('1.500000' AS DECIMAL(18,6))"),
+    ("drepr_neg", "CAST('-0.847298' AS DECIMAL(18,6))"),
+    ("drepr_zero", "CAST('0.000000' AS DECIMAL(18,6))"),
+    ("drepr_null", "CAST(NULL AS DECIMAL(18,6))"),
+    # negative value produced by decimal SUBTRACTION (the PMI/DSIR shape:
+    # engines widen intermediate precision differently, outer cast pins it)
+    ("drepr_sub_neg",
+     "CAST(CAST('1.000000' AS DECIMAL(18,6))"
+     " - CAST('1.847298' AS DECIMAL(18,6)) AS DECIMAL(18,6))"),
+    # integer-weighted decimal sum landing negative (the DSIR weight shape)
+    ("drepr_mul_neg",
+     "CAST(37 * CAST('-0.000113' AS DECIMAL(18,6)) AS DECIMAL(18,6))"),
+    ("drepr_smallfrac", "CAST('0.000001' AS DECIMAL(18,6))"),
+    ("drepr_wide", "CAST('123456789012.654321' AS DECIMAL(18,6))"),
+    # ---- fprepr: pure double literals & exact IEEE arithmetic ----
+    ("fprepr_pos", "CAST(1.5 AS DOUBLE)"),
+    ("fprepr_neg", "CAST(-0.25 AS DOUBLE)"),
+    ("fprepr_zero", "CAST(0 AS DOUBLE)"),
+    ("fprepr_null", "CAST(NULL AS DOUBLE)"),
+    # 0.1 is the canonical repeating binary fraction: shortest-repr
+    # printing vs excess-digit printing WOULD differ here
+    ("fprepr_tenth", "CAST(0.1 AS DOUBLE)"),
+    # exact IEEE division of integers (the keep_prob / ratio class)
+    ("fprepr_div", "CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)"),
+    # subnormal-adjacent tiny and a >2^53 integer (precision-edge reprs)
+    ("fprepr_tiny", "CAST(1 AS DOUBLE) / CAST(1000000000 AS DOUBLE)"),
+    ("fprepr_big", "CAST(9007199254740992 AS DOUBLE)"),
+]
 
-def _canary_sql() -> str:
-    """Render the canary as one UNION ALL of literal rows — the SAME text
-    is executed by Spark SQL and DuckDB, so the two sides share every
-    character of every expression."""
+# class prefix → (query id, case prefixes included).  One registered
+# query per class: the driver's per-query hash boolean IS the diagnosis.
+_CANARY_CLASSES: list[tuple[str, tuple[str, ...]]] = [
+    ("fn-canary-ln-int", ("ln_int_",)),
+    ("fn-canary-ln-ratio", ("ln_ratio_",)),
+    ("fn-canary-sqrt", ("sqrt_",)),
+    ("fn-canary-pow", ("pow_",)),
+    ("fn-canary-exp", ("exp_",)),
+    ("fn-canary-dcast", ("dcast_",)),
+]
+
+
+def _canary_class_sql(prefixes: tuple[str, ...]) -> str:
+    """Render one class's rows as a UNION ALL of literal rows — the SAME
+    text is executed by Spark SQL and DuckDB, so the two sides share
+    every character of every expression."""
     rows = "\n    UNION ALL ".join(
         f"SELECT '{cid}' AS case_id, "
-        f"CAST(round({expr}, 6) AS DECIMAL(18,6)) AS val"
+        f"CAST(CAST(round({expr}, 6) AS DECIMAL(18,6)) AS STRING) AS val"
         for cid, expr in _CANARY_CASES
+        if cid.startswith(prefixes)
     )
     return rows
 
 
-@register("fn-transcendental-canary", oracle=_canary_sql())
-def fn_transcendental_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Environment determinism canary (VERDICT r8 #7): one literal row per
-    transcendental class (integer-ln, ratio-ln, sqrt, fractional pow, exp)
-    rounded to the operators' 6-dp contract.  Fixture-independent by
-    design — it probes the ENGINES, not the data; a red driver row here
-    names the exact function/argument class whose libm rounding differs
-    between the driver environment and local, which is the diagnosis the
-    curate-dsir r8 mystery cost a round to reach.  The dcast_* rows probe
-    the decimal→double cast itself (ulp-visible via subtract-and-scale) —
-    the class that bit ts-autocorr in r9 development.  Zero shuffles, 19
-    rows."""
-    return spark.sql(_canary_sql())
+def _register_canary_class(qid: str, prefixes: tuple[str, ...]) -> None:
+    sql = _canary_class_sql(prefixes)
+
+    @register(qid, oracle=sql)
+    def _canary_query(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+        return spark.sql(_sql)
+
+    _canary_query.__doc__ = (
+        f"Environment determinism canary class {prefixes} (VERDICT r9 #1): "
+        "literal rows rounded to the operators' 6-dp contract, rendered "
+        "from the same text into both engines.  Fixture-independent — it "
+        "probes the ENGINES, not the data; a red driver row here names "
+        "this exact function/argument class as the one whose rounding "
+        "differs between the driver environment and local.  Zero "
+        "shuffles."
+    )
+
+
+for _qid, _prefixes in _CANARY_CLASSES:
+    _register_canary_class(_qid, _prefixes)
+
+
+def _canary_repr_sql(prefix: str) -> str:
+    rows = "\n    UNION ALL ".join(
+        f"SELECT '{cid}' AS case_id, {expr} AS val"
+        for cid, expr in _CANARY_REPR_CASES
+        if cid.startswith(prefix)
+    )
+    return rows
+
+
+@register("fn-canary-decimal-repr", oracle=_canary_repr_sql("drepr_"))
+def fn_canary_decimal_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representation-layer canary: pure DECIMAL literals and exact
+    decimal arithmetic — negative values, zero, NULL, a subtraction-
+    widened negative, an integer-weighted product — with NO doubles and
+    NO transcendentals anywhere.  All four r9-red queries emitted decimal
+    columns holding negative/NULL values; if THIS query goes red in the
+    driver env, the divergence is in how decimals are materialized or
+    hashed (engine version / arrow conversion), not in any math, and
+    every decimal-surface oracle needs migrating.  Green here + red
+    transcendental classes = libm divergence confirmed."""
+    return spark.sql(_canary_repr_sql("drepr_"))
+
+
+@register("fn-canary-double-repr", oracle=_canary_repr_sql("fprepr_"))
+def fn_canary_double_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representation-layer canary: pure DOUBLE literals and exact IEEE
+    arithmetic (division of small integers, a repeating binary fraction,
+    a >2^53 integer, NULL).  This is the raw-passthrough class that ten
+    r9-green ts-* queries prove safe in the driver env — it is expected
+    to stay green; a red here would implicate the driver's value-hash
+    layer itself and invalidate the raw-double migration strategy the
+    r10 oracle fixes rely on."""
+    return spark.sql(_canary_repr_sql("fprepr_"))

@@ -306,15 +306,14 @@ MERGE_DEL_MOD = 10
     WITH cap AS (SELECT max(event_id) // 2 AS cap FROM events),
     base AS (
       SELECT user_id, base_value FROM (
-        SELECT user_id, CAST(value AS DECIMAL(18,6)) AS base_value,
+        SELECT user_id, value AS base_value,
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY ts DESC, event_id DESC) AS rn
         FROM events, cap WHERE event_id <= cap AND ts IS NOT NULL
       ) WHERE rn = 1
     ),
     log_raw AS (
-      SELECT user_id, ts, event_id,
-             CAST(value AS DECIMAL(18,6)) AS value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN {md5_u32_duck("CAST(event_id AS VARCHAR) || '|op'")}
                        % {MERGE_DEL_MOD} = 0
                   THEN 'D' ELSE 'U' END AS op
@@ -352,8 +351,12 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ON CONFLICT upserts (merlin_etl.py) but cannot express deletes in.
 
     Determinism: the winner per key is a row_number under the total
-    (ts DESC, event_id DESC) order; values are exact decimals of
-    scanned columns; op synthesis is the md5-bucket coin.  Scale
+    (ts DESC, event_id DESC) order; final_value is the RAW DOUBLE read
+    from parquet, passed through untouched — both engines emit the same
+    64 bits (r10 fix: the previous double→DECIMAL(18,6) freeze made
+    this the only lossy step, and DECIMAL output columns are exactly
+    the shape the r9 driver env could not hash; VERDICT r9 #2);
+    op synthesis is the md5-bucket coin.  Scale
     (100 TB): one window pass over the changelog keyed by user (the
     only wide exchange), then a key-cardinality full outer join — the
     same two-shuffle shape as a real MERGE's find-matches phase; at
@@ -376,7 +379,7 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") <= F.col("cap"))
         .select(
             "user_id",
-            F.col("value").cast("decimal(18,6)").alias("base_value"),
+            F.col("value").alias("base_value"),
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") == 1)
@@ -384,7 +387,7 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     log_raw = ev.filter(F.col("event_id") > F.col("cap")).select(
         "user_id", "ts", "event_id",
-        F.col("value").cast("decimal(18,6)").alias("value"),
+        F.col("value"),
         F.when(
             md5_u32_spark(
                 F.concat(F.col("event_id").cast("string"), F.lit("|op"))
@@ -415,7 +418,7 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("status"),
         F.when(F.col("l_uid").isNull(), F.col("base_value"))
-        .when(F.col("op") == "D", F.lit(None).cast("decimal(18,6)"))
+        .when(F.col("op") == "D", F.lit(None).cast("double"))
         .otherwise(F.col("value"))
         .alias("final_value"),
         F.coalesce("n_ops", F.lit(0)).cast("long").alias("n_ops"),

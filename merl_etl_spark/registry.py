@@ -12,6 +12,13 @@ Determinism rules (SURVEY.md §5.2) enforced by convention here:
 - timestamps are emitted as formatted strings (sidesteps tz/driver-repr);
 - money math is done in DecimalType (exact, order-insensitive sums) —
   double sums would differ across partition orders and break value hashes;
+- **decimals stay INTERNAL — no query may EMIT a DECIMAL column** (r10
+  finding: the four r9-red queries were exactly the four with DECIMAL
+  output columns; the driver env cannot hash that output shape).  The
+  boundary type is DOUBLE (Spark's decimal→double cast is correctly
+  rounded; route the oracle's through VARCHAR when unscaled digits can
+  exceed 2^53), STRING (exact decimal text), or integers — enforced by
+  tests/test_no_decimal_surfaces.py;
 - every ranked/limited query carries a total-order tie-break.
 """
 
@@ -37,73 +44,33 @@ ORACLES: dict[str, str] = {}
 # Queries NOT listed here keep their module registration order and fill the
 # remaining budget.  Update per round: move anything you modify into tier 1.
 SWEEP_PRIORITY: list[str] = [
-    # ROUND 9 (VERDICT r8 "Next round" #1-#3): tier 1 = this round's churn
-    # (curate-dsir lambda restructured onto integer-argument ln()s;
-    # ts-ewma oracle NULLS FIRST pin; similarity-tier constant
-    # interpolation is behavior-preserving but rides along), tier 1b =
-    # never-driver-checked new queries, tier 2 = the 8 r5-cohort entries
-    # deferred in r8 (the judge re-verified all 8 at sf0.01 but driver
-    # rows are the hard signal) + the two r8-churn deferrals, tier 3 =
-    # the r6 cohort (3 rounds stale this round), oldest evidence first.
+    # ROUND 10 (VERDICT r9 "Next round" #1-#5): tier 1 = the canary split
+    # (one registered query per numeric/repr class — the per-query driver
+    # hash booleans must NAME the divergent class; the r10 repr-layer
+    # finding says fn-canary-decimal-repr is the one expected red), then
+    # the three de-decimaled reds + the two at-risk stale-greens + the
+    # RFM rewrite, tier 3 = the r6 cohort (4 rounds stale), then the
+    # oldest numerically-interesting r7 entries that still fit.
     #
-    # -- tier 1: code churned in round 9 ---------------------------------
-    "curate-dsir",        # λ → integer-argument ln()s (VERDICT r8 #1)
-    "ts-ewma",            # oracle window pins NULLS FIRST (ADVICE r8)
-    "sim-ivf-ann",        # oracle now interpolates _IVF_TOPK/SIM_NQUERY
-    # -- tier 1b: NEW queries this round (never driver-checked) ----------
-    "fn-transcendental-canary",  # env determinism probe (VERDICT r8 #7)
-    "ts-moving-stats",    # sharded bounded-window execution mode added
-    "agg-weighted-median",       # exact weighted quantile (cum-weight select)
-    "agg-grouping-sets",         # explicit GROUPING SETS + grouping_id
-    "curate-softdedup-weights",  # 1/cluster-size sampling weights
-    "ts-seasonal-profile",       # hour-of-day seasonality per series
-    "dedup-bloom-incremental",   # constant-size bloom membership filter
-    "layout-partition-prune",    # hive-partitioned write + pruned scan
-    "analytics-rfm-segmentation",  # deterministic ntile quartile scoring
-    "ts-autocorr",               # lag-k Pearson from exact decimal stats
-    "ts-downsample-lttb",        # largest-triangle viz downsampling
-    # -- tier 1b, second wave ---------------------------------------------
-    "graph-components",          # fixed-iteration min-label propagation
-    "analytics-path-mining",     # top length-3 event paths
-    "analytics-attribution-lasttouch",  # carry-forward conversion attribution
-    "dq-volume-anomaly",         # integer-exact median/MAD outlier days
-    "curate-quality-sampling",   # quality-tiered deterministic sampling
-    # -- tier 1b, third wave ----------------------------------------------
-    "cdc-merge-apply",           # MERGE semantics over an ordered changelog
-    "text-cooccurrence-pmi",     # bounded-vocab PMI, integer-argument ln
-    "layout-bucketed-join",      # co-located bucketed join, zero exchanges
-    # -- tier 2: r5-cohort entries deferred in r8 + r8-churn deferrals ---
-    "src-datasource-paged", "mm-resize-plan", "mm-feature-extract",
-    "mm-frame-sample", "src-blockcursor-replay",
-    "curate-corpus-pipeline", "fn-vector-suite", "curate-mixture-weights",
-    "link-golden-record", "src-jsonl-corrupt",
-    # -- tier 3: r6 cohort (latest driver green is round 6) --------------
+    # -- tier 1: the canary split (VERDICT r9 #1) -------------------------
+    "fn-canary-ln-int",
+    "fn-canary-ln-ratio",
+    "fn-canary-sqrt",
+    "fn-canary-pow",
+    "fn-canary-exp",
+    "fn-canary-dcast",
+    "fn-canary-decimal-repr",    # DELIBERATE decimal surface — the probe
+    "fn-canary-double-repr",
+    # -- tier 1: r10 churn (DECIMAL output columns removed) ---------------
+    "curate-dsir",               # weight now DOUBLE at the boundary
+    "cdc-merge-apply",           # final_value now raw-double passthrough
+    "text-cooccurrence-pmi",     # pmi now DOUBLE at the boundary
+    "analytics-rfm-segmentation",  # ntile → approx-quantile cutpoints
+    # -- tier 1b: at-risk stale-greens re-armed this round (VERDICT #4) --
+    "text-entropy",              # r8 green; double surface, re-confirm
+    "curate-semdedup-keep",      # r7 green; double surface, re-confirm
+    # -- tier 3: r6 cohort (latest driver evidence is round 6) -----------
     # numerically-sensitive suites first, then the float-free plumbing
-    "ts-gap-fill", "ts-linear-trend",
-    "join-asof-nearest", "join-salted-skew",
-    "agg-anomaly-zscore", "agg-approx-sketches", "agg-exact-quantiles",
-    "agg-hll-merge",
-    "dedup-minhash-lsh", "dedup-simhash",
-    "dedup-embedding-cosine", "dedup-embedding-clusters",
-    "sim-lsh-bucketed", "sim-topk-cosine",
-    "text-quality", "text-repetition",
-    "text-tfidf", "text-bm25",
-]
-
-# Budget triage (round 9): the prioritized block above is 50 entries, so
-# the remaining ~3 budget slots take the head of this defer list.  The
-# r6-cohort tail deferred here is the lowest-risk slice of the cohort:
-# filter/proj/setop/sort plumbing with no float math (hash-stable by
-# construction), profile-* (count-shaped), sql-api-top100/layout-zorder
-# (thin wrappers over driver-green operators), and the uint256 suite
-# (exact decimal, hypothesis-pinned).  Anything left at r6 after this
-# round leads the round-10 seed.
-SWEEP_DEFER: list[str] = [
-    # sixteen r6-cohort entries displaced by this round's sixteen NEW
-    # queries (never-checked > stale-green, the doctrine the r8 judge
-    # accepted): suite wrappers over scalar functions hypothesis-pinned
-    # in pytest, two curation compositions of stages green in r7-r8, and
-    # hash/count/rational-shaped dedup/text entries with no float sums
     "dedup-incremental-near", "text-hybrid-rrf", "text-chunking",
     "text-decontaminate", "curate-pipeline", "curate-source-cap",
     "fn-datetime-suite", "fn-numeric-suite", "fn-vector-quantize",
@@ -117,6 +84,36 @@ SWEEP_DEFER: list[str] = [
     "proj-normalize", "setop-union-intersect-except", "sort-source-asc",
     "sql-api-top100", "layout-zorder",
     "profile-columns", "profile-histogram",
+    # -- tier 4: oldest r7 entries, numerically-sensitive first ----------
+    "fn-format-suite",           # round(x,2)→decimal→varchar rendering
+    "text-lm-score",             # ratio-ln averaged, 4-dp round
+    "ts-twap",                   # time-weighted decimal averaging
+    "graph-pagerank",            # fixed-point integer iteration
+    "sample-hash-split",
+    "analytics-retention-cohort",
+]
+
+# Budget triage (round 10): the prioritized block above is 50 entries, so
+# this defer list registers immediately after it (first in line for the
+# r11 sweep).  It holds the REMAINING r7 cohort — driver-green in r7,
+# displaced by the canary split + r10 churn + the 30-entry r6 cohort.
+# Anything left at r7 after this round leads the round-11 seed.
+SWEEP_DEFER: list[str] = [
+    "fn-string-suite", "fn-json-suite", "fn-regex-suite", "fn-url-suite",
+    "win-analytic-suite", "win-frame-suite", "win-streak",
+    "win-cumulative-distinct",
+    "join-asof-blocktime", "join-asof-keyed", "join-asof-tolerance",
+    "join-interval-overlap",
+    "agg-countmin", "agg-heavy-hitters", "agg-k-anonymity", "agg-mv-merge",
+    "analytics-basket-affinity", "analytics-customer-distribution",
+    "analytics-disjunctive-filter", "analytics-funnel",
+    "analytics-market-share", "analytics-small-qty-revenue",
+    "cdc-scd2-history", "curate-shuffle-index", "curate-url-dedup",
+    "dedup-normalized", "dedup-paragraph", "dq-sequence-gaps",
+    "graph-triangles", "profile-dataset-card", "proj-unpivot",
+    "sim-knn-graph", "stream-session-window",
+    "text-bpe-step", "text-fingerprint", "text-ngram-counts",
+    "text-pii-scrub", "ts-ohlc-bars",
 ]
 
 

@@ -96,38 +96,83 @@ def test_movstats_sharded_null_ts_and_narrow_bucket(spark, sf_dir):
 # fn-transcendental-canary
 # ---------------------------------------------------------------------------
 
-def test_canary_covers_every_class_once(spark, sf_dir):
-    """One row per case, every transcendental class present, and the
-    values are finite non-null decimals — the canary must never be the
-    thing that flakes."""
-    out = QUERIES["fn-transcendental-canary"](spark, sf_dir).collect()
-    ids = [r["case_id"] for r in out]
-    assert len(ids) == len(set(ids))
-    for prefix in ("ln_int_", "ln_ratio_", "sqrt_", "pow_", "exp_", "dcast_"):
-        assert any(i.startswith(prefix) for i in ids), prefix
-    assert all(r["val"] is not None for r in out)
+# class query id → the case prefixes it must cover (mirrors
+# scalar_queries._CANARY_CLASSES; re-stated here so a registration
+# change that silently drops a class fails THIS file, not the driver)
+_CANARY_CLASS_QUERIES = {
+    "fn-canary-ln-int": "ln_int_",
+    "fn-canary-ln-ratio": "ln_ratio_",
+    "fn-canary-sqrt": "sqrt_",
+    "fn-canary-pow": "pow_",
+    "fn-canary-exp": "exp_",
+    "fn-canary-dcast": "dcast_",
+}
+
+
+def test_canary_split_one_query_per_class(spark, sf_dir):
+    """Every transcendental class is its own registered query (VERDICT r9
+    #1: per-query driver hash booleans must NAME the divergent class),
+    each query holds only its own class's rows, ids are unique, and the
+    values are non-null — the canaries must never be the thing that
+    flakes."""
+    for qid, prefix in _CANARY_CLASS_QUERIES.items():
+        out = QUERIES[qid](spark, sf_dir).collect()
+        ids = [r["case_id"] for r in out]
+        assert ids, qid
+        assert len(ids) == len(set(ids)), qid
+        assert all(i.startswith(prefix) for i in ids), (qid, ids)
+        assert all(r["val"] is not None for r in out), qid
 
 
 def test_canary_known_values(spark, sf_dir):
     """Pin a few values analytically so a fixture-independent regression
     (e.g. someone re-typing an expression) is caught locally, not by the
-    driver."""
+    driver.  Values are emitted as exact 6-dp decimal TEXT (the r10
+    repr-layer finding: DECIMAL output columns are the one shape the
+    driver env cannot hash, so the math canaries must not ride on it)."""
     import math
-    from decimal import Decimal
 
     vals = {
         r["case_id"]: r["val"]
-        for r in QUERIES["fn-transcendental-canary"](spark, sf_dir).collect()
+        for qid in _CANARY_CLASS_QUERIES
+        for r in QUERIES[qid](spark, sf_dir).collect()
     }
-    assert vals["ln_int_2"] == Decimal(str(round(math.log(2), 6)))
-    assert vals["sqrt_2"] == Decimal(str(round(math.sqrt(2), 6)))
-    assert vals["exp_1"] == Decimal(str(round(math.e, 6)))
+    assert vals["ln_int_2"] == f"{round(math.log(2), 6):.6f}"
+    assert vals["sqrt_2"] == f"{round(math.sqrt(2), 6):.6f}"
+    assert vals["exp_1"] == f"{round(math.e, 6):.6f}"
     # the decimal→double cast probes are engineered so a correctly-rounded
     # cast yields EXACTLY zero — any nonzero value is the signed ulp-scaled
     # divergence of this environment's cast path
     for cid, v in vals.items():
         if cid.startswith("dcast_"):
-            assert v == Decimal("0"), (cid, v)
+            assert v == "0.000000", (cid, v)
+
+
+def test_canary_repr_classes(spark, sf_dir):
+    """The two representation-layer canaries: decimal rows carry the
+    exact literal values (incl. the NULL row), double rows carry the
+    exact IEEE values — pinned analytically so only an ENGINE/hash-layer
+    change can ever flip the driver row."""
+    from decimal import Decimal
+
+    dec = {
+        r["case_id"]: r["val"]
+        for r in QUERIES["fn-canary-decimal-repr"](spark, sf_dir).collect()
+    }
+    assert dec["drepr_neg"] == Decimal("-0.847298")
+    assert dec["drepr_sub_neg"] == Decimal("-0.847298")
+    assert dec["drepr_mul_neg"] == Decimal("-0.004181")
+    assert dec["drepr_null"] is None
+    assert dec["drepr_wide"] == Decimal("123456789012.654321")
+
+    dbl = {
+        r["case_id"]: r["val"]
+        for r in QUERIES["fn-canary-double-repr"](spark, sf_dir).collect()
+    }
+    assert dbl["fprepr_div"] == 1.0 / 3.0
+    assert dbl["fprepr_tenth"] == 0.1
+    assert dbl["fprepr_null"] is None
+    assert dbl["fprepr_big"] == 9007199254740992.0
 
 
 # ---------------------------------------------------------------------------
@@ -282,6 +327,44 @@ def test_rfm_quartiles_balanced_and_segment_consistent(spark, sf_dir):
         assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
     best = min(rows, key=lambda r: (-r["frequency"], r["custkey"]))
     assert best["f_score"] == 1
+
+
+def test_rfm_scalable_ntile_equals_window_ntile(spark, sf_dir):
+    """The r10 scalable exact-ntile (range-bucket → parallel rank →
+    broadcast offsets → positional formula; VERDICT r9 #6) must be
+    BIT-IDENTICAL to the global ntile(4) window it replaced, per metric,
+    for every customer."""
+    from pyspark.sql.window import Window
+
+    from merl_etl_spark.sources.tables import load_table
+
+    out = {
+        r["custkey"]: (r["r_score"], r["f_score"], r["m_score"])
+        for r in QUERIES["analytics-rfm-segmentation"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary_dec"),
+    )
+    ref = rfm.select(
+        "custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_order"), F.asc("custkey")))
+        .cast("bigint")
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+        .cast("bigint")
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_dec"), F.asc("custkey")))
+        .cast("bigint")
+        .alias("m"),
+    )
+    expect = {r["custkey"]: (r["r"], r["f"], r["m"]) for r in ref.collect()}
+    assert out == expect
 
 
 def test_autocorr_bounds_and_lag_structure(spark, sf_dir):
@@ -611,7 +694,10 @@ def test_pmi_matches_python_counts(spark, sf_dir):
             - Decimal(str(round(math.log(cx), 6)))
             - Decimal(str(round(math.log(cy), 6)))
         )
-        assert r["pmi"] == expect, (r, expect)
+        # pmi is DOUBLE at the output boundary (r10: DECIMAL columns are
+        # driver-unhashable) — expect the correctly-rounded double of the
+        # exact decimal
+        assert r["pmi"] == float(expect), (r, expect)
 
 
 # ---------------------------------------------------------------------------
