@@ -843,6 +843,64 @@ def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # analytics-rfm-segmentation — recency/frequency/monetary quartiles
 # ---------------------------------------------------------------------------
 
+# range-bucket fan-out for the scalable exact-ntile: 15 in-engine
+# percentile_approx cutpoints → ≤16 parallel rank partitions per metric
+RFM_RANGE_BUCKETS = 16
+
+
+def _exact_ntile4_scalable(rfm: DataFrame, metric: str) -> DataFrame:
+    """EXACT ntile(4) OVER (ORDER BY metric DESC, custkey) without a
+    global single-partition sort (VERDICT r9 #6): range-bucket rows by
+    in-engine percentile_approx cutpoints (value-determined, so tied
+    metric values always share a bucket), row_number WITHIN each bucket
+    (partitioned window), add broadcast per-bucket offsets (bounded
+    ≤RFM_RANGE_BUCKETS-row carry — the curate-shuffle-index pattern),
+    then apply ntile's positional formula to the reconstructed global
+    rank.  Output is bit-identical to the ntile window at any
+    parallelism; pinned by tests/test_round9_ops.py.
+
+    The cutpoints only balance partitions — their ACCURACY never affects
+    correctness (a skewed cutpoint just means an uneven bucket), which is
+    why approx quantiles are safe in an exact operator."""
+    # bare `i.0/16` literals would parse as DECIMAL division in Spark SQL
+    # (the ARCHITECTURE.md ratio-literal trap) — cast explicitly
+    probs = ", ".join(
+        f"CAST({i} AS DOUBLE)/CAST({RFM_RANGE_BUCKETS} AS DOUBLE)"
+        for i in range(1, RFM_RANGE_BUCKETS)
+    )
+    cuts = rfm.agg(
+        F.expr(f"percentile_approx({metric}, array({probs}), 1000)").alias("cuts")
+    )
+    # DESC ordering: rb = #cutpoints strictly above the value — monotone
+    # non-increasing in the sort order, equal values share a bucket
+    j = rfm.crossJoin(F.broadcast(cuts)).withColumn(
+        "rb", F.expr(f"size(filter(cuts, c -> c > {metric}))")
+    )
+    w_local = Window.partitionBy("rb").orderBy(F.desc(metric), F.asc("custkey"))
+    ranked = j.withColumn("lrn", F.row_number().over(w_local))
+    counts = j.groupBy("rb").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("rb").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        "rb",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    g = ranked.join(F.broadcast(offs), "rb").withColumn(
+        "grank", F.col("off") + F.col("lrn")
+    )
+    # ntile(4) positional formula: q = n div 4 rows per bucket plus one
+    # extra row in each of the first r = n mod 4 buckets
+    q, r, rk = F.col("n") / F.lit(4), F.col("n") % 4, F.col("grank")
+    q = F.floor(q)
+    score = F.when(
+        rk <= r * (q + 1), F.ceil(rk / (q + 1))
+    ).otherwise(r + F.ceil((rk - r * (q + 1)) / q))
+    return g.select("custkey", score.cast("bigint").alias(f"ntile_{metric}"))
+
+
 @register(
     "analytics-rfm-segmentation",
     oracle="""
@@ -850,15 +908,18 @@ def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey AS custkey,
              max(o_orderdate) AS last_order,
              count(*) AS frequency,
-             SUM(o_totalprice) AS monetary
+             SUM(o_totalprice) AS monetary_dec
       FROM orders GROUP BY 1
     ),
     scored AS (
+      -- every ntile orders by the PRE-CAST exact decimal (ADVICE r9 #3:
+      -- ordering the oracle by the double-cast alias while Spark orders
+      -- by the exact decimal is a latent >2^53 divergence)
       SELECT custkey, last_order, frequency,
-             CAST(monetary AS DOUBLE) AS monetary,
+             CAST(monetary_dec AS DOUBLE) AS monetary,
              ntile(4) OVER (ORDER BY last_order DESC, custkey) AS r_score,
              ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
-             ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m_score
+             ntile(4) OVER (ORDER BY monetary_dec DESC, custkey) AS m_score
       FROM rfm
     )
     SELECT custkey,
@@ -875,36 +936,57 @@ def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per customer, recency (last order
     date), frequency (order count), monetary (exact decimal spend),
-    each quartile-scored with ntile(4) under a FULLY deterministic
-    order (metric, custkey) so ties — abundant in frequency — break
-    identically in both engines, then concatenated into the classic
-    3-digit segment label ('111' = best across all three).
+    each quartile-scored with EXACT ntile(4) semantics under a FULLY
+    deterministic order (metric DESC, custkey) so ties — abundant in
+    frequency — break identically in both engines, then concatenated
+    into the classic 3-digit segment label ('111' = best across all
+    three).
 
     Scale (100 TB): the per-customer rollup is one keyed map-side-
-    combinable shuffle.  The three ntile windows are UNPARTITIONED —
-    a deliberate, documented exception to the no-global-window rule:
-    they run on the collapsed per-customer table (customer cardinality,
-    not fact cardinality), and quantile ranks are global by definition.
-    At true 100 TB one replaces them with percentile buckets off
-    approx-quantile cutpoints (two broadcast passes) — the plan shape
-    up to that swap is identical."""
+    combinable shuffle.  The quartile scores are computed WITHOUT any
+    global single-partition sort (the r9 verdict's one remaining
+    scale-killer default): each metric range-buckets by in-engine
+    percentile_approx cutpoints, ranks within buckets in parallel, and
+    reconstructs the exact global ntile from broadcast bucket offsets —
+    see _exact_ntile4_scalable.  The only unpartitioned windows left
+    are the ≤RFM_RANGE_BUCKETS-row offset carries (bounded by
+    construction, allowlisted in test_plan_properties).  recency ranks
+    on unix_date(last_order) — ordinal-identical to the date, and
+    numeric for percentile_approx."""
     orders = load_table(spark, sf_dir, "orders")
-    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum("o_totalprice").alias("monetary_dec"),
+    from merl_etl_spark.lineage import cut_lineage
+
+    # four consumers (base projection + three ntile pipelines) — cut the
+    # lineage so the orders scan+rollup runs once
+    rfm = cut_lineage(
+        orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary_dec"),
+        ).withColumn(
+            # order-preserving numeric ordinal for the recency metric —
+            # pure TIMESTAMP_NTZ arithmetic, no timezone conversion
+            "recency_ord",
+            F.expr(
+                "timestampdiff(SECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', last_order)"
+            ),
+        ),
+        eager=False,
     )
-    w_r = Window.orderBy(F.desc("last_order"), F.asc("custkey"))
-    w_f = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
-    w_m = Window.orderBy(F.desc("monetary_dec"), F.asc("custkey"))
-    scored = rfm.select(
-        "custkey",
-        F.date_format("last_order", "yyyy-MM-dd").alias("last_order"),
-        "frequency",
-        F.col("monetary_dec").cast("double").alias("monetary"),
-        F.ntile(4).over(w_r).cast("bigint").alias("r_score"),
-        F.ntile(4).over(w_f).cast("bigint").alias("f_score"),
-        F.ntile(4).over(w_m).cast("bigint").alias("m_score"),
+    r = _exact_ntile4_scalable(rfm, "recency_ord")
+    f = _exact_ntile4_scalable(rfm, "frequency")
+    m = _exact_ntile4_scalable(rfm, "monetary_dec")
+    scored = (
+        rfm.select(
+            "custkey",
+            F.date_format("last_order", "yyyy-MM-dd").alias("last_order"),
+            "frequency",
+            F.col("monetary_dec").cast("double").alias("monetary"),
+        )
+        .join(r.withColumnRenamed("ntile_recency_ord", "r_score"), "custkey")
+        .join(f.withColumnRenamed("ntile_frequency", "f_score"), "custkey")
+        .join(m.withColumnRenamed("ntile_monetary_dec", "m_score"), "custkey")
     )
     return scored.withColumn(
         "segment",

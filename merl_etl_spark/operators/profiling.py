@@ -421,6 +421,11 @@ def _ensure_pruned_layout(spark: SparkSession, sf_dir: str) -> str:
         os.rename(tmp, out)  # atomic publish; loser of a race cleans up
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+        # only a lost publish race leaves a usable directory behind; any
+        # other OSError (EXDEV, permissions) must surface here, not as a
+        # confusing read failure on a nonexistent cache path (ADVICE r9)
+        if not os.path.isdir(out):
+            raise
     _PRUNE_CACHE[key] = out
     return out
 
@@ -484,6 +489,7 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple:
     the parquet files."""
     import hashlib
     import os
+    import shutil
 
     from merl_etl_spark.operators.skew import write_bucketed
 
@@ -494,6 +500,25 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple:
         stats.append((os.path.abspath(src), st.st_mtime_ns, st.st_size))
     tag = hashlib.md5(repr((stats, BKT_N)).encode()).hexdigest()[:12]
     t_o, t_c = f"merl_bkt_orders_{tag}", f"merl_bkt_customer_{tag}"
+
+    # housekeeping before any write (ADVICE r9 #4 + a verify-run repro):
+    # (a) drop superseded sibling tags so regenerated fixtures don't
+    #     accumulate orphaned bucketed tables in the warehouse forever;
+    # (b) a FRESH session (new in-memory catalog) can inherit a warehouse
+    #     directory from a previous process — the table is absent from
+    #     the catalog but its managed LOCATION exists, and saveAsTable
+    #     fails with LOCATION_ALREADY_EXISTS; remove the stale directory.
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith("merl_bkt_") and not tbl.name.endswith(tag):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+    for name in (t_o, t_c):
+        loc = os.path.join(warehouse, name)
+        if not spark.catalog.tableExists(name) and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+
     if not spark.catalog.tableExists(t_o):
         write_bucketed(
             load_table(spark, sf_dir, "orders").select(

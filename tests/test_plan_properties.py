@@ -153,11 +153,12 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # seam lag over the one-row-per-bucket min/max summary (quality.py
     # dq_sequence_gaps) — same bounded-carry pattern
     "dq-sequence-gaps": 1,
-    # three global ntile(4) windows over the COLLAPSED per-customer RFM
-    # table (customer cardinality, not fact cardinality); quantile ranks
-    # are global by definition — at true 100 TB the documented swap is
-    # percentile buckets off approx-quantile cutpoints (analytics.py
-    # analytics_rfm_segmentation docstring)
+    # r10: the three global ntile(4) sorts were replaced by the scalable
+    # exact-ntile (range-bucket by percentile_approx cutpoints → ranked
+    # in parallel → broadcast offsets; analytics._exact_ntile4_scalable);
+    # what remains is one bounded offset-carry window per metric over the
+    # ≤RFM_RANGE_BUCKETS-row bucket-count summary — the shuffle-index
+    # bounded-carry pattern, one node per metric after frame fusion
     "analytics-rfm-segmentation": 3,
     # one global rank over the |types|^3-row path matrix (125 rows here)
     # — the bounded-summary pattern (analytics.py analytics_path_mining)
