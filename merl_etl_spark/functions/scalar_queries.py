@@ -355,7 +355,8 @@ _CANARY_REPR_CASES: list[tuple[str, str]] = [
     ("fprepr_tenth", "CAST(0.1 AS DOUBLE)"),
     # exact IEEE division of integers (the keep_prob / ratio class)
     ("fprepr_div", "CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)"),
-    # subnormal-adjacent tiny and a >2^53 integer (precision-edge reprs)
+    # small-magnitude ratio (exercises exponent-form printing, 1e-9) and
+    # a >2^53 integer (precision-edge reprs)
     ("fprepr_tiny", "CAST(1 AS DOUBLE) / CAST(1000000000 AS DOUBLE)"),
     ("fprepr_big", "CAST(9007199254740992 AS DOUBLE)"),
 ]

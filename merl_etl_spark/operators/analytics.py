@@ -914,9 +914,11 @@ def _exact_ntile4_scalable(rfm: DataFrame, metric: str) -> DataFrame:
     scored AS (
       -- every ntile orders by the PRE-CAST exact decimal (ADVICE r9 #3:
       -- ordering the oracle by the double-cast alias while Spark orders
-      -- by the exact decimal is a latent >2^53 divergence)
+      -- by the exact decimal is a latent >2^53 divergence); the EMITTED
+      -- monetary goes through VARCHAR for the same reason — DuckDB's
+      -- direct decimal→double cast double-rounds past 2^53 unscaled
       SELECT custkey, last_order, frequency,
-             CAST(monetary_dec AS DOUBLE) AS monetary,
+             CAST(CAST(monetary_dec AS VARCHAR) AS DOUBLE) AS monetary,
              ntile(4) OVER (ORDER BY last_order DESC, custkey) AS r_score,
              ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
              ntile(4) OVER (ORDER BY monetary_dec DESC, custkey) AS m_score
@@ -951,8 +953,9 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     see _exact_ntile4_scalable.  The only unpartitioned windows left
     are the ≤RFM_RANGE_BUCKETS-row offset carries (bounded by
     construction, allowlisted in test_plan_properties).  recency ranks
-    on unix_date(last_order) — ordinal-identical to the date, and
-    numeric for percentile_approx."""
+    on a seconds-since-epoch ordinal computed with pure TIMESTAMP_NTZ
+    timestampdiff (order-identical to the timestamp, numeric for
+    percentile_approx, no timezone conversion)."""
     orders = load_table(spark, sf_dir, "orders")
     from merl_etl_spark.lineage import cut_lineage
 

@@ -489,7 +489,6 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple:
     the parquet files."""
     import hashlib
     import os
-    import shutil
 
     from merl_etl_spark.operators.skew import write_bucketed
 
@@ -501,38 +500,58 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple:
     tag = hashlib.md5(repr((stats, BKT_N)).encode()).hexdigest()[:12]
     t_o, t_c = f"merl_bkt_orders_{tag}", f"merl_bkt_customer_{tag}"
 
-    # housekeeping before any write (ADVICE r9 #4 + a verify-run repro):
-    # (a) drop superseded sibling tags so regenerated fixtures don't
-    #     accumulate orphaned bucketed tables in the warehouse forever;
-    # (b) a FRESH session (new in-memory catalog) can inherit a warehouse
-    #     directory from a previous process — the table is absent from
-    #     the catalog but its managed LOCATION exists, and saveAsTable
-    #     fails with LOCATION_ALREADY_EXISTS; remove the stale directory.
+    # A FRESH session (new in-memory catalog) can inherit a warehouse
+    # directory from a previous process — the table is absent from the
+    # catalog but its managed LOCATION exists, and saveAsTable fails with
+    # LOCATION_ALREADY_EXISTS (verify-run repro).  NOTHING here deletes or
+    # drops — a concurrent/previous session may hold lazy plans over those
+    # files (the _PRUNE_CACHE r9 lesson) and another live process may be
+    # mid-write.  Instead:
+    #   - a COMMITTED leftover (has _SUCCESS) is re-attached as an external
+    #     bucketed table — the content tag guarantees it was produced from
+    #     identical inputs with this exact bucket spec, so re-declaring the
+    #     layout is sound and free;
+    #   - an UNCOMMITTED leftover (no _SUCCESS: a crashed or in-flight
+    #     write) is left untouched and this process writes under a
+    #     session-unique tag instead.
+    # Orphaned merl_bkt_* directories are bounded by fixture regenerations
+    # (one pair per content tag) and are cleaned offline, never in the
+    # data path (ADVICE r9 #4: documented expectation).
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    for tbl in spark.catalog.listTables():
-        if tbl.name.startswith("merl_bkt_") and not tbl.name.endswith(tag):
-            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
-    for name in (t_o, t_c):
-        loc = os.path.join(warehouse, name)
-        if not spark.catalog.tableExists(name) and os.path.isdir(loc):
-            shutil.rmtree(loc, ignore_errors=True)
 
-    if not spark.catalog.tableExists(t_o):
+    def _ensure(name: str, table_key: str, cols: list[str], bkt_key: str) -> str:
+        if spark.catalog.tableExists(name):
+            return name
+        loc = os.path.join(warehouse, name)
+        if os.path.isdir(loc):
+            if os.path.isfile(os.path.join(loc, "_SUCCESS")):
+                src = load_table(spark, sf_dir, table_key).select(*cols)
+                schema = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {name} ({schema}) USING PARQUET "
+                    f"CLUSTERED BY ({bkt_key}) SORTED BY ({bkt_key}) "
+                    f"INTO {BKT_N} BUCKETS LOCATION '{loc}'"
+                )
+                return name
+            name = f"{name}_{os.getpid():x}"
+            if spark.catalog.tableExists(name):
+                return name
         write_bucketed(
-            load_table(spark, sf_dir, "orders").select(
-                "o_orderkey", "o_custkey", "o_totalprice"
-            ),
-            t_o, ["o_custkey"], BKT_N, ["o_custkey"],
+            load_table(spark, sf_dir, table_key).select(*cols),
+            name, [bkt_key], BKT_N, [bkt_key],
         )
-    if not spark.catalog.tableExists(t_c):
-        write_bucketed(
-            load_table(spark, sf_dir, "customer").select(
-                "c_custkey", "c_name", "c_mktsegment"
-            ),
-            t_c, ["c_custkey"], BKT_N, ["c_custkey"],
-        )
+        return name
+
+    t_o = _ensure(
+        t_o, "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_custkey"
+    )
+    t_c = _ensure(
+        t_c, "customer", ["c_custkey", "c_name", "c_mktsegment"], "c_custkey"
+    )
     return t_o, t_c
 
 

@@ -22,10 +22,6 @@ direct test of this hypothesis.
 
 from __future__ import annotations
 
-import os
-
-import pytest
-
 from merl_etl_spark.registry import QUERIES, load_all
 
 load_all()

@@ -109,6 +109,29 @@ _CANARY_CLASS_QUERIES = {
 }
 
 
+def test_canary_cases_partition_exactly_into_class_queries():
+    """Every _CANARY_CASES row must appear in EXACTLY ONE registered
+    class query — a future case whose prefix is missing from
+    _CANARY_CLASSES would otherwise silently vanish from every canary
+    (the prefix filter matches nothing and no test would notice)."""
+    from merl_etl_spark.functions.scalar_queries import (
+        _CANARY_CASES,
+        _CANARY_CLASSES,
+        _CANARY_REPR_CASES,
+    )
+
+    for cid, _ in _CANARY_CASES:
+        owners = [
+            qid
+            for qid, prefixes in _CANARY_CLASSES
+            if cid.startswith(prefixes)
+        ]
+        assert len(owners) == 1, (cid, owners)
+    for cid, _ in _CANARY_REPR_CASES:
+        owners = [p for p in ("drepr_", "fprepr_") if cid.startswith(p)]
+        assert len(owners) == 1, (cid, owners)
+
+
 def test_canary_split_one_query_per_class(spark, sf_dir):
     """Every transcendental class is its own registered query (VERDICT r9
     #1: per-query driver hash booleans must NAME the divergent class),
