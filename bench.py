@@ -157,6 +157,9 @@ HEADLINE = [
     "cdc-merge-apply",
     "text-cooccurrence-pmi",
     "layout-bucketed-join",
+    # round-10: broadcast-weights classifier filter + share-drift audit
+    "curate-classifier-filter",
+    "dq-distribution-drift",
 ]
 
 

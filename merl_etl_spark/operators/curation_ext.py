@@ -816,3 +816,101 @@ def curate_quality_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.alias("sample_pct"),
         (coin < pct).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-classifier-filter — model-based quality filtering at corpus scale
+# ---------------------------------------------------------------------------
+
+# The modern curation stage the heuristic tiers (Gopher rules, quality
+# sampling) feed into: a LINEAR CLASSIFIER over hashed bag-of-words
+# features scoring every document, with the weight vector broadcast to
+# the corpus (the FineWeb-Edu / DCLM fastText-filter shape).  The weights
+# here are a deterministic synthetic table (md5 of the bucket index) —
+# a stand-in for trained weights with the identical execution shape: at
+# production scale the table is the trained model's hashed-feature
+# weights, loaded instead of generated, and everything else is unchanged.
+CLF_BUCKETS = 4096      # hashed feature space (fastText-style 2^k buckets)
+CLF_WEIGHT_SPAN = 1000  # weights are integers in [-1000, 1000] ("milli" units)
+CLF_SALT = "clfw|"
+
+
+@register(
+    "curate-classifier-filter",
+    oracle=f"""
+    WITH w AS (
+      SELECT b, {md5_bucket_duck(f"'{CLF_SALT}' || CAST(b AS VARCHAR)", 2 * CLF_WEIGHT_SPAN + 1)}
+               - {CLF_WEIGHT_SPAN} AS wt
+      FROM (SELECT unnest(generate_series(0, {CLF_BUCKETS - 1})) AS b)
+    ),
+    feats AS (
+      SELECT DISTINCT doc_id,
+             {md5_bucket_duck("t", CLF_BUCKETS)} AS b
+      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+            FROM documents)
+    )
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(SUM(w.wt) AS BIGINT) AS logit_milli,
+           (SUM(w.wt) > 0) AS keep,
+           CAST(SUM(w.wt) AS DOUBLE)
+             / CAST(count(*) * {CLF_WEIGHT_SPAN} AS DOUBLE) AS score_norm
+    FROM feats f JOIN w USING (b)
+    GROUP BY 1
+    """,
+)
+def curate_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: hash each document's distinct words
+    into CLF_BUCKETS presence features, score with a broadcast integer
+    weight table (per-doc logit = Σ weights of present features), keep
+    where the logit is positive.  This is the execution shape of the
+    classifier-filter stage in modern corpus pipelines (a fastText-like
+    linear model applied to every document): model application is ONE
+    broadcast hash join plus a keyed integer sum — no UDF, no
+    per-document model invocation.
+
+    Determinism: features and weights are md5-derived integers; the
+    logit is an exact integer sum (order-insensitive), keep is an
+    integer comparison, and score_norm is one IEEE division of two
+    exact integers — the proven raw-double class.  Scale (100 TB): the
+    weight table is CLF_BUCKETS rows (broadcast; a trained model's
+    hashed weights load the same way), the feature stream is a narrow
+    (doc_id, bucket) projection with the distinct collapse map-side
+    combinable, and the score is a doc-keyed agg — one corpus shuffle
+    total.  Swapping the synthetic weights for trained ones changes a
+    table, not the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = spark.range(CLF_BUCKETS).select(
+        F.col("id").alias("b"),
+        (
+            md5_bucket_spark(
+                F.concat(F.lit(CLF_SALT), F.col("id").cast("string")),
+                2 * CLF_WEIGHT_SPAN + 1,
+            )
+            - CLF_WEIGHT_SPAN
+        ).alias("wt"),
+    )
+    feats = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+            ).alias("t"),
+        )
+        .select("doc_id", md5_bucket_spark(F.col("t"), CLF_BUCKETS).alias("b"))
+        .distinct()
+    )
+    logit = F.sum("wt")
+    return (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            logit.alias("logit_milli"),
+            (logit > 0).alias("keep"),
+            (
+                logit.cast("double")
+                / (F.count(F.lit(1)) * CLF_WEIGHT_SPAN).cast("double")
+            ).alias("score_norm"),
+        )
+    )

@@ -679,3 +679,112 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad_x4",
         (2 * F.col("d2") > VOL_K * F.col("mad_x4")).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq-distribution-drift — population drift between a reference and a
+# current window of the stream
+# ---------------------------------------------------------------------------
+
+# minimum share movement (in share points) that flags a category
+DRIFT_PP = 0.01
+
+
+@register(
+    "dq-distribution-drift",
+    oracle=f"""
+    WITH cap AS (SELECT max(event_id) // 2 AS cap FROM events),
+    ref AS (
+      SELECT event_type, count(*) AS ref_count
+      FROM events, cap WHERE event_id <= cap GROUP BY 1
+    ),
+    cur AS (
+      SELECT event_type, count(*) AS cur_count
+      FROM events, cap WHERE event_id > cap GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT sum(ref_count) FROM ref) AS rt,
+             (SELECT sum(cur_count) FROM cur) AS ct
+    ),
+    j AS (
+      SELECT COALESCE(r.event_type, c.event_type) AS event_type,
+             COALESCE(r.ref_count, 0) AS ref_count,
+             COALESCE(c.cur_count, 0) AS cur_count,
+             CAST(COALESCE(r.ref_count, 0) AS DOUBLE) / CAST(rt AS DOUBLE)
+               AS ref_share,
+             CAST(COALESCE(c.cur_count, 0) AS DOUBLE) / CAST(ct AS DOUBLE)
+               AS cur_share
+      FROM ref r FULL OUTER JOIN cur c ON r.event_type = c.event_type, tot
+    )
+    SELECT event_type, ref_count, cur_count, ref_share, cur_share,
+           cur_share - ref_share AS drift,
+           (abs(cur_share - ref_share) > {DRIFT_PP}) AS drifted,
+           row_number() OVER (
+             ORDER BY abs(cur_share - ref_share) DESC, event_type) AS rnk
+    FROM j
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: split the event stream into a reference
+    window (first half by event_id, cap from the UNFILTERED stream — the
+    cdc-merge-apply convention) and a current window, compare per-type
+    shares, and rank categories by absolute share movement — the data
+    monitor that catches a source silently changing its mix (schema
+    stays valid, DISTRIBUTION drifts) before it poisons training data.
+
+    Determinism: counts are exact integers; shares are single IEEE
+    divisions of exact integers and drift is one subtraction of those
+    doubles — bit-identical across engines (the proven raw-double
+    class; no ln-based PSI precisely to keep the surface
+    libm-free).  The rank carries an (abs(drift) DESC, event_type)
+    total order.  Scale (100 TB): two keyed counts with map-side
+    partials (one shuffle at category cardinality each), a 1-row totals
+    frame broadcast by a cross join, and all windows over the
+    |event_type|-row summary — fact rows shuffle nothing but their
+    (type) key."""
+    all_events = load_table(spark, sf_dir, "events")
+    cap = all_events.agg(F.expr("max(event_id) DIV 2").alias("cap"))
+    ev = all_events.crossJoin(F.broadcast(cap))
+    ref = (
+        ev.filter(F.col("event_id") <= F.col("cap"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("ref_count"))
+    )
+    cur = (
+        ev.filter(F.col("event_id") > F.col("cap"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cur_count"))
+    )
+    r = ref.withColumnRenamed("event_type", "rt_type")
+    c = cur.withColumnRenamed("event_type", "ct_type")
+    j = r.join(c, r["rt_type"] == c["ct_type"], "full_outer").select(
+        F.coalesce("rt_type", "ct_type").alias("event_type"),
+        F.coalesce("ref_count", F.lit(0)).alias("ref_count"),
+        F.coalesce("cur_count", F.lit(0)).alias("cur_count"),
+    )
+    tot = j.agg(
+        F.sum("ref_count").alias("rt"), F.sum("cur_count").alias("ct")
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    # two consumers of the joined counts (totals + the share projection)
+    j = cut_lineage(j, eager=False)
+    shares = j.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "ref_count",
+        "cur_count",
+        (F.col("ref_count").cast("double") / F.col("rt").cast("double")).alias(
+            "ref_share"
+        ),
+        (F.col("cur_count").cast("double") / F.col("ct").cast("double")).alias(
+            "cur_share"
+        ),
+    )
+    drift = F.col("cur_share") - F.col("ref_share")
+    w = Window.orderBy(F.abs(drift).desc(), F.asc("event_type"))
+    return shares.select(
+        "*",
+        drift.alias("drift"),
+        (F.abs(drift) > DRIFT_PP).alias("drifted"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )

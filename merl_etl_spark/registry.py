@@ -69,6 +69,9 @@ SWEEP_PRIORITY: list[str] = [
     # -- tier 1b: at-risk stale-greens re-armed this round (VERDICT #4) --
     "text-entropy",              # r8 green; double surface, re-confirm
     "curate-semdedup-keep",      # r7 green; double surface, re-confirm
+    # -- tier 1c: NEW r10 operators (never driver-checked) ----------------
+    "curate-classifier-filter",  # broadcast-weights linear quality filter
+    "dq-distribution-drift",     # ref-vs-current share drift audit
     # -- tier 3: r6 cohort (latest driver evidence is round 6) -----------
     # numerically-sensitive suites first, then the float-free plumbing
     "dedup-incremental-near", "text-hybrid-rrf", "text-chunking",
@@ -89,8 +92,6 @@ SWEEP_PRIORITY: list[str] = [
     "text-lm-score",             # ratio-ln averaged, 4-dp round
     "ts-twap",                   # time-weighted decimal averaging
     "graph-pagerank",            # fixed-point integer iteration
-    "sample-hash-split",
-    "analytics-retention-cohort",
 ]
 
 # Budget triage (round 10): the prioritized block above is 50 entries, so
@@ -99,6 +100,7 @@ SWEEP_PRIORITY: list[str] = [
 # displaced by the canary split + r10 churn + the 30-entry r6 cohort.
 # Anything left at r7 after this round leads the round-11 seed.
 SWEEP_DEFER: list[str] = [
+    "sample-hash-split", "analytics-retention-cohort",
     "fn-string-suite", "fn-json-suite", "fn-regex-suite", "fn-url-suite",
     "win-analytic-suite", "win-frame-suite", "win-streak",
     "win-cumulative-distinct",

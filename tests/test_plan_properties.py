@@ -168,6 +168,9 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # quality.py dq_volume_anomaly — the day rollup beneath them is
     # lineage-cut so the fact scan runs once)
     "dq-volume-anomaly": 6,
+    # drift rank over the |event_type|-row share summary (bounded by
+    # category cardinality; quality.py dq_distribution_drift)
+    "dq-distribution-drift": 1,
 }
 
 

@@ -1,0 +1,116 @@
+"""Round-10 operators: the broadcast-weights classifier filter and the
+distribution-drift audit (both exact-integer/raw-double surfaces per the
+r10 no-decimal-output rule)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from merl_etl_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def _md5_bucket(text: str, buckets: int) -> int:
+    return int(hashlib.md5(text.encode()).hexdigest()[:8], 16) % buckets
+
+
+# ---------------------------------------------------------------------------
+# curate-classifier-filter
+# ---------------------------------------------------------------------------
+
+def test_classifier_filter_matches_python_model(spark, sf_dir):
+    """Recompute the hashed-feature logit in Python for a handful of
+    documents — the Spark plan's broadcast-join scoring must equal the
+    reference implementation exactly (features = distinct md5 buckets of
+    lowercase alpha words, weights = md5-derived integers)."""
+    import re
+
+    from merl_etl_spark.operators.curation_ext import (
+        CLF_BUCKETS,
+        CLF_SALT,
+        CLF_WEIGHT_SPAN,
+    )
+    from merl_etl_spark.sources.tables import load_table
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["curate-classifier-filter"](spark, sf_dir).collect()
+    }
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(25)
+        .collect()
+    )
+    checked = 0
+    for d in docs:
+        words = set(re.findall(r"[a-z]+", (d["text"] or "").lower()))
+        buckets = {_md5_bucket(w, CLF_BUCKETS) for w in words}
+        if not buckets:
+            assert d["doc_id"] not in out
+            continue
+        logit = sum(
+            _md5_bucket(f"{CLF_SALT}{b}", 2 * CLF_WEIGHT_SPAN + 1)
+            - CLF_WEIGHT_SPAN
+            for b in buckets
+        )
+        r = out[d["doc_id"]]
+        assert r["n_feats"] == len(buckets)
+        assert r["logit_milli"] == logit
+        assert r["keep"] == (logit > 0)
+        assert r["score_norm"] == logit / (len(buckets) * CLF_WEIGHT_SPAN)
+        checked += 1
+    assert checked >= 20
+
+
+def test_classifier_filter_weight_table_is_broadcast(spark, sf_dir):
+    """The weight table must reach the corpus as a broadcast join — a
+    shuffled scoring join would move the corpus for a 4096-row model."""
+    plan = (
+        QUERIES["curate-classifier-filter"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# dq-distribution-drift
+# ---------------------------------------------------------------------------
+
+def test_distribution_drift_shares_and_rank(spark, sf_dir):
+    """Shares on each side sum to 1, drift is exactly the share
+    difference, the drifted flag matches the threshold, and rnk is a
+    1..n permutation ordered by |drift| desc."""
+    from merl_etl_spark.operators.quality import DRIFT_PP
+
+    rows = QUERIES["dq-distribution-drift"](spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["ref_share"] for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r["cur_share"] for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r["drift"] == r["cur_share"] - r["ref_share"]
+        assert r["drifted"] == (abs(r["drift"]) > DRIFT_PP)
+    ranks = sorted(r["rnk"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    by_rank = sorted(rows, key=lambda r: r["rnk"])
+    drifts = [abs(r["drift"]) for r in by_rank]
+    assert drifts == sorted(drifts, reverse=True)
+
+
+def test_distribution_drift_counts_split_the_stream(spark, sf_dir):
+    """ref + cur counts must cover every event exactly once under the
+    unfiltered-stream cap convention."""
+    from merl_etl_spark.sources.tables import load_table
+
+    rows = QUERIES["dq-distribution-drift"](spark, sf_dir).collect()
+    total = sum(r["ref_count"] + r["cur_count"] for r in rows)
+    events = load_table(spark, sf_dir, "events")
+    assert total == events.count()
+    cap = events.agg(F.expr("max(event_id) DIV 2").alias("c")).collect()[0]["c"]
+    ref_expect = events.filter(F.col("event_id") <= cap).count()
+    assert sum(r["ref_count"] for r in rows) == ref_expect
