@@ -874,11 +874,14 @@ def curate_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer comparison, and score_norm is one IEEE division of two
     exact integers — the proven raw-double class.  Scale (100 TB): the
     weight table is CLF_BUCKETS rows (broadcast; a trained model's
-    hashed weights load the same way), the feature stream is a narrow
-    (doc_id, bucket) projection with the distinct collapse map-side
-    combinable, and the score is a doc-keyed agg — one corpus shuffle
-    total.  Swapping the synthetic weights for trained ones changes a
-    table, not the plan."""
+    hashed weights load the same way); the feature stream is a narrow
+    (doc_id, bucket) projection through two exchanges — the presence
+    distinct (whose map-side PARTIAL dedup bounds the shuffle at
+    distinct (doc, bucket) pairs, not raw word volume — the reason a
+    single-exchange repartition(doc_id) variant would be WORSE: it
+    ships every exploded word occurrence) and the doc-cardinality score
+    rollup, which is tiny.  Swapping the synthetic weights for trained
+    ones changes a table, not the plan."""
     docs = load_table(spark, sf_dir, "documents")
     w = spark.range(CLF_BUCKETS).select(
         F.col("id").alias("b"),

@@ -694,34 +694,28 @@ DRIFT_PP = 0.01
     "dq-distribution-drift",
     oracle=f"""
     WITH cap AS (SELECT max(event_id) // 2 AS cap FROM events),
-    ref AS (
-      SELECT event_type, count(*) AS ref_count
-      FROM events, cap WHERE event_id <= cap GROUP BY 1
-    ),
-    cur AS (
-      SELECT event_type, count(*) AS cur_count
-      FROM events, cap WHERE event_id > cap GROUP BY 1
-    ),
-    tot AS (
-      SELECT (SELECT sum(ref_count) FROM ref) AS rt,
-             (SELECT sum(cur_count) FROM cur) AS ct
-    ),
     j AS (
-      SELECT COALESCE(r.event_type, c.event_type) AS event_type,
-             COALESCE(r.ref_count, 0) AS ref_count,
-             COALESCE(c.cur_count, 0) AS cur_count,
-             CAST(COALESCE(r.ref_count, 0) AS DOUBLE) / CAST(rt AS DOUBLE)
-               AS ref_share,
-             CAST(COALESCE(c.cur_count, 0) AS DOUBLE) / CAST(ct AS DOUBLE)
-               AS cur_share
-      FROM ref r FULL OUTER JOIN cur c ON r.event_type = c.event_type, tot
+      -- CAST: DuckDB SUM over integers widens to HUGEINT; Spark's is BIGINT
+      SELECT event_type,
+             CAST(SUM(CASE WHEN event_id <= cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS ref_count,
+             CAST(SUM(CASE WHEN event_id > cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS cur_count
+      FROM events, cap GROUP BY 1
+    ),
+    tot AS (SELECT sum(ref_count) AS rt, sum(cur_count) AS ct FROM j),
+    s AS (
+      SELECT event_type, ref_count, cur_count,
+             CAST(ref_count AS DOUBLE) / CAST(rt AS DOUBLE) AS ref_share,
+             CAST(cur_count AS DOUBLE) / CAST(ct AS DOUBLE) AS cur_share
+      FROM j, tot
     )
     SELECT event_type, ref_count, cur_count, ref_share, cur_share,
            cur_share - ref_share AS drift,
            (abs(cur_share - ref_share) > {DRIFT_PP}) AS drifted,
            row_number() OVER (
              ORDER BY abs(cur_share - ref_share) DESC, event_type) AS rnk
-    FROM j
+    FROM s
     """,
 )
 def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,38 +731,32 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles — bit-identical across engines (the proven raw-double
     class; no ln-based PSI precisely to keep the surface
     libm-free).  The rank carries an (abs(drift) DESC, event_type)
-    total order.  Scale (100 TB): two keyed counts with map-side
-    partials (one shuffle at category cardinality each), a 1-row totals
-    frame broadcast by a cross join, and all windows over the
-    |event_type|-row summary — fact rows shuffle nothing but their
-    (type) key."""
+    total order.  Scale (100 TB): BOTH window counts come from ONE
+    conditional aggregation over ONE scan of the fact table (map-side
+    partials, one shuffle at category cardinality — review r10 replaced
+    the original two-scan full-outer-join shape); the category summary
+    is lineage-cut because the totals and the share projection both
+    consume it, and every window runs over that |event_type|-row
+    frame."""
+    from merl_etl_spark.lineage import cut_lineage
+
     all_events = load_table(spark, sf_dir, "events")
     cap = all_events.agg(F.expr("max(event_id) DIV 2").alias("cap"))
     ev = all_events.crossJoin(F.broadcast(cap))
-    ref = (
-        ev.filter(F.col("event_id") <= F.col("cap"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("ref_count"))
+    j = ev.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("event_id") <= F.col("cap"), 1).otherwise(0)
+        ).alias("ref_count"),
+        F.sum(
+            F.when(F.col("event_id") > F.col("cap"), 1).otherwise(0)
+        ).alias("cur_count"),
     )
-    cur = (
-        ev.filter(F.col("event_id") > F.col("cap"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("cur_count"))
-    )
-    r = ref.withColumnRenamed("event_type", "rt_type")
-    c = cur.withColumnRenamed("event_type", "ct_type")
-    j = r.join(c, r["rt_type"] == c["ct_type"], "full_outer").select(
-        F.coalesce("rt_type", "ct_type").alias("event_type"),
-        F.coalesce("ref_count", F.lit(0)).alias("ref_count"),
-        F.coalesce("cur_count", F.lit(0)).alias("cur_count"),
-    )
+    # two consumers of the category summary (totals + share projection) —
+    # the cut must precede BOTH, or the totals branch re-scans the facts
+    j = cut_lineage(j, eager=False)
     tot = j.agg(
         F.sum("ref_count").alias("rt"), F.sum("cur_count").alias("ct")
     )
-    from merl_etl_spark.lineage import cut_lineage
-
-    # two consumers of the joined counts (totals + the share projection)
-    j = cut_lineage(j, eager=False)
     shares = j.crossJoin(F.broadcast(tot)).select(
         "event_type",
         "ref_count",
