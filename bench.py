@@ -160,6 +160,7 @@ HEADLINE = [
     # round-10: broadcast-weights classifier filter + share-drift audit
     "curate-classifier-filter",
     "dq-distribution-drift",
+    "dq-embedding-drift",
 ]
 
 

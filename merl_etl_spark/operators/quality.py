@@ -776,3 +776,113 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(drift) > DRIFT_PP).alias("drifted"),
         F.row_number().over(w).cast("long").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq-embedding-drift — per-dimension centroid shift of the vector corpus
+# ---------------------------------------------------------------------------
+
+# fixed-point scale for exact float aggregation: 2^30.  A float32's
+# value times a power of two is EXACT in double arithmetic, so
+# floor(val * 2^30) is a deterministic integer in both engines and the
+# per-dimension sums become order-independent BIGINT math — no
+# double-sum partition-order drift, no float→decimal cast divergence.
+EMB_FP_SCALE = 1 << 30
+
+
+@register(
+    "dq-embedding-drift",
+    oracle=f"""
+    WITH cap AS (SELECT max(vec_id) // 2 AS cap FROM embeddings),
+    comp AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS val
+      FROM embeddings
+    ),
+    s AS (
+      SELECT dim,
+             CAST(SUM(CASE WHEN vec_id <= cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS ref_n,
+             CAST(SUM(CASE WHEN vec_id > cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS cur_n,
+             CAST(SUM(CASE WHEN vec_id <= cap
+                           THEN CAST(floor(CAST(val AS DOUBLE) * {EMB_FP_SCALE})
+                                     AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS ref_sum_fp,
+             CAST(SUM(CASE WHEN vec_id > cap
+                           THEN CAST(floor(CAST(val AS DOUBLE) * {EMB_FP_SCALE})
+                                     AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS cur_sum_fp
+      FROM comp, cap GROUP BY 1
+    ),
+    m AS (
+      SELECT dim, ref_n, cur_n, ref_sum_fp, cur_sum_fp,
+             CAST(ref_sum_fp AS DOUBLE)
+               / (CAST(ref_n AS DOUBLE) * {EMB_FP_SCALE}) AS mean_ref,
+             CAST(cur_sum_fp AS DOUBLE)
+               / (CAST(cur_n AS DOUBLE) * {EMB_FP_SCALE}) AS mean_cur
+      FROM s
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, ref_n, cur_n, ref_sum_fp, cur_sum_fp,
+           mean_ref, mean_cur,
+           mean_cur - mean_ref AS shift,
+           row_number() OVER (
+             ORDER BY abs(mean_cur - mean_ref) DESC, dim) AS rnk
+    FROM m
+    """,
+)
+def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift: per-dimension centroid shift between
+    the first and second half of the vector corpus (vec_id cap from the
+    unfiltered stream — the cdc/drift convention).  This is the monitor
+    an ANN/retrieval tier runs to decide when an IVF index or LSH bucket
+    layout needs rebuilding: the bucketing was trained on the REFERENCE
+    distribution, and a drifting centroid silently degrades recall long
+    before any query errors.
+
+    Determinism — the fixed-point pattern: float32 × 2^30 is EXACT in
+    double arithmetic (power-of-two scaling), so floor() of it is a
+    deterministic integer in both engines and every per-dimension sum is
+    exact order-independent BIGINT math; means and shift are IEEE
+    divisions/subtractions of those exact integers (the proven
+    raw-double class).  floor() is explicit because DuckDB's
+    double→BIGINT cast rounds where Spark's truncates (the documented
+    trap).  Scale (100 TB): one posexplode scan (components shuffle only
+    their dim key, with map-side partials), everything downstream on the
+    |dims|-row summary.  The rank window is bounded by the embedding
+    dimensionality."""
+    from merl_etl_spark.lineage import cut_lineage
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cap = emb.agg(F.expr("max(vec_id) DIV 2").alias("cap"))
+    comp = emb.crossJoin(F.broadcast(cap)).select(
+        "vec_id",
+        "cap",
+        (F.posexplode("embedding")).alias("pos", "val"),
+    )
+    fp = F.floor(F.col("val").cast("double") * EMB_FP_SCALE).cast("long")
+    is_ref = F.col("vec_id") <= F.col("cap")
+    s = comp.groupBy((F.col("pos") + 1).cast("long").alias("dim")).agg(
+        F.sum(F.when(is_ref, 1).otherwise(0)).alias("ref_n"),
+        F.sum(F.when(~is_ref, 1).otherwise(0)).alias("cur_n"),
+        F.sum(F.when(is_ref, fp).otherwise(0)).alias("ref_sum_fp"),
+        F.sum(F.when(~is_ref, fp).otherwise(0)).alias("cur_sum_fp"),
+    )
+    s = cut_lineage(s, eager=False)
+    mean_ref = F.col("ref_sum_fp").cast("double") / (
+        F.col("ref_n").cast("double") * EMB_FP_SCALE
+    )
+    mean_cur = F.col("cur_sum_fp").cast("double") / (
+        F.col("cur_n").cast("double") * EMB_FP_SCALE
+    )
+    m = s.select(
+        "dim", "ref_n", "cur_n", "ref_sum_fp", "cur_sum_fp",
+        mean_ref.alias("mean_ref"), mean_cur.alias("mean_cur"),
+    )
+    shift = F.col("mean_cur") - F.col("mean_ref")
+    w = Window.orderBy(F.abs(shift).desc(), F.asc("dim"))
+    return m.select(
+        "*",
+        shift.alias("shift"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )

@@ -102,6 +102,38 @@ def test_distribution_drift_shares_and_rank(spark, sf_dir):
     assert drifts == sorted(drifts, reverse=True)
 
 
+def test_embedding_drift_matches_numpy_fixed_point(spark, sf_dir):
+    """Recompute the per-dimension fixed-point sums and means in Python —
+    float32 × 2^30 is exact in double arithmetic, so equality is exact,
+    not approximate."""
+    import math
+
+    from merl_etl_spark.operators.quality import EMB_FP_SCALE
+    from merl_etl_spark.sources.tables import load_table
+
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    cap = max(vecs) // 2
+    rows = {r["dim"]: r for r in QUERIES["dq-embedding-drift"](spark, sf_dir).collect()}
+    ndim = len(next(iter(vecs.values())))
+    assert set(rows) == set(range(1, ndim + 1))
+    for dim in (1, 2, ndim):
+        ref = [v[dim - 1] for k, v in vecs.items() if k <= cap]
+        cur = [v[dim - 1] for k, v in vecs.items() if k > cap]
+        ref_fp = sum(math.floor(float(x) * EMB_FP_SCALE) for x in ref)
+        cur_fp = sum(math.floor(float(x) * EMB_FP_SCALE) for x in cur)
+        r = rows[dim]
+        assert (r["ref_n"], r["cur_n"]) == (len(ref), len(cur))
+        assert r["ref_sum_fp"] == ref_fp
+        assert r["cur_sum_fp"] == cur_fp
+        assert r["mean_ref"] == ref_fp / (len(ref) * EMB_FP_SCALE)
+        assert r["shift"] == r["mean_cur"] - r["mean_ref"]
+    ranks = sorted(r["rnk"] for r in rows.values())
+    assert ranks == list(range(1, ndim + 1))
+
+
 def test_distribution_drift_counts_split_the_stream(spark, sf_dir):
     """ref + cur counts must cover every event exactly once under the
     unfiltered-stream cap convention."""
