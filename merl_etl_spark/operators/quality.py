@@ -787,6 +787,16 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # floor(val * 2^30) is a deterministic integer in both engines and the
 # per-dimension sums become order-independent BIGINT math — no
 # double-sum partition-order drift, no float→decimal cast divergence.
+#
+# Overflow bound (review r10): a per-dimension sum holds up to
+# N·max|val|·EMB_FP_SCALE, and Spark's non-ANSI long SUM WRAPS silently
+# past int64 while DuckDB sums in HUGEINT — so the scale caps corpus
+# size.  At 2^30 and unit-normalized vectors (|val| ≤ 1) the safe bound
+# is 2^63/2^30 ≈ 8.6e9 vectors per corpus; a 100 TB vector corpus
+# (~4e11 rows) must drop the scale to 2^20 (bound ~8.8e12, mean
+# precision ~1e-6 — still far below any actionable drift threshold).
+# The statistic is DEFINED as floor(val·SCALE), so any power-of-two
+# scale is equally deterministic; pick it by corpus size.
 EMB_FP_SCALE = 1 << 30
 
 
@@ -850,9 +860,9 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     trap).  Scale (100 TB): one posexplode scan (components shuffle only
     their dim key, with map-side partials), everything downstream on the
     |dims|-row summary.  The rank window is bounded by the embedding
-    dimensionality."""
-    from merl_etl_spark.lineage import cut_lineage
-
+    dimensionality, and EMB_FP_SCALE's comment states the corpus-size
+    bound the int64 sums impose (drop the scale a few powers of two for
+    >8.6e9-vector corpora)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cap = emb.agg(F.expr("max(vec_id) DIV 2").alias("cap"))
     comp = emb.crossJoin(F.broadcast(cap)).select(
@@ -868,7 +878,6 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_ref, fp).otherwise(0)).alias("ref_sum_fp"),
         F.sum(F.when(~is_ref, fp).otherwise(0)).alias("cur_sum_fp"),
     )
-    s = cut_lineage(s, eager=False)
     mean_ref = F.col("ref_sum_fp").cast("double") / (
         F.col("ref_n").cast("double") * EMB_FP_SCALE
     )
