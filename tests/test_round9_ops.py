@@ -93,7 +93,7 @@ def test_movstats_sharded_null_ts_and_narrow_bucket(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# fn-transcendental-canary
+# fn-canary-* (the per-class environment determinism probes)
 # ---------------------------------------------------------------------------
 
 # class query id → the case prefixes it must cover (mirrors
