@@ -161,6 +161,7 @@ HEADLINE = [
     "curate-classifier-filter",
     "dq-distribution-drift",
     "dq-embedding-drift",
+    "sim-centroid-assign",
 ]
 
 

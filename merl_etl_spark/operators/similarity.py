@@ -896,3 +896,138 @@ def curate_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         (F.row_number().over(w) == 1).alias("is_representative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim-centroid-assign — nearest-centroid assignment with exact integer math
+# ---------------------------------------------------------------------------
+
+# fixed-point scale for the assignment metric: 2^16.  Smaller than
+# dq-embedding-drift's 2^30 because the distance SQUARES the scaled
+# terms: per-dim term = (floor(v_i*S)*n_ref - ref_sum_fp_i)^2 must stay
+# inside int64 across the 64-dim sum.  At S=2^16, |val| <= 1 and
+# n_ref <= ~2e5 members per centroid the per-dim term is <= ~(1.3e4 *
+# 2e5)^2 ~ 6.8e18 — the documented bound; larger reference halves drop
+# S (the metric is DEFINED over the quantized vectors, so any
+# power-of-two S is equally deterministic).
+ASSIGN_FP_SCALE = 1 << 16
+
+
+@register(
+    "sim-centroid-assign",
+    oracle=f"""
+    WITH cap AS (SELECT max(vec_id) // 2 AS cap FROM embeddings),
+    comp AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * {ASSIGN_FP_SCALE}) AS BIGINT) AS vfp
+      FROM embeddings
+    ),
+    cen AS (
+      SELECT label AS c_label, dim,
+             CAST(count(*) AS BIGINT) AS n_ref,
+             CAST(SUM(vfp) AS BIGINT) AS sum_fp
+      FROM comp, cap WHERE vec_id <= cap GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT q.vec_id, q.label AS true_label, c.c_label,
+             SUM((q.vfp * c.n_ref - c.sum_fp) * (q.vfp * c.n_ref - c.sum_fp)
+                 // (c.n_ref * c.n_ref)) AS d2
+      FROM (SELECT * FROM comp, cap WHERE vec_id > cap) q
+      JOIN cen c USING (dim)
+      GROUP BY 1, 2, 3
+    ),
+    assigned AS (
+      SELECT vec_id, true_label, c_label AS assigned_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, c_label) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    )
+    SELECT true_label, assigned_label,
+           CAST(count(*) AS BIGINT) AS n,
+           (true_label = assigned_label) AS is_correct
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment of the held-out half of the vector
+    corpus to centroids computed from the reference half, emitted as the
+    (true label × assigned label) confusion matrix — the maintenance
+    path of an IVF-style index (assign NEW vectors to EXISTING
+    partitions without refitting) and the standard cluster-quality
+    probe.
+
+    Determinism — the exact-integer distance trick: comparing
+    Σ (v_i − sum_i/n)² across centroids is equivalent to comparing
+    Σ (v_fp_i·n − sum_fp_i)²/n² with v quantized at ASSIGN_FP_SCALE
+    (floor of an exact power-of-two product, the dq-embedding-drift
+    pattern), and THAT is integer arithmetic — the argmin cannot drift
+    by a ulp in either engine; ties break on centroid id.  The integer
+    division by n² (floor DIV in both engines) only rescales per-dim
+    terms to keep 64-dim sums inside int64 (bound documented at
+    ASSIGN_FP_SCALE).  Confusion counts are exact integers.
+
+    Scale (100 TB): the centroid table is |labels|×dims rows (broadcast
+    — same as a trained IVF codebook); the query half joins it on the
+    dim key only after exploding to (vec, dim) components, so the wide
+    state is one keyed aggregate per (vec, candidate) with map-side
+    partials, and the argmin is a per-vector WindowGroupLimit.  No
+    KMeans refit, no collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cap = emb.agg(F.expr("max(vec_id) DIV 2").alias("cap"))
+    comp = emb.crossJoin(F.broadcast(cap)).select(
+        "vec_id",
+        "label",
+        "cap",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        "cap",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("val").cast("double") * ASSIGN_FP_SCALE)
+        .cast("long")
+        .alias("vfp"),
+    )
+    comp = cut_lineage(comp, eager=False)  # feeds centroids AND queries
+    cen = (
+        comp.filter(F.col("vec_id") <= F.col("cap"))
+        .groupBy(F.col("label").alias("c_label"), "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_ref"),
+            F.sum("vfp").alias("sum_fp"),
+        )
+    )
+    q = comp.filter(F.col("vec_id") > F.col("cap"))
+    dist = (
+        q.join(F.broadcast(cen), "dim")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
+        .agg(
+            F.sum(
+                F.expr(
+                    "(vfp * n_ref - sum_fp) * (vfp * n_ref - sum_fp)"
+                    " DIV (n_ref * n_ref)"
+                )
+            ).alias("d2")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", F.col("c_label").alias("assigned_label"))
+    )
+    return (
+        assigned.groupBy("true_label", "assigned_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "true_label",
+            "assigned_label",
+            "n",
+            (F.col("true_label") == F.col("assigned_label")).alias("is_correct"),
+        )
+    )

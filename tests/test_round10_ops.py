@@ -134,6 +134,52 @@ def test_embedding_drift_matches_numpy_fixed_point(spark, sf_dir):
     assert ranks == list(range(1, ndim + 1))
 
 
+def test_centroid_assign_matches_python_nearest(spark, sf_dir):
+    """Recompute the exact-integer assignment in Python: quantize every
+    query vector at ASSIGN_FP_SCALE, build per-label fixed-point
+    centroid sums from the reference half, take the integer-metric
+    argmin with the (d2, label) tie-break, and compare the confusion
+    matrix exactly."""
+    import math
+    from collections import Counter, defaultdict
+
+    from merl_etl_spark.operators.similarity import ASSIGN_FP_SCALE
+    from merl_etl_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    cap = max(r["vec_id"] for r in rows) // 2
+    sums: dict[int, list[int]] = defaultdict(lambda: None)
+    ns: dict[int, int] = Counter()
+    ndim = len(rows[0]["embedding"])
+    for r in rows:
+        if r["vec_id"] > cap:
+            continue
+        fp = [math.floor(float(x) * ASSIGN_FP_SCALE) for x in r["embedding"]]
+        if sums[r["label"]] is None:
+            sums[r["label"]] = [0] * ndim
+        sums[r["label"]] = [a + b for a, b in zip(sums[r["label"]], fp)]
+        ns[r["label"]] += 1
+    confusion = Counter()
+    for r in rows:
+        if r["vec_id"] <= cap:
+            continue
+        vfp = [math.floor(float(x) * ASSIGN_FP_SCALE) for x in r["embedding"]]
+        best = None
+        for lbl in sorted(ns):
+            n, s = ns[lbl], sums[lbl]
+            d2 = sum((v * n - si) ** 2 // (n * n) for v, si in zip(vfp, s))
+            if best is None or (d2, lbl) < best[:2]:
+                best = (d2, lbl)
+        confusion[(r["label"], best[1])] += 1
+    out = {
+        (r["true_label"], r["assigned_label"]): (r["n"], r["is_correct"])
+        for r in QUERIES["sim-centroid-assign"](spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in out.items()} == dict(confusion)
+    for (t, a), (_, correct) in out.items():
+        assert correct == (t == a)
+
+
 def test_distribution_drift_counts_split_the_stream(spark, sf_dir):
     """ref + cur counts must cover every event exactly once under the
     unfiltered-stream cap convention."""
