@@ -800,6 +800,25 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_FP_SCALE = 1 << 30
 
 
+def fixed_point_components(df: DataFrame, scale: int, carry: tuple = ()) -> DataFrame:
+    """Explode an ``embedding`` array<float> column into one row per
+    component: the carried columns, ``dim`` (1-based, matching DuckDB's
+    generate_subscripts), and ``vfp`` = floor(val × scale) as BIGINT —
+    the shared fixed-point quantization block (float32 × a power of two
+    is exact in double arithmetic, so vfp is deterministic in both
+    engines).  Used by dq-embedding-drift (scale 2^30) and
+    sim-centroid-assign (scale 2^16); keep the floor/cast shape in ONE
+    place so a future cast-trap fix cannot drift between them."""
+    return df.select(
+        *carry,
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        *carry,
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("val").cast("double") * scale).cast("long").alias("vfp"),
+    )
+
+
 @register(
     "dq-embedding-drift",
     oracle=f"""
@@ -865,18 +884,15 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     >8.6e9-vector corpora)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cap = emb.agg(F.expr("max(vec_id) DIV 2").alias("cap"))
-    comp = emb.crossJoin(F.broadcast(cap)).select(
-        "vec_id",
-        "cap",
-        (F.posexplode("embedding")).alias("pos", "val"),
+    comp = fixed_point_components(
+        emb.crossJoin(F.broadcast(cap)), EMB_FP_SCALE, carry=("vec_id", "cap")
     )
-    fp = F.floor(F.col("val").cast("double") * EMB_FP_SCALE).cast("long")
     is_ref = F.col("vec_id") <= F.col("cap")
-    s = comp.groupBy((F.col("pos") + 1).cast("long").alias("dim")).agg(
+    s = comp.groupBy("dim").agg(
         F.sum(F.when(is_ref, 1).otherwise(0)).alias("ref_n"),
         F.sum(F.when(~is_ref, 1).otherwise(0)).alias("cur_n"),
-        F.sum(F.when(is_ref, fp).otherwise(0)).alias("ref_sum_fp"),
-        F.sum(F.when(~is_ref, fp).otherwise(0)).alias("cur_sum_fp"),
+        F.sum(F.when(is_ref, F.col("vfp")).otherwise(0)).alias("ref_sum_fp"),
+        F.sum(F.when(~is_ref, F.col("vfp")).otherwise(0)).alias("cur_sum_fp"),
     )
     mean_ref = F.col("ref_sum_fp").cast("double") / (
         F.col("ref_n").cast("double") * EMB_FP_SCALE

@@ -903,13 +903,17 @@ def curate_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # fixed-point scale for the assignment metric: 2^16.  Smaller than
-# dq-embedding-drift's 2^30 because the distance SQUARES the scaled
-# terms: per-dim term = (floor(v_i*S)*n_ref - ref_sum_fp_i)^2 must stay
-# inside int64 across the 64-dim sum.  At S=2^16, |val| <= 1 and
-# n_ref <= ~2e5 members per centroid the per-dim term is <= ~(1.3e4 *
-# 2e5)^2 ~ 6.8e18 — the documented bound; larger reference halves drop
-# S (the metric is DEFINED over the quantized vectors, so any
-# power-of-two S is equally deterministic).
+# dq-embedding-drift's 2^30 because the distance SQUARES scaled terms.
+# The per-dim term is (abs(vfp*n - sum_fp) DIV n)^2 — the diff is
+# divided by n BEFORE squaring (review r10: squaring vfp*n - sum_fp
+# directly overflows int64 once n exceeds ~2^31/(2S), i.e. ~23k
+# members/centroid — Spark would wrap silently where DuckDB errors).
+# After the divide the term is <= (2S)^2 ~ 1.7e10 and the 64-dim sum
+# <= ~1.1e12 at ANY corpus size; the remaining requirement is only
+# that vfp*n fits int64: n <= 2^63/(2S) ~ 7e13 members per centroid.
+# abs() before the divide because trunc-vs-floor semantics on NEGATIVE
+# integer division differ across engines; on non-negative operands all
+# agree.
 ASSIGN_FP_SCALE = 1 << 16
 
 
@@ -931,8 +935,8 @@ ASSIGN_FP_SCALE = 1 << 16
     ),
     dist AS (
       SELECT q.vec_id, q.label AS true_label, c.c_label,
-             SUM((q.vfp * c.n_ref - c.sum_fp) * (q.vfp * c.n_ref - c.sum_fp)
-                 // (c.n_ref * c.n_ref)) AS d2
+             SUM((abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)
+                 * (abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)) AS d2
       FROM (SELECT * FROM comp, cap WHERE vec_id > cap) q
       JOIN cen c USING (dim)
       GROUP BY 1, 2, 3
@@ -960,14 +964,14 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe.
 
     Determinism — the exact-integer distance trick: comparing
-    Σ (v_i − sum_i/n)² across centroids is equivalent to comparing
-    Σ (v_fp_i·n − sum_fp_i)²/n² with v quantized at ASSIGN_FP_SCALE
-    (floor of an exact power-of-two product, the dq-embedding-drift
-    pattern), and THAT is integer arithmetic — the argmin cannot drift
-    by a ulp in either engine; ties break on centroid id.  The integer
-    division by n² (floor DIV in both engines) only rescales per-dim
-    terms to keep 64-dim sums inside int64 (bound documented at
-    ASSIGN_FP_SCALE).  Confusion counts are exact integers.
+    Σ (v_i − sum_i/n)² across centroids is order-equivalent to
+    comparing Σ (abs(v_fp_i·n − sum_fp_i) DIV n)² with v quantized at
+    ASSIGN_FP_SCALE (floor of an exact power-of-two product, the
+    dq-embedding-drift pattern), and THAT is integer arithmetic — the
+    argmin cannot drift by a ulp in either engine; ties break on
+    centroid id.  Dividing the ABS diff by n BEFORE squaring keeps the
+    per-dim term ≤ (2·SCALE)² at any corpus size (the overflow analysis
+    lives at ASSIGN_FP_SCALE).  Confusion counts are exact integers.
 
     Scale (100 TB): the centroid table is |labels|×dims rows (broadcast
     — same as a trained IVF codebook); the query half joins it on the
@@ -975,23 +979,20 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is one keyed aggregate per (vec, candidate) with map-side
     partials, and the argmin is a per-vector WindowGroupLimit.  No
     KMeans refit, no collect."""
+    from merl_etl_spark.operators.quality import fixed_point_components
+
     emb = load_table(spark, sf_dir, "embeddings")
     cap = emb.agg(F.expr("max(vec_id) DIV 2").alias("cap"))
-    comp = emb.crossJoin(F.broadcast(cap)).select(
-        "vec_id",
-        "label",
-        "cap",
-        F.posexplode("embedding").alias("pos", "val"),
-    ).select(
-        "vec_id",
-        "label",
-        "cap",
-        (F.col("pos") + 1).cast("long").alias("dim"),
-        F.floor(F.col("val").cast("double") * ASSIGN_FP_SCALE)
-        .cast("long")
-        .alias("vfp"),
+    comp = fixed_point_components(
+        emb.crossJoin(F.broadcast(cap)),
+        ASSIGN_FP_SCALE,
+        carry=("vec_id", "label", "cap"),
     )
-    comp = cut_lineage(comp, eager=False)  # feeds centroids AND queries
+    # NO lineage cut here despite the two consumers (centroids + query
+    # assignment): the exploded component frame is 64x the corpus rows —
+    # materializing it costs far more than the second columnar re-scan
+    # of the source it would save (cuts are for frames TINY relative to
+    # their inputs, per lineage.py; review r10)
     cen = (
         comp.filter(F.col("vec_id") <= F.col("cap"))
         .groupBy(F.col("label").alias("c_label"), "dim")
@@ -1007,8 +1008,8 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.expr(
-                    "(vfp * n_ref - sum_fp) * (vfp * n_ref - sum_fp)"
-                    " DIV (n_ref * n_ref)"
+                    "(abs(vfp * n_ref - sum_fp) DIV n_ref)"
+                    " * (abs(vfp * n_ref - sum_fp) DIV n_ref)"
                 )
             ).alias("d2")
         )

@@ -167,7 +167,9 @@ def test_centroid_assign_matches_python_nearest(spark, sf_dir):
         best = None
         for lbl in sorted(ns):
             n, s = ns[lbl], sums[lbl]
-            d2 = sum((v * n - si) ** 2 // (n * n) for v, si in zip(vfp, s))
+            # abs before the integer divide: non-negative operands make
+            # Python's floor-div equal to both engines' truncation
+            d2 = sum((abs(v * n - si) // n) ** 2 for v, si in zip(vfp, s))
             if best is None or (d2, lbl) < best[:2]:
                 best = (d2, lbl)
         confusion[(r["label"], best[1])] += 1
