@@ -73,6 +73,10 @@ _BOUNDED_NESTED_LOOP_OK = {
     # same 1-row boundary broadcast; the band probe and the jaccard
     # verification are equi-joins
     "dedup-incremental-near",
+    # same 1-row boundary broadcast (max(vec_id) div 2 splits the corpus
+    # into reference/held-out halves); the centroid scoring join itself
+    # is an equi-join on the dim key
+    "sim-centroid-assign",
 }
 
 
