@@ -162,6 +162,7 @@ HEADLINE = [
     "dq-distribution-drift",
     "dq-embedding-drift",
     "sim-centroid-assign",
+    "ts-backtest-seasonal",
 ]
 
 

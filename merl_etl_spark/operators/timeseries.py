@@ -1126,3 +1126,117 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a2").isNull().alias("is_edge_bucket"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts-backtest-seasonal — rolling-origin evaluation of a seasonal-naive
+# forecast
+# ---------------------------------------------------------------------------
+
+# seasonal period of the naive forecaster: predict hour t with the
+# actual from t - 24h (daily seasonality — the standard cheap baseline
+# every real forecaster must beat before it ships)
+BACKTEST_LAG_HOURS = 24
+
+
+@register(
+    "ts-backtest-seasonal",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    evals AS (
+      SELECT a.event_type,
+             a.v AS actual, f.v AS forecast,
+             abs(a.v - f.v) AS abs_err,
+             a.v - f.v AS err
+      FROM hourly a
+      JOIN hourly f ON f.event_type = a.event_type
+                   AND f.h = a.h - INTERVAL {BACKTEST_LAG_HOURS} HOUR
+    ),
+    et AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_evals,
+             CAST(SUM(abs_err) AS DECIMAL(38,6)) AS sum_abs,
+             CAST(SUM(err) AS DECIMAL(38,6)) AS sum_err
+      FROM evals GROUP BY 1
+    ),
+    hh AS (
+      SELECT event_type, CAST(count(DISTINCT h) AS BIGINT) AS n_hours
+      FROM hourly GROUP BY 1
+    )
+    SELECT hh.event_type, hh.n_hours, et.n_evals,
+           -- VARCHAR-routed decimal→double boundary (the no-decimal-
+           -- output rule; exact at any unscaled magnitude)
+           CAST(CAST(et.sum_abs AS VARCHAR) AS DOUBLE)
+             / CAST(et.n_evals AS DOUBLE) AS mae,
+           CAST(CAST(et.sum_err AS VARCHAR) AS DOUBLE)
+             / CAST(et.n_evals AS DOUBLE) AS bias
+    FROM hh JOIN et USING (event_type)
+    """,
+)
+def ts_backtest_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster
+    (predict each hour's per-type volume with the actual from 24 hours
+    earlier), emitting per-series MAE and signed bias — the evaluation
+    harness every production forecaster is benchmarked against, and the
+    shape (join actuals to lagged actuals, aggregate exact errors) that
+    generalizes to backtesting ANY per-bucket prediction column.
+
+    Determinism: hourly volumes are exact decimal sums of the scanned
+    values; the forecast is an EQUI-JOIN on (type, h − 24h) — gap-safe,
+    unlike a row-lag, because a missing hour simply produces no eval
+    row rather than silently forecasting from 23h ago; errors and their
+    per-type totals stay exact decimals and cross the output boundary
+    as one VARCHAR-routed double division per series (the no-decimal-
+    output rule).  Scale (100 TB): the fact table collapses to hour ×
+    type cardinality in ONE map-side-combinable aggregate; the
+    self-join and the error rollup run on that summary (~10^4 rows per
+    series-year), never on facts."""
+    from merl_etl_spark.lineage import cut_lineage
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = cut_lineage(
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("v"),
+        ),
+        eager=False,
+    )  # three consumers: eval join (both sides) + the per-type hour count
+    a = hourly.select(
+        "event_type", "h", F.col("v").alias("actual")
+    )
+    f_ = hourly.select(
+        F.col("event_type").alias("f_type"),
+        F.expr(f"h + INTERVAL {BACKTEST_LAG_HOURS} HOURS").alias("f_h"),
+        F.col("v").alias("forecast"),
+    )
+    evals = a.join(
+        f_, (a["event_type"] == f_["f_type"]) & (a["h"] == f_["f_h"])
+    ).select(
+        "event_type",
+        (F.col("actual") - F.col("forecast")).alias("err"),
+        F.abs(F.col("actual") - F.col("forecast")).alias("abs_err"),
+    )
+    per_type = evals.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_evals"),
+        F.sum("abs_err").cast("decimal(38,6)").alias("sum_abs"),
+        F.sum("err").cast("decimal(38,6)").alias("sum_err"),
+    )
+    hours = hourly.groupBy("event_type").agg(
+        F.count_distinct("h").alias("n_hours")
+    )
+    return hours.join(per_type, "event_type").select(
+        "event_type",
+        "n_hours",
+        "n_evals",
+        (F.col("sum_abs").cast("double") / F.col("n_evals")).alias("mae"),
+        (F.col("sum_err").cast("double") / F.col("n_evals")).alias("bias"),
+    )

@@ -74,6 +74,7 @@ SWEEP_PRIORITY: list[str] = [
     "dq-distribution-drift",     # ref-vs-current share drift audit
     "dq-embedding-drift",        # fixed-point per-dim centroid shift
     "sim-centroid-assign",       # exact-integer nearest-centroid assign
+    "ts-backtest-seasonal",      # rolling-origin seasonal-naive backtest
     # -- tier 3: r6 cohort (latest driver evidence is round 6) -----------
     # numerically-sensitive suites first, then the float-free plumbing
     "dedup-incremental-near", "text-hybrid-rrf", "text-chunking",
@@ -91,7 +92,6 @@ SWEEP_PRIORITY: list[str] = [
     "profile-columns", "profile-histogram",
     # -- tier 4: oldest r7 entries, numerically-sensitive first ----------
     "fn-format-suite",           # round(x,2)→decimal→varchar rendering
-    "text-lm-score",             # ratio-ln averaged, 4-dp round
 ]
 
 # Budget triage (round 10): the prioritized block above is 50 entries, so
@@ -100,7 +100,7 @@ SWEEP_PRIORITY: list[str] = [
 # displaced by the canary split + r10 churn + the 30-entry r6 cohort.
 # Anything left at r7 after this round leads the round-11 seed.
 SWEEP_DEFER: list[str] = [
-    "ts-twap", "graph-pagerank", "sample-hash-split",
+    "text-lm-score", "ts-twap", "graph-pagerank", "sample-hash-split",
     "analytics-retention-cohort",
     "fn-string-suite", "fn-json-suite", "fn-regex-suite", "fn-url-suite",
     "win-analytic-suite", "win-frame-suite", "win-streak",

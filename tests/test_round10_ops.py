@@ -182,6 +182,56 @@ def test_centroid_assign_matches_python_nearest(spark, sf_dir):
         assert correct == (t == a)
 
 
+def test_backtest_seasonal_matches_python_reference(spark, sf_dir):
+    """Recompute the seasonal-naive backtest in Python with exact
+    Decimal hourly sums: MAE/bias must equal the operator's
+    VARCHAR-routed double boundary exactly, eval counts must respect
+    gaps (an hour with no t-24h actual produces NO eval row)."""
+    import datetime as dt
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from merl_etl_spark.operators.timeseries import BACKTEST_LAG_HOURS
+    from merl_etl_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    hourly: dict = defaultdict(lambda: Decimal(0))
+    for r in rows:
+        h = r["ts"].replace(minute=0, second=0, microsecond=0)
+        # quantize exactly like CAST(value AS DECIMAL(18,6)): HALF_UP on
+        # the double's EXACT binary expansion (Decimal(float), not
+        # Decimal(repr(float)) — the shortest repr can round a near-tie
+        # the other way)
+        hourly[(r["event_type"], h)] += Decimal(r["value"]).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    lag = dt.timedelta(hours=BACKTEST_LAG_HOURS)
+    stats: dict = defaultdict(lambda: [0, Decimal(0), Decimal(0)])
+    n_hours: dict = defaultdict(set)
+    for (t, h) in hourly:
+        n_hours[t].add(h)
+        prev = (t, h - lag)
+        if prev in hourly:
+            err = hourly[(t, h)] - hourly[prev]
+            s = stats[t]
+            s[0] += 1
+            s[1] += abs(err)
+            s[2] += err
+    out = {r["event_type"]: r for r in QUERIES["ts-backtest-seasonal"](spark, sf_dir).collect()}
+    assert set(out) == set(stats)
+    for t, (n, sab, ser) in stats.items():
+        r = out[t]
+        assert r["n_hours"] == len(n_hours[t])
+        assert r["n_evals"] == n
+        assert r["mae"] == float(sab) / n
+        assert r["bias"] == float(ser) / n
+
+
 def test_distribution_drift_counts_split_the_stream(spark, sf_dir):
     """ref + cur counts must cover every event exactly once under the
     unfiltered-stream cap convention."""
