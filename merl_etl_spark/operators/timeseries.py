@@ -1144,13 +1144,13 @@ BACKTEST_LAG_HOURS = 24
     oracle=f"""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
-             CAST(count(*) AS BIGINT) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS v
-      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
     ),
     evals AS (
       SELECT a.event_type,
-             a.v AS actual, f.v AS forecast,
              abs(a.v - f.v) AS abs_err,
              a.v - f.v AS err
       FROM hourly a
@@ -1187,27 +1187,27 @@ def ts_backtest_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalizes to backtesting ANY per-bucket prediction column.
 
     Determinism: hourly volumes are exact decimal sums of the scanned
-    values; the forecast is an EQUI-JOIN on (type, h − 24h) — gap-safe,
-    unlike a row-lag, because a missing hour simply produces no eval
-    row rather than silently forecasting from 23h ago; errors and their
-    per-type totals stay exact decimals and cross the output boundary
-    as one VARCHAR-routed double division per series (the no-decimal-
-    output rule).  Scale (100 TB): the fact table collapses to hour ×
+    values (dec_sum; null ts/value rows filtered on both sides); the
+    forecast is an EQUI-JOIN on (type, h − 24h) — gap-safe, unlike a
+    row-lag, because a missing hour simply produces no eval row rather
+    than silently forecasting from 23h ago; errors and their per-type
+    totals stay exact decimals until one double division per series at
+    the output boundary (no-decimal-output rule; Spark's direct
+    decimal→double cast is correctly rounded, and the ORACLE side routes
+    the same cast through VARCHAR — the ts-autocorr convention for
+    DuckDB's 1-ulp-off cast).  Scale (100 TB): the fact table collapses to hour ×
     type cardinality in ONE map-side-combinable aggregate; the
     self-join and the error rollup run on that summary (~10^4 rows per
     series-year), never on facts."""
     from merl_etl_spark.lineage import cut_lineage
 
-    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     hourly = cut_lineage(
         events.groupBy(
             "event_type", F.date_trunc("hour", "ts").alias("h")
-        ).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
-            .alias("v"),
-        ),
+        ).agg(dec_sum(F.col("value")).alias("v")),
         eager=False,
     )  # three consumers: eval join (both sides) + the per-type hour count
     a = hourly.select(

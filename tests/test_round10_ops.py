@@ -196,7 +196,7 @@ def test_backtest_seasonal_matches_python_reference(spark, sf_dir):
 
     rows = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
         .select("event_type", "ts", "value")
         .collect()
     )
