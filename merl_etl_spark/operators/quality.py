@@ -714,7 +714,8 @@ DRIFT_PP = 0.01
            cur_share - ref_share AS drift,
            (abs(cur_share - ref_share) > {DRIFT_PP}) AS drifted,
            row_number() OVER (
-             ORDER BY abs(cur_share - ref_share) DESC, event_type) AS rnk
+             ORDER BY abs(cur_share - ref_share) DESC, event_type NULLS LAST)
+             AS rnk
     FROM s
     """,
 )
@@ -769,12 +770,165 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     drift = F.col("cur_share") - F.col("ref_share")
-    w = Window.orderBy(F.abs(drift).desc(), F.asc("event_type"))
+    # tie-break null ordering pinned explicitly (ADVICE r10 low): Spark's
+    # default ASC is NULLS FIRST, DuckDB's is NULLS LAST — an exact-zero
+    # drift tie against a NULL event_type would rank engine-divergently
+    w = Window.orderBy(F.abs(drift).desc(), F.asc_nulls_last("event_type"))
     return shares.select(
         "*",
         drift.alias("drift"),
         (F.abs(drift) > DRIFT_PP).alias("drifted"),
         F.row_number().over(w).cast("long").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq-distribution-psi — population-stability index over the same windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq-distribution-psi",
+    oracle="""
+    WITH cap AS (SELECT max(event_id) // 2 AS cap FROM events),
+    j AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN event_id <= cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS ref_count,
+             CAST(SUM(CASE WHEN event_id > cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS cur_count
+      FROM events, cap GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(ref_count) AS BIGINT) AS rt,
+                   CAST(SUM(cur_count) AS BIGINT) AS ct,
+                   CAST(count(*) AS BIGINT) AS k FROM j),
+    s AS (
+      -- add-1 smoothed shares (no ln(0)); the log-ratio is four
+      -- INTEGER-argument ln()s, each rounded once to 6 dp and frozen as
+      -- decimal before the exact combination (the curate-dsir pattern)
+      SELECT event_type, ref_count, cur_count,
+             CAST(ref_count + 1 AS DOUBLE) / CAST(rt + k AS DOUBLE)
+               AS ref_share,
+             CAST(cur_count + 1 AS DOUBLE) / CAST(ct + k AS DOUBLE)
+               AS cur_share,
+             CAST(CAST(round(ln(cur_count + 1), 6) AS DECIMAL(18,6))
+                  - CAST(round(ln(ref_count + 1), 6) AS DECIMAL(18,6))
+                  + CAST(round(ln(rt + k), 6) AS DECIMAL(18,6))
+                  - CAST(round(ln(ct + k), 6) AS DECIMAL(18,6))
+                  AS DOUBLE) AS lr
+      FROM j, tot
+    ),
+    t AS (
+      -- per-category PSI term, frozen once to 6 dp decimal so the total
+      -- is an exact order-independent decimal sum
+      SELECT event_type, ref_count, cur_count, ref_share, cur_share,
+             CAST(round((cur_share - ref_share) * lr, 6) AS DECIMAL(18,6))
+               AS term_dec
+      FROM s
+    )
+    SELECT event_type, ref_count, cur_count, ref_share, cur_share,
+           CAST(term_dec AS DOUBLE) AS psi_term,
+           CAST(SUM(term_dec) OVER () AS DOUBLE) AS psi_total,
+           CAST(row_number() OVER (
+             ORDER BY term_dec DESC, event_type NULLS LAST) AS BIGINT) AS rnk
+    FROM t
+    """,
+)
+def dq_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index between the reference and current
+    windows of the event stream (same one-scan conditional-agg split as
+    dq-distribution-drift): PSI = Σ_b (cur_share_b − ref_share_b) ·
+    ln(cur_share_b / ref_share_b), the standard model-monitoring drift
+    score (PSI > 0.2 ⇒ action), with add-1 smoothing so empty buckets
+    never produce ln(0).  Emitted per category (term + rank) plus the
+    total, so the monitor sees WHICH categories move the index.
+
+    Determinism (the proven curate-dsir ln class — added only after the
+    r10 canary split confirmed integer-argument ln is driver-green):
+    counts are exact integers; the log-ratio ln(cur_share/ref_share) =
+    ln(cur+1) − ln(ref+1) + ln(rt+k) − ln(ct+k) is four
+    integer-argument ln()s, each rounded ONCE to 6 dp and frozen as
+    DECIMAL(18,6) before the exact decimal combination; the per-category
+    term — one IEEE multiply of that frozen ratio by a share delta of
+    two exact-integer divisions — is itself frozen once to 6 dp, so the
+    TOTAL is an exact order-independent decimal sum.  DECIMALs stay
+    internal: both boundaries are DOUBLE (tiny unscaled values — far
+    below the 2^53 VARCHAR-routing threshold).  Every term is a
+    positive quantity mathematically ((a−b) and ln(a/b) share sign), so
+    the rank orders by the term itself with the event_type NULLS LAST
+    tie-break (the dq-distribution-drift pin).
+
+    Scale (100 TB): identical to dq-distribution-drift — BOTH window
+    counts come from ONE conditional aggregation over ONE scan of the
+    fact table (map-side partials, one shuffle at category cardinality);
+    the totals, the PSI windows, and the rank all run on the
+    |event_type|-row summary (bounded — allowlisted in
+    test_plan_properties with the drift query's argument)."""
+    from merl_etl_spark.lineage import cut_lineage
+
+    all_events = load_table(spark, sf_dir, "events")
+    cap = all_events.agg(F.expr("max(event_id) DIV 2").alias("cap"))
+    ev = all_events.crossJoin(F.broadcast(cap))
+    j = ev.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("event_id") <= F.col("cap"), 1).otherwise(0)
+        ).alias("ref_count"),
+        F.sum(
+            F.when(F.col("event_id") > F.col("cap"), 1).otherwise(0)
+        ).alias("cur_count"),
+    )
+    j = cut_lineage(j, eager=False)
+    tot = j.agg(
+        F.sum("ref_count").alias("rt"),
+        F.sum("cur_count").alias("ct"),
+        F.count(F.lit(1)).alias("k"),
+    )
+
+    def _ln6(col):
+        return F.round(F.log(col.cast("double")), 6).cast("decimal(18,6)")
+
+    s = j.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "ref_count",
+        "cur_count",
+        (
+            (F.col("ref_count") + 1).cast("double")
+            / (F.col("rt") + F.col("k")).cast("double")
+        ).alias("ref_share"),
+        (
+            (F.col("cur_count") + 1).cast("double")
+            / (F.col("ct") + F.col("k")).cast("double")
+        ).alias("cur_share"),
+        (
+            _ln6(F.col("cur_count") + 1)
+            - _ln6(F.col("ref_count") + 1)
+            + _ln6(F.col("rt") + F.col("k"))
+            - _ln6(F.col("ct") + F.col("k"))
+        )
+        .cast("double")
+        .alias("lr"),
+    )
+    t = s.select(
+        "event_type",
+        "ref_count",
+        "cur_count",
+        "ref_share",
+        "cur_share",
+        F.round((F.col("cur_share") - F.col("ref_share")) * F.col("lr"), 6)
+        .cast("decimal(18,6)")
+        .alias("term_dec"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_rank = Window.orderBy(F.col("term_dec").desc(), F.asc_nulls_last("event_type"))
+    return t.select(
+        "event_type",
+        "ref_count",
+        "cur_count",
+        "ref_share",
+        "cur_share",
+        F.col("term_dec").cast("double").alias("psi_term"),
+        F.sum("term_dec").over(w_all).cast("double").alias("psi_total"),
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
     )
 
 

@@ -973,54 +973,67 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dim term ≤ (2·SCALE)² at any corpus size (the overflow analysis
     lives at ASSIGN_FP_SCALE).  Confusion counts are exact integers.
 
-    Scale (100 TB): the centroid table is |labels|×dims rows (broadcast
-    — same as a trained IVF codebook); the query half joins it on the
-    dim key only after exploding to (vec, dim) components, so the wide
-    state is one keyed aggregate per (vec, candidate) with map-side
-    partials, and the argmin is a per-vector WindowGroupLimit.  No
-    KMeans refit, no collect."""
+    Scale (100 TB, VERDICT r10 #3): the centroid codebook — |labels|
+    structs, each carrying dim-aligned (n_ref, sum_fp) arrays — is
+    folded into ONE broadcast row, and each query vector computes its
+    argmin as a single array expression (transform over the codebook →
+    aggregate(zip_with(...)) per centroid → array_sort argmin with the
+    (d2, c_label) tie-break).  The query half is never exploded and
+    never joined at component grain, so the old k-fold (vec, dim) ×
+    centroid shuffle amplification is gone entirely: the only wide ops
+    left are the reference-half component aggregate (linear, map-side
+    combinable — building the codebook) and the final confusion-matrix
+    rollup at |labels|² grain.  No KMeans refit, no per-vector state."""
     from merl_etl_spark.operators.quality import fixed_point_components
 
     emb = load_table(spark, sf_dir, "embeddings")
     cap = emb.agg(F.expr("max(vec_id) DIV 2").alias("cap"))
-    comp = fixed_point_components(
-        emb.crossJoin(F.broadcast(cap)),
-        ASSIGN_FP_SCALE,
-        carry=("vec_id", "label", "cap"),
-    )
-    # NO lineage cut here despite the two consumers (centroids + query
-    # assignment): the exploded component frame is 64x the corpus rows —
-    # materializing it costs far more than the second columnar re-scan
-    # of the source it would save (cuts are for frames TINY relative to
-    # their inputs, per lineage.py; review r10)
-    cen = (
-        comp.filter(F.col("vec_id") <= F.col("cap"))
-        .groupBy(F.col("label").alias("c_label"), "dim")
+    # codebook: explode ONLY the reference half to components (linear,
+    # one keyed agg), then fold to one row of dim-sorted per-centroid
+    # arrays.  collect_list is order-nondeterministic — array_sort on
+    # structs whose FIRST field is the unique key (dim / c_label) makes
+    # both folds deterministic.
+    ref = emb.crossJoin(F.broadcast(cap)).filter(F.col("vec_id") <= F.col("cap"))
+    comp = fixed_point_components(ref, ASSIGN_FP_SCALE, carry=("label",))
+    per_cen = (
+        comp.groupBy(F.col("label").alias("c_label"), "dim")
+        .agg(F.count(F.lit(1)).alias("n_ref"), F.sum("vfp").alias("sum_fp"))
+        .groupBy("c_label")
         .agg(
-            F.count(F.lit(1)).alias("n_ref"),
-            F.sum("vfp").alias("sum_fp"),
+            F.array_sort(
+                F.collect_list(F.struct("dim", "n_ref", "sum_fp"))
+            ).alias("comps")
         )
     )
-    q = comp.filter(F.col("vec_id") > F.col("cap"))
-    dist = (
-        q.join(F.broadcast(cen), "dim")
-        .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
-        .agg(
-            F.sum(
-                F.expr(
-                    "(abs(vfp * n_ref - sum_fp) DIV n_ref)"
-                    " * (abs(vfp * n_ref - sum_fp) DIV n_ref)"
-                )
-            ).alias("d2")
-        )
+    codebook = per_cen.agg(
+        F.array_sort(F.collect_list(F.struct("c_label", "comps"))).alias("cents")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
-    assigned = (
-        dist.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "true_label", F.col("c_label").alias("assigned_label"))
+    q = (
+        emb.crossJoin(F.broadcast(cap))
+        .filter(F.col("vec_id") > F.col("cap"))
+        .crossJoin(F.broadcast(codebook))
+    )
+    # per-row exact-integer argmin over the broadcast codebook: comps is
+    # dim-sorted so element i aligns with embedding[i]; the per-dim term
+    # and its overflow bound are EXACTLY the keyed-agg form's (see
+    # ASSIGN_FP_SCALE) — only the execution shape changed
+    assigned_label = F.expr(
+        f"""
+        array_sort(transform(cents, c -> struct(
+          aggregate(
+            zip_with(
+              transform(embedding, x ->
+                CAST(floor(CAST(x AS DOUBLE) * {ASSIGN_FP_SCALE}) AS BIGINT)),
+              c.comps,
+              (v, p) -> (abs(v * p.n_ref - p.sum_fp) DIV p.n_ref)
+                        * (abs(v * p.n_ref - p.sum_fp) DIV p.n_ref)),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d2,
+          c.c_label AS c_label)))[0].c_label
+        """
+    )
+    assigned = q.select(
+        F.col("label").alias("true_label"),
+        assigned_label.alias("assigned_label"),
     )
     return (
         assigned.groupBy("true_label", "assigned_label")

@@ -44,79 +44,77 @@ ORACLES: dict[str, str] = {}
 # Queries NOT listed here keep their module registration order and fill the
 # remaining budget.  Update per round: move anything you modify into tier 1.
 SWEEP_PRIORITY: list[str] = [
-    # ROUND 10 (VERDICT r9 "Next round" #1-#5): tier 1 = the canary split
-    # (one registered query per numeric/repr class — the per-query driver
-    # hash booleans must NAME the divergent class; the r10 repr-layer
-    # finding says fn-canary-decimal-repr is the one expected red), then
-    # the three de-decimaled reds + the two at-risk stale-greens + the
-    # RFM rewrite, tier 3 = the r6 cohort (4 rounds stale), then the
-    # oldest numerically-interesting r7 entries that still fit.
+    # ROUND 11 (VERDICT r10 "Next round" #1-#4): tier 1 = this round's
+    # churn (the broadcast-codebook centroid rewrite, the single-valued
+    # ntile cutpoints, the drift tie-break null pin, the bucket-tag
+    # housekeeping) + the one new operator; tier 2 = the ENTIRE r7
+    # stale-evidence cohort (43 queries whose latest driver row predates
+    # both the r9 env change and the r10 decimal finding — VERDICT #1);
+    # two canaries stay as env sentinels.  fn-canary-decimal-repr —
+    # hypothesis CONFIRMED by its expected-red r10 row — retires to
+    # SWEEP_DEFER (VERDICT #2) so the head carries no expected-red entry.
     #
-    # -- tier 1: the canary split (VERDICT r9 #1) -------------------------
+    # -- tier 1: r11 churn (code changed since last driver green) --------
+    "sim-centroid-assign",       # broadcast-codebook argmin rewrite
+    "analytics-rfm-segmentation",  # driver-collected literal cutpoints
+    "dq-distribution-drift",     # tie-break NULLS LAST pin
+    "layout-bucketed-join",      # superseded-tag cleanup + pid-dir probe
+    # -- tier 1c: NEW r11 operators (never driver-checked) ----------------
+    "dq-distribution-psi",       # population-stability index drift score
+    # -- tier 1d: env sentinels (r10-green; keep one libm + one repr) -----
     "fn-canary-ln-int",
-    "fn-canary-ln-ratio",
-    "fn-canary-sqrt",
-    "fn-canary-pow",
-    "fn-canary-exp",
-    "fn-canary-dcast",
-    "fn-canary-decimal-repr",    # DELIBERATE decimal surface — the probe
     "fn-canary-double-repr",
-    # -- tier 1: r10 churn (DECIMAL output columns removed) ---------------
-    "curate-dsir",               # weight now DOUBLE at the boundary
-    "cdc-merge-apply",           # final_value now raw-double passthrough
-    "text-cooccurrence-pmi",     # pmi now DOUBLE at the boundary
-    "analytics-rfm-segmentation",  # ntile → approx-quantile cutpoints
-    # -- tier 1b: at-risk stale-greens re-armed this round (VERDICT #4) --
-    "text-entropy",              # r8 green; double surface, re-confirm
-    "curate-semdedup-keep",      # r7 green; double surface, re-confirm
-    # -- tier 1c: NEW r10 operators (never driver-checked) ----------------
-    "curate-classifier-filter",  # broadcast-weights linear quality filter
-    "dq-distribution-drift",     # ref-vs-current share drift audit
-    "dq-embedding-drift",        # fixed-point per-dim centroid shift
-    "sim-centroid-assign",       # exact-integer nearest-centroid assign
-    "ts-backtest-seasonal",      # rolling-origin seasonal-naive backtest
-    # -- tier 3: r6 cohort (latest driver evidence is round 6) -----------
-    # numerically-sensitive suites first, then the float-free plumbing
-    "dedup-incremental-near", "text-hybrid-rrf", "text-chunking",
-    "text-decontaminate", "curate-pipeline", "curate-source-cap",
-    "fn-datetime-suite", "fn-numeric-suite", "fn-vector-quantize",
-    "dedup-exact", "dedup-simhash-pairs", "dedup-clusters",
-    "text-langid", "text-tokens",
-    "dedup-ngram-jaccard", "dedup-containment",
-    "join-latest-bucket",
-    "dq-expectations",
-    "uint256-exact-scale", "uint256-exact-sum",
-    "filter-blockrange", "filter-eq-token", "filter-nonnull-fields",
-    "proj-normalize", "setop-union-intersect-except", "sort-source-asc",
-    "sql-api-top100", "layout-zorder",
-    "profile-columns", "profile-histogram",
-    # -- tier 4: oldest r7 entries, numerically-sensitive first ----------
-    "fn-format-suite",           # round(x,2)→decimal→varchar rendering
-]
-
-# Budget triage (round 10): the prioritized block above is 50 entries, so
-# this defer list registers immediately after it (first in line for the
-# r11 sweep).  It holds the REMAINING r7 cohort — driver-green in r7,
-# displaced by the canary split + r10 churn + the 30-entry r6 cohort.
-# Anything left at r7 after this round leads the round-11 seed.
-SWEEP_DEFER: list[str] = [
-    "text-lm-score", "ts-twap", "graph-pagerank", "sample-hash-split",
-    "analytics-retention-cohort",
-    "fn-string-suite", "fn-json-suite", "fn-regex-suite", "fn-url-suite",
+    # -- tier 2: the r7 stale-evidence cohort (VERDICT r10 #1) ------------
+    # numerically-sensitive first, then plumbing
+    "text-lm-score", "ts-twap", "graph-pagerank", "graph-triangles",
+    "agg-countmin", "agg-heavy-hitters", "sample-hash-split",
+    "analytics-retention-cohort", "ts-ohlc-bars",
+    "analytics-basket-affinity", "analytics-customer-distribution",
+    "analytics-disjunctive-filter", "analytics-funnel",
+    "analytics-market-share", "analytics-small-qty-revenue",
     "win-analytic-suite", "win-frame-suite", "win-streak",
     "win-cumulative-distinct",
     "join-asof-blocktime", "join-asof-keyed", "join-asof-tolerance",
     "join-interval-overlap",
-    "agg-countmin", "agg-heavy-hitters", "agg-k-anonymity", "agg-mv-merge",
-    "analytics-basket-affinity", "analytics-customer-distribution",
-    "analytics-disjunctive-filter", "analytics-funnel",
-    "analytics-market-share", "analytics-small-qty-revenue",
+    "agg-k-anonymity", "agg-mv-merge",
+    "fn-string-suite", "fn-json-suite", "fn-regex-suite", "fn-url-suite",
     "cdc-scd2-history", "curate-shuffle-index", "curate-url-dedup",
     "dedup-normalized", "dedup-paragraph", "dq-sequence-gaps",
-    "graph-triangles", "profile-dataset-card", "proj-unpivot",
+    "profile-dataset-card", "proj-unpivot",
     "sim-knn-graph", "stream-session-window",
     "text-bpe-step", "text-fingerprint", "text-ngram-counts",
-    "text-pii-scrub", "ts-ohlc-bars",
+    "text-pii-scrub",
+]
+
+# Budget triage (round 11): the prioritized block above is 50 entries, so
+# this defer list registers immediately after it (first in line for the
+# r12 sweep).  It leads with fn-canary-decimal-repr — the PERMANENT env
+# sentinel for the r10 finding (the driver environment cannot value-hash
+# DECIMAL output columns; its red row is EXPECTED and opt-in, never a
+# regression signal) — then the remaining r10-green canaries, then the
+# r8-evidence cohort (stalest after this round's r7 drain).
+SWEEP_DEFER: list[str] = [
+    "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
+    "fn-canary-ln-ratio", "fn-canary-sqrt", "fn-canary-pow",
+    "fn-canary-exp", "fn-canary-dcast",
+    # r8-evidence cohort (latest driver row is round 8)
+    "agg-conditional-flow", "agg-conditional-flow-coalesce",
+    "agg-count-rows", "agg-cube", "agg-greatest-rowwise",
+    "agg-max-scalar", "agg-pivot", "agg-rollup", "agg-running-max",
+    "agg-scalar-rollup", "analytics-markov-transitions",
+    "analytics-pricing-summary", "analytics-regional-volume",
+    "analytics-shipping-priority", "cdc-snapshot-diff",
+    "curate-token-pack", "dedup-incremental", "dedup-substring",
+    "dq-referential", "filter-time-window", "join-asof",
+    "join-asof-forward", "join-cross-1row", "join-outer-anti",
+    "join-range-interval", "join-semi-top100", "link-fuzzy-match",
+    "mm-binary-meta", "mm-binary-simhash", "plan-top100-derive",
+    "sample-stratified", "sim-topk-pandas", "sink-insert-ignore-tx",
+    "sink-upsert-cursor", "sink-upsert-holders", "sink-view",
+    "sort-limit-top10", "sort-movers-multi", "sort-topk-rank100",
+    "stream-cursor-resume", "stream-sliding-60m", "stream-tumbling-6h",
+    "text-gopher-rules", "text-winnowing", "win-rank-top100",
+    "win-sessionize",
 ]
 
 

@@ -175,6 +175,9 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # drift rank over the |event_type|-row share summary (bounded by
     # category cardinality; quality.py dq_distribution_drift)
     "dq-distribution-drift": 1,
+    # PSI total (unbounded-frame sum) + rank, both over the same
+    # |event_type|-row share summary (quality.py dq_distribution_psi)
+    "dq-distribution-psi": 2,
     # shift rank over the |dims|-row centroid summary (bounded by the
     # embedding dimensionality; quality.py dq_embedding_drift)
     "dq-embedding-drift": 1,
