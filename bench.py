@@ -163,6 +163,14 @@ HEADLINE = [
     "dq-embedding-drift",
     "sim-centroid-assign",
     "ts-backtest-seasonal",
+    # round-11: population-stability-index drift score, bitmap-exact
+    # distinct, JL sign projection, feed freshness
+    "dq-distribution-psi",
+    "agg-bitmap-distinct",
+    "sim-rp-projection",
+    "dq-freshness",
+    "sim-pq-encode",
+    "ts-cusum-changepoint",
 ]
 
 

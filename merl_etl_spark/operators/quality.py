@@ -783,6 +783,100 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dq-freshness — per-feed staleness against the stream head
+# ---------------------------------------------------------------------------
+
+# staleness SLA: a feed whose newest event lags the stream head by more
+# than this many minutes is flagged
+FRESH_SLA_MIN = 360
+
+
+@register(
+    "dq-freshness",
+    oracle=f"""
+    WITH g AS (SELECT max(ts) AS gmax FROM events WHERE ts IS NOT NULL),
+    per AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(ts) AS last_ts,
+             CAST(SUM(CASE WHEN ts >= gmax - INTERVAL 24 HOUR
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24h
+      FROM events, g WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n_events, n_last_24h,
+           strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           -- whole-second epoch floors subtracted, then integer-divided:
+           -- engine date_diff semantics differ (boundary crossings vs
+           -- truncated duration), integer epoch floors do not.  epoch_us
+           -- // 1e6, NOT floor(epoch()): epoch() returns a rounded
+           -- double (the ARCHITECTURE.md trap)
+           (epoch_us(last_ts) // 1000000) AS last_epoch_s,
+           ((SELECT epoch_us(gmax) // 1000000 FROM g)
+             - epoch_us(last_ts) // 1000000) // 60 AS lag_minutes,
+           (((SELECT epoch_us(gmax) // 1000000 FROM g)
+             - epoch_us(last_ts) // 1000000) // 60
+             > {FRESH_SLA_MIN}) AS is_stale
+    FROM per
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness audit: for every event feed (event_type), the
+    newest event, its lag behind the stream head (the global max ts),
+    the last-24-hours volume, and an SLA flag — the monitor that
+    catches one upstream producer silently stalling while the table as
+    a whole keeps growing.
+
+    Determinism: lag is computed on whole-second epoch FLOORS
+    (timestampdiff-from-epoch in Spark, floor(epoch(ts)) in DuckDB)
+    subtracted as exact integers and integer-divided — engine
+    date-diff builtins disagree on sub-second semantics (boundary
+    crossings vs truncated durations), epoch floors cannot.  last_ts
+    is emitted at second precision as a formatted string (the registry
+    timestamp convention); the 24 h window predicate is exact
+    microsecond interval arithmetic in both engines.
+
+    Scale (100 TB): ONE conditional aggregation over ONE scan at feed
+    cardinality (map-side partials) after a broadcast of the 1-row
+    stream head; nothing else touches the fact table."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    epoch_s = (
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
+    )
+    # gmax's epoch seconds computed ONCE on the 1-row head frame (review
+    # r11: folding it through F.max inside the aggregate re-evaluated the
+    # same constant conversion per input row)
+    g = ev.agg(F.max("ts").alias("gmax")).withColumn(
+        "gmax_s", F.expr(epoch_s.format("gmax"))
+    )
+    per = (
+        ev.crossJoin(F.broadcast(g))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts_raw"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.expr("gmax - INTERVAL 24 HOUR"), 1
+                ).otherwise(0)
+            ).alias("n_last_24h"),
+            F.max("gmax_s").alias("gmax_s"),
+        )
+    )
+    lag_min = F.expr(
+        f"(gmax_s - {epoch_s.format('last_ts_raw')}) DIV 60"
+    )
+    return per.select(
+        "event_type",
+        "n_events",
+        "n_last_24h",
+        F.date_format("last_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.expr(epoch_s.format("last_ts_raw")).alias("last_epoch_s"),
+        lag_min.alias("lag_minutes"),
+        (lag_min > FRESH_SLA_MIN).alias("is_stale"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # dq-distribution-psi — population-stability index over the same windows
 # ---------------------------------------------------------------------------
 

@@ -917,6 +917,41 @@ def curate_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 ASSIGN_FP_SCALE = 1 << 16
 
 
+def fp_vec_expr(scale: int) -> str:
+    """SQL expr: quantize the ``embedding`` array<float> column to
+    array<bigint> at ``scale`` — the row-wise twin of
+    quality.fixed_point_components (float32 × a power of two is exact
+    in double, so the floor is deterministic in both engines).  ONE
+    definition shared by sim-centroid-assign / sim-rp-projection /
+    sim-pq-encode (review r11: the expr string was inlined 3×, so a
+    future cast-trap fix could drift between them)."""
+    return (
+        f"transform(embedding, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+
+
+# the exact-integer per-dim distance term shared by sim-centroid-assign
+# and sim-pq-encode (v = quantized query component, p = codeword struct
+# with n_ref/sum_fp): see the ASSIGN_FP_SCALE overflow analysis above.
+PQ_TERM = (
+    "(abs(v * p.n_ref - p.sum_fp) DIV p.n_ref)"
+    " * (abs(v * p.n_ref - p.sum_fp) DIV p.n_ref)"
+)
+
+
+def dim_sorted_comps(df: DataFrame, key_cols: list) -> DataFrame:
+    """Fold per-(key, dim) codeword stats into dim-sorted comps arrays —
+    collect_list is order-nondeterministic, array_sort on structs whose
+    FIRST field is the unique dim makes the fold deterministic.  Shared
+    by the centroid and PQ codebook builds."""
+    return df.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "n_ref", "sum_fp"))
+        ).alias("comps")
+    )
+
+
 @register(
     "sim-centroid-assign",
     oracle=f"""
@@ -995,15 +1030,11 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both folds deterministic.
     ref = emb.crossJoin(F.broadcast(cap)).filter(F.col("vec_id") <= F.col("cap"))
     comp = fixed_point_components(ref, ASSIGN_FP_SCALE, carry=("label",))
-    per_cen = (
-        comp.groupBy(F.col("label").alias("c_label"), "dim")
-        .agg(F.count(F.lit(1)).alias("n_ref"), F.sum("vfp").alias("sum_fp"))
-        .groupBy("c_label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("dim", "n_ref", "sum_fp"))
-            ).alias("comps")
-        )
+    per_cen = dim_sorted_comps(
+        comp.groupBy(F.col("label").alias("c_label"), "dim").agg(
+            F.count(F.lit(1)).alias("n_ref"), F.sum("vfp").alias("sum_fp")
+        ),
+        ["c_label"],
     )
     codebook = per_cen.agg(
         F.array_sort(F.collect_list(F.struct("c_label", "comps"))).alias("cents")
@@ -1016,17 +1047,13 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row exact-integer argmin over the broadcast codebook: comps is
     # dim-sorted so element i aligns with embedding[i]; the per-dim term
     # and its overflow bound are EXACTLY the keyed-agg form's (see
-    # ASSIGN_FP_SCALE) — only the execution shape changed
+    # ASSIGN_FP_SCALE / PQ_TERM) — only the execution shape changed
     assigned_label = F.expr(
         f"""
         array_sort(transform(cents, c -> struct(
           aggregate(
-            zip_with(
-              transform(embedding, x ->
-                CAST(floor(CAST(x AS DOUBLE) * {ASSIGN_FP_SCALE}) AS BIGINT)),
-              c.comps,
-              (v, p) -> (abs(v * p.n_ref - p.sum_fp) DIV p.n_ref)
-                        * (abs(v * p.n_ref - p.sum_fp) DIV p.n_ref)),
+            zip_with({fp_vec_expr(ASSIGN_FP_SCALE)}, c.comps,
+                     (v, p) -> {PQ_TERM}),
             CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d2,
           c.c_label AS c_label)))[0].c_label
         """
@@ -1044,4 +1071,239 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             (F.col("true_label") == F.col("assigned_label")).alias("is_correct"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim-rp-projection — Johnson-Lindenstrauss sign projection, exact integers
+# ---------------------------------------------------------------------------
+
+# output dimensionality of the random projection (Achlioptas 2003: a
+# +/-1 sign matrix satisfies the JL lemma — database-friendly because
+# the projection is additions, not float products)
+RP_DIMS = 8
+# fixed-point scale for the projected components (the ASSIGN_FP_SCALE
+# overflow analysis applies: |rp_j| <= ndims * scale * max|val|)
+RP_FP_SCALE = 1 << 16
+
+
+def _rp_sign(dim: int, j: int) -> int:
+    """+/-1 sign for (embedding dim, projection axis) — parity of the
+    md5-u32 of the key string, bit-identical to the oracle's
+    ('0x' || substr(md5(...), 1, 8))::BIGINT % 2 (dedup.md5_u32_duck)."""
+    import hashlib
+
+    u32 = int(hashlib.md5(f"rp_{dim}_{j}".encode()).hexdigest()[:8], 16)
+    return 1 if u32 % 2 == 0 else -1
+
+
+@register(
+    "sim-rp-projection",
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * {RP_FP_SCALE}) AS BIGINT) AS vfp
+      FROM embeddings
+    ),
+    signs AS (
+      SELECT d.dim, j.j,
+             CASE WHEN ('0x' || substr(md5('rp_' || CAST(d.dim AS VARCHAR)
+                        || '_' || CAST(j.j AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT DISTINCT dim FROM comp) d
+      CROSS JOIN (SELECT unnest(generate_series(0, {RP_DIMS - 1})) AS j) j
+    ),
+    proj AS (
+      SELECT c.vec_id, c.label, s.j,
+             CAST(SUM(s.s * c.vfp) AS BIGINT) AS rp
+      FROM comp c JOIN signs s USING (dim)
+      GROUP BY 1, 2, 3
+    )
+    SELECT vec_id, label,
+           {", ".join(f"CAST(SUM(CASE WHEN j = {j} THEN rp ELSE 0 END) AS BIGINT) AS rp_{j}" for j in range(8))},
+           CAST(SUM(CASE WHEN rp >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT)
+             AS rp_bucket
+    FROM proj GROUP BY 1, 2
+    """,
+)
+def sim_rp_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction of the embedding
+    corpus with a deterministic +/-1 sign matrix (Achlioptas 2003),
+    plus the sign-of-projection LSH bucket (Charikar 2002 SimHash over
+    the REDUCED space) — the standard preprocessing that turns a
+    64-dim ANN problem into an 8-dim one before IVF/LSH indexing, and
+    the bucket that prunes candidate pairs at join time.
+
+    Determinism — the fixed-point pattern end to end: components
+    quantize to exact integers (float32 x 2^16 is exact in double,
+    floor'd), the sign matrix derives from md5-u32 parity of the
+    (dim, axis) key — the SAME bytes hashed by hashlib.md5 driver-side
+    and md5() in the oracle — and each projected component is an exact
+    +/-1-weighted integer sum, order-independent at any parallelism.
+    |rp_j| <= ndims * 2^16 * max|val| (~2^22 here): no overflow at any
+    realistic dimensionality.
+
+    Scale (100 TB): the projection is a PURE MAP — the sign matrix is
+    inlined as ndims-element literal arrays (one per output axis; the
+    single driver round-trip reads only max(size(embedding))), each
+    row folds its own zip_with, and NOTHING shuffles: projecting a
+    100 TB embedding table is embarrassingly parallel and runs at scan
+    speed.  The oracle's component-grain join is DuckDB's way of
+    saying the same thing in SQL, not the execution plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ndims = emb.agg(F.max(F.size("embedding"))).collect()[0][0] or 0
+    base = emb.select(
+        "vec_id", "label", F.expr(fp_vec_expr(RP_FP_SCALE)).alias("vfps")
+    )
+    rp_cols = []
+    for j in range(RP_DIMS):
+        signs = F.array(
+            *[F.lit(_rp_sign(d, j)) for d in range(1, ndims + 1)]
+        )
+        rp_cols.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col("vfps"),
+                    F.slice(signs, 1, F.size("vfps")),
+                    lambda v, s: v * s.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(f"rp_{j}")
+        )
+    projected = base.select("vec_id", "label", *rp_cols)
+    bucket = None
+    for j in range(RP_DIMS):
+        term = F.when(F.col(f"rp_{j}") >= 0, F.lit(1 << j)).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    return projected.withColumn("rp_bucket", bucket.cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# sim-pq-encode — product-quantization codes, exact integer argmin
+# ---------------------------------------------------------------------------
+
+# dims per PQ subspace (Jégou et al. 2011: split the vector into M
+# subspaces, quantize each against its own small codebook — 64 dims
+# become M=8 one-byte codes).  The fixture's 64-dim embeddings give
+# M = 64 / PQ_SUBDIM = 8 subspaces.
+PQ_SUBDIM = 8
+PQ_SUBS = 8
+
+
+@register(
+    "sim-pq-encode",
+    oracle=f"""
+    WITH cap AS (SELECT max(vec_id) // 2 AS cap FROM embeddings),
+    comp AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+             (generate_subscripts(embedding, 1) - 1) // {PQ_SUBDIM} AS m,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * {ASSIGN_FP_SCALE}) AS BIGINT) AS vfp
+      FROM embeddings
+    ),
+    cen AS (
+      SELECT label AS c_label, dim,
+             CAST(count(*) AS BIGINT) AS n_ref,
+             CAST(SUM(vfp) AS BIGINT) AS sum_fp
+      FROM comp, cap WHERE vec_id <= cap GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT q.vec_id, q.label AS true_label, q.m, c.c_label,
+             SUM((abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)
+                 * (abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)) AS d2
+      FROM (SELECT * FROM comp, cap WHERE vec_id > cap) q
+      JOIN cen c USING (dim)
+      GROUP BY 1, 2, 3, 4
+    ),
+    best AS (
+      SELECT vec_id, true_label, m, c_label, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2, c_label) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, true_label,
+           {", ".join(f"CAST(SUM(CASE WHEN m = {m} THEN c_label END) AS BIGINT) AS code_{m}" for m in range(8))},
+           CAST(SUM(d2) AS BIGINT) AS qdist
+    FROM best GROUP BY 1, 2
+    """,
+)
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the held-out half of the vector
+    corpus (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011): each vector splits into PQ_SUBS subspaces of
+    PQ_SUBDIM dims; each subvector is assigned to its nearest
+    per-subspace codeword (here: the reference-half label centroids
+    restricted to that subspace — a deterministic stand-in for the
+    usual per-subspace k-means, same assignment math), and the vector
+    is stored as M small codes + its total quantization distance.  This
+    is the memory layer of an IVF-PQ index: 64 floats (256 B) become 8
+    codes (8 B), and together with sim-rp-projection / sim-ivf-ann /
+    sim-centroid-assign it completes the index lifecycle — reduce,
+    partition, compress, maintain.
+
+    Determinism: the per-subspace argmin reuses sim-centroid-assign's
+    exact-integer metric verbatim — Σ (abs(v_fp·n − sum_fp) DIV n)²
+    over the subspace's dims at ASSIGN_FP_SCALE, ties on codeword id —
+    so codes and qdist are integers that cannot drift by a ulp in
+    either engine.
+
+    Scale (100 TB): identical physics to the r11 centroid-assign
+    rewrite — the PQ codebook (PQ_SUBS × |codewords| structs of
+    dim-aligned arrays) folds into ONE broadcast row and every query
+    vector computes all M argmins as a single array expression: the
+    query half is never exploded, never joined, never shuffled; the
+    only wide ops are the reference-half codebook build and nothing
+    else.  Encoding 100 TB of vectors runs at scan speed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cap = emb.agg(F.expr("max(vec_id) DIV 2").alias("cap"))
+    from merl_etl_spark.operators.quality import fixed_point_components
+
+    ref = emb.crossJoin(F.broadcast(cap)).filter(F.col("vec_id") <= F.col("cap"))
+    comp = fixed_point_components(ref, ASSIGN_FP_SCALE, carry=("label",))
+    per_code = dim_sorted_comps(
+        comp.groupBy(F.col("label").alias("c_label"), "dim")
+        .agg(F.count(F.lit(1)).alias("n_ref"), F.sum("vfp").alias("sum_fp"))
+        .withColumn("m", F.expr(f"CAST((dim - 1) DIV {PQ_SUBDIM} AS INT)")),
+        ["m", "c_label"],
+    )
+    codebook = per_code.agg(
+        F.array_sort(F.collect_list(F.struct("m", "c_label", "comps"))).alias("cents")
+    )
+    q = (
+        emb.crossJoin(F.broadcast(cap))
+        .filter(F.col("vec_id") > F.col("cap"))
+        .crossJoin(F.broadcast(codebook))
+        .withColumn("vfps", F.expr(fp_vec_expr(ASSIGN_FP_SCALE)))
+    )
+
+    def best_for(m: int) -> str:
+        # per-subspace argmin: slice the query's quantized components to
+        # the subspace, fold the shared exact-integer metric (PQ_TERM)
+        # against each codeword's dim-sorted comps, argmin via
+        # array_sort on (d2, id)
+        return f"""
+        array_sort(transform(filter(cents, c -> c.m = {m}), c -> struct(
+          aggregate(
+            zip_with(
+              slice(vfps, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM}),
+              c.comps,
+              (v, p) -> {PQ_TERM}),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d2,
+          c.c_label AS c_label)))[0]
+        """
+
+    cols = [F.expr(best_for(m)).alias(f"b_{m}") for m in range(PQ_SUBS)]
+    staged = q.select("vec_id", F.col("label").alias("true_label"), *cols)
+    qdist = None
+    out = []
+    for m in range(PQ_SUBS):
+        out.append(F.col(f"b_{m}.c_label").cast("long").alias(f"code_{m}"))
+        term = F.col(f"b_{m}.d2")
+        qdist = term if qdist is None else qdist + term
+    return staged.select(
+        "vec_id", "true_label", *out, qdist.cast("long").alias("qdist")
     )

@@ -1240,3 +1240,77 @@ def ts_backtest_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_abs").cast("double") / F.col("n_evals")).alias("mae"),
         (F.col("sum_err").cast("double") / F.col("n_evals")).alias("bias"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts-cusum-changepoint — integer-exact CUSUM level-shift detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts-cusum-changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                 CAST(SUM(n_events) AS BIGINT) AS tot FROM d),
+    c AS (
+      SELECT day, n_events,
+             nd * n_events - tot AS sdev,
+             CAST(SUM(nd * n_events - tot) OVER (ORDER BY day)
+                  AS BIGINT) AS cusum
+      FROM d, t
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
+           CAST(sdev AS BIGINT) AS sdev, cusum,
+           abs(cusum) AS abs_cusum,
+           (abs(cusum) = max(abs(cusum)) OVER ()) AS is_changepoint
+    FROM c
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection on the daily event volume: the
+    cumulative sum of deviations from the series mean peaks (in absolute
+    value) at the most likely changepoint — the classic Page/Pettitt
+    statistic that flags WHEN a pipeline's throughput regime shifted,
+    complementing dq-volume-anomaly's single-day outliers.
+
+    Determinism — no division anywhere: the mean-deviation
+    n_d − N/D is scaled by D into the exact integer D·n_d − N, so the
+    CUSUM is an integer running sum and the peak test is integer
+    equality (the dq-volume-anomaly middle-sum trick applied to a
+    running statistic).  Ties at the max flag every tied day — a
+    deterministic set, no arbitrary pick.
+
+    Scale (100 TB): the fact table collapses to one row per day in a
+    single map-side-combinable aggregate; the running sum, global max,
+    and flags all run on that |days|-row summary (bounded — a decade of
+    days is ~3,650 rows; allowlisted in test_plan_properties)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    t = d.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n_events").alias("tot")
+    )
+    sdev = F.col("nd") * F.col("n_events") - F.col("tot")
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.crossJoin(F.broadcast(t)).select(
+        "day",
+        "n_events",
+        sdev.alias("sdev"),
+        F.sum(sdev).over(w_run).alias("cusum"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "sdev",
+        "cusum",
+        F.abs(F.col("cusum")).alias("abs_cusum"),
+        (F.abs(F.col("cusum")) == F.max(F.abs(F.col("cusum"))).over(w_all)).alias(
+            "is_changepoint"
+        ),
+    )

@@ -61,9 +61,8 @@ SWEEP_PRIORITY: list[str] = [
     "layout-bucketed-join",      # superseded-tag cleanup + pid-dir probe
     # -- tier 1c: NEW r11 operators (never driver-checked) ----------------
     "dq-distribution-psi",       # population-stability index drift score
-    # -- tier 1d: env sentinels (r10-green; keep one libm + one repr) -----
-    "fn-canary-ln-int",
-    "fn-canary-double-repr",
+    "sim-rp-projection",         # exact-integer JL sign projection
+    "agg-bitmap-distinct",       # popcount-exact distinct via bitmap words
     # -- tier 2: the r7 stale-evidence cohort (VERDICT r10 #1) ------------
     # numerically-sensitive first, then plumbing
     "text-lm-score", "ts-twap", "graph-pagerank", "graph-triangles",
@@ -94,7 +93,17 @@ SWEEP_PRIORITY: list[str] = [
 # regression signal) — then the remaining r10-green canaries, then the
 # r8-evidence cohort (stalest after this round's r7 drain).
 SWEEP_DEFER: list[str] = [
+    # these three are r11-new but the head is full at 50 (the 43-query r7
+    # drain takes priority per VERDICT r10 #1) — each is 3-SF hash-swept,
+    # Python-parity-tested, and /verify-driven locally; they lead the r12
+    # driver seed from here
+    "dq-freshness",
+    "sim-pq-encode",
+    "ts-cusum-changepoint",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
+    # the full canary split is r10-green (freshest evidence in the
+    # registry); it re-arms from here whenever a numeric class wobbles
+    "fn-canary-ln-int", "fn-canary-double-repr",
     "fn-canary-ln-ratio", "fn-canary-sqrt", "fn-canary-pow",
     "fn-canary-exp", "fn-canary-dcast",
     # r8-evidence cohort (latest driver row is round 8)

@@ -74,9 +74,13 @@ _BOUNDED_NESTED_LOOP_OK = {
     # verification are equi-joins
     "dedup-incremental-near",
     # same 1-row boundary broadcast (max(vec_id) div 2 splits the corpus
-    # into reference/held-out halves); the centroid scoring join itself
-    # is an equi-join on the dim key
+    # into reference/held-out halves); since r11 the scoring itself is a
+    # per-row array fold over a ONE-ROW broadcast codebook (a second
+    # bounded 1-row broadcast, not an all-pairs join)
     "sim-centroid-assign",
+    # identical shape: 1-row cap broadcast + 1-row PQ-codebook broadcast;
+    # the per-subspace argmin is a per-row array expression, no join
+    "sim-pq-encode",
 }
 
 
@@ -178,6 +182,9 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # PSI total (unbounded-frame sum) + rank, both over the same
     # |event_type|-row share summary (quality.py dq_distribution_psi)
     "dq-distribution-psi": 2,
+    # CUSUM running sum + global peak over the |days|-row volume
+    # summary (bounded; timeseries.py ts_cusum_changepoint)
+    "ts-cusum-changepoint": 2,
     # shift rank over the |dims|-row centroid summary (bounded by the
     # embedding dimensionality; quality.py dq_embedding_drift)
     "dq-embedding-drift": 1,

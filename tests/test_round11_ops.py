@@ -185,3 +185,220 @@ def test_frame_sample_plan_accepts_injected_real_decoder(spark, sf_dir):
         # mapInPandas preserves within-partition row order → per-doc
         # frame sequence arrives exactly as the kernel emitted it
         assert by_doc[doc_id] == frames, doc_id
+
+
+# ---------------------------------------------------------------------------
+# agg-bitmap-distinct: popcount result equals a plain count(distinct)
+# ---------------------------------------------------------------------------
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    """The bitmap-word popcount must give EXACTLY count(distinct) —
+    same answer, different (map-side-combinable) physics — and n_words
+    must equal the distinct word count (the bitmap's true shuffle
+    grain)."""
+    from merl_etl_spark.operators.freq import BITMAP_WORD
+    from merl_etl_spark.sources.tables import load_table
+
+    got = {
+        r["event_type"]: (r["n_events"], r["n_users"], r["n_words"])
+        for r in QUERIES["agg-bitmap-distinct"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ref = {
+        r["event_type"]: (r["n"], r["nu"], r["nw"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("nu"),
+            F.countDistinct(F.expr(f"user_id DIV {BITMAP_WORD}")).alias("nw"),
+        )
+        .collect()
+    }
+    assert got == ref and got
+
+
+# ---------------------------------------------------------------------------
+# sim-rp-projection: pure-map plan + Python parity
+# ---------------------------------------------------------------------------
+
+def test_rp_projection_is_shuffle_free_and_matches_python(spark, sf_dir):
+    """The JL projection must be a PURE MAP — zero shuffle exchanges
+    anywhere (the literal sign arrays make it embarrassingly parallel;
+    this is the property the operator exists for at 100 TB) — and every
+    projected component must equal a plain-Python fixed-point
+    recomputation, including the sign-LSH bucket."""
+    import math
+
+    from merl_etl_spark.operators.similarity import (
+        RP_DIMS,
+        RP_FP_SCALE,
+        _rp_sign,
+    )
+    from merl_etl_spark.sources.tables import load_table
+
+    df = QUERIES["sim-rp-projection"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    emb = {r["vec_id"]: r for r in load_table(spark, sf_dir, "embeddings").collect()}
+    for r in df.collect():
+        e = emb[r["vec_id"]]
+        vfp = [math.floor(float(x) * RP_FP_SCALE) for x in e["embedding"]]
+        bucket = 0
+        for j in range(RP_DIMS):
+            rp = sum(
+                v * _rp_sign(d + 1, j) for d, v in enumerate(vfp)
+            )
+            assert r[f"rp_{j}"] == rp, (r["vec_id"], j)
+            if rp >= 0:
+                bucket += 1 << j
+        assert r["rp_bucket"] == bucket and r["label"] == e["label"]
+
+
+# ---------------------------------------------------------------------------
+# sim-pq-encode: Python parity (per-subspace exact-integer argmin)
+# ---------------------------------------------------------------------------
+
+def test_pq_encode_matches_python_reference(spark, sf_dir):
+    """Recompute the PQ codes in Python: quantize at ASSIGN_FP_SCALE,
+    build per-(subspace, label) fixed-point centroid sums from the
+    reference half, take the per-subspace integer-metric argmin with the
+    (d2, label) tie-break, and compare every code and the total
+    quantization distance exactly — the sim-centroid-assign parity test
+    extended to the subspace split."""
+    import math
+    from collections import Counter, defaultdict
+
+    from merl_etl_spark.operators.similarity import (
+        ASSIGN_FP_SCALE,
+        PQ_SUBDIM,
+        PQ_SUBS,
+    )
+    from merl_etl_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    cap = max(r["vec_id"] for r in rows) // 2
+    ndim = len(rows[0]["embedding"])
+    sums: dict[int, list[int]] = defaultdict(lambda: [0] * ndim)
+    ns: dict[int, int] = Counter()
+    for r in rows:
+        if r["vec_id"] > cap:
+            continue
+        fp = [math.floor(float(x) * ASSIGN_FP_SCALE) for x in r["embedding"]]
+        sums[r["label"]] = [a + b for a, b in zip(sums[r["label"]], fp)]
+        ns[r["label"]] += 1
+    expect = {}
+    for r in rows:
+        if r["vec_id"] <= cap:
+            continue
+        vfp = [math.floor(float(x) * ASSIGN_FP_SCALE) for x in r["embedding"]]
+        codes, qdist = [], 0
+        for m in range(PQ_SUBS):
+            lo = m * PQ_SUBDIM
+            best = None
+            for lbl in sorted(ns):
+                n, s = ns[lbl], sums[lbl]
+                d2 = sum(
+                    (abs(v * n - si) // n) ** 2
+                    for v, si in zip(vfp[lo : lo + PQ_SUBDIM], s[lo : lo + PQ_SUBDIM])
+                )
+                if best is None or (d2, lbl) < best:
+                    best = (d2, lbl)
+            codes.append(best[1])
+            qdist += best[0]
+        expect[r["vec_id"]] = (r["label"], codes, qdist)
+
+    got = QUERIES["sim-pq-encode"](spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        lbl, codes, qdist = expect[r["vec_id"]]
+        assert r["true_label"] == lbl
+        assert [r[f"code_{m}"] for m in range(PQ_SUBS)] == codes, r["vec_id"]
+        assert r["qdist"] == qdist, r["vec_id"]
+
+
+# ---------------------------------------------------------------------------
+# ts-cusum-changepoint: Python parity
+# ---------------------------------------------------------------------------
+
+def test_cusum_matches_python_reference(spark, sf_dir):
+    """Integer CUSUM recomputed in pure Python over the daily counts:
+    scaled deviations D*n_d - N, running sum in day order, changepoint =
+    every day whose |cusum| equals the global max."""
+    from collections import Counter
+
+    from merl_etl_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "events").select("ts").collect()
+    per_day = Counter(r["ts"].date() for r in rows if r["ts"] is not None)
+    days = sorted(per_day)
+    nd, tot = len(days), sum(per_day.values())
+    cusum, acc, expect = {}, 0, {}
+    for d in days:
+        sdev = nd * per_day[d] - tot
+        acc += sdev
+        cusum[d] = (per_day[d], sdev, acc)
+    peak = max(abs(c) for _, _, c in cusum.values())
+    got = QUERIES["ts-cusum-changepoint"](spark, sf_dir).collect()
+    assert len(got) == nd
+    flagged = 0
+    for r in got:
+        import datetime as dt
+
+        d = dt.date.fromisoformat(r["day"])
+        n, sdev, c = cusum[d]
+        assert (r["n_events"], r["sdev"], r["cusum"]) == (n, sdev, c)
+        assert r["abs_cusum"] == abs(c)
+        assert r["is_changepoint"] == (abs(c) == peak)
+        flagged += r["is_changepoint"]
+    assert flagged >= 1
+    # the running sum of scaled deviations telescopes to zero
+    assert sum(r["sdev"] for r in got) == 0
+
+
+# ---------------------------------------------------------------------------
+# dq-freshness: Python parity
+# ---------------------------------------------------------------------------
+
+def test_freshness_matches_python_reference(spark, sf_dir):
+    """Recompute the freshness surface in Python over the collected
+    timestamps: per-feed last event, whole-second epoch-floor lag vs
+    the stream head, 24 h window count, SLA flag."""
+    import datetime as dt
+
+    from merl_etl_spark.operators.quality import FRESH_SLA_MIN
+    from merl_etl_spark.sources.tables import load_table
+
+    rows = [
+        r
+        for r in load_table(spark, sf_dir, "events")
+        .select("ts", "event_type")
+        .collect()
+        if r["ts"] is not None
+    ]
+    gmax = max(r["ts"] for r in rows)
+    epoch = dt.datetime(1970, 1, 1)
+
+    def esec(t):
+        return int((t - epoch).total_seconds() // 1)
+
+    per = {}
+    for r in rows:
+        st = per.setdefault(r["event_type"], [0, None, 0])
+        st[0] += 1
+        st[1] = r["ts"] if st[1] is None or r["ts"] > st[1] else st[1]
+        st[2] += r["ts"] >= gmax - dt.timedelta(hours=24)
+    got = QUERIES["dq-freshness"](spark, sf_dir).collect()
+    assert len(got) == len(per)
+    head_feeds = 0
+    for r in got:
+        n, last, n24 = per[r["event_type"]]
+        lag = (esec(gmax) - esec(last)) // 60
+        assert (r["n_events"], r["n_last_24h"]) == (n, n24)
+        assert r["last_ts"] == last.strftime("%Y-%m-%d %H:%M:%S")
+        assert r["last_epoch_s"] == esec(last)
+        assert r["lag_minutes"] == lag
+        assert r["is_stale"] == (lag > FRESH_SLA_MIN)
+        head_feeds += r["lag_minutes"] == 0
+    # the feed carrying the stream head is by definition fresh
+    assert head_feeds >= 1

@@ -49,6 +49,35 @@ def ensure_corpus(spark):
     emb.repartition(32).write.mode("overwrite").parquet(STRESS_EMB)
 
 
+STRESS_EV = "/tmp/stress100/ev.parquet"
+N_EVENTS = 10_000_000
+
+
+def ensure_events(spark):
+    """Self-provision the 10M-event stress corpus if /tmp was cleared
+    (same schema as the fixture events table; entity-scaled, not
+    copied — the round-6 stress convention)."""
+    if os.path.isdir(STRESS_EV):
+        return
+    types = "array('view', 'click', 'purchase', 'signup', 'error')"
+    ev = spark.range(0, N_EVENTS).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestampadd(SECOND, CAST(id % 2592000 AS INT), "
+            "TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+        ).alias("ts"),
+        F.expr("pmod(xxhash64(id), 500000)").alias("user_id"),
+        F.expr(f"element_at({types}, CAST(pmod(xxhash64(id + 7), 5) AS INT) + 1)").alias(
+            "event_type"
+        ),
+        F.expr("CAST(pmod(xxhash64(id + 13), 10000) AS DOUBLE) / 100.0").alias(
+            "value"
+        ),
+        F.lit('{"k": 1}').alias("props"),
+    )
+    ev.repartition(32).write.mode("overwrite").parquet(STRESS_EV)
+
+
 def forced(label, df):
     t0 = time.perf_counter()
     row = df.agg(
@@ -66,13 +95,22 @@ def main():
     spark = get_spark("stress_r11", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     load_all()
     ensure_corpus(spark)
+    ensure_events(spark)
 
     def patched(spark_, sf_dir, name):
         if name == "embeddings":
             return spark_.read.parquet(STRESS_EMB)
+        if name == "events":
+            return spark_.read.parquet(STRESS_EV)
         return orig_load(spark_, sf_dir, name)
 
-    similarity.load_table = patched
+    import merl_etl_spark.operators.freq as freq
+    import merl_etl_spark.operators.quality as quality
+    import merl_etl_spark.operators.timeseries as timeseries
+
+    mods = (similarity, freq, quality, timeseries)
+    for mod in mods:
+        mod.load_table = patched
     try:
         df = QUERIES["sim-centroid-assign"](spark, "/root/testdata/sf0.1")
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -82,8 +120,34 @@ def main():
         n_exchanges = plan.count("Exchange hashpartitioning")
         print(f"hash exchanges in plan: {n_exchanges}", flush=True)
         forced("sim-centroid-assign 500k x 64d x 10c", df)
+        # round-11 new ops at the same stress scales
+        forced(
+            "sim-rp-projection 500k x 64d -> 8d",
+            QUERIES["sim-rp-projection"](spark, "/root/testdata/sf0.1"),
+        )
+        forced(
+            "agg-bitmap-distinct 10M events",
+            QUERIES["agg-bitmap-distinct"](spark, "/root/testdata/sf0.1"),
+        )
+        forced(
+            "dq-distribution-psi 10M events",
+            QUERIES["dq-distribution-psi"](spark, "/root/testdata/sf0.1"),
+        )
+        forced(
+            "dq-freshness 10M events",
+            QUERIES["dq-freshness"](spark, "/root/testdata/sf0.1"),
+        )
+        forced(
+            "sim-pq-encode 500k x 64d, 8 subspaces x 10 codes",
+            QUERIES["sim-pq-encode"](spark, "/root/testdata/sf0.1"),
+        )
+        forced(
+            "ts-cusum-changepoint 10M events",
+            QUERIES["ts-cusum-changepoint"](spark, "/root/testdata/sf0.1"),
+        )
     finally:
-        similarity.load_table = orig_load
+        for mod in mods:
+            mod.load_table = orig_load
 
 
 if __name__ == "__main__":
