@@ -171,6 +171,8 @@ HEADLINE = [
     "dq-freshness",
     "sim-pq-encode",
     "ts-cusum-changepoint",
+    "curate-canonical-keep",
+    "dq-profile-drift",
 ]
 
 

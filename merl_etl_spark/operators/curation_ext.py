@@ -926,3 +926,83 @@ def curate_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-canonical-keep — quality-ranked survivorship per duplicate cluster
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curate-canonical-keep",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, n_chars, source,
+             md5(trim(regexp_replace(lower(text),
+                                     '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))
+               AS content_key
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, content_key, n_chars, source,
+             CAST(count(*) OVER (PARTITION BY content_key) AS BIGINT)
+               AS dup_count,
+             row_number() OVER (PARTITION BY content_key
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM n
+    )
+    SELECT doc_id, content_key, dup_count, n_chars, source,
+           (rn = 1) AS is_canonical,
+           CASE WHEN rn = 1 THEN 'keep' ELSE 'drop' END AS action
+    FROM r
+    """,
+)
+def curate_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked survivorship: documents cluster by their
+    CANONICAL-form digest (the dedup-normalized key: casefold +
+    whitespace collapse), and each cluster keeps its highest-quality
+    member — longest raw form first (most formatting preserved), doc_id
+    as the total-order tie-break — emitting the full per-document
+    disposition ledger (keep/drop), not just the survivors.  This is
+    the survivorship step real curation pipelines run between candidate
+    generation and the write: dedup-normalized answers "which clusters
+    have copies", THIS op answers "which exact copy do we train on"
+    (the curate-url-dedup ledger pattern applied to content clusters;
+    complementary to curate-semdedup-keep's embedding medoids and
+    curate-softdedup-weights' down-weighting).
+
+    Determinism: the digest is the shared NORM_HASH lockstep expression;
+    the rank order (n_chars DESC, doc_id) is total — ties cannot split.
+    Scale (100 TB): one map-side digest + ONE shuffle at cluster
+    cardinality; the rank window is partitioned by cluster (bounded by
+    the largest duplicate family, the same partitioning every dedup
+    tier already relies on), and the ledger is a map over the ranked
+    rows — no second scan, no global sort."""
+    from merl_etl_spark.operators.dedup import norm_hash_spark
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "source", norm_hash_spark().alias("content_key")
+    )
+    w_c = Window.partitionBy("content_key")
+    w_r = Window.partitionBy("content_key").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    r = docs.select(
+        "doc_id",
+        "content_key",
+        F.count(F.lit(1)).over(w_c).alias("dup_count"),
+        "n_chars",
+        "source",
+        F.row_number().over(w_r).alias("rn"),
+    )
+    return r.select(
+        "doc_id",
+        "content_key",
+        "dup_count",
+        "n_chars",
+        "source",
+        (F.col("rn") == 1).alias("is_canonical"),
+        F.when(F.col("rn") == 1, F.lit("keep")).otherwise(F.lit("drop")).alias(
+            "action"
+        ),
+    )

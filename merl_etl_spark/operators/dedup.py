@@ -914,6 +914,22 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# canonical-form digest shared by dedup-normalized and
+# curate-canonical-keep: casefold + whitespace collapse + trim, md5'd.
+# Explicit whitespace class, NOT \s: Java's \s includes vertical tab
+# while DuckDB's RE2 \s does not (review r6c finding).
+NORM_HASH_DUCK = (
+    "md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))"
+)
+
+
+def norm_hash_spark() -> F.Column:
+    """Spark twin of NORM_HASH_DUCK (single-source lockstep rule)."""
+    return F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\r\f\x0B]+", " "))
+    )
+
+
 @register(
     "dedup-normalized",
     oracle="""
@@ -943,14 +959,8 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (punctuation stripping, unicode NFKC) extend the same expression
     without changing the plan."""
     docs = load_table(spark, sf_dir, "documents")
-    # explicit whitespace class, NOT \s: Java's \s includes vertical tab
-    # while DuckDB's RE2 \s does not (review r6c finding — a \x0B in any
-    # document would hash differently per engine)
-    norm = F.md5(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\r\f\x0B]+", " "))
-    )
     return (
-        docs.select(norm.alias("norm_hash"), "doc_id")
+        docs.select(norm_hash_spark().alias("norm_hash"), "doc_id")
         .groupBy("norm_hash")
         .agg(
             F.min("doc_id").alias("keeper_doc_id"),

@@ -1159,3 +1159,115 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         shift.alias("shift"),
         F.row_number().over(w).cast("long").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq-profile-drift — per-COLUMN profile drift between the stream halves
+# ---------------------------------------------------------------------------
+
+# the profiled event columns (event_id is the split key itself)
+PROFILE_DRIFT_COLS = ["ts", "user_id", "event_type", "value", "props"]
+
+
+@register(
+    "dq-profile-drift",
+    oracle=f"""
+    WITH cap AS (SELECT max(event_id) // 2 AS cap FROM events),
+    u AS (
+      {" UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS val, "
+        f"(event_id <= cap) AS is_ref FROM events, cap"
+        for c in ["ts", "user_id", "event_type", "value", "props"]
+      )}
+    ),
+    g AS (
+      SELECT col, is_ref,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct
+      FROM u GROUP BY 1, 2
+    )
+    SELECT col,
+           CAST(SUM(CASE WHEN is_ref THEN n ELSE 0 END) AS BIGINT) AS ref_n,
+           CAST(SUM(CASE WHEN NOT is_ref THEN n ELSE 0 END) AS BIGINT) AS cur_n,
+           CAST(SUM(CASE WHEN is_ref THEN n_null ELSE 0 END) AS BIGINT)
+             AS ref_nulls,
+           CAST(SUM(CASE WHEN NOT is_ref THEN n_null ELSE 0 END) AS BIGINT)
+             AS cur_nulls,
+           CAST(SUM(CASE WHEN is_ref THEN n_distinct ELSE 0 END) AS BIGINT)
+             AS ref_distinct,
+           CAST(SUM(CASE WHEN NOT is_ref THEN n_distinct ELSE 0 END) AS BIGINT)
+             AS cur_distinct,
+           CAST(SUM(CASE WHEN NOT is_ref THEN n_null ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN NOT is_ref THEN n ELSE 0 END) AS DOUBLE)
+           - CAST(SUM(CASE WHEN is_ref THEN n_null ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN is_ref THEN n ELSE 0 END) AS DOUBLE)
+             AS null_rate_drift,
+           CAST(SUM(CASE WHEN NOT is_ref THEN n_distinct ELSE 0 END)
+                - SUM(CASE WHEN is_ref THEN n_distinct ELSE 0 END) AS BIGINT)
+             AS distinct_drift
+    FROM g GROUP BY 1
+    """,
+)
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-level profile drift between the reference and current
+    halves of the event stream: per COLUMN — row count, null count,
+    exact distinct count, null-rate delta, distinct-count delta.  The
+    companion to dq-distribution-drift/-psi one level up: those watch
+    one categorical's VALUE mix, this watches every column's SHAPE
+    (nulls exploding, cardinality collapsing — the classic symptoms of
+    an upstream producer dropping a field or freezing an enum).
+
+    Determinism: counts are exact integers (distinctness is counted on
+    each engine's own string rendering — injective per engine, so the
+    COUNTS agree even where renderings differ); the null-rate drift is
+    IEEE arithmetic over exact integers.
+
+    Scale (100 TB): the unpivot multiplies rows by |cols| but feeds a
+    two-level aggregate — groupBy (col, half, val) partial-dedups
+    MAP-SIDE, so the shuffle carries one row per distinct value per
+    column per task (cardinality-bounded, not row-bounded), and the
+    final rollup runs at |cols|×2 grain.  This is the same physics as
+    profile-columns, split by the stream half."""
+    all_events = load_table(spark, sf_dir, "events")
+    cap = all_events.agg(F.expr("max(event_id) DIV 2").alias("cap"))
+    stack_expr = "stack({n}, {args}) AS (col, val)".format(
+        n=len(PROFILE_DRIFT_COLS),
+        args=", ".join(
+            f"'{c}', CAST({c} AS STRING)" for c in PROFILE_DRIFT_COLS
+        ),
+    )
+    u = all_events.crossJoin(F.broadcast(cap)).select(
+        (F.col("event_id") <= F.col("cap")).alias("is_ref"),
+        F.expr(stack_expr),
+    )
+    # two-level distinct: (col, half, val) partial-dedups map-side, so
+    # the shuffle is cardinality-bounded
+    lv1 = u.groupBy("col", "is_ref", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    g = lv1.groupBy("col", "is_ref").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(0)).alias(
+            "n_null"
+        ),
+        F.count(F.when(F.col("val").isNotNull(), 1)).alias("n_distinct"),
+    )
+    ref = F.when(F.col("is_ref"), F.col("n")).otherwise(0)
+    cur = F.when(~F.col("is_ref"), F.col("n")).otherwise(0)
+    refnull = F.when(F.col("is_ref"), F.col("n_null")).otherwise(0)
+    curnull = F.when(~F.col("is_ref"), F.col("n_null")).otherwise(0)
+    refd = F.when(F.col("is_ref"), F.col("n_distinct")).otherwise(0)
+    curd = F.when(~F.col("is_ref"), F.col("n_distinct")).otherwise(0)
+    return g.groupBy("col").agg(
+        F.sum(ref).alias("ref_n"),
+        F.sum(cur).alias("cur_n"),
+        F.sum(refnull).alias("ref_nulls"),
+        F.sum(curnull).alias("cur_nulls"),
+        F.sum(refd).alias("ref_distinct"),
+        F.sum(curd).alias("cur_distinct"),
+        (
+            F.sum(curnull).cast("double") / F.sum(cur).cast("double")
+            - F.sum(refnull).cast("double") / F.sum(ref).cast("double")
+        ).alias("null_rate_drift"),
+        (F.sum(curd) - F.sum(refd)).cast("long").alias("distinct_drift"),
+    )

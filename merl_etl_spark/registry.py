@@ -93,13 +93,15 @@ SWEEP_PRIORITY: list[str] = [
 # regression signal) — then the remaining r10-green canaries, then the
 # r8-evidence cohort (stalest after this round's r7 drain).
 SWEEP_DEFER: list[str] = [
-    # these three are r11-new but the head is full at 50 (the 43-query r7
+    # these five are r11-new but the head is full at 50 (the 43-query r7
     # drain takes priority per VERDICT r10 #1) — each is 3-SF hash-swept,
     # Python-parity-tested, and /verify-driven locally; they lead the r12
     # driver seed from here
     "dq-freshness",
     "sim-pq-encode",
     "ts-cusum-changepoint",
+    "curate-canonical-keep",
+    "dq-profile-drift",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles

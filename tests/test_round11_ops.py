@@ -402,3 +402,73 @@ def test_freshness_matches_python_reference(spark, sf_dir):
         head_feeds += r["lag_minutes"] == 0
     # the feed carrying the stream head is by definition fresh
     assert head_feeds >= 1
+
+
+# ---------------------------------------------------------------------------
+# curate-canonical-keep: survivorship invariants
+# ---------------------------------------------------------------------------
+
+def test_canonical_keep_survivorship_invariants(spark, sf_dir):
+    """Every document appears exactly once in the ledger; every cluster
+    keeps EXACTLY one member; the keeper dominates its cluster on
+    (n_chars DESC, doc_id ASC); dup_count equals the cluster size; and
+    the keeper set matches a pure-Python recomputation on the shared
+    normalization key."""
+    import hashlib
+    import re
+
+    from merl_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    clusters = {}
+    for r in docs:
+        key = hashlib.md5(
+            re.sub(r"[ \t\n\r\f\x0b]+", " ", r["text"].lower()).strip().encode()
+        ).hexdigest()
+        clusters.setdefault(key, []).append((-r["n_chars"], r["doc_id"]))
+
+    got = QUERIES["curate-canonical-keep"](spark, sf_dir).collect()
+    assert len(got) == len(docs)
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["content_key"], []).append(r)
+    assert set(by_key) == set(clusters)
+    for key, rows in by_key.items():
+        members = clusters[key]
+        assert all(r["dup_count"] == len(members) for r in rows)
+        keeps = [r for r in rows if r["is_canonical"]]
+        assert len(keeps) == 1
+        assert keeps[0]["action"] == "keep"
+        assert keeps[0]["doc_id"] == min(members)[1]
+        assert all(
+            r["action"] == "drop" for r in rows if not r["is_canonical"]
+        )
+
+
+# ---------------------------------------------------------------------------
+# dq-profile-drift: per-column counts match direct recomputation
+# ---------------------------------------------------------------------------
+
+def test_profile_drift_matches_direct_counts(spark, sf_dir):
+    """Each column's per-half row/null/distinct counts must equal a
+    direct per-column Spark recomputation (no unpivot, no string cast —
+    proving the stacked two-level-distinct form changes physics, not
+    answers)."""
+    from merl_etl_spark.operators.quality import PROFILE_DRIFT_COLS
+    from merl_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cap = ev.agg(F.expr("max(event_id) DIV 2").alias("cap")).collect()[0]["cap"]
+    got = {r["col"]: r for r in QUERIES["dq-profile-drift"](spark, sf_dir).collect()}
+    assert set(got) == set(PROFILE_DRIFT_COLS)
+    for c in PROFILE_DRIFT_COLS:
+        for half, pfx in ((F.col("event_id") <= cap, "ref"), (F.col("event_id") > cap, "cur")):
+            ref = ev.where(half).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("nn"),
+                F.countDistinct(c).alias("nd"),
+            ).collect()[0]
+            assert got[c][f"{pfx}_n"] == ref["n"], (c, pfx)
+            assert got[c][f"{pfx}_nulls"] == (ref["nn"] or 0), (c, pfx)
+            assert got[c][f"{pfx}_distinct"] == ref["nd"], (c, pfx)
+        assert got[c]["distinct_drift"] == got[c]["cur_distinct"] - got[c]["ref_distinct"]
