@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from merl_etl_spark.operators.dedup import (
     DUCK_SHINGLES,
+    NORM_HASH_DUCK,
     md5_bucket_duck,
     md5_bucket_spark,
     ngram_shingles_expr,
@@ -935,12 +936,10 @@ def curate_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "curate-canonical-keep",
-    oracle="""
+    oracle=f"""
     WITH n AS (
       SELECT doc_id, n_chars, source,
-             md5(trim(regexp_replace(lower(text),
-                                     '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))
-               AS content_key
+             {NORM_HASH_DUCK} AS content_key
       FROM documents
     ),
     r AS (

@@ -932,11 +932,9 @@ def norm_hash_spark() -> F.Column:
 
 @register(
     "dedup-normalized",
-    oracle="""
+    oracle=f"""
     WITH n AS (
-      SELECT doc_id,
-             md5(trim(regexp_replace(lower(text),
-                                     '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS norm_hash
+      SELECT doc_id, {NORM_HASH_DUCK} AS norm_hash
       FROM documents
     )
     SELECT norm_hash,
