@@ -105,6 +105,99 @@ def test_dedup_similarity_tier_stays_equi_join_only(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, name
 
 
+# Queries whose nested-loop BROADCAST side is bounded by something the
+# mechanical marker scan below cannot prove (no global aggregate, no
+# limit node in the broadcast subtree) — each entry must say WHY the
+# side is bounded.
+_UNBOUNDED_BNLJ_MARKER_OK = {
+    # broadcast side = the SIM_NQUERY-row query set (vec_id < 5 filter
+    # over the embeddings scan): bounded by the documented query-set
+    # contract, not by a plan node the scanner can see
+    "sim-topk-cosine",
+    # broadcast side = the 3-row CAMPAIGNS driver literal; Python
+    # createDataFrame plans as RDDScanExec, which the scanner cannot
+    # distinguish from an unbounded input (joins.py join_range_interval)
+    "join-range-interval",
+}
+
+_BNLJ_BOUNDED_MARKERS = {
+    "GlobalLimitExec",
+    "TakeOrderedAndProjectExec",
+    "CollectLimitExec",
+    "LocalTableScanExec",
+}
+_BNLJ_AGG_NODES = {
+    "HashAggregateExec",
+    "SortAggregateExec",
+    "ObjectHashAggregateExec",
+}
+
+
+def _bnlj_offenders(df) -> list:
+    """Every BroadcastNestedLoopJoin in the plan whose BROADCAST side
+    carries no boundedness marker: a grouping-free (global, 1-row)
+    aggregate, a limit/top-k node, or a local relation.  ReusedExchange
+    passes — its original subtree is checked where it appears."""
+
+    def bounded(node) -> bool:
+        nm = node.getClass().getSimpleName()
+        if nm in _BNLJ_BOUNDED_MARKERS or nm == "ReusedExchangeExec":
+            return True
+        if nm in _BNLJ_AGG_NODES and node.groupingExpressions().isEmpty():
+            return True
+        it = node.children().iterator()
+        while it.hasNext():
+            if bounded(it.next()):
+                return True
+        return False
+
+    bad = []
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        nm = node.getClass().getSimpleName()
+        if nm == "AdaptiveSparkPlanExec":
+            stack.append(node.initialPlan())
+            continue
+        kids = []
+        it = node.children().iterator()
+        while it.hasNext():
+            kids.append(it.next())
+        if nm == "BroadcastNestedLoopJoinExec":
+            bcast = [
+                k
+                for k in kids
+                if k.getClass().getSimpleName().startswith(
+                    ("BroadcastExchange", "BroadcastQueryStage", "ReusedExchange")
+                )
+            ]
+            if not bcast or not all(bounded(b) for b in bcast):
+                bad.append(nm)
+        stack.extend(kids)
+    return bad
+
+
+def test_every_nested_loop_join_broadcasts_a_bounded_side(spark, sf_dir):
+    """Registry-wide nested-loop gate (the README's 'anywhere in the
+    registry' claim, now actually enforced): a BroadcastNestedLoopJoin
+    is only acceptable when its broadcast side is provably bounded —
+    the 1-row scalar-boundary crossJoins (cap/totals/codebooks, global
+    aggregates), top-k pools (limit nodes), or local literals.  A NEW
+    nested-loop join against an UNBOUNDED side (the O(n²) regression
+    class this gate exists for) fails here no matter which operator
+    family it appears in; genuinely-bounded-but-unprovable sides go in
+    _UNBOUNDED_BNLJ_MARKER_OK with a written reason."""
+    skip = {"src-blockcursor-replay"}  # driver-side drain at construction
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in skip or name in _UNBOUNDED_BNLJ_MARKER_OK:
+            continue
+        bad = _bnlj_offenders(fn(spark, sf_dir))
+        if bad:
+            offenders[name] = len(bad)
+    assert not offenders, offenders
+
+
 def test_column_pruning_on_projection(spark, sf_dir):
     """A 4-column projection over events must not read props (the widest
     column) — ReadSchema is the scan's actual column set."""
