@@ -173,6 +173,8 @@ HEADLINE = [
     "ts-cusum-changepoint",
     "curate-canonical-keep",
     "dq-profile-drift",
+    "analytics-decayed-engagement",
+    "analytics-new-returning",
 ]
 
 

@@ -1180,3 +1180,165 @@ def analytics_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFra
         F.when(in_window, F.expr(f"(unix_micros(ts) - touch_us) DIV 1000000"))
         .alias("gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics-decayed-engagement — recency-weighted per-user activity score
+# ---------------------------------------------------------------------------
+
+# exponential-decay half-life in days: an event 7 days older counts half
+DECAY_HALFLIFE_D = 7
+
+
+@register(
+    "analytics-decayed-engagement",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    ud AS (
+      SELECT user_id, day, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2
+    ),
+    head AS (SELECT max(day) AS maxd FROM e),
+    w AS (
+      -- ONE libm pow per DISTINCT day (|days| rows), frozen once at
+      -- 6 dp as decimal — the dsir/psi single-round contract; pow is
+      -- the r10-green canary class
+      SELECT d.day,
+             CAST(round(pow(CAST(0.5 AS DOUBLE),
+                            CAST(date_diff('day', d.day, head.maxd) AS DOUBLE)
+                            / CAST({DECAY_HALFLIFE_D} AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS wday
+      FROM (SELECT DISTINCT day FROM e) d, head
+    )
+    SELECT ud.user_id,
+           CAST(SUM(ud.n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS active_days,
+           strftime(max(ud.day), '%Y-%m-%d') AS last_day,
+           CAST(CAST(SUM(ud.n * w.wday) AS DECIMAL(38,6)) AS DOUBLE)
+             AS engagement
+    FROM ud JOIN w USING (day)
+    GROUP BY 1
+    """,
+)
+def analytics_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score per user: each event
+    contributes 0.5^(age_days / half-life) relative to the stream head
+    — the standard feature-store 'decayed activity' signal that makes a
+    burst last week outrank the same burst last year, alongside the raw
+    count and span.
+
+    Determinism — the frozen-decimal pattern on a NEW axis: the ONLY
+    libm call (pow, an r10-green canary class) runs once per DISTINCT
+    DAY on the bounded |days|-row summary, is rounded ONCE at 6 dp and
+    frozen as DECIMAL(18,6); the per-user score is then an exact
+    integer-weighted decimal sum (order-independent at any DOP), DOUBLE
+    only at the output boundary.  Day ages are integer date diffs.
+
+    Scale (100 TB): one (user, day) keyed aggregate (map-side partials)
+    over one scan, the |days|-row weight table broadcast back, one
+    user-keyed rollup — no window, no per-event transcendental, no
+    state beyond the two keyed aggregates."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", F.to_date("ts").alias("day"))
+    ud = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    head = e.agg(F.max("day").alias("maxd"))
+    days = e.select("day").distinct().crossJoin(F.broadcast(head))
+    w = days.select(
+        "day",
+        F.round(
+            F.pow(
+                F.lit(0.5),
+                F.datediff(F.col("maxd"), F.col("day")).cast("double")
+                / F.lit(float(DECAY_HALFLIFE_D)),
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("wday"),
+    )
+    return (
+        ud.join(F.broadcast(w), "day")
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("active_days"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+            F.sum(F.col("n") * F.col("wday"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("engagement"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics-new-returning — daily acquisition split of the active base
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics-new-returning",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    first AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1)
+    SELECT strftime(e.day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN e.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN e.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning,
+           CAST(SUM(CASE WHEN e.day = f.first_day THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS new_share
+    FROM e JOIN first f USING (user_id)
+    GROUP BY e.day
+    """,
+)
+def analytics_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split of the active user base: for each
+    day, distinct active users, how many were seen for the FIRST time
+    that day, how many returned, and the acquisition share — the DAU
+    decomposition every growth dashboard leads with (the daily
+    complement to analytics-retention-cohort's weekly triangle).
+
+    Determinism: counts are exact integers off one (user, day) distinct
+    grain; new_share is a single IEEE division of exact integers.
+    Scale (100 TB): the (user, day) dedup and the per-user first-day
+    are both map-side-combinable keyed aggregates over ONE scan; the
+    first-day frame shuffles at user cardinality to join the activity
+    grain (co-partitioned on user_id — one exchange each side), and the
+    day rollup is |days|-sized."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = (F.col("day") == F.col("first_day")).cast("int")
+    return (
+        e.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(is_new).alias("n_new"),
+            F.sum((F.col("day") > F.col("first_day")).cast("int")).alias(
+                "n_returning"
+            ),
+            (F.sum(is_new).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "new_share"
+            ),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_active",
+            "n_new",
+            "n_returning",
+            "new_share",
+        )
+    )

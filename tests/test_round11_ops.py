@@ -472,3 +472,80 @@ def test_profile_drift_matches_direct_counts(spark, sf_dir):
             assert got[c][f"{pfx}_nulls"] == (ref["nn"] or 0), (c, pfx)
             assert got[c][f"{pfx}_distinct"] == ref["nd"], (c, pfx)
         assert got[c]["distinct_drift"] == got[c]["cur_distinct"] - got[c]["ref_distinct"]
+
+
+# ---------------------------------------------------------------------------
+# analytics-decayed-engagement: Decimal-reference parity
+# ---------------------------------------------------------------------------
+
+def test_decayed_engagement_matches_decimal_reference(spark, sf_dir):
+    """Recompute the score in Python mirroring the frozen-weight
+    contract: one pow per distinct day, Decimal(float) quantized
+    ROUND_HALF_UP at 6 dp (the exact-binary-expansion rule), exact
+    integer-weighted decimal sums, double boundary."""
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from merl_etl_spark.operators.analytics import DECAY_HALFLIFE_D
+    from merl_etl_spark.sources.tables import load_table
+
+    six = Decimal("0.000001")
+    rows = [
+        r
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .collect()
+        if r["ts"] is not None and r["user_id"] is not None
+    ]
+    per = defaultdict(Counter)
+    for r in rows:
+        per[r["user_id"]][r["ts"].date()] += 1
+    maxd = max(d for c in per.values() for d in c)
+    wday = {
+        d: Decimal(0.5 ** (float((maxd - d).days) / float(DECAY_HALFLIFE_D))).quantize(
+            six, ROUND_HALF_UP
+        )
+        for c in per.values()
+        for d in c
+    }
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["analytics-decayed-engagement"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(per)
+    for uid, days in per.items():
+        r = got[uid]
+        assert r["n_events"] == sum(days.values())
+        assert r["active_days"] == len(days)
+        assert r["last_day"] == max(days).strftime("%Y-%m-%d")
+        score = sum(n * wday[d] for d, n in days.items())
+        assert r["engagement"] == float(score), uid
+
+
+# ---------------------------------------------------------------------------
+# analytics-new-returning: conservation invariants
+# ---------------------------------------------------------------------------
+
+def test_new_returning_conserves_users(spark, sf_dir):
+    """new + returning = active on every day; Σ new over all days =
+    |distinct users| (every user is new exactly once); day 1 is all
+    new; shares are the exact ratio."""
+    got = sorted(
+        QUERIES["analytics-new-returning"](spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert got
+    from merl_etl_spark.sources.tables import load_table
+
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_new"] for r in got) == n_users
+    assert got[0]["n_returning"] == 0
+    for r in got:
+        assert r["n_new"] + r["n_returning"] == r["n_active"]
+        assert r["new_share"] == r["n_new"] / r["n_active"]
