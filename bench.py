@@ -175,6 +175,7 @@ HEADLINE = [
     "dq-profile-drift",
     "analytics-decayed-engagement",
     "analytics-new-returning",
+    "curate-mixture-sample",
 ]
 
 

@@ -1005,3 +1005,133 @@ def curate_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "action"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-mixture-sample — materialize the temperature mixture under a budget
+# ---------------------------------------------------------------------------
+
+# fraction of the corpus token count handed to the mixture as its budget
+MIX_BUDGET_FRAC = 0.5
+# per-million granularity of the deterministic sampling coin
+MIX_PPM = 1_000_000
+
+
+@register(
+    "curate-mixture-sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS src_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total FROM s),
+    w AS (
+      SELECT s.source, s.src_tokens,
+             round(
+               pow(CAST(s.src_tokens AS DOUBLE) / t.total, {MIX_ALPHA})
+               / sum(pow(CAST(s.src_tokens AS DOUBLE) / t.total,
+                         {MIX_ALPHA})) OVER (),
+               6
+             ) AS weight
+      FROM s, t
+    ),
+    r AS (
+      -- per-source keep rate in ppm: min(1, weight * budget / src_tokens)
+      -- computed from the FROZEN 6-dp weight; round() before the BIGINT
+      -- cast (DuckDB casts round, Spark casts truncate)
+      SELECT w.source, w.src_tokens, w.weight,
+             CAST(round(least(CAST(1 AS DOUBLE),
+                              w.weight * CAST({MIX_BUDGET_FRAC} AS DOUBLE)
+                                * t.total / w.src_tokens)
+                        * {MIX_PPM}, 0) AS BIGINT) AS rate_ppm
+      FROM w, t
+    )
+    SELECT d.doc_id, d.source,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           r.weight, r.rate_ppm,
+           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix-seed'),
+                           1, 8))::BIGINT % {MIX_PPM} AS coin_ppm,
+           (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix-seed'),
+                            1, 8))::BIGINT % {MIX_PPM} < r.rate_ppm) AS kept
+    FROM documents d JOIN r USING (source)
+    """,
+)
+def curate_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature-scaled mixture (the EXECUTION half of
+    curate-mixture-weights): hand the mixture a token budget
+    (MIX_BUDGET_FRAC of the corpus), give each source
+    weight × budget tokens, and keep each document by a deterministic
+    md5 coin against its source's keep rate — emitting the full
+    per-document ledger (coin, rate, kept), so the sample is
+    reproducible, auditable, and re-runnable incrementally (a new dump
+    re-flips only its own coins; the curate-quality-sampling coin
+    convention).
+
+    Determinism: the only libm calls are the pow()s of the weight
+    formula, frozen once at 6 dp on the |sources|-row summary (the
+    proven curate-mixture-weights surface); the keep rate becomes an
+    exact INTEGER ppm threshold (round before the BIGINT cast — DuckDB
+    casts round, Spark casts truncate), and every keep decision is an
+    exact integer md5-coin comparison.
+
+    Scale (100 TB): one per-source rollup (map-side partials), the
+    |sources|-row rate table broadcast back over one corpus scan, keep
+    decision is a map — the whole mixture materializes in a single
+    pass with no shuffle of document text."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("src_tokens")
+    )
+    t = s.agg(F.sum("src_tokens").alias("total"))
+    share = F.col("src_tokens").cast("double") / F.col("total")
+    w_all = Window.partitionBy()
+    w = (
+        s.join(F.broadcast(t))
+        .withColumn("p_alpha", F.pow(share, F.lit(MIX_ALPHA)))
+        .select(
+            "source",
+            "src_tokens",
+            "total",
+            F.round(F.col("p_alpha") / F.sum("p_alpha").over(w_all), 6).alias(
+                "weight"
+            ),
+        )
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.col("weight")
+            * F.lit(MIX_BUDGET_FRAC)
+            * F.col("total").cast("double")
+            / F.col("src_tokens").cast("double"),
+        )
+        * MIX_PPM,
+        0,
+    ).cast("long")
+    r = w.select("source", "weight", rate.alias("rate_ppm"))
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix-seed"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % MIX_PPM
+    )
+    return (
+        docs.select("doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+        .join(F.broadcast(r), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "weight",
+            "rate_ppm",
+            coin.alias("coin_ppm"),
+            (coin < F.col("rate_ppm")).alias("kept"),
+        )
+    )

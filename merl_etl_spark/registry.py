@@ -93,7 +93,7 @@ SWEEP_PRIORITY: list[str] = [
 # regression signal) — then the remaining r10-green canaries, then the
 # r8-evidence cohort (stalest after this round's r7 drain).
 SWEEP_DEFER: list[str] = [
-    # these seven are r11-new but the head is full at 50 (the 43-query r7
+    # these eight are r11-new but the head is full at 50 (the 43-query r7
     # drain takes priority per VERDICT r10 #1) — each is 3-SF hash-swept,
     # Python-parity-tested, and /verify-driven locally; they lead the r12
     # driver seed from here
@@ -104,6 +104,7 @@ SWEEP_DEFER: list[str] = [
     "dq-profile-drift",
     "analytics-decayed-engagement",
     "analytics-new-returning",
+    "curate-mixture-sample",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles

@@ -278,6 +278,10 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # CUSUM running sum + global peak over the |days|-row volume
     # summary (bounded; timeseries.py ts_cusum_changepoint)
     "ts-cusum-changepoint": 2,
+    # the temperature-weight normalizer over the |sources|-row summary —
+    # the same bounded pattern as curate-mixture-weights
+    # (curation_ext.py curate_mixture_sample)
+    "curate-mixture-sample": 1,
     # shift rank over the |dims|-row centroid summary (bounded by the
     # embedding dimensionality; quality.py dq_embedding_drift)
     "dq-embedding-drift": 1,

@@ -549,3 +549,46 @@ def test_new_returning_conserves_users(spark, sf_dir):
     for r in got:
         assert r["n_new"] + r["n_returning"] == r["n_active"]
         assert r["new_share"] == r["n_new"] / r["n_active"]
+
+
+# ---------------------------------------------------------------------------
+# curate-mixture-sample: budget/coin invariants
+# ---------------------------------------------------------------------------
+
+def test_mixture_sample_budget_and_coin_invariants(spark, sf_dir):
+    """Every keep decision is exactly coin < rate; coins recompute from
+    hashlib md5; a source's rate is capped at 1.0 (ppm 10^6); the kept
+    token mass per source approaches its weight x budget allocation
+    (within the granularity a finite doc count allows — bounded by the
+    largest doc plus binomial noise, asserted loosely as <=2x)."""
+    import hashlib
+    from collections import defaultdict
+
+    from merl_etl_spark.operators.curation_ext import MIX_BUDGET_FRAC, MIX_PPM
+
+    rows = QUERIES["curate-mixture-sample"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_tokens"] for r in rows)
+    per_src = defaultdict(lambda: [0, 0, None, None])  # kept_tokens, src_tokens, rate, weight
+    for r in rows:
+        coin = (
+            int(
+                hashlib.md5(f"{r['doc_id']}|mix-seed".encode()).hexdigest()[:8], 16
+            )
+            % MIX_PPM
+        )
+        assert r["coin_ppm"] == coin
+        assert r["kept"] == (coin < r["rate_ppm"])
+        assert 0 <= r["rate_ppm"] <= MIX_PPM
+        st = per_src[r["source"]]
+        st[0] += r["n_tokens"] * r["kept"]
+        st[1] += r["n_tokens"]
+        st[2], st[3] = r["rate_ppm"], r["weight"]
+    budget = MIX_BUDGET_FRAC * total
+    for src, (kept_tokens, src_tokens, rate_ppm, weight) in per_src.items():
+        alloc = weight * budget
+        if rate_ppm == MIX_PPM:
+            # saturated source: everything kept, allocation exceeds supply
+            assert kept_tokens == src_tokens
+        else:
+            assert kept_tokens <= 2 * alloc + 1, (src, kept_tokens, alloc)
