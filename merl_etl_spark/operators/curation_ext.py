@@ -301,37 +301,35 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mixture-reweighting temperature (UnifiedQA/Gopher-style alpha)
 MIX_ALPHA = 0.7
 
-
-@register(
-    "curate-mixture-weights",
-    oracle=f"""
-    WITH s AS (
-      SELECT source, count(*) AS n_docs,
+# The temperature-weight formula lives in ONE place per engine (review
+# r11: curate-mixture-sample had copied both the Spark frame and the
+# oracle CTEs — four copies of the formula that could silently drift).
+# Oracle side: CTEs s/t/w ending in the per-source weight table.
+MIX_WEIGHT_CTES = f"""s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
-    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s)
-    SELECT s.source, s.n_docs, s.n_tokens,
-           round(CAST(s.n_tokens AS DOUBLE) / t.total, 6) AS share,
-           round(
-             pow(CAST(s.n_tokens AS DOUBLE) / t.total, {MIX_ALPHA})
-             / sum(pow(CAST(s.n_tokens AS DOUBLE) / t.total, {MIX_ALPHA})) OVER (),
-             6
-           ) AS weight
-    FROM s, t
-    """,
-)
-def curate_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled source mixture weights: per-source token share
-    p_i raised to alpha(=0.7) and renormalized — the standard corpus
-    rebalancing that upweights tail sources without letting any dominate
-    (alpha=1 keeps natural proportions, alpha=0 is uniform).  The
-    per-source rollup is a map-side-partial aggregation; the scalar
-    total and the weight normalizer run over the handful of source rows
-    (one per corpus source — bounded by construction, not by data
-    volume).  Rounded to 6 decimals on both engines so the value hash
-    is insensitive to sub-ulp libm differences."""
-    docs = load_table(spark, sf_dir, "documents")
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s),
+    w AS (
+      SELECT s.source, s.n_docs, s.n_tokens, t.total,
+             round(CAST(s.n_tokens AS DOUBLE) / t.total, 6) AS share,
+             round(
+               pow(CAST(s.n_tokens AS DOUBLE) / t.total, {MIX_ALPHA})
+               / sum(pow(CAST(s.n_tokens AS DOUBLE) / t.total,
+                         {MIX_ALPHA})) OVER (),
+               6
+             ) AS weight
+      FROM s, t
+    )"""
+
+
+def mixture_weight_frame(docs: DataFrame) -> DataFrame:
+    """Spark twin of MIX_WEIGHT_CTES: per-source (n_docs, n_tokens,
+    total, share, weight) with the share and the temperature weight each
+    rounded ONCE at 6 dp — the frozen surface both mixture ops consume.
+    The normalizer window runs over the per-source-row summary (bounded
+    by the source count, not data volume)."""
     s = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
@@ -346,9 +344,35 @@ def curate_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
+            "total",
             F.round(share, 6).alias("share"),
-            F.round(F.col("p_alpha") / F.sum("p_alpha").over(w_all), 6).alias("weight"),
+            F.round(F.col("p_alpha") / F.sum("p_alpha").over(w_all), 6).alias(
+                "weight"
+            ),
         )
+    )
+
+
+@register(
+    "curate-mixture-weights",
+    oracle=f"""
+    WITH {MIX_WEIGHT_CTES}
+    SELECT source, n_docs, n_tokens, share, weight FROM w
+    """,
+)
+def curate_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights: per-source token share
+    p_i raised to alpha(=0.7) and renormalized — the standard corpus
+    rebalancing that upweights tail sources without letting any dominate
+    (alpha=1 keeps natural proportions, alpha=0 is uniform).  The
+    per-source rollup is a map-side-partial aggregation; the scalar
+    total and the weight normalizer run over the handful of source rows
+    (one per corpus source — bounded by construction, not by data
+    volume).  Rounded to 6 decimals on both engines so the value hash
+    is insensitive to sub-ulp libm differences."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_weight_frame(docs).select(
+        "source", "n_docs", "n_tokens", "share", "weight"
     )
 
 
@@ -1017,43 +1041,31 @@ MIX_BUDGET_FRAC = 0.5
 MIX_PPM = 1_000_000
 
 
+_MIX_COIN_DUCK = md5_bucket_duck(
+    "CAST(d.doc_id AS VARCHAR) || '|mix-seed'", MIX_PPM
+)
+
+
 @register(
     "curate-mixture-sample",
     oracle=f"""
-    WITH s AS (
-      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-               AS src_tokens
-      FROM documents GROUP BY source
-    ),
-    t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total FROM s),
-    w AS (
-      SELECT s.source, s.src_tokens,
-             round(
-               pow(CAST(s.src_tokens AS DOUBLE) / t.total, {MIX_ALPHA})
-               / sum(pow(CAST(s.src_tokens AS DOUBLE) / t.total,
-                         {MIX_ALPHA})) OVER (),
-               6
-             ) AS weight
-      FROM s, t
-    ),
+    WITH {MIX_WEIGHT_CTES},
     r AS (
-      -- per-source keep rate in ppm: min(1, weight * budget / src_tokens)
+      -- per-source keep rate in ppm: min(1, weight * budget / n_tokens)
       -- computed from the FROZEN 6-dp weight; round() before the BIGINT
       -- cast (DuckDB casts round, Spark casts truncate)
-      SELECT w.source, w.src_tokens, w.weight,
+      SELECT w.source, w.weight,
              CAST(round(least(CAST(1 AS DOUBLE),
                               w.weight * CAST({MIX_BUDGET_FRAC} AS DOUBLE)
-                                * t.total / w.src_tokens)
+                                * w.total / w.n_tokens)
                         * {MIX_PPM}, 0) AS BIGINT) AS rate_ppm
-      FROM w, t
+      FROM w
     )
     SELECT d.doc_id, d.source,
            CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
            r.weight, r.rate_ppm,
-           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix-seed'),
-                           1, 8))::BIGINT % {MIX_PPM} AS coin_ppm,
-           (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix-seed'),
-                            1, 8))::BIGINT % {MIX_PPM} < r.rate_ppm) AS kept
+           {_MIX_COIN_DUCK} AS coin_ppm,
+           ({_MIX_COIN_DUCK} < r.rate_ppm) AS kept
     FROM documents d JOIN r USING (source)
     """,
 )
@@ -1068,62 +1080,41 @@ def curate_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-flips only its own coins; the curate-quality-sampling coin
     convention).
 
-    Determinism: the only libm calls are the pow()s of the weight
-    formula, frozen once at 6 dp on the |sources|-row summary (the
-    proven curate-mixture-weights surface); the keep rate becomes an
-    exact INTEGER ppm threshold (round before the BIGINT cast — DuckDB
-    casts round, Spark casts truncate), and every keep decision is an
-    exact integer md5-coin comparison.
+    Determinism: the only libm calls are the pow()s of the SHARED
+    weight formula (mixture_weight_frame / MIX_WEIGHT_CTES — one
+    definition per engine, review r11), frozen once at 6 dp on the
+    per-source-row summary; the keep rate becomes an exact INTEGER ppm
+    threshold (round before the BIGINT cast — DuckDB casts round, Spark
+    casts truncate), and every keep decision is an exact integer
+    md5-coin comparison through the shared md5_bucket split.
 
     Scale (100 TB): one per-source rollup (map-side partials), the
-    |sources|-row rate table broadcast back over one corpus scan, keep
+    per-source-row rate table broadcast back over one corpus scan, keep
     decision is a map — the whole mixture materializes in a single
     pass with no shuffle of document text."""
     docs = load_table(spark, sf_dir, "documents")
-    s = docs.groupBy("source").agg(
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("src_tokens")
-    )
-    t = s.agg(F.sum("src_tokens").alias("total"))
-    share = F.col("src_tokens").cast("double") / F.col("total")
-    w_all = Window.partitionBy()
-    w = (
-        s.join(F.broadcast(t))
-        .withColumn("p_alpha", F.pow(share, F.lit(MIX_ALPHA)))
-        .select(
-            "source",
-            "src_tokens",
-            "total",
-            F.round(F.col("p_alpha") / F.sum("p_alpha").over(w_all), 6).alias(
-                "weight"
-            ),
-        )
-    )
+    w = mixture_weight_frame(docs)
     rate = F.round(
         F.least(
             F.lit(1.0),
             F.col("weight")
             * F.lit(MIX_BUDGET_FRAC)
             * F.col("total").cast("double")
-            / F.col("src_tokens").cast("double"),
+            / F.col("n_tokens").cast("double"),
         )
         * MIX_PPM,
         0,
     ).cast("long")
     r = w.select("source", "weight", rate.alias("rate_ppm"))
-    coin = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix-seed"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % MIX_PPM
+    coin = md5_bucket_spark(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|mix-seed")), MIX_PPM
     )
     return (
-        docs.select("doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
         .join(F.broadcast(r), "source")
         .select(
             "doc_id",
