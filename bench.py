@@ -176,6 +176,15 @@ HEADLINE = [
     "analytics-decayed-engagement",
     "analytics-new-returning",
     "curate-mixture-sample",
+    # round-11 wave 6: exact bitmap audience overlap, scalable exact
+    # percentiles, cohort LTV, measured ANN recall, link prediction,
+    # inter-arrival histogram
+    "agg-bitmap-intersect",
+    "analytics-order-percentiles",
+    "analytics-cohort-ltv",
+    "sim-ann-recall-eval",
+    "graph-jaccard-links",
+    "ts-interarrival-hist",
 ]
 
 

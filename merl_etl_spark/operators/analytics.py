@@ -1342,3 +1342,230 @@ def analytics_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_share",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics-order-percentiles — exact per-group percentiles, no group sort
+# ---------------------------------------------------------------------------
+
+# range buckets for the exact-percentile rank reconstruction (a parallelism
+# dial, not a correctness knob — same role as RFM_RANGE_BUCKETS)
+PCTL_RANGE_BUCKETS = 16
+
+
+@register(
+    "analytics-order-percentiles",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS priority, o_totalprice AS val,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    SELECT priority,
+           max(n) AS n_orders,
+           max(CASE WHEN rn = (n + 1) // 2 THEN val END) AS p50,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN val END) AS p90,
+           max(CASE WHEN rn = (99 * n + 99) // 100 THEN val END) AS p99,
+           min(val) AS min_price,
+           max(val) AS max_price
+    FROM r GROUP BY 1
+    """,
+)
+def analytics_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 order values per priority class — percentile_disc
+    semantics (the value at rank ceil(p·n) under ASC order; target ranks
+    are pure integer ceilings, (p_num·n + p_den − 1) DIV p_den, so both
+    engines select the same row) — computed WITHOUT ever sorting a whole
+    group in one partition.
+
+    This is the latency-report shape (p50/p95/p99 per endpoint) that
+    breaks naive plans at 100 TB: percentile_disc OVER (PARTITION BY
+    group) moves each group to ONE partition, and a 5-value group column
+    means 5 partitions carrying the whole fact table.  Here the
+    _exact_ntile4_scalable machinery generalizes to arbitrary ranks:
+    range-bucket by driver-collected percentile_approx cutpoints (one
+    collect of ≤PCTL_RANGE_BUCKETS-1 doubles, inlined as a literal so
+    every consumer sees the SAME cutpoints — the ADVICE r10 single-valued
+    invariant), rank within (group, bucket) in parallel, reconstruct the
+    global per-group rank from broadcast (group × bucket) offset rows,
+    and pick the target ranks with conditional aggregates.  Partition
+    grain is group × PCTL_RANGE_BUCKETS; at higher skew the bucket count
+    is the dial (and cutpoints can be computed per-group the same way).
+
+    Accuracy of the cutpoints never affects correctness — a skewed
+    cutpoint only unbalances buckets (see _exact_ntile4_scalable).
+    Values pass through as raw parquet doubles (the r10-green double-repr
+    class); ranks/counts are exact integers."""
+    from merl_etl_spark.lineage import cut_lineage
+
+    base = cut_lineage(
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("val"),
+            F.col("o_orderkey").alias("key"),
+        ),
+        eager=False,
+    )
+    probs = [i / PCTL_RANGE_BUCKETS for i in range(1, PCTL_RANGE_BUCKETS)]
+    row = base.agg(
+        F.percentile_approx(
+            F.col("val"), F.array(*[F.lit(p) for p in probs]), 1000
+        ).alias("cuts")
+    ).collect()[0]
+    cut_vals = sorted({float(c) for c in (row["cuts"] or []) if c is not None})
+    if cut_vals:
+        cuts_arr = F.array(*[F.lit(c) for c in cut_vals])
+        # ASC: rb = #cutpoints strictly below the value — monotone
+        # non-decreasing in the sort order, equal values share a bucket
+        rb = F.size(F.filter(cuts_arr, lambda c: c < F.col("val")))
+    else:
+        rb = F.lit(0)
+    j = base.withColumn("rb", rb)
+    w_local = Window.partitionBy("priority", "rb").orderBy(
+        F.asc("val"), F.asc("key")
+    )
+    ranked = j.withColumn("lrn", F.row_number().over(w_local))
+    counts = j.groupBy("priority", "rb").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("priority")
+        .orderBy("rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy("priority")
+        .orderBy("rb")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offs = counts.select(
+        "priority",
+        "rb",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    g = ranked.join(F.broadcast(offs), ["priority", "rb"]).withColumn(
+        "grank", F.col("off") + F.col("lrn")
+    )
+    n, rk = F.col("n"), F.col("grank")
+    k50 = F.expr("(n + 1) DIV 2")
+    k90 = F.expr("(9 * n + 9) DIV 10")
+    k99 = F.expr("(99 * n + 99) DIV 100")
+    return g.groupBy("priority").agg(
+        F.max("n").alias("n_orders"),
+        F.max(F.when(rk == k50, F.col("val"))).alias("p50"),
+        F.max(F.when(rk == k90, F.col("val"))).alias("p90"),
+        F.max(F.when(rk == k99, F.col("val"))).alias("p99"),
+        F.min("val").alias("min_price"),
+        F.max("val").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics-cohort-ltv — cumulative cohort revenue (LTV curve)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics-cohort-ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey AS custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_ym
+      FROM orders GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cohort_ym, count(*) AS cohort_size FROM firsts GROUP BY 1
+    ),
+    facts AS (
+      SELECT f.cohort_ym,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_ym
+               AS age_months,
+             o.o_custkey, o.o_totalprice
+      FROM orders o JOIN firsts f ON o.o_custkey = f.custkey
+    ),
+    grain AS (
+      SELECT cohort_ym, age_months,
+             count(DISTINCT o_custkey) AS n_active,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+      FROM facts GROUP BY 1, 2
+    )
+    SELECT printf('%04d-%02d', (g.cohort_ym - 1) // 12, ((g.cohort_ym - 1) % 12) + 1)
+             AS cohort_month,
+           g.age_months, g.n_active, s.cohort_size,
+           CAST(CAST(g.rev_dec AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(g.rev_dec) OVER (PARTITION BY g.cohort_ym
+                                          ORDER BY g.age_months)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS cum_revenue,
+           CAST(CAST(SUM(g.rev_dec) OVER (PARTITION BY g.cohort_ym
+                                          ORDER BY g.age_months)
+                     AS DOUBLE) / s.cohort_size AS DOUBLE) AS ltv_per_customer
+    FROM grain g JOIN sizes s USING (cohort_ym)
+    """,
+)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohorted by first-order
+    month, revenue accumulated along cohort age in months — the
+    complement of analytics-retention-cohort's activity triangle (who
+    still BUYS is retention; what they've SPENT so far is LTV).
+    Calendar math is pure integer year·12+month ordinals on both sides —
+    no months_between/age() builtins, whose fractional-month semantics
+    differ across engines.
+
+    Scale (100 TB): the first-order frame is one keyed map-side-
+    combinable shuffle on custkey; the fact join is custkey-equi (AQE
+    broadcasts the cohort side when small, shuffles co-partitioned when
+    not); the (cohort × age) grain is calendar-bounded (~years² / 2
+    rows), so the cumulative window partitions by cohort over ≤ a few
+    hundred rows per cohort — never a fact-grain window.  Revenue sums
+    are exact decimals, cumulated BEFORE the one boundary cast per
+    output column (2dp-exact reduction, DOUBLE out; ltv divides the
+    exact cum by the integer cohort size in IEEE double — both engines
+    evaluate the same two operands)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ym = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    firsts = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min(ym(F.col("o_orderdate"))).alias("cohort_ym")
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    firsts = cut_lineage(firsts, eager=False)  # two consumers: sizes + join
+    sizes = firsts.groupBy("cohort_ym").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    facts = orders.join(
+        firsts, orders["o_custkey"] == firsts["custkey"]
+    ).select(
+        "cohort_ym",
+        (ym(F.col("o_orderdate")) - F.col("cohort_ym")).alias("age_months"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    grain = facts.groupBy("cohort_ym", "age_months").agg(
+        F.count_distinct("o_custkey").alias("n_active"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+    )
+    w_cum = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("rev_dec").over(w_cum).cast(DEC_SUM)
+    return (
+        grain.join(F.broadcast(sizes), "cohort_ym")
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                ((F.col("cohort_ym") - 1) / 12).cast("bigint"),
+                ((F.col("cohort_ym") - 1) % 12 + 1).cast("int"),
+            ).alias("cohort_month"),
+            "age_months",
+            "n_active",
+            "cohort_size",
+            F.col("rev_dec").cast("decimal(38,2)").cast("double").alias("revenue"),
+            cum.cast("decimal(38,2)").cast("double").alias("cum_revenue"),
+            (cum.cast("double") / F.col("cohort_size")).alias("ltv_per_customer"),
+        )
+    )

@@ -336,3 +336,148 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("mask")).alias("n_users"),
         F.count(F.lit(1)).alias("n_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg-bitmap-intersect — exact pairwise audience overlap via bitmap AND
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg-bitmap-intersect",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT event_type, user_id
+      FROM events WHERE user_id IS NOT NULL AND user_id >= 0
+        AND event_type IS NOT NULL
+    ),
+    per_feed AS (SELECT event_type, count(*) AS n_users FROM u GROUP BY 1),
+    both_cnt AS (
+      SELECT x.event_type AS feed_a, y.event_type AS feed_b,
+             count(*) AS n_both
+      FROM u x JOIN u y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT a.event_type AS feed_a, b.event_type AS feed_b,
+           a.n_users AS n_a, b.n_users AS n_b,
+           COALESCE(bc.n_both, 0) AS n_both,
+           a.n_users + b.n_users - COALESCE(bc.n_both, 0) AS n_either,
+           COALESCE(bc.n_both, 0) * 1000000
+             // (a.n_users + b.n_users - COALESCE(bc.n_both, 0)) AS jaccard_ppm,
+           COALESCE(bc.n_both, 0) * 1000000
+             // CASE WHEN a.n_users < b.n_users THEN a.n_users
+                     ELSE b.n_users END AS containment_ppm
+    FROM per_feed a
+    JOIN per_feed b ON a.event_type < b.event_type
+    LEFT JOIN both_cnt bc
+      ON bc.feed_a = a.event_type AND bc.feed_b = b.event_type
+    """,
+)
+def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise audience overlap between event feeds — intersection,
+    union, Jaccard, and containment of the distinct-user sets of every
+    feed pair — computed as bitmap physics: pack user ids into
+    ``BITMAP_WORD``-bit words per feed (the agg-bitmap-distinct
+    representation), then |A∩B| is popcount(mask_a AND mask_b) summed
+    over words shared by both feeds and |A∪B| falls out of the
+    inclusion–exclusion identity |A|+|B|−|A∩B| (so words where only one
+    feed is present never need a join row).  The ratios are emitted as
+    exact integer parts-per-million (floor division — both engines floor
+    nonnegative integer division identically), never a float division.
+
+    This is the audience-overlap / segment-intersection primitive (and,
+    over shingle sets, the exact version of the Jaccard that
+    dedup-minhash-lsh estimates).  Why bitmaps at 100 TB: the naive
+    DISTINCT-pair self-join (the oracle's formulation) shuffles one row
+    per (feed, user) and joins at USER grain; the bitmap form reduces
+    map-side to at most |id-range|/32 words per (feed, task) — partial
+    masks bit_or together associatively — and the intersection join runs
+    at WORD grain, a 32× reduction, with the AND+popcount a pure integer
+    map.  Feed-pair fan-out happens on the bounded per-feed word frame,
+    not on events.
+
+    Determinism: bit_or/AND/popcount are order-independent integer ops;
+    ppm ratios are integer floor divisions.  NULL and negative user ids
+    are excluded on both sides (the agg-bitmap-distinct nonnegative
+    surrogate-key contract; review r11).  n_either > 0 whenever a pair
+    row exists (each feed in per_feed has ≥1 user), so the floor
+    divisions cannot hit zero denominators; containment divides by
+    min(|A|,|B|) ≥ 1 likewise."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & (F.col("user_id") >= 0)
+        & F.col("event_type").isNotNull()
+    )
+    words = ev.groupBy(
+        "event_type",
+        F.expr(f"user_id DIV {BITMAP_WORD}").alias("word"),
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(user_id % {BITMAP_WORD} AS INT)))"
+        ).alias("mask")
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    # three consumers (per-feed totals + both sides of the pair join) —
+    # cut the lineage so the events scan + word rollup runs once
+    words = cut_lineage(words, eager=False)
+    per_feed = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).alias("n_users")
+    )
+    both = (
+        words.alias("x")
+        .join(
+            words.alias("y"),
+            (F.col("x.word") == F.col("y.word"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("feed_a"),
+            F.col("y.event_type").alias("feed_b"),
+        )
+        .agg(
+            F.sum(
+                F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))
+            ).alias("n_both")
+        )
+    )
+    # feed-pair frame: bounded at |feeds|² rows — broadcast both sides
+    pairs = (
+        F.broadcast(per_feed.alias("a"))
+        .join(
+            F.broadcast(
+                per_feed.select(
+                    F.col("event_type").alias("feed_b_type"),
+                    F.col("n_users").alias("n_b"),
+                )
+            ),
+            F.col("a.event_type") < F.col("feed_b_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("feed_a"),
+            F.col("feed_b_type").alias("feed_b"),
+            F.col("a.n_users").alias("n_a"),
+            "n_b",
+        )
+    )
+    n_both = F.coalesce(F.col("n_both"), F.lit(0))
+    n_either = F.col("n_a") + F.col("n_b") - n_both
+    return (
+        pairs.join(F.broadcast(both), ["feed_a", "feed_b"], "left")
+        .select(
+            "feed_a",
+            "feed_b",
+            "n_a",
+            "n_b",
+            n_both.alias("n_both"),
+            n_either.alias("n_either"),
+            F.expr(
+                "coalesce(n_both, 0) * 1000000 DIV (n_a + n_b - coalesce(n_both, 0))"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "coalesce(n_both, 0) * 1000000 DIV least(n_a, n_b)"
+            ).alias("containment_ppm"),
+        )
+    )

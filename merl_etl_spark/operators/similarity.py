@@ -1307,3 +1307,129 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "vec_id", "true_label", *out, qdist.cast("long").alias("qdist")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim-ann-recall-eval — measured recall of the sign-LSH candidate tier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim-ann-recall-eval",
+    oracle=f"""
+    WITH e AS ({DUCK_EMB}),
+    b AS (SELECT vec_id, {_bucket_expr_duck()} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < {SIM_NQUERY}),
+    cand AS (
+      SELECT q.query_id, b.vec_id AS cand_id
+      FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.query_id
+    ),
+    qe AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {SIM_NQUERY}),
+    scored AS (
+      SELECT qe.query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY qe.query_id
+                                ORDER BY list_cosine_similarity(qe.v, e.v) DESC,
+                                         e.vec_id ASC) AS rnk
+      FROM qe JOIN e ON qe.query_id <> e.vec_id
+    ),
+    topk AS (SELECT query_id, neighbor_id FROM scored WHERE rnk <= {SIM_TOPK}),
+    h AS (
+      SELECT t.query_id, count(c.cand_id) AS hits
+      FROM topk t LEFT JOIN cand c
+        ON c.query_id = t.query_id AND c.cand_id = t.neighbor_id
+      GROUP BY 1
+    ),
+    nc AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY 1)
+    SELECT q.query_id,
+           COALESCE(nc.n_candidates, 0) AS n_candidates,
+           COALESCE(h.hits, 0) AS hits,
+           COALESCE(h.hits, 0) * 1000000 // {SIM_TOPK} AS recall_ppm
+    FROM q
+    LEFT JOIN nc ON nc.query_id = q.query_id
+    LEFT JOIN h ON h.query_id = q.query_id
+    """,
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of the single-table sign-LSH candidate tier
+    against the exact brute-force top-k — the evaluation harness every
+    production ANN deployment runs before trusting an index (recall is
+    the quantity the IVF nprobe / LSH table-count dials trade against
+    cost; this op makes the trade MEASURED instead of assumed).
+
+    Per probe query: ``n_candidates`` = same-sign-bucket corpus size
+    (what the index would score), ``hits`` = how many of the exact
+    cosine top-k fall inside that candidate set, ``recall_ppm`` =
+    hits/k as an exact integer parts-per-million.  Low recall with
+    small n_candidates says "add hash tables"; high recall with huge
+    n_candidates says "add planes".
+
+    Scale (100 TB): the ground-truth arm is the documented bounded
+    brute-force baseline (SIM_NQUERY-row query set broadcast against
+    the corpus — per-query-linear, the sim-topk-cosine shape); the
+    candidate arm is a bucket EQUI-join against the broadcast probe
+    buckets; hits and counts are keyed aggregates at probe×k grain.
+    Evaluation cost is probes×corpus, independent of corpus² — you
+    measure recall on a probe SAMPLE, never all queries.
+
+    Determinism: candidate membership is integer bucket equality; the
+    top-k rank breaks cosine ties on neighbor_id (and the cosine
+    ranking itself is the driver-green sim-topk-cosine float class);
+    recall is an integer floor division."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = emb.withColumn("bucket", _bucket_expr_spark()).select("vec_id", "bucket")
+    q = b.filter(F.col("vec_id") < SIM_NQUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket").alias("qbucket")
+    )
+    cand = cut_lineage(  # two consumers: the per-query count + the hit join
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select("query_id", F.col("vec_id").alias("cand_id")),
+        eager=False,
+    )
+    nc = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    qe = emb.filter(F.col("vec_id") < SIM_NQUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+        .join(F.broadcast(qe), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine("qv", "nv"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= SIM_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        topk.join(
+            cand.select(
+                "query_id",
+                F.col("cand_id").alias("neighbor_id"),
+                F.lit(1).alias("is_cand"),
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("is_cand").alias("hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(F.broadcast(nc), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.expr(
+                f"coalesce(hits, 0) * 1000000 DIV {SIM_TOPK}"
+            ).alias("recall_ppm"),
+        )
+    )

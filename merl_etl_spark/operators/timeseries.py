@@ -1314,3 +1314,107 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_changepoint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts-interarrival-hist — log2-banded inter-arrival distribution per feed
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts-interarrival-hist",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    gp AS (
+      SELECT event_type,
+             (epoch_us(ts) // 1000000)
+               - (epoch_us(prev_ts) // 1000000) AS gap_s
+      FROM s WHERE prev_ts IS NOT NULL
+    ),
+    grain AS (
+      SELECT event_type, CAST(length(bin(gap_s)) AS INT) AS band,
+             count(*) AS n_gaps,
+             min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+      FROM gp GROUP BY 1, 2
+    )
+    SELECT event_type, band,
+           CASE WHEN band = 1 THEN 0
+                ELSE (CAST(1 AS BIGINT) << (band - 1)) END AS band_floor_s,
+           (CAST(1 AS BIGINT) << band) - 1 AS band_ceil_s,
+           n_gaps, min_gap_s, max_gap_s,
+           -- sum(BIGINT) is HUGEINT in DuckDB; rebind the exact integer
+           -- quotient to BIGINT at the boundary
+           CAST(n_gaps * 1000000
+             // (SUM(n_gaps) OVER (PARTITION BY event_type)) AS BIGINT)
+             AS share_ppm
+    FROM grain
+    """,
+)
+def ts_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per feed: the seconds between a
+    user's consecutive events of the same type, binned into power-of-two
+    bands (band k covers [2^(k-1), 2^k) seconds; band 1 covers {0, 1}),
+    with per-band counts, range, and an exact integer ppm share of the
+    feed's gaps.  The burstiness/cadence fingerprint behind session-gap
+    calibration (win-sessionize's 30-minute threshold should fall in a
+    share trough, not a peak), rate-limit tuning, and bot detection
+    (machine traffic concentrates in low bands).
+
+    The log2 band is computed WITHOUT floating log: band =
+    length(bin(gap_s)) — the bit-width of the integer gap — so a gap
+    landing exactly on a power of two can never flip bands by a libm
+    ulp (floor(log2(1024)) is exact only if the library is; a string
+    length is exact always).  Gaps are differences of whole-second
+    epoch FLOORS (the dq-freshness rule: engine date-diff builtins
+    disagree sub-second, integer floors do not).
+
+    Scale (100 TB): the lag window partitions by (user, feed) — bounded
+    by per-user activity, the analytics-path-mining class; the histogram
+    grain is feed × ~40 bands, so the share window runs over a bounded
+    summary.  One fact shuffle (the window), one keyed agg."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    epoch_s = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.expr(epoch_s.format("ts")) - F.expr(epoch_s.format("prev_ts"))
+            ).alias("gap_s"),
+        )
+    )
+    grain = gaps.groupBy(
+        "event_type", F.length(F.expr("bin(gap_s)")).cast("int").alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+    w_feed = Window.partitionBy("event_type")
+    return grain.select(
+        "event_type",
+        "band",
+        F.when(F.col("band") == 1, F.lit(0))
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), band - 1)"))
+        .alias("band_floor_s"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), band) - 1").alias("band_ceil_s"),
+        "n_gaps",
+        "min_gap_s",
+        "max_gap_s",
+        F.sum("n_gaps").over(w_feed).alias("_total"),
+    ).withColumn(
+        "share_ppm", F.expr("n_gaps * 1000000 DIV _total")
+    ).drop("_total")

@@ -105,6 +105,14 @@ SWEEP_DEFER: list[str] = [
     "analytics-decayed-engagement",
     "analytics-new-returning",
     "curate-mixture-sample",
+    # wave-6 r11 ops (same status: 3-SF hash-swept + Python-parity-tested
+    # locally, driver-checked from here in r12)
+    "agg-bitmap-intersect",
+    "analytics-order-percentiles",
+    "analytics-cohort-ltv",
+    "sim-ann-recall-eval",
+    "graph-jaccard-links",
+    "ts-interarrival-hist",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles

@@ -81,6 +81,10 @@ _BOUNDED_NESTED_LOOP_OK = {
     # identical shape: 1-row cap broadcast + 1-row PQ-codebook broadcast;
     # the per-subspace argmin is a per-row array expression, no join
     "sim-pq-encode",
+    # the recall harness embeds the sim-topk-cosine brute-force arm as
+    # its exact ground truth (same bounded query-set broadcast); the
+    # candidate arm is a bucket equi-join, hits/counts keyed aggregates
+    "sim-ann-recall-eval",
 }
 
 
@@ -114,10 +118,19 @@ _UNBOUNDED_BNLJ_MARKER_OK = {
     # over the embeddings scan): bounded by the documented query-set
     # contract, not by a plan node the scanner can see
     "sim-topk-cosine",
+    # same SIM_NQUERY-row query-set broadcast, twice (probe buckets and
+    # the ground-truth scoring arm) — the sim-topk-cosine contract
+    "sim-ann-recall-eval",
     # broadcast side = the 3-row CAMPAIGNS driver literal; Python
     # createDataFrame plans as RDDScanExec, which the scanner cannot
     # distinguish from an unbounded input (joins.py join_range_interval)
     "join-range-interval",
+    # broadcast side = the per-feed audience totals (one row per
+    # event_type — category cardinality, the dq-distribution-drift
+    # summary boundedness class); the scanner can't prove a KEYED
+    # aggregate bounded, but the pair fan-out is |feeds|², not data
+    # (freq.py agg_bitmap_intersect)
+    "agg-bitmap-intersect",
 }
 
 _BNLJ_BOUNDED_MARKERS = {
