@@ -185,6 +185,11 @@ HEADLINE = [
     "sim-ann-recall-eval",
     "graph-jaccard-links",
     "ts-interarrival-hist",
+    # round-11 wave 7: exact decile Lorenz table (generalized ntile(k)),
+    # measured LSH precision, integer-exact readability
+    "analytics-revenue-concentration",
+    "dedup-lsh-precision-eval",
+    "text-readability",
 ]
 
 

@@ -1186,3 +1186,94 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup-lsh-precision-eval — measured precision of the MinHash candidate tier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup-lsh-precision-eval",
+    oracle=f"""
+    WITH {_minhash_cand_ctes()},
+    {INTERSECT_CTES},
+    truth AS (
+      SELECT c.doc_a, c.doc_b,
+             COALESCE(cm.c, 0) AS c,
+             sa.n AS na, sb.n AS nb
+      FROM cand c
+      LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+    )
+    SELECT count(*) AS n_candidates,
+           CAST(SUM(CASE WHEN c >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN 3 * c >= na + nb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CASE WHEN count(*) = 0 THEN 0
+                ELSE CAST(SUM(CASE WHEN 3 * c >= na + nb THEN 1 ELSE 0 END)
+                          * 1000000 // count(*) AS BIGINT) END AS precision_ppm,
+           CASE WHEN count(*) = 0 THEN 0
+                ELSE CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END)
+                          * 1000000 // count(*) AS BIGINT) END AS noise_ppm
+    FROM truth
+    """,
+)
+def dedup_lsh_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured precision of the MinHash-LSH candidate tier against
+    exact 3-gram Jaccard ground truth — the dedup twin of
+    sim-ann-recall-eval: of everything the banded signature tier
+    surfaces, how much is REAL (Jaccard ≥ 1/2) and how much is band
+    noise (zero shared shingles)?  Low precision says "band wider /
+    more hashes per band"; high noise says the banding threshold sits
+    far below the dedup threshold.  This is the calibration loop every
+    production near-dup pipeline runs before committing to an LSH
+    parameterization — here as one engine query instead of a notebook.
+
+    The Jaccard ≥ 1/2 truth test is pure integers: j = c/(na+nb−c) ≥
+    1/2 ⟺ 3c ≥ na+nb — no float threshold can flip a borderline pair
+    by a ulp.  Precision/noise emit as exact integer ppm with an
+    explicit zero-candidate guard (Spark DIV yields NULL where DuckDB
+    // errors; the CASE keeps both engines off that path).
+
+    Scale shape: candidate generation and the shingle-intersection
+    verify are EXACTLY the dedup-ngram-jaccard pipeline (bucket-capped
+    band joins, candidate-keyed equi-joins — corpus-linear); the
+    evaluation itself adds only a 1-row conditional aggregate.  LSH
+    noise pairs (zero shared shingles) are retained via the LEFT join
+    so the noise rate is measured, not silently dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = cut_lineage(  # two consumers: the verify join + the base count
+        minhash_lsh_pairs(docs), eager=False
+    )
+    common, sizes = candidate_intersections(docs, cand)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    truth = (
+        cand.join(common, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.coalesce("c", F.lit(0)).alias("c"), "na", "nb"
+        )
+    )
+    n_true = F.sum(F.when(3 * F.col("c") >= F.col("na") + F.col("nb"), 1).otherwise(0))
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("c") >= 1, 1).otherwise(0)).alias("n_scored"),
+        n_true.alias("n_true"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(0))
+        .otherwise(F.expr(
+            "sum(CASE WHEN 3 * c >= na + nb THEN 1 ELSE 0 END)"
+            " * 1000000 DIV count(*)"
+        ))
+        .cast("bigint")
+        .alias("precision_ppm"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(0))
+        .otherwise(F.expr(
+            "sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) * 1000000 DIV count(*)"
+        ))
+        .cast("bigint")
+        .alias("noise_ppm"),
+    )

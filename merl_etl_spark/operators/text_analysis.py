@@ -826,3 +826,89 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c_xy").desc(), "x", "y")
         .limit(PMI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# text-readability — integer-exact Flesch reading-ease scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text-readability",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS n_syllables
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           n_words * 1000 // n_sentences AS wps_milli,
+           n_syllables * 1000 // n_words AS spw_milli,
+           206835 - (1015 * (n_words * 1000 // n_sentences)) // 1000
+                  - (84600 * (n_syllables * 1000 // n_words)) // 1000
+             AS score_milli,
+           CASE
+             WHEN 206835 - (1015 * (n_words * 1000 // n_sentences)) // 1000
+                         - (84600 * (n_syllables * 1000 // n_words)) // 1000
+                  >= 90000 THEN 'very-easy'
+             WHEN 206835 - (1015 * (n_words * 1000 // n_sentences)) // 1000
+                         - (84600 * (n_syllables * 1000 // n_words)) // 1000
+                  >= 60000 THEN 'standard'
+             WHEN 206835 - (1015 * (n_words * 1000 // n_sentences)) // 1000
+                         - (84600 * (n_syllables * 1000 // n_words)) // 1000
+                  >= 30000 THEN 'difficult'
+             ELSE 'very-difficult'
+           END AS band
+    FROM m
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring per document with INTEGER-EXACT
+    arithmetic: syllables approximated as vowel-cluster count (the
+    standard hyphenation-free estimator), sentences as terminal-
+    punctuation runs (floored at 1 so headline-like fragments score
+    rather than divide by zero), and the classic
+    206.835 − 1.015·(words/sentence) − 84.6·(syllables/word) formula
+    evaluated entirely in milli-points with floor divisions — the same
+    milli-unit rational trick as text-quality's ratios, so no float
+    rounding can flip a document across a band edge differently per
+    engine.  Readability is a stock quality-filter feature (too-easy ≈
+    listicles/spam, too-hard ≈ OCR noise/codeish text) next to
+    text-quality's surface ratios and text-gopher-rules' gates.
+
+    Scale: one scan, three regexp counts and pure integer arithmetic
+    per row — fully codegen'd, embarrassingly parallel, no shuffle at
+    all (the sim-rp-projection class)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    m = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        ).cast("bigint").alias("n_sentences"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+            F.lit(1),
+        ).cast("bigint").alias("n_syllables"),
+    )
+    score = F.expr(
+        "206835 - (1015 * (n_words * 1000 DIV n_sentences)) DIV 1000"
+        " - (84600 * (n_syllables * 1000 DIV n_words)) DIV 1000"
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr("n_words * 1000 DIV n_sentences").alias("wps_milli"),
+        F.expr("n_syllables * 1000 DIV n_words").alias("spw_milli"),
+        score.alias("score_milli"),
+        F.when(score >= 90000, F.lit("very-easy"))
+        .when(score >= 60000, F.lit("standard"))
+        .when(score >= 30000, F.lit("difficult"))
+        .otherwise(F.lit("very-difficult"))
+        .alias("band"),
+    )

@@ -113,6 +113,10 @@ SWEEP_DEFER: list[str] = [
     "sim-ann-recall-eval",
     "graph-jaccard-links",
     "ts-interarrival-hist",
+    # wave-7 r11 ops (same evidence tier)
+    "analytics-revenue-concentration",
+    "dedup-lsh-precision-eval",
+    "text-readability",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles

@@ -298,6 +298,12 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # shift rank over the |dims|-row centroid summary (bounded by the
     # embedding dimensionality; quality.py dq_embedding_drift)
     "dq-embedding-drift": 1,
+    # the Lorenz accumulation over the 10-row decile summary (bounded by
+    # construction).  The ntile machinery's ≤RFM_RANGE_BUCKETS-row offset
+    # carry ALSO runs but sits above the grain lineage cut, so this scan
+    # cannot see it — it is the same bounded-carry node the RFM allowlist
+    # rows pin (analytics.py analytics_revenue_concentration)
+    "analytics-revenue-concentration": 1,
 }
 
 
