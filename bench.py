@@ -190,6 +190,9 @@ HEADLINE = [
     "analytics-revenue-concentration",
     "dedup-lsh-precision-eval",
     "text-readability",
+    # round-11 wave 8: exact rolling DAU/WAU bitmaps, PQ ADC search
+    "agg-rolling-distinct-bitmap",
+    "sim-pq-adc-topk",
 ]
 
 

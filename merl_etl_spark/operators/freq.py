@@ -481,3 +481,108 @@ def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg-rolling-distinct-bitmap — exact rolling DAU/WAU via bitmap OR
+# ---------------------------------------------------------------------------
+
+# rolling-distinct window in days (a 7-day WAU against each day's DAU)
+ROLL_DAYS = 7
+
+
+@register(
+    "agg-rolling-distinct-bitmap",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id >= 0
+    ),
+    days AS (SELECT DISTINCT day FROM ev),
+    wau AS (
+      SELECT d.day, count(DISTINCT e.user_id) AS wau
+      FROM days d
+      JOIN ev e ON e.day BETWEEN d.day - {ROLL_DAYS - 1} AND d.day
+      GROUP BY 1
+    ),
+    dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ev GROUP BY 1)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           dau.dau, wau.wau,
+           CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_ppm
+    FROM days d
+    JOIN dau ON dau.day = d.day
+    JOIN wau ON wau.day = d.day
+    """,
+)
+def agg_rolling_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling distinct actives — DAU and trailing-ROLL_DAYS-day (7) WAU
+    per day, plus the DAU/WAU stickiness ratio as integer ppm — via
+    bitmap-word physics: per-(day, word) user masks bit_or map-side,
+    each mask re-keyed to the ≤ROLL_DAYS future days it contributes to
+    (an explode of day offsets on the WORD-grain frame, never on
+    events), OR-merged per (target day, word), popcount-summed.
+
+    Why this matters at 100 TB: the naive form —
+    ``count(distinct user) OVER (ORDER BY day RANGE 6 PRECEDING)`` —
+    is unsupported or single-partition in most engines, and the
+    join-based form (the oracle) re-scans each event ROLL_DAYS times
+    at USER grain.  The bitmap form reduces events once to
+    (day × id-range/32) words, fans out only that bounded frame, and
+    every merge is an associative integer OR — the standard exact
+    alternative when HLL's ±2% is unacceptable for an SLA metric.
+    DAU rides the same pass as a conditional bit_or at offset 0.
+
+    Determinism: bit_or/popcount are order-independent integers;
+    stickiness is an integer floor division (wau ≥ dau ≥ 1 on every
+    emitted day, so no zero denominator).  NULL/negative user ids are
+    excluded both sides (the agg-bitmap-distinct surrogate-key
+    contract)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & (F.col("user_id") >= 0)
+    )
+    words = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.expr(f"user_id DIV {BITMAP_WORD}").alias("word"),
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(user_id % {BITMAP_WORD} AS INT)))"
+        ).alias("mask")
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    words = cut_lineage(words, eager=False)  # two consumers: fan-out + days
+    days = words.select("day").distinct()
+    fanned = words.select(
+        F.explode(F.expr(f"sequence(0, {ROLL_DAYS - 1})")).alias("off"),
+        "day",
+        "word",
+        "mask",
+    ).select(
+        F.expr("date_add(day, off)").alias("day"),
+        "word",
+        "mask",
+        (F.col("off") == 0).alias("is_today"),
+    )
+    merged = (
+        fanned.groupBy("day", "word")
+        .agg(
+            F.expr("bit_or(mask)").alias("wau_mask"),
+            F.expr("bit_or(CASE WHEN is_today THEN mask END)").alias("dau_mask"),
+        )
+        .join(days, "day")  # trailing windows past the stream end drop out
+        .groupBy("day")
+        .agg(
+            F.sum(F.bit_count(F.coalesce("dau_mask", F.lit(0)))).alias("dau"),
+            F.sum(F.bit_count("wau_mask")).alias("wau"),
+        )
+    )
+    return merged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        F.expr("dau * 1000000 DIV wau").alias("stickiness_ppm"),
+    )

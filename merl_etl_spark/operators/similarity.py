@@ -1193,10 +1193,12 @@ PQ_SUBDIM = 8
 PQ_SUBS = 8
 
 
-@register(
-    "sim-pq-encode",
-    oracle=f"""
-    WITH cap AS (SELECT max(vec_id) // 2 AS cap FROM embeddings),
+def _pq_cte_stack() -> str:
+    """The shared PQ oracle CTE stack (cap / comp / cen / dist / best) —
+    ONE definition used by sim-pq-encode and sim-pq-adc-topk so the
+    codebook and code-assignment semantics cannot drift between the
+    encode and search oracles (the _minhash_cand_ctes rationale)."""
+    return f"""cap AS (SELECT max(vec_id) // 2 AS cap FROM embeddings),
     comp AS (
       SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
              (generate_subscripts(embedding, 1) - 1) // {PQ_SUBDIM} AS m,
@@ -1224,7 +1226,13 @@ PQ_SUBS = 8
                                      ORDER BY d2, c_label) AS rn
         FROM dist
       ) WHERE rn = 1
-    )
+    )"""
+
+
+@register(
+    "sim-pq-encode",
+    oracle=f"""
+    WITH {_pq_cte_stack()}
     SELECT vec_id, true_label,
            {", ".join(f"CAST(SUM(CASE WHEN m = {m} THEN c_label END) AS BIGINT) AS code_{m}" for m in range(8))},
            CAST(SUM(d2) AS BIGINT) AS qdist
@@ -1258,19 +1266,43 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     query half is never exploded, never joined, never shuffled; the
     only wide ops are the reference-half codebook build and nothing
     else.  Encoding 100 TB of vectors runs at scan speed."""
+    _, _, staged = _pq_encode_frames(spark, sf_dir)
+    qdist = None
+    out = []
+    for m in range(PQ_SUBS):
+        out.append(F.col(f"b_{m}.c_label").cast("long").alias(f"code_{m}"))
+        term = F.col(f"b_{m}.d2")
+        qdist = term if qdist is None else qdist + term
+    return staged.select(
+        "vec_id", "true_label", *out, qdist.cast("long").alias("qdist")
+    )
+
+
+def _pq_reference(spark: SparkSession, sf_dir: str):
+    """(emb, cap, per_code): the PQ reference-half codebook stats —
+    per (codeword, dim): n_ref / sum_fp plus the subspace index m.
+    Shared by the encode and ADC-search queries (Spark twin of
+    _pq_cte_stack's cap/comp/cen)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cap = emb.agg(F.expr("max(vec_id) DIV 2").alias("cap"))
     from merl_etl_spark.operators.quality import fixed_point_components
 
     ref = emb.crossJoin(F.broadcast(cap)).filter(F.col("vec_id") <= F.col("cap"))
     comp = fixed_point_components(ref, ASSIGN_FP_SCALE, carry=("label",))
-    per_code = dim_sorted_comps(
+    per_code = (
         comp.groupBy(F.col("label").alias("c_label"), "dim")
         .agg(F.count(F.lit(1)).alias("n_ref"), F.sum("vfp").alias("sum_fp"))
-        .withColumn("m", F.expr(f"CAST((dim - 1) DIV {PQ_SUBDIM} AS INT)")),
-        ["m", "c_label"],
+        .withColumn("m", F.expr(f"CAST((dim - 1) DIV {PQ_SUBDIM} AS INT)"))
     )
-    codebook = per_code.agg(
+    return emb, cap, per_code
+
+
+def _pq_encode_frames(spark: SparkSession, sf_dir: str):
+    """(emb, per_code, staged): staged carries one b_m struct
+    (d2, c_label) per subspace for every held-out vector — the argmin
+    outputs both registered PQ queries project from."""
+    emb, cap, per_code = _pq_reference(spark, sf_dir)
+    codebook = dim_sorted_comps(per_code, ["m", "c_label"]).agg(
         F.array_sort(F.collect_list(F.struct("m", "c_label", "comps"))).alias("cents")
     )
     q = (
@@ -1298,14 +1330,109 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = [F.expr(best_for(m)).alias(f"b_{m}") for m in range(PQ_SUBS)]
     staged = q.select("vec_id", F.col("label").alias("true_label"), *cols)
-    qdist = None
-    out = []
-    for m in range(PQ_SUBS):
-        out.append(F.col(f"b_{m}.c_label").cast("long").alias(f"code_{m}"))
-        term = F.col(f"b_{m}.d2")
-        qdist = term if qdist is None else qdist + term
-    return staged.select(
-        "vec_id", "true_label", *out, qdist.cast("long").alias("qdist")
+    return emb, per_code, staged
+
+
+# ---------------------------------------------------------------------------
+# sim-pq-adc-topk — asymmetric-distance PQ search over the stored codes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim-pq-adc-topk",
+    oracle=f"""
+    WITH {_pq_cte_stack()},
+    qlut AS (
+      SELECT q.vec_id AS query_id, q.m, c.c_label,
+             CAST(SUM((abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)
+                 * (abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)) AS BIGINT)
+               AS d2
+      FROM (SELECT * FROM comp WHERE vec_id < {SIM_NQUERY}) q
+      JOIN cen c USING (dim)
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT l.query_id, b.vec_id,
+             CAST(SUM(l.d2) AS BIGINT) AS adc_dist
+      FROM best b JOIN qlut l ON l.m = b.m AND l.c_label = b.c_label
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, vec_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {SIM_TOPK}
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (the ADC half of Jégou 2011): the
+    probe queries are scored against the CODES sim-pq-encode stores —
+    never against the original vectors.  Per query, a lookup table of
+    exact-integer distances query-subvector → codeword (PQ_SUBS ×
+    |codewords| entries) is built once; each stored vector's distance
+    is then Σ_m LUT[m][code_m] — one table lookup per subspace per
+    vector, the arithmetic that makes PQ indexes fast: scanning a
+    billion codes costs 8 adds/vector, not 64 multiplies.
+
+    With sim-pq-encode (compress), sim-ivf-ann (partition),
+    sim-rp-projection (reduce), sim-centroid-assign (maintain) and
+    sim-ann-recall-eval (measure), the tier now covers the full
+    production vector-index lifecycle including SEARCH.
+
+    Scale (100 TB): the LUT is query-count × PQ_SUBS × |codewords| —
+    broadcast; the codes frame joins it on (m, code) equi-keys and
+    aggregates per (query, vec) with map-side partials; the final
+    top-k is a per-query-partitioned rank.  The code-build pipeline is
+    the sim-pq-encode scan-speed path; in production the codes are the
+    STORED index, so search touches only bytes, never floats.
+
+    Determinism: LUT entries reuse the shared exact-integer metric
+    (PQ_TERM semantics — the SAME quantized-distance the encode argmin
+    used), so ADC distances are integers; ranks tie-break on vec_id."""
+    emb, per_code, staged = _pq_encode_frames(spark, sf_dir)
+    code_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("int").alias("m"),
+                F.col(f"b_{m}.c_label").alias("c_label"),
+            )
+            for m in range(PQ_SUBS)
+        ]
+    )
+    codes = staged.select(
+        "vec_id", F.explode(code_structs).alias("c")
+    ).select("vec_id", "c.m", "c.c_label")
+    from merl_etl_spark.operators.quality import fixed_point_components
+
+    pcomp = fixed_point_components(
+        emb.filter(F.col("vec_id") < SIM_NQUERY),
+        ASSIGN_FP_SCALE,
+        carry=("vec_id",),
+    ).withColumnRenamed("vec_id", "query_id")
+    lut = (
+        pcomp.join(per_code.select("c_label", "dim", "n_ref", "sum_fp", "m"), "dim")
+        .groupBy("query_id", "m", "c_label")
+        .agg(
+            F.sum(
+                F.expr(
+                    "(abs(vfp * n_ref - sum_fp) DIV n_ref)"
+                    " * (abs(vfp * n_ref - sum_fp) DIV n_ref)"
+                )
+            ).alias("d2")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "c_label"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= SIM_TOPK)
+        .select("query_id", "vec_id", "adc_dist", F.col("rnk").cast("long").alias("rnk"))
     )
 
 

@@ -117,6 +117,9 @@ SWEEP_DEFER: list[str] = [
     "analytics-revenue-concentration",
     "dedup-lsh-precision-eval",
     "text-readability",
+    # wave-8 r11 ops (same evidence tier)
+    "agg-rolling-distinct-bitmap",
+    "sim-pq-adc-topk",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles

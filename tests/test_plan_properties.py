@@ -81,6 +81,10 @@ _BOUNDED_NESTED_LOOP_OK = {
     # identical shape: 1-row cap broadcast + 1-row PQ-codebook broadcast;
     # the per-subspace argmin is a per-row array expression, no join
     "sim-pq-encode",
+    # embeds the encode pipeline above (same two bounded broadcasts);
+    # its own additions — LUT build, code join, top-k rank — are
+    # equi-joins and a query-partitioned window
+    "sim-pq-adc-topk",
     # the recall harness embeds the sim-topk-cosine brute-force arm as
     # its exact ground truth (same bounded query-set broadcast); the
     # candidate arm is a bucket equi-join, hits/counts keyed aggregates
