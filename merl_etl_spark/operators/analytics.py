@@ -852,24 +852,16 @@ def _exact_ntile_scalable(
     rfm: DataFrame, metric: str, k: int, key: str = "custkey"
 ) -> DataFrame:
     """EXACT ntile(k) OVER (ORDER BY metric DESC, key) without a
-    global single-partition sort — the general form of the r10 RFM
-    machinery (k was hardcoded to 4 until round 11 wave 7; the
-    positional formula below is ntile's for any k).  See
-    :func:`_exact_ntile4_scalable` for the full correctness argument.
-    """
-    return _exact_ntile_impl(rfm, metric, k, key)
-
-
-def _exact_ntile4_scalable(rfm: DataFrame, metric: str) -> DataFrame:
-    """EXACT ntile(4) OVER (ORDER BY metric DESC, custkey) without a
-    global single-partition sort (VERDICT r9 #6): range-bucket rows by
-    in-engine percentile_approx cutpoints (value-determined, so tied
-    metric values always share a bucket), row_number WITHIN each bucket
-    (partitioned window), add broadcast per-bucket offsets (bounded
-    ≤RFM_RANGE_BUCKETS-row carry — the curate-shuffle-index pattern),
-    then apply ntile's positional formula to the reconstructed global
-    rank.  Output is bit-identical to the ntile window at any
-    parallelism; pinned by tests/test_round9_ops.py.
+    global single-partition sort (VERDICT r9 #6; k generalized from the
+    hardcoded 4 in round 11 wave 7 — ntile's positional formula below
+    holds for any k): range-bucket rows by in-engine percentile_approx
+    cutpoints (value-determined, so tied metric values always share a
+    bucket), row_number WITHIN each bucket (partitioned window), add
+    broadcast per-bucket offsets (bounded ≤RFM_RANGE_BUCKETS-row carry
+    — the curate-shuffle-index pattern), then apply ntile's positional
+    formula to the reconstructed global rank.  Output is bit-identical
+    to the ntile window at any parallelism; pinned at k=4 by
+    tests/test_round9_ops.py and at k=10 by tests/test_round11_wave7.py.
 
     The cutpoints only balance partitions — their ACCURACY never affects
     correctness (a skewed cutpoint just means an uneven bucket), which is
@@ -885,12 +877,6 @@ def _exact_ntile4_scalable(rfm: DataFrame, metric: str) -> DataFrame:
     subplans.  Bucketing compares in DOUBLE: collapsing distinct metric
     values to one double only merges buckets (never splits a tie), which
     is correctness-neutral here."""
-    return _exact_ntile_impl(rfm, metric, 4, "custkey")
-
-
-def _exact_ntile_impl(
-    rfm: DataFrame, metric: str, k: int, key: str
-) -> DataFrame:
     # one driver-side evaluation of the cutpoints; rfm is lineage-cut by
     # the caller so this does not re-run the upstream rollup per metric
     probs = [i / RFM_RANGE_BUCKETS for i in range(1, RFM_RANGE_BUCKETS)]
@@ -982,7 +968,7 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-killer default): each metric range-buckets by in-engine
     percentile_approx cutpoints, ranks within buckets in parallel, and
     reconstructs the exact global ntile from broadcast bucket offsets —
-    see _exact_ntile4_scalable.  The only unpartitioned windows left
+    see _exact_ntile_scalable.  The only unpartitioned windows left
     are the ≤RFM_RANGE_BUCKETS-row offset carries (bounded by
     construction, allowlisted in test_plan_properties).  recency ranks
     on a seconds-since-epoch ordinal computed with pure TIMESTAMP_NTZ
@@ -1009,9 +995,9 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         eager=False,
     )
-    r = _exact_ntile4_scalable(rfm, "recency_ord")
-    f = _exact_ntile4_scalable(rfm, "frequency")
-    m = _exact_ntile4_scalable(rfm, "monetary_dec")
+    r = _exact_ntile_scalable(rfm, "recency_ord", 4)
+    f = _exact_ntile_scalable(rfm, "frequency", 4)
+    m = _exact_ntile_scalable(rfm, "monetary_dec", 4)
     scored = (
         rfm.select(
             "custkey",
@@ -1402,7 +1388,7 @@ def analytics_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks naive plans at 100 TB: percentile_disc OVER (PARTITION BY
     group) moves each group to ONE partition, and a 5-value group column
     means 5 partitions carrying the whole fact table.  Here the
-    _exact_ntile4_scalable machinery generalizes to arbitrary ranks:
+    _exact_ntile_scalable machinery generalizes to arbitrary ranks:
     range-bucket by driver-collected percentile_approx cutpoints (one
     collect of ≤PCTL_RANGE_BUCKETS-1 doubles, inlined as a literal so
     every consumer sees the SAME cutpoints — the ADVICE r10 single-valued
@@ -1413,7 +1399,7 @@ def analytics_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the dial (and cutpoints can be computed per-group the same way).
 
     Accuracy of the cutpoints never affects correctness — a skewed
-    cutpoint only unbalances buckets (see _exact_ntile4_scalable).
+    cutpoint only unbalances buckets (see _exact_ntile_scalable).
     Values pass through as raw parquet doubles (the r10-green double-repr
     class); ranks/counts are exact integers."""
     from merl_etl_spark.lineage import cut_lineage

@@ -275,6 +275,32 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 BITMAP_WORD = 32
 
 
+def bitmap_words(df: DataFrame, group_cols: list, extra_aggs: list = ()) -> DataFrame:
+    """Pack nonnegative ``user_id``s into BITMAP_WORD-bit word masks per
+    (*group_cols, word) — the ONE definition of the packing shared by
+    the three bitmap operators (distinct / intersect / rolling-distinct;
+    review r11: the mask formula's cross-engine subtleties — 32-bit
+    words for DuckDB's shift range check, truncate-vs-floor on negative
+    ids — were restated at three sites and could drift).
+
+    Caller contract: ``df`` is already filtered to non-NULL,
+    nonnegative user ids (a NULL has no bit; a negative id diverges
+    cross-engine — Spark's DIV/% truncate toward zero so the mask shift
+    goes negative and wraps, DuckDB's // floors).  ``word`` uses integer
+    DIV, not double division: at production id ranges a double quotient
+    can lose integer precision past 2^53."""
+    return df.groupBy(
+        *group_cols,
+        F.expr(f"user_id DIV {BITMAP_WORD}").alias("word"),
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(user_id % {BITMAP_WORD} AS INT)))"
+        ).alias("mask"),
+        *extra_aggs,
+    )
+
+
 @register(
     "agg-bitmap-distinct",
     oracle=f"""
@@ -316,20 +342,8 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull() & (F.col("user_id") >= 0)
     )
-    words = (
-        ev.groupBy(
-            "event_type",
-            # integer DIV, not double division: at production id ranges a
-            # double quotient can lose integer precision past 2^53
-            F.expr(f"user_id DIV {BITMAP_WORD}").alias("word"),
-        )
-        .agg(
-            F.expr(
-                f"bit_or(shiftleft(CAST(1 AS BIGINT), "
-                f"CAST(user_id % {BITMAP_WORD} AS INT)))"
-            ).alias("mask"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
+    words = bitmap_words(
+        ev, ["event_type"], [F.count(F.lit(1)).alias("n_rows")]
     )
     return words.groupBy("event_type").agg(
         F.sum("n_rows").alias("n_events"),
@@ -409,15 +423,7 @@ def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("user_id") >= 0)
         & F.col("event_type").isNotNull()
     )
-    words = ev.groupBy(
-        "event_type",
-        F.expr(f"user_id DIV {BITMAP_WORD}").alias("word"),
-    ).agg(
-        F.expr(
-            f"bit_or(shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(user_id % {BITMAP_WORD} AS INT)))"
-        ).alias("mask")
-    )
+    words = bitmap_words(ev, ["event_type"])
     from merl_etl_spark.lineage import cut_lineage
 
     # three consumers (per-feed totals + both sides of the pair join) —
@@ -543,15 +549,7 @@ def agg_rolling_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("user_id").isNotNull()
         & (F.col("user_id") >= 0)
     )
-    words = ev.groupBy(
-        F.to_date("ts").alias("day"),
-        F.expr(f"user_id DIV {BITMAP_WORD}").alias("word"),
-    ).agg(
-        F.expr(
-            f"bit_or(shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(user_id % {BITMAP_WORD} AS INT)))"
-        ).alias("mask")
-    )
+    words = bitmap_words(ev, [F.to_date("ts").alias("day")])
     from merl_etl_spark.lineage import cut_lineage
 
     words = cut_lineage(words, eager=False)  # two consumers: fan-out + days

@@ -523,7 +523,16 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: common-neighbor counts and degrees are exact integers,
     the score an integer floor division, ties broken on (id_a, id_b);
     the edge list itself is tie-broken (shared DESC, id_a, id_b) so
-    both engines census the same graph."""
+    both engines census the same graph.
+
+    Oracle-parity assumption (same as graph-triangles, which shares
+    this census): the oracle pair-expands every part bucket
+    unconditionally, valid because the fixture cap (1024) is far above
+    the max suppliers-per-part at any test SF (41 at sf0.1); on a
+    corpus with a hot >cap bucket the Spark side would star-route that
+    bucket (by design — the oracle, not the plan, is what stops
+    scaling there).  The capped star path itself is covered by the
+    degenerate-corpus pytest of capped_bucket_pairs."""
     from merl_etl_spark.operators.dedup import capped_bucket_pairs
 
     lineitem = load_table(spark, sf_dir, "lineitem")

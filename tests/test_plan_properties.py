@@ -273,7 +273,7 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "dq-sequence-gaps": 1,
     # r10: the three global ntile(4) sorts were replaced by the scalable
     # exact-ntile (range-bucket by percentile_approx cutpoints → ranked
-    # in parallel → broadcast offsets; analytics._exact_ntile4_scalable);
+    # in parallel → broadcast offsets; analytics._exact_ntile_scalable);
     # what remains is one bounded offset-carry window per metric over the
     # ≤RFM_RANGE_BUCKETS-row bucket-count summary — the shuffle-index
     # bounded-carry pattern, one node per metric after frame fusion
