@@ -193,6 +193,9 @@ HEADLINE = [
     # round-11 wave 8: exact rolling DAU/WAU bitmaps, PQ ADC search
     "agg-rolling-distinct-bitmap",
     "sim-pq-adc-topk",
+    # round-11 wave 9: split-contamination audit, dedup impact report
+    "dq-split-leakage",
+    "curate-dedup-impact",
 ]
 
 

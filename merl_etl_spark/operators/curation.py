@@ -65,18 +65,38 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the content-stable split assignment — ONE definition per engine,
+# shared by sample-hash-split and dq-split-leakage (round 11 wave 9) so
+# the split boundary audited is provably the split boundary produced
+SPLIT_BUCKET_DUCK = (
+    "('0x' || substr(md5(text || '|split-seed'), 1, 8))::BIGINT % 100"
+)
+SPLIT_CASE_DUCK = (
+    f"CASE WHEN {SPLIT_BUCKET_DUCK} < 90 THEN 'train' ELSE 'test' END"
+)
+
+
+def split_assign_spark() -> F.Column:
+    """'train'/'test' per document — the Spark twin of SPLIT_CASE_DUCK."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("text"), F.lit("|split-seed"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return F.when(bucket < 90, "train").otherwise("test")
+
+
 @register(
     "sample-hash-split",
-    oracle="""
+    oracle=f"""
     WITH assigned AS (
-      SELECT doc_id, lang,
-             ('0x' || substr(md5(text || '|split-seed'), 1, 8))::BIGINT
-               % 100 AS bucket
+      SELECT doc_id, lang, {SPLIT_CASE_DUCK} AS split
       FROM documents
     )
-    SELECT lang,
-           CASE WHEN bucket < 90 THEN 'train' ELSE 'test' END AS split,
-           count(*) AS n_docs
+    SELECT lang, split, count(*) AS n_docs
     FROM assigned
     GROUP BY 1, 2
     """,
@@ -90,20 +110,8 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     The md5-derived bucket is engine-portable and uniform; stratification
     falls out of grouping by (lang, split)."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("text"), F.lit("|split-seed"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
     return (
-        docs.withColumn("bucket", bucket)
-        .groupBy(
-            "lang",
-            F.when(F.col("bucket") < 90, "train").otherwise("test").alias("split"),
-        )
+        docs.groupBy("lang", split_assign_spark().alias("split"))
         .agg(F.count("*").alias("n_docs"))
     )
 

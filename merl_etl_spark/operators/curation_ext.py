@@ -1126,3 +1126,93 @@ def curate_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (coin < F.col("rate_ppm")).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-dedup-impact — what canonical dedup costs each source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curate-dedup-impact",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, n_chars, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             {NORM_HASH_DUCK} AS content_key
+      FROM documents
+    ),
+    r AS (
+      SELECT source, n_tokens,
+             row_number() OVER (PARTITION BY content_key
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM n
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS doc_retention_ppm,
+           CASE WHEN SUM(n_tokens) = 0 THEN 0
+                ELSE CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END)
+                          * 1000000 // SUM(n_tokens) AS BIGINT)
+           END AS token_retention_ppm
+    FROM r GROUP BY 1
+    """,
+)
+def curate_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: what the canonical-keep survivorship rule
+    (curate-canonical-keep's exact ledger — longest raw form per
+    normalized-content cluster) costs EACH SOURCE, in documents and in
+    whitespace tokens — the per-source retention table every curation
+    run publishes before committing a corpus version ("crawl-B lost 40%
+    of its tokens to dedup against crawl-A" is a mixture-weights input,
+    not a footnote; see curate-mixture-weights).  Retention rates emit
+    as exact integer ppm (zero-guarded floor divisions).
+
+    The survivorship rank is the SAME (NORM_HASH, n_chars DESC, doc_id)
+    rule curate-canonical-keep registers — a doc counted kept here is
+    exactly a doc that ledger marks 'keep' (pinned by pytest cross-
+    consistency).
+
+    Scale (100 TB): identical physics to curate-canonical-keep — one
+    map-side digest + token count, ONE shuffle at content-key grain for
+    the rank, then a keyed source rollup.  No second corpus scan."""
+    from merl_etl_spark.operators.dedup import norm_hash_spark
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        norm_hash_spark().alias("content_key"),
+    )
+    w_r = Window.partitionBy("content_key").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    r = docs.select(
+        "source", "n_tokens", F.row_number().over(w_r).alias("rn")
+    )
+    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    kept_tokens = F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(0))
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        kept.alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_total"),
+        kept_tokens.alias("tokens_kept"),
+        F.expr(
+            "sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1000000 DIV count(*)"
+        ).alias("doc_retention_ppm"),
+        F.when(F.sum("n_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                "sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END)"
+                " * 1000000 DIV sum(n_tokens)"
+            )
+        )
+        .cast("bigint")
+        .alias("token_retention_ppm"),
+    )

@@ -1271,3 +1271,100 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("null_rate_drift"),
         (F.sum(curd) - F.sum(refd)).cast("long").alias("distinct_drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq-split-leakage — content-level contamination audit of the hash split
+# ---------------------------------------------------------------------------
+
+
+def _split_leakage_oracle() -> str:
+    from merl_etl_spark.operators.curation import SPLIT_CASE_DUCK
+    from merl_etl_spark.operators.dedup import NORM_HASH_DUCK
+
+    return f"""
+    WITH a AS (
+      SELECT {NORM_HASH_DUCK} AS content_key,
+             {SPLIT_CASE_DUCK} AS split
+      FROM documents
+    ),
+    keys AS (
+      SELECT content_key,
+             SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+             SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+      FROM a GROUP BY 1
+    )
+    SELECT CAST(SUM(in_train) AS BIGINT) AS n_train_docs,
+           CAST(SUM(in_test) AS BIGINT) AS n_test_docs,
+           CAST(SUM(CASE WHEN in_train > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train_keys,
+           CAST(SUM(CASE WHEN in_test > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_test_keys,
+           CAST(SUM(CASE WHEN in_train > 0 AND in_test > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_leaked_keys,
+           CAST(SUM(CASE WHEN in_train > 0 THEN in_test ELSE 0 END) AS BIGINT)
+             AS n_leaked_test_docs,
+           CASE WHEN SUM(in_test) = 0 THEN 0
+                ELSE CAST(SUM(CASE WHEN in_train > 0 THEN in_test ELSE 0 END)
+                          * 1000000 // SUM(in_test) AS BIGINT)
+           END AS leak_ppm
+    FROM keys
+    """
+
+
+@register("dq-split-leakage", oracle=_split_leakage_oracle())
+def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-level contamination audit of the train/test hash split:
+    how many TEST documents share a normalized-content key (casefold +
+    whitespace collapse — the dedup-normalized digest) with any TRAIN
+    document.  sample-hash-split routes EXACT copies identically by
+    construction (the bucket hashes raw text), but near-copies that
+    differ only in case/whitespace can land on opposite sides of the
+    boundary — precisely the contamination class benchmark audits care
+    about.  This op MEASURES that instead of assuming it away: the
+    split assignment is the single-sourced sample-hash-split expression
+    (split_assign_spark / SPLIT_CASE_DUCK) so the boundary audited is
+    provably the boundary produced.
+
+    Output (one row): per-split doc and distinct-content counts, the
+    number of content keys straddling the boundary, the number of
+    leaked test docs, and the leak rate as integer ppm of the test
+    split (zero-guarded floor division).
+
+    Scale (100 TB): one scan computing digest + split per doc, ONE
+    shuffle at content-key cardinality (map-side partial counts), one
+    1-row rollup.  The same shape at corpus scale as dedup-normalized;
+    extending the audit to MinHash near-dup leakage is the
+    dedup-incremental-near probe pointed across the split instead of
+    across batches."""
+    from merl_etl_spark.operators.curation import split_assign_spark
+    from merl_etl_spark.operators.dedup import norm_hash_spark
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        norm_hash_spark().alias("content_key"),
+        split_assign_spark().alias("split"),
+    )
+    keys = docs.groupBy("content_key").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("in_test"),
+    )
+    leaked_docs = F.sum(F.when(F.col("in_train") > 0, F.col("in_test")).otherwise(0))
+    return keys.agg(
+        F.sum("in_train").alias("n_train_docs"),
+        F.sum("in_test").alias("n_test_docs"),
+        F.sum((F.col("in_train") > 0).cast("long")).alias("n_train_keys"),
+        F.sum((F.col("in_test") > 0).cast("long")).alias("n_test_keys"),
+        F.sum(
+            ((F.col("in_train") > 0) & (F.col("in_test") > 0)).cast("long")
+        ).alias("n_leaked_keys"),
+        leaked_docs.alias("n_leaked_test_docs"),
+        F.when(F.sum("in_test") == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                "sum(CASE WHEN in_train > 0 THEN in_test ELSE 0 END)"
+                " * 1000000 DIV sum(in_test)"
+            )
+        )
+        .cast("bigint")
+        .alias("leak_ppm"),
+    )

@@ -120,6 +120,9 @@ SWEEP_DEFER: list[str] = [
     # wave-8 r11 ops (same evidence tier)
     "agg-rolling-distinct-bitmap",
     "sim-pq-adc-topk",
+    # wave-9 r11 ops (same evidence tier)
+    "dq-split-leakage",
+    "curate-dedup-impact",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles
