@@ -196,6 +196,9 @@ HEADLINE = [
     # round-11 wave 9: split-contamination audit, dedup impact report
     "dq-split-leakage",
     "curate-dedup-impact",
+    # round-11 wave 10: BFS hop census, array-function suite
+    "graph-bfs-hops",
+    "fn-array-suite",
 ]
 
 

@@ -441,3 +441,61 @@ def fn_canary_double_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer itself and invalidate the raw-double migration strategy the
     r10 oracle fixes rely on."""
     return spark.sql(_canary_repr_sql("fprepr_"))
+
+
+# ---------------------------------------------------------------------------
+# fn-array-suite — the higher-order array-function class, oracle-pinned
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn-array-suite",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS INT) AS n_words,
+           list_sort(words)[1] AS first_sorted,
+           array_to_string(list_sort(words)[1:3], '-') AS head3,
+           CAST(len(list_filter(words, x -> length(x) > 3)) AS INT) AS n_long,
+           CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
+             AS sum_len,
+           CAST(list_max(list_transform(words, x -> length(x))) AS BIGINT)
+             AS max_len,
+           (len(words) <> len(list_distinct(words))) AS has_dup
+    FROM w
+    """,
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order array-function class as a registered suite:
+    sort, slice, filter-with-lambda, transform+fold (aggregate), and
+    distinct — the exact expression family the engine's hot paths lean
+    on (the PQ argmin folds, the RP sign projections, the shingle
+    pipelines) — pinned against DuckDB's list_* twins so a semantic
+    drift in any of them (sort order of equal elements, slice
+    inclusivity, empty-list folds) is caught by hash, not discovered
+    inside a 600-line operator.  Same rationale as fn-string-suite /
+    fn-numeric-suite: one registered query per function class the
+    operators rely on.
+
+    Determinism: all outputs are integers, booleans, or sorted-string
+    derivations — no float anywhere; array_sort/list_sort agree on
+    total string order, slice(x,1,3) and [1:3] are both 1-based
+     3-element-inclusive and clamp identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("words"))
+    return w.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.element_at(F.array_sort("words"), 1).alias("first_sorted"),
+        F.array_join(F.slice(F.array_sort("words"), 1, 3), "-").alias("head3"),
+        F.size(F.filter("words", lambda x: F.length(x) > 3)).alias("n_long"),
+        F.aggregate(
+            "words", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("sum_len"),
+        F.aggregate(
+            "words", F.lit(0).cast("long"), lambda a, x: F.greatest(a, F.length(x).cast("long"))
+        ).alias("max_len"),
+        (F.size("words") != F.size(F.array_distinct("words"))).alias("has_dup"),
+    )

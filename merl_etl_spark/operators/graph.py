@@ -579,3 +579,123 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_ppm"), F.asc("id_a"), F.asc("id_b"))
         .limit(LP_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# graph-bfs-hops — BFS distances over the censused co-supply graph
+# ---------------------------------------------------------------------------
+
+# fixed BFS round budget: far above the censused graph's diameter at any
+# fixture SF (≤4 observed); the emitted max(hops) + the oracle's hard
+# recursion bound make an undershoot VISIBLE, not silent (the
+# graph-components fixed-iteration contract)
+BFS_ROUNDS = 8
+
+
+@register(
+    "graph-bfs-hops",
+    oracle=f"""
+    WITH RECURSIVE su AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_suppkey AS id_a, b.l_suppkey AS id_b, count(*) AS shared
+      FROM su a JOIN su b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM pairs
+      ORDER BY shared DESC, id_a, id_b LIMIT {TRI_EDGE_TOP}
+    ),
+    und AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    src AS (SELECT min(u) AS s FROM und),
+    walk(node, hops) AS (
+      SELECT s, 0 FROM src
+      UNION
+      SELECT e.v, w.hops + 1
+      FROM walk w JOIN und e ON e.u = w.node
+      WHERE w.hops < {BFS_ROUNDS}
+    ),
+    d AS (SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY 1)
+    SELECT hops, count(*) AS n_nodes,
+           min(node) AS min_node, max(node) AS max_node
+    FROM d GROUP BY 1
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from a deterministic source (the smallest node
+    id) over the censused co-supply graph, emitted as the per-level
+    frontier census (hop → node count + id range) — the reachability /
+    blast-radius primitive next to graph-components (membership),
+    graph-pagerank (influence) and graph-jaccard-links (prediction).
+
+    Spark-first shape: the min-distance semilattice propagated for
+    BFS_ROUNDS fixed rounds — each round one equi-join + keyed min over
+    the ≤2·TRI_EDGE_TOP-row undirected edge list, lineage-cut per round
+    (the min_label_propagation physics with distance+1 instead of
+    label-min; distances can only decrease, so a fixed round budget ≥
+    diameter is exact).  The oracle replays it as a hard-bounded
+    recursive CTE with min-aggregation, so both engines run the SAME
+    truncated-BFS contract: nodes farther than BFS_ROUNDS are absent
+    from BOTH (none exist at fixture SFs — the emitted max level makes
+    an undershoot visible).
+
+    Determinism: hops are exact integers; the level census collapses
+    node sets order-independently (count/min/max)."""
+    from merl_etl_spark.operators.dedup import capped_bucket_pairs
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    su = lineitem.select("l_partkey", "l_suppkey").distinct()
+    edges = (
+        capped_bucket_pairs(su, ["l_partkey"], "l_suppkey")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .orderBy(F.desc("shared"), F.asc("id_a"), F.asc("id_b"))
+        .limit(TRI_EDGE_TOP)
+        .select("id_a", "id_b")
+    )
+    edges = cut_lineage(edges, eager=True)
+    und = cut_lineage(
+        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
+            edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        ),
+        eager=False,
+    )
+    src = F.broadcast(und.agg(F.min("u").alias("s")))
+    dist = (
+        und.select("u").distinct()
+        .crossJoin(src)
+        .select(
+            F.col("u").alias("node"),
+            F.when(F.col("u") == F.col("s"), F.lit(0)).alias("d"),
+        )
+    )
+    for _ in range(BFS_ROUNDS):
+        nbr = (
+            und.join(
+                dist.where(F.col("d").isNotNull()).withColumnRenamed("node", "u"),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg((F.min("d") + 1).alias("nd"))
+        )
+        dist = cut_lineage(
+            dist.join(nbr, "node", "left").select(
+                "node",
+                F.least(
+                    F.coalesce("d", "nd"), F.coalesce("nd", "d")
+                ).alias("d"),
+            ),
+            eager=True,
+        )
+    return (
+        dist.where(F.col("d").isNotNull())
+        .groupBy(F.col("d").alias("hops"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+    )

@@ -123,6 +123,9 @@ SWEEP_DEFER: list[str] = [
     # wave-9 r11 ops (same evidence tier)
     "dq-split-leakage",
     "curate-dedup-impact",
+    # wave-10 r11 ops (same evidence tier)
+    "graph-bfs-hops",
+    "fn-array-suite",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles
