@@ -199,6 +199,9 @@ HEADLINE = [
     # round-11 wave 10: BFS hop census, array-function suite
     "graph-bfs-hops",
     "fn-array-suite",
+    # round-11 wave 11: exact distinct rollup, trailing robust baseline
+    "agg-bitmap-rollup",
+    "ts-rolling-median",
 ]
 
 

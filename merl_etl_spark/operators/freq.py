@@ -584,3 +584,92 @@ def agg_rolling_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.expr("dau * 1000000 DIV wau").alias("stickiness_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg-bitmap-rollup — exact distinct counts up a hierarchy, no rescan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg-bitmap-rollup",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, user_id
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id >= 0
+        AND event_type IS NOT NULL
+    ),
+    leaf AS (
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM ev GROUP BY event_type, day
+    ),
+    mid AS (
+      SELECT event_type, CAST(NULL AS VARCHAR) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM ev GROUP BY event_type
+    ),
+    top AS (
+      SELECT CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS VARCHAR) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM ev
+    )
+    SELECT * FROM leaf UNION ALL SELECT * FROM mid UNION ALL SELECT * FROM top
+    """,
+)
+def agg_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user counts at every level of the (feed, day)
+    hierarchy — leaf, per-feed, grand total — computed from ONE pass
+    over the fact table: the (feed, day, word) bitmap masks re-aggregate
+    by bit_or at each coarser level, because bitmap OR is a TRUE
+    mergeable summary (the property COUNT(DISTINCT) lacks — a distinct
+    count cannot be rolled up from finer distinct counts, which is why
+    naive rollup cubes rescan the facts per level, and why engines fall
+    back to ±2% HLL for mergeable cardinality).  This is agg-hll-merge's
+    rollup story with EXACT answers: same one-scan physics, masks
+    instead of sketch blobs.
+
+    The oracle computes each level independently with COUNT(DISTINCT) —
+    three scans — and must match the one-scan mask rollup bit-for-bit.
+
+    Scale (100 TB): the fact table is read ONCE into (feed, day, word)
+    masks (map-side combinable, ≤ idrange/32 words per key); each
+    rollup level is a keyed bit_or + popcount over the WORD frame —
+    fact bytes never move again.  NULL grouping columns mark the
+    rollup levels (the agg-rollup convention).
+
+    Determinism: bit_or/popcount are order-independent integers."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & (F.col("user_id") >= 0)
+        & F.col("event_type").isNotNull()
+    )
+    words = bitmap_words(
+        ev, ["event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")]
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    words = cut_lineage(words, eager=False)  # three rollup consumers
+    leaf = words.groupBy("event_type", "day").agg(
+        F.sum(F.bit_count("mask")).alias("n_users")
+    )
+    mid = (
+        words.groupBy("event_type", "word")
+        .agg(F.expr("bit_or(mask)").alias("m"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bit_count("m")).alias("n_users"))
+        .select("event_type", F.lit(None).cast("string").alias("day"), "n_users")
+    )
+    top = (
+        words.groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("m"))
+        .agg(F.sum(F.bit_count("m")).alias("n_users"))
+        .select(
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("string").alias("day"),
+            "n_users",
+        )
+    )
+    return leaf.unionByName(mid).unionByName(top)

@@ -1418,3 +1418,93 @@ def ts_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "share_ppm", F.expr("n_gaps * 1000000 DIV _total")
     ).drop("_total")
+
+
+# ---------------------------------------------------------------------------
+# ts-rolling-median — trailing exact median as a local robust baseline
+# ---------------------------------------------------------------------------
+
+# trailing window (calendar days, RANGE frame — a gap in the series
+# shrinks the window rather than silently reaching further back)
+RMED_DAYS = 7
+
+
+@register(
+    "ts-rolling-median",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    wl AS (
+      SELECT day, n,
+             list_sort(list(n) OVER (
+               ORDER BY day
+               RANGE BETWEEN INTERVAL {RMED_DAYS - 1} DAY PRECEDING
+                         AND CURRENT ROW)) AS win
+      FROM d
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n,
+           CAST(len(win) AS BIGINT) AS n_obs,
+           CAST(win[(len(win) + 1) // 2] + win[(len(win) + 2) // 2]
+                AS BIGINT) AS med2,
+           CAST((win[(len(win) + 1) // 2] + win[(len(win) + 2) // 2])
+                AS DOUBLE) / 2 AS trailing_median,
+           CAST(n * 2000 // (win[(len(win) + 1) // 2]
+                             + win[(len(win) + 2) // 2]) AS BIGINT)
+             AS vol_ratio_milli
+    FROM wl
+    """,
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing RMED_DAYS (7)-day EXACT median of daily event volume plus each
+    day's volume-to-baseline ratio in exact milli units — the LOCAL
+    robust baseline that complements dq-volume-anomaly's global
+    median/MAD gate (a slow ramp never trips a global gate; against a
+    trailing median it shows immediately).  Medians of a rolling window
+    are the one statistic mergeable summaries can't give you — the
+    window is collected EXPLICITLY (bounded: ≤RMED_DAYS integers per
+    row over the day-cardinality summary), sorted, and the doubled
+    middle-sum trick (dq-volume-anomaly's) keeps even-count medians in
+    exact integers: med2 = win[(n+1) DIV 2] + win[(n+2) DIV 2].
+
+    A RANGE frame over the calendar day (not a ROWS frame): a gap in
+    the series SHRINKS the window instead of silently reaching further
+    back — the semantics monitoring actually wants.
+
+    Determinism: window contents are value-sorted before indexing (the
+    frame's own order never matters); all emitted numbers are exact
+    integers or exact halves; ratio is an integer floor division
+    (med2 ≥ 1 since every window contains the current day).
+
+    Scale (100 TB): the fact table collapses to the day-cardinality
+    summary first (ONE keyed map-side-combinable shuffle); the rolling
+    window runs over ~365 rows/year — the allowlisted bounded-summary
+    class."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("dayn", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = (
+        Window.orderBy("dayn")
+        .rangeBetween(-(RMED_DAYS - 1), 0)
+    )
+    wl = d.withColumn("win", F.array_sort(F.collect_list("n").over(w)))
+    med2 = F.expr(
+        "element_at(win, CAST((size(win) + 1) DIV 2 AS INT))"
+        " + element_at(win, CAST((size(win) + 2) DIV 2 AS INT))"
+    )
+    return wl.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.size("win").cast("bigint").alias("n_obs"),
+        med2.cast("bigint").alias("med2"),
+        (med2.cast("double") / 2).alias("trailing_median"),
+        F.expr(
+            "n * 2000 DIV (element_at(win, CAST((size(win) + 1) DIV 2 AS INT))"
+            " + element_at(win, CAST((size(win) + 2) DIV 2 AS INT)))"
+        ).cast("bigint").alias("vol_ratio_milli"),
+    )

@@ -126,6 +126,9 @@ SWEEP_DEFER: list[str] = [
     # wave-10 r11 ops (same evidence tier)
     "graph-bfs-hops",
     "fn-array-suite",
+    # wave-11 r11 ops (same evidence tier)
+    "agg-bitmap-rollup",
+    "ts-rolling-median",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles

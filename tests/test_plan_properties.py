@@ -308,6 +308,10 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # cannot see it — it is the same bounded-carry node the RFM allowlist
     # rows pin (analytics.py analytics_revenue_concentration)
     "analytics-revenue-concentration": 1,
+    # trailing-median RANGE window over the day-cardinality volume
+    # summary (~365 rows/year — the dq-volume-anomaly bounded class;
+    # timeseries.py ts_rolling_median)
+    "ts-rolling-median": 1,
 }
 
 

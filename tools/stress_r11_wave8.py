@@ -148,5 +148,33 @@ def main():
             mod.load_table = orig_load
 
 
+# waves 9-10 additions ride the same corpora: call via
+#   python tools/stress_r11_wave8.py --wave9
+# (kept in this file so the corpus provisioning is shared)
+def wave9():
+    spark = get_spark("stress_r11w9", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_all()
+    ensure_docs(spark)
+    import merl_etl_spark.operators.curation as curation
+    import merl_etl_spark.operators.curation_ext as curation_ext
+    import merl_etl_spark.operators.dedup as dedup
+    import merl_etl_spark.operators.quality as quality
+    import merl_etl_spark.functions.scalar_queries as scalar_queries
+
+    mods = (curation, curation_ext, dedup, quality, scalar_queries)
+    for mod in mods:
+        mod.load_table = patched
+    try:
+        forced("dq-split-leakage 500k docs", QUERIES["dq-split-leakage"](spark, SF))
+        forced(
+            "curate-dedup-impact 500k docs",
+            QUERIES["curate-dedup-impact"](spark, SF),
+        )
+        forced("fn-array-suite 500k docs", QUERIES["fn-array-suite"](spark, SF))
+    finally:
+        for mod in mods:
+            mod.load_table = orig_load
+
+
 if __name__ == "__main__":
-    main()
+    wave9() if "--wave9" in sys.argv else main()
