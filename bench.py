@@ -202,6 +202,10 @@ HEADLINE = [
     # round-11 wave 11: exact distinct rollup, trailing robust baseline
     "agg-bitmap-rollup",
     "ts-rolling-median",
+    # round-11 wave 12: experiment readout, Lloyd M-step, write-shard audit
+    "analytics-ab-test",
+    "sim-kmeans-update",
+    "layout-shard-skew",
 ]
 
 

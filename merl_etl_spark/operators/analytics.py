@@ -1543,7 +1543,9 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         firsts, orders["o_custkey"] == firsts["custkey"]
     ).select(
         "cohort_ym",
-        (ym(F.col("o_orderdate")) - F.col("cohort_ym")).alias("age_months"),
+        (ym(F.col("o_orderdate")) - F.col("cohort_ym"))
+        .cast("long")
+        .alias("age_months"),
         "o_custkey",
         "o_totalprice",
     )
@@ -1670,4 +1672,144 @@ def analytics_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFra
                 / total_d
             ).alias("cum_share"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics-ab-test — deterministic assignment + pooled two-proportion z
+# ---------------------------------------------------------------------------
+
+# the four exact-integer inputs of the test, computed once by a single
+# conditional aggregate over the per-user frame
+_AB_COUNT_COLS = """
+      CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT)
+        AS conv_a,
+      CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT)
+        AS conv_b
+"""
+
+# conversion = "heavy purchaser" (>= this many purchase events): a binary
+# "ever purchased" is unanimously true in every fixture (and in most real
+# engagement logs), which degenerates the test to z = 0/0; a count
+# threshold near the per-user median keeps both arms' rates interior at
+# every scale factor while staying exact-integer
+AB_CONV_MIN_PURCHASES = 15
+
+# the z statistic over those integers — ONE shared formula string so the
+# Spark plan and the oracle cannot drift (operand order is the IEEE
+# determinism contract; bare decimal literals avoided because DuckDB
+# types them DECIMAL, so 1 is always CAST to DOUBLE explicitly)
+_AB_Z_EXPR = (
+    "(rate_a - rate_b) / sqrt(pool * (CAST(1 AS DOUBLE) - pool)"
+    " * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    "    + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)))"
+)
+
+
+@register(
+    "analytics-ab-test",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       >= {AB_CONV_MIN_PURCHASES} THEN 1 ELSE 0 END
+               AS converted
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    v AS (
+      SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || '|ab-seed'),
+                                       1, 8))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             converted
+      FROM u
+    ),
+    s AS (SELECT {_AB_COUNT_COLS} FROM v),
+    r AS (
+      SELECT n_a, conv_a, n_b, conv_b,
+             CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+             CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+             CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+               AS pool
+      FROM s
+    )
+    SELECT n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+           round(rate_a - rate_b, 9) AS abs_lift,
+           round({_AB_Z_EXPR}, 6) AS z_score,
+           abs(round({_AB_Z_EXPR}, 6)) >= CAST(1.96 AS DOUBLE) AS significant
+    FROM r
+    """,
+)
+def analytics_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are deterministically assigned to
+    variant A or B by a salted content hash (the sample-hash-split rule —
+    reruns and backfills route every user to the same arm, never
+    random()), conversion is "heavy purchaser" (AB_CONV_MIN_PURCHASES —
+    see the constant's note on why a binary ever-purchased degenerates),
+    and the verdict is the pooled two-proportion z-test every
+    experimentation platform runs.
+
+    Determinism: the four test inputs (exposures and conversions per arm)
+    are exact integers off one per-user conditional aggregate; the rates
+    are single IEEE divisions of those integers; z shares ONE formula
+    string between the Spark plan and the oracle (identical operand
+    order — sqrt is in the driver-green libm class per the r10 canary
+    split) and is rounded once at the output boundary.  The significance
+    flag compares the ROUNDED z against 1.96 so the boundary itself is
+    deterministic.  Degenerate arms (zero or unanimous conversion, empty
+    arm) would yield NULL/Inf z rather than a wrong verdict.
+
+    Scale (100 TB): the per-user reduce is one map-side-combinable keyed
+    aggregate over a single scan of the event log; everything after it
+    operates on ONE row.  No window, no join, no skew surface — variant
+    hashing is a projection."""
+    events = load_table(spark, sf_dir, "events")
+    u = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("event_type") == "purchase").cast("int"))
+                >= AB_CONV_MIN_PURCHASES
+            )
+            .cast("int")
+            .alias("converted")
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|ab-seed"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    v = u.select(
+        F.when(bucket == 0, "A").otherwise("B").alias("variant"), "converted"
+    )
+    s = v.selectExpr(f"struct({_AB_COUNT_COLS}) AS s").select("s.*")
+    r = s.selectExpr(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        "CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a",
+        "CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b",
+        "CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pool",
+    )
+    return r.selectExpr(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        "rate_a",
+        "rate_b",
+        "round(rate_a - rate_b, 9) AS abs_lift",
+        f"round({_AB_Z_EXPR}, 6) AS z_score",
+        f"abs(round({_AB_Z_EXPR}, 6)) >= CAST(1.96 AS DOUBLE) AS significant",
     )

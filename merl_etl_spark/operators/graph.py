@@ -692,7 +692,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         dist.where(F.col("d").isNotNull())
-        .groupBy(F.col("d").alias("hops"))
+        .groupBy(F.col("d").cast("long").alias("hops"))
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),
             F.min("node").alias("min_node"),

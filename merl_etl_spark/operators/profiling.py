@@ -627,3 +627,104 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_spend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# layout-shard-skew — byte-balance audit of the hash-sharded write plan
+# ---------------------------------------------------------------------------
+
+# output shard count for the write-plan audit.  A parallelism dial, not a
+# correctness knob: production would set this from target_file_bytes
+# (shards ~ total_bytes / target), the audit below is shape-identical at
+# any count.
+SHARD_COUNT = 32
+
+
+@register(
+    "layout-shard-skew",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT ('0x' || substr(md5(doc_id::VARCHAR || '|shard-seed'), 1, 8))
+               ::BIGINT % {SHARD_COUNT} AS shard_id,
+             n_chars
+      FROM documents
+    ),
+    per_shard AS (
+      SELECT shard_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM sharded GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM per_shard)
+    SELECT p.shard_id, p.n_docs, p.n_chars,
+           round(CAST(p.n_chars AS DOUBLE) / CAST(t.total_chars AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE), 3) AS share_ppm,
+           round((CAST(p.n_chars AS DOUBLE) * CAST({SHARD_COUNT} AS DOUBLE)
+                  - CAST(t.total_chars AS DOUBLE))
+                 / CAST(t.total_chars AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE), 3) AS dev_ppm
+    FROM per_shard p, tot t
+    """,
+)
+def layout_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path shard plan + balance audit: documents are assigned to
+    SHARD_COUNT output shards by a salted content-stable hash of doc_id
+    (what `df.repartition(n, hash_col)` does at the sink), and each
+    shard reports its byte mass against the uniform ideal — the check
+    that decides whether the written files will be even-sized or whether
+    a hot shard will produce the straggler file every downstream scan
+    waits on.  Completes the physical-layout tier: layout-zorder =
+    intra-file clustering, layout-partition-prune = directory pruning,
+    layout-bucketed-join = shuffle elision, this = file sizing.
+
+    Determinism: per-shard doc/byte masses are exact integer sums; the
+    two ppm ratios are IEEE expressions of those integers in identical
+    operand order in both engines, rounded once at the output boundary.
+    (Not integer ppm arithmetic: n_chars·10^6 overflows int64 once a
+    shard holds ~9.2 TB of text, which is precisely the regime this
+    audit targets.)
+
+    Scale (100 TB): shard assignment is a projection; the audit is ONE
+    map-side-combinable keyed aggregate to SHARD_COUNT rows plus a 1-row
+    total broadcast back across them.  No sort, no window, no
+    repartition of the corpus itself — the plan is decided from metadata
+    mass, the text column is never read."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|shard-seed"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % SHARD_COUNT
+    )
+    per_shard = (
+        docs.groupBy(shard.alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    # two consumers (output rows + the total) — without the cut Spark
+    # re-derives the SHARD_COUNT-row aggregate from a second corpus scan
+    per_shard = cut_lineage(per_shard, eager=False)
+    tot = per_shard.agg(F.sum("n_chars").alias("total_chars"))
+    chars_d = F.col("n_chars").cast("double")
+    total_d = F.col("total_chars").cast("double")
+    ppm = F.lit(1000000).cast("double")
+    return per_shard.crossJoin(F.broadcast(tot)).select(
+        "shard_id",
+        "n_docs",
+        "n_chars",
+        F.round(chars_d / total_d * ppm, 3).alias("share_ppm"),
+        F.round(
+            (chars_d * F.lit(SHARD_COUNT).cast("double") - total_d) / total_d * ppm,
+            3,
+        ).alias("dev_ppm"),
+    )

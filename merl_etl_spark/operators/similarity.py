@@ -940,6 +940,26 @@ PQ_TERM = (
 )
 
 
+def assigned_label_expr() -> "F.Column":
+    """Per-row exact-integer argmin over the broadcast centroid codebook
+    (a ``cents`` column of (c_label, comps) structs): quantize the row's
+    embedding at ASSIGN_FP_SCALE, score every centroid with the PQ_TERM
+    integer metric, take the (d2, c_label)-minimal label.  ONE definition
+    shared by sim-centroid-assign (the E-step / assignment path) and
+    sim-kmeans-update (the M-step that re-estimates centroids from those
+    assignments) so the two halves of a Lloyd iteration can never drift."""
+    return F.expr(
+        f"""
+        array_sort(transform(cents, c -> struct(
+          aggregate(
+            zip_with({fp_vec_expr(ASSIGN_FP_SCALE)}, c.comps,
+                     (v, p) -> {PQ_TERM}),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d2,
+          c.c_label AS c_label)))[0].c_label
+        """
+    )
+
+
 def dim_sorted_comps(df: DataFrame, key_cols: list) -> DataFrame:
     """Fold per-(key, dim) codeword stats into dim-sorted comps arrays —
     collect_list is order-nondeterministic, array_sort on structs whose
@@ -1048,19 +1068,9 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dim-sorted so element i aligns with embedding[i]; the per-dim term
     # and its overflow bound are EXACTLY the keyed-agg form's (see
     # ASSIGN_FP_SCALE / PQ_TERM) — only the execution shape changed
-    assigned_label = F.expr(
-        f"""
-        array_sort(transform(cents, c -> struct(
-          aggregate(
-            zip_with({fp_vec_expr(ASSIGN_FP_SCALE)}, c.comps,
-                     (v, p) -> {PQ_TERM}),
-            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d2,
-          c.c_label AS c_label)))[0].c_label
-        """
-    )
     assigned = q.select(
         F.col("label").alias("true_label"),
-        assigned_label.alias("assigned_label"),
+        assigned_label_expr().alias("assigned_label"),
     )
     return (
         assigned.groupBy("true_label", "assigned_label")
@@ -1071,6 +1081,130 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             (F.col("true_label") == F.col("assigned_label")).alias("is_correct"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim-kmeans-update — the Lloyd M-step: re-estimate centroids, measure drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim-kmeans-update",
+    oracle=f"""
+    WITH cap AS (SELECT max(vec_id) // 2 AS cap FROM embeddings),
+    comp AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * {ASSIGN_FP_SCALE}) AS BIGINT) AS vfp
+      FROM embeddings
+    ),
+    cen AS (
+      SELECT label AS c_label, dim,
+             CAST(count(*) AS BIGINT) AS n_ref,
+             CAST(SUM(vfp) AS BIGINT) AS sum_fp
+      FROM comp, cap WHERE vec_id <= cap GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT q.vec_id, c.c_label,
+             SUM((abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)
+                 * (abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)) AS d2
+      FROM (SELECT * FROM comp, cap WHERE vec_id > cap) q
+      JOIN cen c USING (dim)
+      GROUP BY 1, 2
+    ),
+    assigned AS (
+      SELECT vec_id, c_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, c_label) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    upd AS (
+      SELECT a.c_label, q.dim,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(SUM(q.vfp) AS BIGINT) AS sum_new
+      FROM (SELECT * FROM comp, cap WHERE vec_id > cap) q
+      JOIN assigned a USING (vec_id)
+      GROUP BY 1, 2
+    )
+    SELECT u.c_label, u.dim, u.n_members,
+           round(CAST(u.sum_new AS DOUBLE) / CAST(u.n_members AS DOUBLE)
+                 / CAST({ASSIGN_FP_SCALE} AS DOUBLE), 9) AS new_mean,
+           round(CAST(c.sum_fp AS DOUBLE) / CAST(c.n_ref AS DOUBLE)
+                 / CAST({ASSIGN_FP_SCALE} AS DOUBLE), 9) AS old_mean,
+           round(abs(CAST(u.sum_new AS DOUBLE) / CAST(u.n_members AS DOUBLE)
+                       / CAST({ASSIGN_FP_SCALE} AS DOUBLE)
+                     - CAST(c.sum_fp AS DOUBLE) / CAST(c.n_ref AS DOUBLE)
+                       / CAST({ASSIGN_FP_SCALE} AS DOUBLE)), 9) AS shift
+    FROM upd u JOIN cen c USING (c_label, dim)
+    """,
+)
+def sim_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd M-step: assign the held-out half of the corpus to the
+    reference-half centroids (the sim-centroid-assign E-step, verbatim —
+    assigned_label_expr is the SAME broadcast-codebook argmin), then
+    re-estimate every centroid as the mean of its assigned members and
+    report the per-(centroid, dim) drift.  With sim-centroid-assign this
+    completes a full k-means iteration on the engine: E-step there,
+    M-step here — the index-refresh path that keeps an IVF partitioning
+    honest as the corpus grows without a full refit.
+
+    Determinism: memberships come from the exact-integer argmin (cannot
+    drift by a ulp; ties on centroid id), so n_members/sum_new are exact
+    integers; each output mean is IEEE divisions of those integers in
+    identical operand order in both engines, rounded once at the output
+    boundary (the curate-dsir pattern).
+
+    Scale (100 TB): the E-step is the centroid-assign shape — codebook
+    folded to ONE broadcast row, per-row argmin, query vectors never
+    exploded for assignment.  The M-step explodes members to components
+    ONCE (linear, n·d rows) and joins the vec_id-grain assignment on the
+    same key the explode carries (co-partitioned equi-join), then reduces
+    map-side-combinably to the k×d grain — no all-pairs anywhere, and
+    centroid re-estimation is a single keyed aggregate no matter the
+    corpus size."""
+    from merl_etl_spark.operators.quality import fixed_point_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cap = emb.agg(F.expr("max(vec_id) DIV 2").alias("cap"))
+    ref = emb.crossJoin(F.broadcast(cap)).filter(F.col("vec_id") <= F.col("cap"))
+    per_cen = (
+        fixed_point_components(ref, ASSIGN_FP_SCALE, carry=("label",))
+        .groupBy(F.col("label").alias("c_label"), "dim")
+        .agg(F.count(F.lit(1)).alias("n_ref"), F.sum("vfp").alias("sum_fp"))
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    # two consumers (codebook fold + old-mean join) — one materialization
+    per_cen = cut_lineage(per_cen, eager=False)
+    codebook = dim_sorted_comps(per_cen, ["c_label"]).agg(
+        F.array_sort(F.collect_list(F.struct("c_label", "comps"))).alias("cents")
+    )
+    held = emb.crossJoin(F.broadcast(cap)).filter(F.col("vec_id") > F.col("cap"))
+    assigned = held.crossJoin(F.broadcast(codebook)).select(
+        "vec_id", assigned_label_expr().alias("c_label")
+    )
+    upd = (
+        fixed_point_components(held, ASSIGN_FP_SCALE, carry=("vec_id",))
+        .join(assigned, "vec_id")
+        .groupBy("c_label", "dim")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.sum("vfp").alias("sum_new"))
+    )
+    scale_d = F.lit(ASSIGN_FP_SCALE).cast("double")
+    new_mean = (
+        F.col("sum_new").cast("double") / F.col("n_members").cast("double") / scale_d
+    )
+    old_mean = (
+        F.col("sum_fp").cast("double") / F.col("n_ref").cast("double") / scale_d
+    )
+    return upd.join(per_cen, ["c_label", "dim"]).select(
+        "c_label",
+        "dim",
+        "n_members",
+        F.round(new_mean, 9).alias("new_mean"),
+        F.round(old_mean, 9).alias("old_mean"),
+        F.round(F.abs(new_mean - old_mean), 9).alias("shift"),
     )
 
 

@@ -129,6 +129,10 @@ SWEEP_DEFER: list[str] = [
     # wave-11 r11 ops (same evidence tier)
     "agg-bitmap-rollup",
     "ts-rolling-median",
+    # wave-12 r11 ops (same evidence tier)
+    "analytics-ab-test",
+    "sim-kmeans-update",
+    "layout-shard-skew",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles

@@ -78,6 +78,10 @@ _BOUNDED_NESTED_LOOP_OK = {
     # per-row array fold over a ONE-ROW broadcast codebook (a second
     # bounded 1-row broadcast, not an all-pairs join)
     "sim-centroid-assign",
+    # the centroid-assign E-step embedded verbatim (same 1-row cap and
+    # codebook broadcasts); its own M-step additions — component explode,
+    # vec_id assignment join, k×d rollup — are equi-joins and keyed aggs
+    "sim-kmeans-update",
     # identical shape: 1-row cap broadcast + 1-row PQ-codebook broadcast;
     # the per-subspace argmin is a per-row array expression, no join
     "sim-pq-encode",
