@@ -206,6 +206,10 @@ HEADLINE = [
     "analytics-ab-test",
     "sim-kmeans-update",
     "layout-shard-skew",
+    # round-11 wave 13: series decomposition, LPA communities, compaction
+    "ts-decompose",
+    "graph-label-propagation",
+    "layout-compaction-plan",
 ]
 
 

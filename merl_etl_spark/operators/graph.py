@@ -699,3 +699,142 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("node").alias("max_node"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph-label-propagation — synchronous LPA communities, fixed rounds
+# ---------------------------------------------------------------------------
+
+# fixed synchronous label-propagation rounds.  Deterministic by
+# construction (majority vote with a (count DESC, label ASC) tie-break
+# and a self-vote), so a fixed budget is exact for BOTH engines even if
+# the labels have not stabilized — the oracle unrolls the SAME rounds.
+# The self-vote also damps the 2-cycle oscillation synchronous LPA is
+# known for on bipartite-ish regions.
+LPA_ROUNDS = 4
+
+def _lpa_oracle() -> str:
+    """Unroll LPA_ROUNDS synchronous vote rounds as chained CTEs — the
+    SQL twin of the Spark loop below (recursive CTEs cannot express a
+    synchronous all-nodes relabel with a per-node argmax).  The edge
+    substrate is the sim-knn-graph oracle embedded verbatim, so the
+    community structure is pinned against the SAME kNN edges the
+    similarity tier ships."""
+    from merl_etl_spark.operators.similarity import _knn_graph_oracle
+
+    census = f"""
+    WITH knn AS ({_knn_graph_oracle()}),
+    und AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM knn
+        UNION ALL SELECT dst, src FROM knn
+      )
+    ),
+    nodes AS (SELECT DISTINCT u FROM und),
+    undx AS (SELECT u, v FROM und UNION ALL SELECT u, u FROM nodes),
+    l0 AS (SELECT u AS node, u AS label FROM nodes)
+"""
+    rounds = []
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT e.u AS node, l.label, count(*) AS c,
+               row_number() OVER (PARTITION BY e.u
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM undx e JOIN l{i - 1} l ON l.node = e.v
+        GROUP BY 1, 2
+      ) WHERE rn = 1
+    )""")
+    return (
+        census
+        + ","
+        + ",".join(rounds)
+        + f"""
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+           min(node) AS min_node, max(node) AS max_node
+    FROM l{LPA_ROUNDS} GROUP BY 1
+    """
+    )
+
+
+@register("graph-label-propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    2007) over the kNN similarity graph: every node starts as its own
+    label, then for LPA_ROUNDS rounds simultaneously adopts the most
+    frequent label among its neighbors-plus-self (ties to the smallest
+    label), emitted as the community census.  Over a kNN substrate this
+    is the semantic-clustering step of a curation pipeline (SemDeDup's
+    "cluster then keep representatives" without a k-means fit) — and
+    the clustering complement to graph-components (connectivity ignores
+    density; LPA splits a connected blob into its dense cores; the
+    co-supply census graph is near-complete at fixture scale, which is
+    exactly the regime where components/LPA degenerate to one blob, so
+    the sparse kNN graph is the honest substrate).
+
+    Determinism: plain LPA is notoriously nondeterministic (random
+    visit order, random tie-breaks); this variant pins BOTH — fully
+    synchronous rounds and a total (count DESC, label ASC) vote order —
+    so labels are exact integers and the oracle can unroll the
+    identical rounds over the SAME kNN edge oracle sim-knn-graph ships.
+    The census collapses order-independently.
+
+    Scale (100 TB): edge generation is sim-knn-graph's capped LSH
+    bucket expansion (equi-joins only) + per-source WindowGroupLimit;
+    each LPA round is one equi-join of the |V|-row label frame with the
+    ≤k·|V|-row edge list (co-partitioned on the vote target) + one
+    keyed count + a per-node argmax — the graph-pagerank physics with
+    argmax instead of sum; lineage is cut per round.  The round count
+    is fixed and nothing collects to the driver."""
+    from pyspark.sql.window import Window
+
+    from merl_etl_spark.operators.similarity import (
+        KNN_K,
+        embedding_cosine_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = embedding_cosine_pairs(emb, threshold=-2.0)
+    sym = scored.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos_sim"
+    ).unionByName(
+        scored.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cos_sim"
+        )
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    knn = (
+        sym.withColumn("nn_rank", F.row_number().over(wk))
+        .filter(F.col("nn_rank") <= KNN_K)
+        .select("src", "dst")
+    )
+    und = (
+        knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    und = cut_lineage(und, eager=True)
+    nodes = und.select("u").distinct()
+    undx = cut_lineage(
+        und.unionAll(nodes.select("u", F.col("u").alias("v"))), eager=False
+    )
+    lab = nodes.select(F.col("u").alias("node"), F.col("u").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            undx.join(lab.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lab = cut_lineage(
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label"),
+            eager=True,
+        )
+    return lab.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

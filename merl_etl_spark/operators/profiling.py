@@ -639,13 +639,36 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # any count.
 SHARD_COUNT = 32
 
+# the salted doc→shard hash, single-sourced between layout-shard-skew and
+# layout-compaction-plan so the files the compactor plans over are
+# provably the files the sharded writer produced
+DOC_SHARD_DUCK = (
+    "('0x' || substr(md5(doc_id::VARCHAR || '|shard-seed'), 1, 8))"
+    f"::BIGINT % {SHARD_COUNT}"
+)
+
+
+def doc_shard_col() -> F.Column:
+    """Spark twin of DOC_SHARD_DUCK."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|shard-seed"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % SHARD_COUNT
+    )
+
 
 @register(
     "layout-shard-skew",
     oracle=f"""
     WITH sharded AS (
-      SELECT ('0x' || substr(md5(doc_id::VARCHAR || '|shard-seed'), 1, 8))
-               ::BIGINT % {SHARD_COUNT} AS shard_id,
+      SELECT {DOC_SHARD_DUCK} AS shard_id,
              n_chars
       FROM documents
     ),
@@ -690,20 +713,8 @@ def layout_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition of the corpus itself — the plan is decided from metadata
     mass, the text column is never read."""
     docs = load_table(spark, sf_dir, "documents")
-    shard = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|shard-seed"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % SHARD_COUNT
-    )
     per_shard = (
-        docs.groupBy(shard.alias("shard_id"))
+        docs.groupBy(doc_shard_col().alias("shard_id"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("n_chars"),
@@ -727,4 +738,91 @@ def layout_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             (chars_d * F.lit(SHARD_COUNT).cast("double") - total_d) / total_d * ppm,
             3,
         ).alias("dev_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout-compaction-plan — greedy small-file merge schedule per source
+# ---------------------------------------------------------------------------
+
+# target compacted-output size in characters (the fixture's byte proxy).
+# A sizing dial, not a correctness knob — production sets this to the
+# table's target file size (e.g. 128 MB) and the plan is shape-identical.
+COMPACT_TARGET_CHARS = 2048
+
+
+@register(
+    "layout-compaction-plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT source, {DOC_SHARD_DUCK} AS shard_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1, 2
+    ),
+    planned AS (
+      SELECT source, shard_id, n_docs, bytes,
+             COALESCE(SUM(bytes) OVER (
+               PARTITION BY source ORDER BY shard_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM files
+    )
+    SELECT source,
+           CAST(cum_before // {COMPACT_TARGET_CHARS} AS BIGINT)
+             AS merged_file,
+           CAST(count(*) AS BIGINT) AS n_input_files,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(bytes) AS BIGINT) AS bytes,
+           min(shard_id) AS first_shard, max(shard_id) AS last_shard
+    FROM planned GROUP BY 1, 2
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction schedule (the OPTIMIZE/rewrite planning
+    step every lakehouse table needs): the files the sharded writer
+    produced — (source, shard) byte masses under the SAME doc→shard
+    hash layout-shard-skew audits — are greedily packed, per source in
+    shard order, into merge groups of ~COMPACT_TARGET_CHARS by running
+    byte offset (first-fit: a file joins the group its starting offset
+    falls in, so every group is contiguous and ≤ target + one file).
+    The emitted plan row per merged output (input-file count, doc/byte
+    mass, shard range) is exactly the work order a rewrite job executes.
+
+    Determinism: file masses are exact integer sums; the running offset
+    orders by the unique shard_id, so cum_before and the group id are
+    pure integers in both engines.
+
+    Scale (100 TB): the plan runs entirely at FILE-METADATA grain — the
+    corpus collapses to (source × shard) in one map-side-combinable
+    pass, and the running-offset window partitions by source over ≤
+    SHARD_COUNT rows (never document rows).  The rewrite itself would
+    stream each group's files; the planner never touches text."""
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.groupBy("source", doc_shard_col().alias("shard_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("bytes"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("shard_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    )
+    return (
+        planned.groupBy(
+            "source",
+            F.expr(f"cum_before DIV {COMPACT_TARGET_CHARS}").alias("merged_file"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_input_files"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("bytes").alias("bytes"),
+            F.min("shard_id").alias("first_shard"),
+            F.max("shard_id").alias("last_shard"),
+        )
     )

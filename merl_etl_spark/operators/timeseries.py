@@ -1508,3 +1508,163 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + element_at(win, CAST((size(win) + 2) DIV 2 AS INT)))"
         ).cast("bigint").alias("vol_ratio_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts-decompose — additive trend / weekly-seasonal / residual decomposition
+# ---------------------------------------------------------------------------
+
+# centered moving-average half-width: ±3 days = a 7-day trend window, the
+# classical choice for weekly-seasonal series (one full season per
+# window, so the seasonal component averages out of the trend)
+DECOMP_HALF = 3
+
+
+@register(
+    "ts-decompose",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(day) AS dmin, max(day) AS dmax
+      FROM counts GROUP BY 1
+    ),
+    spine AS (
+      SELECT b.event_type, CAST(gs.d AS DATE) AS day
+      FROM bounds b, LATERAL unnest(generate_series(b.dmin, b.dmax,
+                                                    INTERVAL 1 DAY)) AS gs(d)
+    ),
+    dense AS (
+      SELECT s.event_type, s.day,
+             CAST(date_diff('day', DATE '1970-01-01', s.day) AS BIGINT)
+               AS day_num,
+             COALESCE(c.n, 0) AS n
+      FROM spine s LEFT JOIN counts c USING (event_type, day)
+    ),
+    win AS (
+      SELECT event_type, day, day_num, n,
+             SUM(n) OVER w AS s7, count(*) OVER w AS c7
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                   RANGE BETWEEN {DECOMP_HALF} PRECEDING
+                         AND {DECOMP_HALF} FOLLOWING)
+    ),
+    interior AS (
+      SELECT *, 7 * n - s7 AS det_x7 FROM win WHERE c7 = {2 * DECOMP_HALF + 1}
+    ),
+    season AS (
+      SELECT event_type, day_num % 7 AS dow7,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(SUM(det_x7) AS BIGINT) AS sdet
+      FROM interior GROUP BY 1, 2
+    )
+    SELECT i.event_type, strftime(i.day, '%Y-%m-%d') AS day, i.n,
+           round(CAST(i.s7 AS DOUBLE) / CAST(7 AS DOUBLE), 6) AS trend,
+           round(CAST(s.sdet AS DOUBLE)
+                 / (CAST(7 AS DOUBLE) * CAST(s.m AS DOUBLE)), 6) AS seasonal,
+           round(CAST(i.n AS DOUBLE)
+                 - CAST(i.s7 AS DOUBLE) / CAST(7 AS DOUBLE)
+                 - CAST(s.sdet AS DOUBLE)
+                   / (CAST(7 AS DOUBLE) * CAST(s.m AS DOUBLE)), 6)
+             AS residual
+    FROM interior i JOIN season s
+      ON s.event_type = i.event_type AND s.dow7 = i.day_num % 7
+    """,
+)
+def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the per-type daily volume
+    series: trend = centered 7-day moving average, seasonal = per
+    day-of-week mean of the detrended series, residual = the rest — the
+    series triage every forecasting/anomaly workflow starts with (what
+    part of today's number is trajectory, what is weekday rhythm, what
+    is actually news).  Complements ts-seasonal-profile (profile only)
+    and ts-cusum-changepoint (level shifts) with the full three-way
+    split.
+
+    Determinism: the series is gap-filled first (missing days ARE zero
+    volume), so every interior window holds exactly 7 rows and the
+    detrended series 7·n − Σ₇ is pure integer; day-of-week is day_num %
+    7 (engine-independent — dayofweek() builtins disagree on week
+    start); each output component is one shared IEEE formula over exact
+    integers, rounded once at the boundary.  Additivity (trend +
+    seasonal + residual = n up to the per-column rounding) is pinned in
+    pytest.
+
+    Scale (100 TB): the fact table collapses to (type × day) grain in
+    ONE map-side-combinable pass; spine, windows, and the dow rollup all
+    run at that bounded summary grain, partitioned by event_type (the
+    ts-gap-fill physics) — series count × series length is the unit of
+    work, never event rows."""
+    events = load_table(spark, sf_dir, "events")
+    counts = (
+        events.where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("day"),
+    )
+    dense = (
+        spine.join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day_num"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-DECOMP_HALF, DECOMP_HALF)
+    )
+    interior = (
+        dense.select(
+            "event_type",
+            "day",
+            "day_num",
+            "n",
+            F.sum("n").over(w).alias("s7"),
+            F.count(F.lit(1)).over(w).alias("c7"),
+        )
+        .where(F.col("c7") == 2 * DECOMP_HALF + 1)
+        .withColumn("det_x7", F.lit(7) * F.col("n") - F.col("s7"))
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    # two consumers (season rollup + output join) of the bounded
+    # (type × day) summary — one materialization
+    interior = cut_lineage(interior, eager=False)
+    season = interior.groupBy(
+        F.col("event_type").alias("s_event_type"),
+        (F.col("day_num") % 7).alias("dow7"),
+    ).agg(F.count(F.lit(1)).alias("m"), F.sum("det_x7").alias("sdet"))
+    seven = F.lit(7).cast("double")
+    trend = F.col("s7").cast("double") / seven
+    seasonal = F.col("sdet").cast("double") / (seven * F.col("m").cast("double"))
+    return (
+        interior.join(
+            season,
+            (F.col("s_event_type") == F.col("event_type"))
+            & (F.col("dow7") == F.col("day_num") % 7),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(trend, 6).alias("trend"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(F.col("n").cast("double") - trend - seasonal, 6).alias(
+                "residual"
+            ),
+        )
+    )

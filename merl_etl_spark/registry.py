@@ -133,6 +133,10 @@ SWEEP_DEFER: list[str] = [
     "analytics-ab-test",
     "sim-kmeans-update",
     "layout-shard-skew",
+    # wave-13 r11 ops (same evidence tier)
+    "ts-decompose",
+    "graph-label-propagation",
+    "layout-compaction-plan",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles
