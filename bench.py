@@ -210,6 +210,10 @@ HEADLINE = [
     "ts-decompose",
     "graph-label-propagation",
     "layout-compaction-plan",
+    # round-11 wave 14: power-law fit, map-function suite, stable argmax
+    "analytics-powerlaw-fit",
+    "fn-map-suite",
+    "agg-argmax-suite",
 ]
 
 

@@ -499,3 +499,84 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_len"),
         (F.size("words") != F.size(F.array_distinct("words"))).alias("has_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn-map-suite — MapType higher-order functions against a relational oracle
+# ---------------------------------------------------------------------------
+
+# map_filter keep threshold on the ORIGINAL per-(day, type) count: low
+# enough that most cells survive at every SF, high enough that the
+# smallest fixture actually drops cells (the filter branch is exercised,
+# not vacuous)
+MAP_MIN_N = 8
+
+
+@register(
+    "fn-map-suite",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(n) AS BIGINT) AS max_val
+      FROM c GROUP BY 1
+    )
+    SELECT strftime(c.day, '%Y-%m-%d') AS day, d.n_keys, d.max_val,
+           c.event_type AS etype, c.n, 2 * c.n AS doubled
+    FROM c JOIN d USING (day)
+    WHERE c.n >= {MAP_MIN_N}
+    """,
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface pin: per day the (event_type → count) map is
+    BUILT (map_from_entries over a sorted entry array — collect_list
+    order is nondeterministic, the sort makes the fold stable),
+    INSPECTED (size/map_keys/map_values → key count and max value),
+    TRANSFORMED (transform_values doubling), FILTERED (map_filter on
+    the original count), LOOKED UP (element_at for the original count
+    back), and EXPLODED to rows.  The oracle computes the same result
+    relationally — so what the driver hash pins is that Spark's map
+    operators implement exactly the relational semantics a user
+    migrating from SQL expects.
+
+    Scale (100 TB): maps are built at (day) grain AFTER the fact table
+    collapses to the (day × type) summary in one map-side-combinable
+    pass; per-map size is category cardinality, never data volume."""
+    events = load_table(spark, sf_dir, "events")
+    c = (
+        events.where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = c.groupBy("day").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return (
+        m.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.size(F.map_keys("m")).cast("long").alias("n_keys"),
+            F.array_max(F.map_values("m")).alias("max_val"),
+            F.col("m"),
+            F.explode(
+                F.map_filter(
+                    F.transform_values("m", lambda _, v: v * 2),
+                    lambda _, v: v >= 2 * MAP_MIN_N,
+                )
+            ).alias("etype", "doubled"),
+        )
+        .select(
+            "day",
+            "n_keys",
+            "max_val",
+            "etype",
+            F.element_at("m", F.col("etype")).alias("n"),
+            "doubled",
+        )
+    )

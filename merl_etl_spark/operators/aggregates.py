@@ -370,3 +370,69 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg-argmax-suite — deterministic max_by/min_by via struct total order
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg-argmax-suite",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, ts, event_type, value FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rpk,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts ASC, event_id ASC) AS rfs
+      FROM base
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           max(CASE WHEN rpk = 1 THEN event_id END) AS peak_event_id,
+           max(CASE WHEN rpk = 1 THEN value END) AS peak_value,
+           max(CASE WHEN rfs = 1 THEN event_id END) AS first_event_id,
+           max(CASE WHEN rfs = 1 THEN strftime(ts, '{TS_FMT_DUCK}') END)
+             AS first_ts
+    FROM r GROUP BY 1
+    """,
+)
+def agg_argmax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax/argmin per group — which EVENT carried the
+    peak value, which arrived first — via struct total ordering:
+    max(struct(value, event_id)) / min(struct(ts, event_id)).  Spark
+    (and most engines) ship max_by/min_by, but their tie behavior is
+    expressly unspecified — on equal values ANY row may win, which
+    breaks reruns, backfill diffs, and this engine's oracle contract;
+    the struct carries the unique id INSIDE the comparison so ties
+    resolve by a total order.  The oracle computes the same winners via
+    explicitly-ordered rank windows, pinning the equivalence.
+
+    Scale (100 TB): one map-side-combinable keyed aggregate over one
+    scan — the struct max/min partials combine associatively, so this
+    is strictly cheaper than the window form the oracle uses (which
+    would sort each group) and is the shape to reach for in production;
+    no shuffle beyond the |groups|-row exchange."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.struct(F.col("value"), F.col("event_id"))).alias("pk"),
+        F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("fs"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.col("pk.event_id").alias("peak_event_id"),
+        F.col("pk.value").alias("peak_value"),
+        F.col("fs.event_id").alias("first_event_id"),
+        F.date_format("fs.ts", TS_FMT_SPARK).alias("first_ts"),
+    )

@@ -1813,3 +1813,105 @@ def analytics_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_AB_Z_EXPR}, 6) AS z_score",
         f"abs(round({_AB_Z_EXPR}, 6)) >= CAST(1.96 AS DOUBLE) AS significant",
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics-powerlaw-fit — log-log OLS over bit-width length bands
+# ---------------------------------------------------------------------------
+
+# the OLS slope/intercept over the band summary, shared verbatim between
+# the Spark plan and the oracle.  All inputs are exact (integer band
+# moments; band ln-counts frozen at 6 dp decimal and cast to double once
+# at the sum boundary), so the fit is a fixed IEEE expression tree.
+_PL_SLOPE = (
+    "(CAST(m AS DOUBLE) * sxy_d - CAST(sx AS DOUBLE) * sy_d)"
+    " / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_PL_INTERCEPT = "(sy_d - slope * CAST(sx AS DOUBLE)) / CAST(m AS DOUBLE)"
+
+
+@register(
+    "analytics-powerlaw-fit",
+    oracle=f"""
+    WITH grain AS (
+      SELECT CAST(length(bin(n_chars)) AS INT) AS band,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents WHERE n_chars > 0 GROUP BY 1
+    ),
+    g AS (
+      SELECT band, n_docs,
+             CAST(round(ln(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6))
+               AS ln_dec
+      FROM grain
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(SUM(band) AS BIGINT) AS sx,
+             CAST(SUM(band * band) AS BIGINT) AS sxx,
+             CAST(SUM(ln_dec) AS DOUBLE) AS sy_d,
+             CAST(SUM(band * ln_dec) AS DOUBLE) AS sxy_d
+      FROM g
+    ),
+    fit AS (
+      SELECT m, {_PL_SLOPE} AS slope, sy_d, sx FROM s
+    ),
+    fit2 AS (SELECT slope, {_PL_INTERCEPT} AS intercept FROM fit)
+    SELECT g.band, g.n_docs, CAST(g.ln_dec AS DOUBLE) AS ln_count,
+           round(f.slope, 9) AS slope, round(f.intercept, 9) AS intercept
+    FROM g, fit2 f
+    """,
+)
+def analytics_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law diagnostic of the document-length distribution: doc
+    counts per log2 length band with the OLS line fitted through
+    (band, ln count) — the Zipf/heavy-tail check every corpus intake
+    runs (a straight log-log line with slope ≈ −α says lengths are
+    power-law distributed, which drives packing efficiency, shard-size
+    variance, and truncation-budget decisions downstream).
+
+    Determinism: the log2 band is length(bin(n_chars)) — integer
+    bit-width, no floating log at row grain; per-BAND ln(count) is
+    computed once on the ≤64-row summary and frozen at 6 dp decimal
+    (the curate-dsir rule), so the OLS moments are exact integer/decimal
+    sums cast to double once, and slope/intercept are ONE shared IEEE
+    formula rounded at the boundary.
+
+    Scale (100 TB): the corpus collapses to ≤64 band rows in one
+    map-side-combinable pass (the fit never sees documents or ranks —
+    the classical rank-size regression would demand a global sort; the
+    binned form is the scale-correct estimator), and the fit is a 1-row
+    aggregate broadcast back across the bands."""
+    docs = load_table(spark, sf_dir, "documents")
+    grain = (
+        docs.where(F.col("n_chars") > 0)
+        .groupBy(
+            F.expr("CAST(length(bin(n_chars)) AS INT)").alias("band")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    g = grain.withColumn(
+        "ln_dec",
+        F.expr("CAST(round(ln(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6))"),
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    # two consumers (fit moments + output rows) of the ≤64-row summary
+    g = cut_lineage(g, eager=False)
+    s = g.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("band").cast("bigint").alias("sx"),
+        F.sum(F.col("band") * F.col("band")).cast("bigint").alias("sxx"),
+        F.sum("ln_dec").cast("double").alias("sy_d"),
+        F.sum(F.col("band") * F.col("ln_dec")).cast("double").alias("sxy_d"),
+    )
+    fit = s.selectExpr("m", f"{_PL_SLOPE} AS slope", "sy_d", "sx").selectExpr(
+        "slope", f"{_PL_INTERCEPT} AS intercept"
+    )
+    return g.crossJoin(F.broadcast(fit)).select(
+        "band",
+        "n_docs",
+        F.col("ln_dec").cast("double").alias("ln_count"),
+        F.round("slope", 9).alias("slope"),
+        F.round("intercept", 9).alias("intercept"),
+    )

@@ -137,6 +137,10 @@ SWEEP_DEFER: list[str] = [
     "ts-decompose",
     "graph-label-propagation",
     "layout-compaction-plan",
+    # wave-14 r11 ops (same evidence tier)
+    "analytics-powerlaw-fit",
+    "fn-map-suite",
+    "agg-argmax-suite",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles
