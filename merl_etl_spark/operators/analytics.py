@@ -1697,6 +1697,12 @@ _AB_COUNT_COLS = """
 # every scale factor while staying exact-integer
 AB_CONV_MIN_PURCHASES = 15
 
+# arm assignment = dedup's md5_bucket twins (the single-sourced hex→int
+# split) over the salted user id, modulo 2
+from merl_etl_spark.operators.dedup import md5_bucket_duck, md5_bucket_spark
+
+AB_BUCKET_DUCK = md5_bucket_duck("user_id::VARCHAR || '|ab-seed'", 2)
+
 # the z statistic over those integers — ONE shared formula string so the
 # Spark plan and the oracle cannot drift (operand order is the IEEE
 # determinism contract; bare decimal literals avoided because DuckDB
@@ -1719,8 +1725,7 @@ _AB_Z_EXPR = (
       FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ),
     v AS (
-      SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || '|ab-seed'),
-                                       1, 8))::BIGINT % 2 = 0
+      SELECT CASE WHEN {AB_BUCKET_DUCK} = 0
                   THEN 'A' ELSE 'B' END AS variant,
              converted
       FROM u
@@ -1777,17 +1782,8 @@ def analytics_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("converted")
         )
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|ab-seed"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
+    bucket = md5_bucket_spark(
+        F.concat(F.col("user_id").cast("string"), F.lit("|ab-seed")), 2
     )
     v = u.select(
         F.when(bucket == 0, "A").otherwise("B").alias("variant"), "converted"

@@ -789,26 +789,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     is fixed and nothing collects to the driver."""
     from pyspark.sql.window import Window
 
-    from merl_etl_spark.operators.similarity import (
-        KNN_K,
-        embedding_cosine_pairs,
-    )
+    from merl_etl_spark.operators.similarity import knn_edges
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    scored = embedding_cosine_pairs(emb, threshold=-2.0)
-    sym = scored.select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos_sim"
-    ).unionByName(
-        scored.select(
-            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cos_sim"
-        )
-    )
-    wk = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
-    knn = (
-        sym.withColumn("nn_rank", F.row_number().over(wk))
-        .filter(F.col("nn_rank") <= KNN_K)
-        .select("src", "dst")
-    )
+    knn = knn_edges(load_table(spark, sf_dir, "embeddings")).select("src", "dst")
     und = (
         knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))

@@ -641,26 +641,19 @@ SHARD_COUNT = 32
 
 # the salted doc→shard hash, single-sourced between layout-shard-skew and
 # layout-compaction-plan so the files the compactor plans over are
-# provably the files the sharded writer produced
-DOC_SHARD_DUCK = (
-    "('0x' || substr(md5(doc_id::VARCHAR || '|shard-seed'), 1, 8))"
-    f"::BIGINT % {SHARD_COUNT}"
-)
+# provably the files the sharded writer produced — and built on dedup's
+# md5_bucket twins (review r11: the hex→int split must live in ONE place
+# so a cast-trap fix reaches every consumer in both engines)
+from merl_etl_spark.operators.dedup import md5_bucket_duck, md5_bucket_spark
+
+DOC_SHARD_DUCK = md5_bucket_duck("doc_id::VARCHAR || '|shard-seed'", SHARD_COUNT)
 
 
 def doc_shard_col() -> F.Column:
     """Spark twin of DOC_SHARD_DUCK."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|shard-seed"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % SHARD_COUNT
+    return md5_bucket_spark(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|shard-seed")),
+        SHARD_COUNT,
     )
 
 
@@ -758,7 +751,11 @@ COMPACT_TARGET_CHARS = 2048
       SELECT source, {DOC_SHARD_DUCK} AS shard_id,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS bytes
-      FROM documents GROUP BY 1, 2
+      -- doc_id null-guard: md5(NULL) = NULL shard, and the offset
+      -- window below ORDERs BY shard_id where Spark (NULLS FIRST) and
+      -- DuckDB (NULLS LAST) disagree — a NULL file would shift every
+      -- cum_before in its source differently per engine
+      FROM documents WHERE doc_id IS NOT NULL GROUP BY 1, 2
     ),
     planned AS (
       SELECT source, shard_id, n_docs, bytes,
@@ -798,7 +795,9 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, and the running-offset window partitions by source over ≤
     SHARD_COUNT rows (never document rows).  The rewrite itself would
     stream each group's files; the planner never touches text."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()  # see the oracle's null-guard note
+    )
     files = docs.groupBy("source", doc_shard_col().alias("shard_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("bytes"),

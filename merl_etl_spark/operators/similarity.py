@@ -748,24 +748,13 @@ def _knn_graph_oracle() -> str:
     """
 
 
-@register("sim-knn-graph", oracle=_knn_graph_oracle())
-def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN graph construction: each vector's {KNN_K} nearest neighbors
-    (exact cosine, re-ranked) among its multi-table sign-bit LSH
-    candidates — the standard input to semantic-dedup clustering, label
-    propagation, and graph-based retrieval (e.g. the SemDeDup pipeline
-    shape: ANN-graph → components → keep centroids).
-
-    The candidate stream is :func:`embedding_cosine_pairs`'s capped
-    bucket expansion (every join an equi-join, degenerate buckets
-    star-routed), symmetrized so both endpoints of a pair see each other
-    as potential neighbors; the per-vector top-k is a WindowGroupLimit
-    partitioned by the source vector — never a global window.  Recall
-    against exact kNN is the multi-table LSH dial (more tables/planes);
-    the oracle replicates the same candidate set in SQL, so the driver
-    hash pins candidate generation, exact cosine, and the ranked edge
-    list."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def knn_edges(emb: DataFrame) -> DataFrame:
+    """(src, dst, nn_rank, cos_sim) — the kNN edge list over the LSH
+    candidate stream.  ONE Spark-side definition (the twin of
+    _knn_graph_oracle) shared by sim-knn-graph and
+    graph-label-propagation, so a ranking/tie-break/KNN_K change can
+    never update one consumer's edges without the other's (review r11 —
+    the assigned_label_expr single-sourcing rule applied to edges)."""
     # threshold -2.0 keeps every candidate pair: kNN ranks all candidates,
     # unlike the near-dup tier which only keeps high-similarity pairs
     scored = embedding_cosine_pairs(emb, threshold=-2.0)
@@ -784,6 +773,26 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nn_rank") <= KNN_K)
         .select("src", "dst", "nn_rank", "cos_sim")
     )
+
+
+@register("sim-knn-graph", oracle=_knn_graph_oracle())
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction: each vector's {KNN_K} nearest neighbors
+    (exact cosine, re-ranked) among its multi-table sign-bit LSH
+    candidates — the standard input to semantic-dedup clustering, label
+    propagation, and graph-based retrieval (e.g. the SemDeDup pipeline
+    shape: ANN-graph → components → keep centroids).
+
+    The candidate stream is :func:`embedding_cosine_pairs`'s capped
+    bucket expansion (every join an equi-join, degenerate buckets
+    star-routed), symmetrized so both endpoints of a pair see each other
+    as potential neighbors; the per-vector top-k is a WindowGroupLimit
+    partitioned by the source vector — never a global window.  Recall
+    against exact kNN is the multi-table LSH dial (more tables/planes);
+    the oracle replicates the same candidate set in SQL, so the driver
+    hash pins candidate generation, exact cosine, and the ranked edge
+    list."""
+    return knn_edges(load_table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

@@ -37,16 +37,28 @@ def test_powerlaw_fit_matches_numpy_ols(spark, sf_dir):
     for r in rows:
         assert r.slope == round(slope, 9)
         assert r.intercept == round(intercept, 9)
-        assert r.ln_count == float(r.ln_count)  # no NaN
-        assert r.band == len(bin(int(2 ** (r.band - 1))))- 2  # band is a bit width
+        assert r.ln_count == round(math.log(r.n_docs), 6)
 
 
-def test_powerlaw_bands_cover_every_document(spark, sf_dir):
+def test_powerlaw_bands_are_the_bitwidth_histogram(spark, sf_dir):
+    """Recompute the (band, count) histogram from raw document lengths
+    with Python's bit_length — pins that the band expression really is
+    the bit width (a 0-based, digit-count, or byte-count regression
+    would diverge here) and that every document is covered."""
     rows = QUERIES["analytics-powerlaw-fit"](spark, sf_dir).collect()
-    n_docs = (
-        load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0).count()
-    )
-    assert sum(r.n_docs for r in rows) == n_docs
+    lengths = [
+        r.n_chars
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select("n_chars")
+        .collect()
+    ]
+    expected: dict = {}
+    for L in lengths:
+        expected[L.bit_length()] = expected.get(L.bit_length(), 0) + 1
+    got = {r.band: r.n_docs for r in rows}
+    assert got == expected
+    assert sum(got.values()) == len(lengths)
 
 
 # ---------------------------------------------------------------------------
