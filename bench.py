@@ -214,6 +214,10 @@ HEADLINE = [
     "analytics-powerlaw-fit",
     "fn-map-suite",
     "agg-argmax-suite",
+    # round-11 wave 15: near-dup split leakage, upsample plan, source novelty
+    "dq-split-leakage-near",
+    "curate-upsample-plan",
+    "text-ngram-novelty",
 ]
 
 

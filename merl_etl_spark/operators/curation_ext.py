@@ -1216,3 +1216,66 @@ def curate_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("token_retention_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-upsample-plan — class-rebalancing repetition factors per language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curate-upsample-plan",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents WHERE lang IS NOT NULL GROUP BY 1
+    ),
+    t AS (SELECT CAST(max(n_docs) AS BIGINT) AS target FROM c)
+    SELECT c.lang, c.n_docs, t.target,
+           CAST(t.target * 1000000 // c.n_docs AS BIGINT) AS up_factor_ppm,
+           CAST((t.target * 1000000 // c.n_docs) * c.n_docs // 1000000
+                AS BIGINT) AS planned_docs,
+           CAST((t.target * 1000000 // c.n_docs) // 1000000 AS BIGINT)
+             AS full_epochs,
+           CAST((t.target * 1000000 // c.n_docs) % 1000000 AS BIGINT)
+             AS partial_epoch_ppm
+    FROM c, t
+    """,
+)
+def curate_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing plan: per language, the repetition factor that
+    brings its document mass up to the LARGEST class — the oversampling
+    side of mixture curation (curate-source-cap trims the head;
+    curate-mixture-sample downsamples to a token budget; THIS plans the
+    minority upweighting, split into whole epochs plus a partial-epoch
+    keep-rate the md5-coin sampler executes).
+
+    Determinism: pure integer arithmetic — the factor is a ppm floor
+    quotient of exact counts, epochs/remainder its integer split; no
+    floats anywhere.  (target·10⁶ overflows int64 only past ~9.2
+    trillion docs per class.)
+
+    Scale (100 TB): one map-side-combinable keyed count per language +
+    a 1-row max broadcast back across the |langs|-row summary — the
+    plan never touches documents again; execution is the
+    curate-mixture-sample coin at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.where(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    t = c.agg(F.max("n_docs").alias("target"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        "target",
+        F.expr("target * 1000000 DIV n_docs").alias("up_factor_ppm"),
+        F.expr("(target * 1000000 DIV n_docs) * n_docs DIV 1000000").alias(
+            "planned_docs"
+        ),
+        F.expr("(target * 1000000 DIV n_docs) DIV 1000000").alias("full_epochs"),
+        F.expr("(target * 1000000 DIV n_docs) % 1000000").alias(
+            "partial_epoch_ppm"
+        ),
+    )

@@ -1368,3 +1368,123 @@ def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("leak_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq-split-leakage-near — MinHash near-dup contamination across the split
+# ---------------------------------------------------------------------------
+
+
+def _split_leakage_near_oracle() -> str:
+    from merl_etl_spark.operators.curation import SPLIT_CASE_DUCK
+    from merl_etl_spark.operators.dedup import _minhash_bands_ctes
+
+    return f"""
+    WITH {_minhash_bands_ctes()},
+    sp AS (
+      SELECT doc_id, {SPLIT_CASE_DUCK} AS split FROM documents
+    ),
+    bs AS (
+      SELECT b.doc_id, b.band_id, b.h, s.split
+      FROM bands b JOIN sp s USING (doc_id)
+    ),
+    keys AS (
+      SELECT band_id, h,
+             SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+             SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+      FROM bs GROUP BY 1, 2
+    ),
+    leaked AS (
+      SELECT DISTINCT b.doc_id
+      FROM bs b JOIN (SELECT band_id, h FROM keys WHERE in_train > 0) hot
+        USING (band_id, h)
+      WHERE b.split = 'test'
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train_docs,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test_docs
+      FROM sp
+    )
+    SELECT t.n_train_docs, t.n_test_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM keys
+            WHERE in_train > 0 AND in_test > 0) AS n_straddling_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM leaked)
+             AS n_near_leaked_test_docs,
+           CASE WHEN t.n_test_docs = 0 THEN 0
+                ELSE CAST((SELECT count(*) FROM leaked) * 1000000
+                          // t.n_test_docs AS BIGINT)
+           END AS near_leak_ppm
+    FROM tot t
+    """
+
+
+@register("dq-split-leakage-near", oracle=_split_leakage_near_oracle())
+def dq_split_leakage_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate contamination audit of the train/test hash split —
+    the probe dq-split-leakage's docstring promises: a test document is
+    flagged when it shares ANY MinHash LSH band key (the single-sourced
+    dedup-minhash-lsh banding: 3-word shingles, Kirsch–Mitzenmacher
+    hashes, 4×2 bands) with at least one train document.  Exact copies
+    are split-stable by construction and case/whitespace twins are
+    caught by the normalized audit; THIS catches the paraphrase-grade
+    overlap (≈50%+ Jaccard) that actually inflates benchmark scores.
+
+    Output (one row): per-split doc counts, band keys hot on both sides,
+    near-leaked test docs, and the near-leak rate as integer ppm of the
+    test split (zero-guarded floor division) — all exact integers.
+
+    Scale (100 TB): the band frame is the dedup-minhash-lsh shape (one
+    shingle explode + one doc-grain signature aggregate); the audit adds
+    one keyed count at band-key grain and one semi-join of the test-side
+    band rows against train-hot keys — NO pair expansion anywhere (the
+    leak test needs key co-presence, never the pair list), so the audit
+    is strictly cheaper than the dedup it guards."""
+    from merl_etl_spark.operators.curation import split_assign_spark
+    from merl_etl_spark.operators.dedup import minhash_bands
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = docs.select("doc_id", split_assign_spark().alias("split"))
+    bs = minhash_bands(docs).join(sp, "doc_id")
+    keys = bs.groupBy("band_id", "h").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("in_test"),
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    keys = cut_lineage(keys, eager=False)  # two consumers: straddle + hot
+    straddle = keys.where(
+        (F.col("in_train") > 0) & (F.col("in_test") > 0)
+    ).agg(F.count(F.lit(1)).alias("n_straddling_keys"))
+    hot = keys.where(F.col("in_train") > 0).select("band_id", "h")
+    leaked = (
+        bs.where(F.col("split") == "test")
+        .join(hot, ["band_id", "h"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_near_leaked_test_docs"))
+    )
+    tot = sp.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train_docs"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test_docs"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(straddle))
+        .crossJoin(F.broadcast(leaked))
+        .select(
+            "n_train_docs",
+            "n_test_docs",
+            "n_straddling_keys",
+            "n_near_leaked_test_docs",
+            F.when(F.col("n_test_docs") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("n_near_leaked_test_docs * 1000000 DIV n_test_docs")
+            )
+            .alias("near_leak_ppm"),
+        )
+    )

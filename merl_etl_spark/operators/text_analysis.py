@@ -912,3 +912,76 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("very-difficult"))
         .alias("band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text-ngram-novelty — per-source unique-shingle contribution
+# ---------------------------------------------------------------------------
+
+
+def _ngram_novelty_oracle() -> str:
+    from merl_etl_spark.operators.dedup import DUCK_SHINGLES
+
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT source, unnest({DUCK_SHINGLES}) AS sh
+      FROM documents WHERE source IS NOT NULL
+    ),
+    per AS (SELECT sh, count(*) AS n_sources FROM sh GROUP BY 1),
+    j AS (
+      SELECT s.source,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN p.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+      FROM sh s JOIN per p USING (sh) GROUP BY 1
+    )
+    SELECT source, n_shingles, n_unique,
+           CAST(n_unique * 1000000 // n_shingles AS BIGINT) AS novelty_ppm
+    FROM j
+    """
+
+
+@register("text-ngram-novelty", oracle=_ngram_novelty_oracle())
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty census: of each source's distinct 3-word
+    shingles (the dedup tier's single-sourced shingling), how many
+    appear in NO other source — the "what does this source actually
+    add" signal that ranks acquisition candidates and catches mirror
+    sites (a source whose novelty_ppm ≈ 0 is re-serving content the
+    corpus already has; dedup would drop its documents one by one, this
+    says so in one number before any pair is generated).
+
+    Determinism: set cardinalities and an integer ppm floor quotient —
+    no floats.  The (source, shingle) grain dedups BEFORE the shingle
+    rollup, so a shingle repeated within one source counts once.
+
+    Scale (100 TB): one shingle explode (flatMap, no shuffle) + a
+    distinct at (source, shingle) grain + one count at shingle grain +
+    one co-partitioned equi-join back — the dedup-minhash scan physics
+    with a membership rollup instead of banding; no pair expansion, no
+    window."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    from merl_etl_spark.operators.dedup import WORDS_SHINGLES
+
+    sh = (
+        docs.withColumn("words", F.split("text", " "))
+        .select("source", F.explode(F.expr(WORDS_SHINGLES)).alias("sh"))
+        .distinct()
+    )
+    per = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_sources"))
+    j = (
+        sh.join(per, "sh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_sources") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    return j.select(
+        "source",
+        "n_shingles",
+        "n_unique",
+        F.expr("n_unique * 1000000 DIV n_shingles").alias("novelty_ppm"),
+    )

@@ -141,6 +141,10 @@ SWEEP_DEFER: list[str] = [
     "analytics-powerlaw-fit",
     "fn-map-suite",
     "agg-argmax-suite",
+    # wave-15 r11 ops (same evidence tier)
+    "dq-split-leakage-near",
+    "curate-upsample-plan",
+    "text-ngram-novelty",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles
