@@ -218,6 +218,10 @@ HEADLINE = [
     "dq-split-leakage-near",
     "curate-upsample-plan",
     "text-ngram-novelty",
+    # round-11 wave 16: truncation pricing, norm census, bit-operator suite
+    "curate-truncation-plan",
+    "dq-embedding-norms",
+    "fn-bit-suite",
 ]
 
 

@@ -580,3 +580,66 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doubled",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fn-bit-suite — bitwise operator surface over event ids
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn-bit-suite",
+    oracle="""
+    WITH b AS (
+      SELECT event_id,
+             event_id & 255 AS low_byte,
+             xor(event_id, COALESCE(user_id, 0)) AS id_xor_user,
+             event_id << 3 AS shl3,
+             event_id >> 4 AS shr4,
+             bit_count(event_id) AS popcnt,
+             CASE WHEN event_id & 1 = 1 THEN 1 ELSE 0 END AS bit0
+      FROM events WHERE event_id >= 0
+    )
+    SELECT CAST(popcnt AS BIGINT) AS popcnt,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(bit0) AS BIGINT) AS n_odd,
+           CAST(min(low_byte) AS BIGINT) AS min_low_byte,
+           CAST(max(low_byte) AS BIGINT) AS max_low_byte,
+           CAST(min(id_xor_user) AS BIGINT) AS min_xor,
+           CAST(max(shl3) AS BIGINT) AS max_shl3,
+           CAST(max(shr4) AS BIGINT) AS max_shr4
+    FROM b GROUP BY 1
+    """,
+)
+def fn_bit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface pin: AND-masking, XOR, shifts, popcount,
+    and bit tests over nonnegative event ids, rolled up per popcount so
+    the output is bounded — the integer toolbox every hash-partitioning,
+    bitmap, and bucketing operator in this engine builds on, checked
+    against DuckDB's operators (Spark spells popcount ``bit_count`` and
+    XOR ``^``; DuckDB spells XOR ``xor(a, b)`` — the suite pins that
+    both mean the same twos-complement arithmetic).  Restricted to
+    nonnegative ids: shift/popcount semantics on negatives are the one
+    corner engines legitimately disagree on (and every id column in the
+    fixture star is nonnegative by construction).
+
+    Scale (100 TB): projection + one map-side-combinable keyed rollup
+    at ≤64 popcount groups."""
+    events = load_table(spark, sf_dir, "events")
+    b = events.where(F.col("event_id") >= 0).select(
+        F.expr("event_id & 255").alias("low_byte"),
+        F.expr("event_id ^ COALESCE(user_id, 0)").alias("id_xor_user"),
+        F.expr("shiftleft(event_id, 3)").alias("shl3"),
+        F.expr("shiftright(event_id, 4)").alias("shr4"),
+        F.expr("bit_count(event_id)").cast("long").alias("popcnt"),
+        F.expr("CASE WHEN event_id & 1 = 1 THEN 1 ELSE 0 END").alias("bit0"),
+    )
+    return b.groupBy("popcnt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bit0").alias("n_odd"),
+        F.min("low_byte").cast("long").alias("min_low_byte"),
+        F.max("low_byte").cast("long").alias("max_low_byte"),
+        F.min("id_xor_user").cast("long").alias("min_xor"),
+        F.max("shl3").cast("long").alias("max_shl3"),
+        F.max("shr4").cast("long").alias("max_shr4"),
+    )

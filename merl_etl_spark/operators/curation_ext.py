@@ -1279,3 +1279,75 @@ def curate_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partial_epoch_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-truncation-plan — per-source cost of a max-length cutoff
+# ---------------------------------------------------------------------------
+
+# whitespace-token truncation budget per document.  Fixture docs run
+# ~20-60 words, so this cutoff actually bites at every SF (a vacuous
+# budget would leave the truncated branch untested).
+TRUNC_MAX_TOKENS = 32
+
+
+@register(
+    "curate-truncation-plan",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents WHERE source IS NOT NULL
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN n_tok > {TRUNC_MAX_TOKENS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated_docs,
+           CAST(SUM(least(n_tok, {TRUNC_MAX_TOKENS})) AS BIGINT)
+             AS n_kept_tokens,
+           CAST(SUM(greatest(n_tok - {TRUNC_MAX_TOKENS}, 0)) AS BIGINT)
+             AS n_lost_tokens,
+           CAST(SUM(greatest(n_tok - {TRUNC_MAX_TOKENS}, 0)) * 1000000
+                // SUM(n_tok) AS BIGINT) AS loss_ppm
+    FROM d GROUP BY 1
+    """,
+)
+def curate_truncation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-budget audit: per source, what a TRUNC_MAX_TOKENS
+    max-sequence cutoff costs — documents clipped, tokens kept/lost,
+    loss rate — the sizing study run before fixing a training
+    max_seq_len (too low silently deletes the long-document tail of
+    exactly the sources whose depth you bought; this quantifies that
+    before the tokenizer ever runs).  Completes the budget-planning
+    tier: curate-token-pack packs sequences, curate-mixture-sample
+    spends a corpus budget, THIS prices the per-document cutoff.
+
+    Determinism: whitespace token counts (the text-tokens definition),
+    integer least/greatest clips, exact sums, one ppm floor quotient —
+    no floats.
+
+    Scale (100 TB): one scan, one map-side-combinable keyed rollup at
+    source cardinality.  Token counting is size(split(…)) — expression-
+    level, codegen-friendly, no UDF."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    d = docs.select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    lost = F.greatest(F.col("n_tok") - TRUNC_MAX_TOKENS, F.lit(0))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum((F.col("n_tok") > TRUNC_MAX_TOKENS).cast("long")).alias(
+            "n_truncated_docs"
+        ),
+        F.sum(F.least(F.col("n_tok"), F.lit(TRUNC_MAX_TOKENS))).alias(
+            "n_kept_tokens"
+        ),
+        F.sum(lost).alias("n_lost_tokens"),
+        F.expr(
+            f"SUM(greatest(n_tok - {TRUNC_MAX_TOKENS}, 0)) * 1000000"
+            " DIV SUM(n_tok)"
+        ).alias("loss_ppm"),
+    )

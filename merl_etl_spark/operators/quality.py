@@ -1488,3 +1488,67 @@ def dq_split_leakage_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("near_leak_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq-embedding-norms — exact fixed-point norm² census of the vector corpus
+# ---------------------------------------------------------------------------
+
+
+def _embedding_norms_oracle() -> str:
+    from merl_etl_spark.operators.similarity import ASSIGN_FP_SCALE
+
+    return f"""
+    WITH comp AS (
+      SELECT vec_id, label,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * {ASSIGN_FP_SCALE}) AS BIGINT) AS vfp
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, label, CAST(SUM(vfp * vfp) AS BIGINT) AS norm2_fp
+      FROM comp GROUP BY 1, 2
+    )
+    SELECT CAST(length(bin(norm2_fp)) AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+           min(norm2_fp) AS min_norm2_fp,
+           max(norm2_fp) AS max_norm2_fp
+    FROM norms GROUP BY 1
+    """
+
+
+@register("dq-embedding-norms", oracle=_embedding_norms_oracle())
+def dq_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm census: every embedding's squared L2 norm in exact
+    fixed point, rolled up per bit-width band — the embedding-intake
+    gate dq-embedding-drift (per-dimension means) cannot replace: a
+    batch of UNNORMALIZED or zero vectors shifts no dimension mean but
+    detonates cosine similarity downstream; here it shows up as mass in
+    the wrong band (zero vectors land in band 1, a 10x-scaled batch
+    ~7 bands high).
+
+    Determinism: vfp = floor(x·2¹⁶) is the similarity tier's exact
+    quantization; norm² = Σ vfp² is a pure integer (≤ 64·2³² « int64);
+    the band is length(bin(…)) — bit width, no floating log; the census
+    collapses order-independently (count / distinct / min / max).
+
+    Scale (100 TB): one component explode (linear flatMap) + one
+    map-side-combinable keyed sum per vector + a band rollup at ≤64
+    rows.  No join, no window, no pair anywhere."""
+    from merl_etl_spark.operators.quality import fixed_point_components
+    from merl_etl_spark.operators.similarity import ASSIGN_FP_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = fixed_point_components(emb, ASSIGN_FP_SCALE, carry=("vec_id", "label"))
+    norms = comp.groupBy("vec_id", "label").agg(
+        F.sum(F.col("vfp") * F.col("vfp")).alias("norm2_fp")
+    )
+    return norms.groupBy(
+        F.expr("CAST(length(bin(norm2_fp)) AS INT)").alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.countDistinct("label").alias("n_labels"),
+        F.min("norm2_fp").alias("min_norm2_fp"),
+        F.max("norm2_fp").alias("max_norm2_fp"),
+    )

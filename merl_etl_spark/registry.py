@@ -145,6 +145,10 @@ SWEEP_DEFER: list[str] = [
     "dq-split-leakage-near",
     "curate-upsample-plan",
     "text-ngram-novelty",
+    # wave-16 r11 ops (same evidence tier)
+    "curate-truncation-plan",
+    "dq-embedding-norms",
+    "fn-bit-suite",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles
