@@ -222,6 +222,10 @@ HEADLINE = [
     "curate-truncation-plan",
     "dq-embedding-norms",
     "fn-bit-suite",
+    # round-11 wave 17: Benford screen, exact variance, Poisson bootstrap
+    "dq-benford-digits",
+    "agg-variance-exact",
+    "sample-poisson-bootstrap",
 ]
 
 

@@ -436,3 +436,75 @@ def agg_argmax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fs.event_id").alias("first_event_id"),
         F.date_format("fs.ts", TS_FMT_SPARK).alias("first_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg-variance-exact — deterministic per-group variance from integer moments
+# ---------------------------------------------------------------------------
+
+# the variance/stddev formulas over the three exact integer moments,
+# shared verbatim between the Spark plan and the oracle.  Divisions come
+# FIRST (sxx/n − (sx/n)²) so magnitudes never grow past the inputs —
+# the cross-multiplied form n·sxx − sx² is prettier but sx² overflows
+# int64 near ~3·10⁹ rows × 10³ mean, exactly the 100 TB regime.
+_VAR_EXPR = (
+    "CAST(sxx AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+    " - (CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    " * (CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+)
+
+
+@register(
+    "agg-variance-exact",
+    oracle=f"""
+    WITH m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sx,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx,
+             CAST(min(n_chars) AS BIGINT) AS min_chars,
+             CAST(max(n_chars) AS BIGINT) AS max_chars
+      FROM documents WHERE source IS NOT NULL GROUP BY 1
+    )
+    SELECT source, n_docs, sx AS sum_chars, min_chars, max_chars,
+           CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
+           round({_VAR_EXPR}, 6) AS var_chars,
+           round(sqrt({_VAR_EXPR}), 6) AS std_chars
+    FROM m
+    """,
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length variance/stddev with bit-deterministic results:
+    the three moments (count, Σx, Σx²) are exact integer aggregates —
+    order-insensitive, map-side combinable — and variance is ONE shared
+    IEEE formula over them, rounded once at the boundary.  The
+    alternative everyone writes first, var_samp()/stddev() builtins,
+    accumulates FLOATS in partition order and is unreproducible across
+    shuffles, engines, and reruns — the same class of bug the decimal
+    money sums exist to prevent, pinned here for second moments.  (Σx²
+    of chars fits int64 to ~2·10⁶ average-length docs per 10⁹-doc
+    source; a production build widens the moment sums to DECIMAL(38,0)
+    with zero change to the formula.)
+
+    Scale (100 TB): one scan, one keyed aggregate at source
+    cardinality.  Nothing else."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    m = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return m.selectExpr(
+        "source",
+        "n_docs",
+        "sx AS sum_chars",
+        "min_chars",
+        "max_chars",
+        "CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars",
+        f"round({_VAR_EXPR}, 6) AS var_chars",
+        f"round(sqrt({_VAR_EXPR}), 6) AS std_chars",
+    )

@@ -164,3 +164,96 @@ def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("distinct_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sample-poisson-bootstrap — deterministic bootstrap replicates of a mean
+# ---------------------------------------------------------------------------
+
+# bootstrap replicate count and the Poisson(1) weight table: the md5 coin
+# in [0, 1000) maps to a weight via the cumulative pmf (368/368/184/61/19
+# per-mille for w = 0..4, the >=5 tail folded into 4).  Deterministic —
+# every rerun draws the same resample.
+BOOT_REPLICATES = 16
+_BOOT_CUTS = (368, 736, 920, 981)
+
+
+def _boot_weight_sql(coin: str) -> str:
+    c = _BOOT_CUTS
+    return (
+        f"CASE WHEN {coin} < {c[0]} THEN 0 WHEN {coin} < {c[1]} THEN 1 "
+        f"WHEN {coin} < {c[2]} THEN 2 WHEN {coin} < {c[3]} THEN 3 ELSE 4 END"
+    )
+
+
+def _bootstrap_oracle() -> str:
+    from merl_etl_spark.operators.dedup import md5_bucket_duck
+
+    coin = md5_bucket_duck(
+        "doc_id::VARCHAR || '|boot' || b::VARCHAR", 1000
+    )
+    return f"""
+    WITH reps AS (
+      SELECT d.doc_id, d.n_chars, r.b,
+             {_boot_weight_sql(f"({coin})")} AS w
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(0,
+                    {BOOT_REPLICATES - 1})) AS b) r
+      WHERE d.doc_id IS NOT NULL
+    )
+    SELECT b AS replicate,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(w * n_chars) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+             AS mean_chars
+    FROM reps GROUP BY 1
+    """
+
+
+@register("sample-poisson-bootstrap", oracle=_bootstrap_oracle())
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the corpus mean document length: every
+    document contributes a Poisson(1)-distributed weight to each of
+    BOOT_REPLICATES resamples (Chamandy 2012 — the bootstrap that
+    streams: no sampling WITH replacement from an unmaterializable
+    corpus, just a deterministic per-(doc, replicate) weight), yielding
+    the spread any corpus statistic should be reported with.
+
+    Determinism: the weight is an md5-coin lookup in a baked cumulative
+    pmf table (the md5_bucket twins again — reruns draw the SAME
+    resample); replicate sums are exact integers; the mean is one IEEE
+    division per replicate row.
+
+    Scale (100 TB): the replicate fan-out is a per-row flatMap (×B rows
+    map-side) that partial-aggregates to B rows per partition BEFORE the
+    only shuffle — B × #partitions rows move, never B × corpus.  This
+    is why Poisson bootstrap exists: classical resampling would shuffle
+    the corpus B times."""
+    from merl_etl_spark.operators.dedup import md5_bucket_duck
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    reps = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICATES - 1))).alias("b"),
+    )
+    # Spark spells the identical coin: conv(substr(md5(...),1,8),16,10)%1000
+    coin_spark = (
+        "pmod(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|boot',"
+        " CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT), 1000)"
+    )
+    w = F.expr(_boot_weight_sql(f"({coin_spark})"))
+    return (
+        reps.select(F.col("b").alias("replicate"), w.alias("w"), "n_chars")
+        .groupBy("replicate")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.sum(F.col("w") * F.col("n_chars")).alias("sum_chars"),
+            (
+                F.sum(F.col("w") * F.col("n_chars")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("mean_chars"),
+        )
+    )

@@ -1552,3 +1552,76 @@ def dq_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("norm2_fp").alias("min_norm2_fp"),
         F.max("norm2_fp").alias("max_norm2_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq-benford-digits — leading-digit conformance of order values
+# ---------------------------------------------------------------------------
+
+# Benford expected shares as exact ppm literals (round(log10(1+1/d)·10⁶);
+# they sum to exactly 1,000,000) — baked as integers so the conformance
+# test needs no runtime logarithm at all
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+# dialect split: DuckDB list literal indexes 1-based with [];
+# Spark arrays are 0-based with [] but 1-based with element_at
+_BENFORD_DUCK = "[" + ", ".join(str(p) for p in BENFORD_PPM) + "]"
+_BENFORD_SPARK = (
+    "element_at(array(" + ", ".join(str(p) for p in BENFORD_PPM) + "), digit)"
+)
+
+
+@register(
+    "dq-benford-digits",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.digit, c.n,
+           CAST(c.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+           CAST({_BENFORD_DUCK}[c.digit] AS BIGINT) AS benford_ppm,
+           CAST(c.n * 1000000 // t.total
+                - {_BENFORD_DUCK}[c.digit] AS BIGINT) AS dev_ppm
+    FROM c, t
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order values: observed leading-digit
+    shares against log10(1+1/d) — the classic synthetic-data / fraud /
+    unit-mixup screen (organically-grown monetary values follow Benford;
+    capped, uniform, or fabricated ones pile up in the wrong digits, as
+    TPC-H's uniform prices visibly do here — the point is the MEASURE,
+    and the fixture demonstrates a violation).
+
+    Determinism: the leading digit comes from string-slicing the
+    floor()ed integer part (never CAST(double AS BIGINT), where DuckDB
+    rounds and Spark truncates); expected shares are baked integer ppm
+    literals summing to exactly 10⁶, so every output cell is integer
+    arithmetic — no logarithm anywhere at runtime.
+
+    Scale (100 TB): one scan → 9-row keyed count → 1-row total
+    broadcast.  Nothing else."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.where(F.col("o_totalprice") >= 1).select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING),"
+            " 1, 1) AS INT)"
+        ).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    from merl_etl_spark.lineage import cut_lineage
+
+    c = cut_lineage(c, eager=False)  # two consumers: rows + total
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.expr("n * 1000000 DIV total").alias("share_ppm"),
+        F.expr(f"CAST({_BENFORD_SPARK} AS BIGINT)").alias("benford_ppm"),
+        F.expr(f"n * 1000000 DIV total - {_BENFORD_SPARK}").alias(
+            "dev_ppm"
+        ),
+    )

@@ -149,6 +149,10 @@ SWEEP_DEFER: list[str] = [
     "curate-truncation-plan",
     "dq-embedding-norms",
     "fn-bit-suite",
+    # wave-17 r11 ops (same evidence tier)
+    "dq-benford-digits",
+    "agg-variance-exact",
+    "sample-poisson-bootstrap",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles
