@@ -226,6 +226,10 @@ HEADLINE = [
     "dq-benford-digits",
     "agg-variance-exact",
     "sample-poisson-bootstrap",
+    # round-11 wave 18: k-core peeling, Heaps curve, fulfillment latency
+    "graph-kcore",
+    "text-vocab-growth",
+    "analytics-shipping-delay",
 ]
 
 

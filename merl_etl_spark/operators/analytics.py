@@ -1911,3 +1911,67 @@ def analytics_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 9).alias("slope"),
         F.round("intercept", 9).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics-shipping-delay — order-to-ship latency distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics-shipping-delay",
+    oracle="""
+    WITH d AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay_d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+    )
+    SELECT priority,
+           CAST(delay_d // 7 AS BIGINT) AS week_band,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           min(delay_d) AS min_days,
+           max(delay_d) AS max_days
+    FROM d WHERE delay_d >= 0 GROUP BY 1, 2
+    """,
+)
+def analytics_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution: days between order placement
+    and each line's ship date, banded by week per order priority — the
+    fulfillment-SLA histogram (does 1-URGENT actually ship faster, and
+    how heavy is the tail?).  The operational-latency complement to
+    ts-interarrival-hist's event-cadence bands.
+
+    Determinism: day differences of DATE casts are exact integers (both
+    fixture timestamp columns are midnight date-grain, so the cast is
+    lossless); week banding is floor division of nonnegative ints; the
+    census collapses order-independently.
+
+    Scale (100 TB): the orders⨝lineitem equi-join is the engine's
+    standard co-partitioned fact join (AQE broadcasts the order side if
+    filtered small); everything after is a map-side-combinable rollup
+    at (priority × week) grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    d = (
+        orders.where(F.col("o_orderdate").isNotNull())
+        .join(
+            lineitem.where(F.col("l_shipdate").isNotNull()),
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).cast("long").alias("delay_d"),
+        )
+        .where(F.col("delay_d") >= 0)
+    )
+    return d.groupBy(
+        "priority", F.expr("delay_d DIV 7").alias("week_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("delay_d").alias("min_days"),
+        F.max("delay_d").alias("max_days"),
+    )

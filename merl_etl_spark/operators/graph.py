@@ -821,3 +821,108 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph-kcore — iterative peeling to the k-core of the kNN graph
+# ---------------------------------------------------------------------------
+
+# core order and fixed peel-round budget.  Peeling is monotone (nodes
+# only ever leave), so R rounds ≥ the true peel depth make the fixpoint
+# exact; like BFS_ROUNDS the oracle unrolls the SAME budget, so both
+# engines run the identical truncated contract and an undershoot would
+# diverge visibly, not silently.
+KCORE_K = 2
+KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    from merl_etl_spark.operators.similarity import _knn_graph_oracle
+
+    rounds = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT e.u AS node, count(*) AS deg
+      FROM und e
+      JOIN s{i - 1} a ON e.u = a.node
+      JOIN s{i - 1} b ON e.v = b.node
+      GROUP BY 1
+    ),
+    s{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {KCORE_K})""")
+    return f"""
+    WITH knn AS MATERIALIZED ({_knn_graph_oracle()}),
+    und AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM knn
+        UNION ALL SELECT dst, src FROM knn
+      )
+    ),
+    s0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und),
+    {",".join(rounds)},
+    core_deg AS (
+      SELECT e.u AS node, CAST(count(*) AS BIGINT) AS deg
+      FROM und e
+      JOIN s{KCORE_ROUNDS} a ON e.u = a.node
+      JOIN s{KCORE_ROUNDS} b ON e.v = b.node
+      GROUP BY 1
+    )
+    SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes,
+           min(node) AS min_node, max(node) AS max_node
+    FROM core_deg GROUP BY 1
+    """
+
+
+@register("graph-kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {KCORE_K}-core of the kNN similarity graph — iteratively peel
+    nodes of degree < k until none remain, emit the survivors' degree
+    census.  The density filter the rest of the graph tier lacks:
+    components/LPA keep every hair and pendant, pagerank scores them,
+    the k-core DELETES them — leaving the mutually-similar kernels that
+    mark boilerplate families and template clusters in a dedup pipeline
+    (and, in fraud graphs, collusion rings).
+
+    Spark-first shape: each peel round is one membership semi-filter of
+    the edge list (two equi-joins against the surviving-node frame) +
+    one keyed degree count + a filter — the graph-components physics
+    with a threshold instead of a min; lineage cut per round, fixed
+    KCORE_ROUNDS budget unrolled identically in the oracle.  Peeling is
+    monotone so the budget only needs to cover the peel depth (≤3
+    observed at fixture SFs; survivors' degrees make an undershoot
+    visible).
+
+    Determinism: degrees are exact integers over the pinned
+    sim-knn-graph edge substrate; the census collapses
+    order-independently."""
+    from merl_etl_spark.operators.similarity import knn_edges
+
+    knn = knn_edges(load_table(spark, sf_dir, "embeddings")).select("src", "dst")
+    und = (
+        knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    und = cut_lineage(und, eager=True)
+    surv = und.select(F.col("u").alias("node")).distinct()
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            und.join(surv.withColumnRenamed("node", "u"), "u")
+            .join(surv.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        surv = cut_lineage(
+            deg.where(F.col("deg") >= KCORE_K).select("node"), eager=True
+        )
+    core_deg = (
+        und.join(surv.withColumnRenamed("node", "u"), "u")
+        .join(surv.withColumnRenamed("node", "v"), "v")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return core_deg.groupBy("deg").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

@@ -992,3 +992,103 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_unique * 1000000 DIV n_shingles").alias("novelty_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text-vocab-growth — Heaps-law vocabulary growth over corpus prefixes
+# ---------------------------------------------------------------------------
+
+# number of corpus slices in the growth curve; slice membership is the
+# salted md5 coin, so prefix k = "a random k/N subsample" — the ordering
+# under which vocabulary growth IS the Heaps curve (an ingest-time order
+# would confound growth with topic drift)
+VOCAB_SLICES = 10
+
+
+def _vocab_growth_oracle() -> str:
+    from merl_etl_spark.operators.dedup import md5_bucket_duck
+
+    coin = md5_bucket_duck("doc_id::VARCHAR || '|vocab'", VOCAB_SLICES)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {coin} AS slice, text FROM documents
+      WHERE doc_id IS NOT NULL
+    ),
+    w AS (
+      SELECT DISTINCT slice, unnest(string_split(text, ' ')) AS word FROM d
+    ),
+    firsts AS (
+      SELECT word, CAST(min(slice) AS BIGINT) AS first_slice FROM w GROUP BY 1
+    ),
+    news AS (
+      SELECT first_slice AS slice, CAST(count(*) AS BIGINT) AS n_new_words
+      FROM firsts GROUP BY 1
+    ),
+    docs_per AS (
+      SELECT slice, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1
+    )
+    SELECT dp.slice, dp.n_docs,
+           CAST(SUM(dp.n_docs) OVER (ORDER BY dp.slice) AS BIGINT) AS cum_docs,
+           COALESCE(n.n_new_words, 0) AS n_new_words,
+           CAST(SUM(COALESCE(n.n_new_words, 0)) OVER (ORDER BY dp.slice)
+                AS BIGINT) AS cum_vocab
+    FROM docs_per dp LEFT JOIN news n ON n.slice = dp.slice
+    """
+
+
+@register("text-vocab-growth", oracle=_vocab_growth_oracle())
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: the corpus is cut into
+    VOCAB_SLICES random slices (salted md5 coin — deterministic, and
+    random order is the point: growth measured in ingest order would
+    confound vocabulary scaling with topic drift), and each prefix
+    reports its cumulative distinct-word count.  The curve answers the
+    acquisition question text-ngram-novelty answers per-source, for the
+    corpus as a whole: is vocabulary still growing ~n^β (keep
+    collecting) or flattening (more data ≈ more duplicates)?
+
+    Determinism: a word's first slice is min(slice) — order-independent
+    — and the curve is integer counts cumulated over a ≤VOCAB_SLICES-row
+    summary.
+
+    Scale (100 TB): one word explode + a (slice, word) distinct + one
+    word-grain min + two ≤VOCAB_SLICES-row rollups; the cumulative
+    windows run on the 10-row summary (bounded-carry class — see the
+    plan-gate allowlist entry).  No pair, no join above slice grain."""
+    from pyspark.sql.window import Window
+
+    from merl_etl_spark.operators.dedup import md5_bucket_spark
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    d = docs.select(
+        md5_bucket_spark(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|vocab")),
+            VOCAB_SLICES,
+        ).alias("slice"),
+        "text",
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    d = cut_lineage(d, eager=False)  # two consumers: words + doc counts
+    w = d.select("slice", F.explode(F.split("text", " ")).alias("word")).distinct()
+    news = (
+        w.groupBy("word")
+        .agg(F.min("slice").alias("first_slice"))
+        .groupBy(F.col("first_slice").alias("slice"))
+        .agg(F.count(F.lit(1)).alias("n_new_words"))
+    )
+    docs_per = d.groupBy("slice").agg(F.count(F.lit(1)).alias("n_docs"))
+    cum = Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs_per.join(news, "slice", "left")
+        .withColumn("n_new_words", F.coalesce("n_new_words", F.lit(0)))
+        .select(
+            "slice",
+            "n_docs",
+            F.sum("n_docs").over(cum).alias("cum_docs"),
+            "n_new_words",
+            F.sum("n_new_words").over(cum).alias("cum_vocab"),
+        )
+    )

@@ -153,6 +153,10 @@ SWEEP_DEFER: list[str] = [
     "dq-benford-digits",
     "agg-variance-exact",
     "sample-poisson-bootstrap",
+    # wave-18 r11 ops (same evidence tier)
+    "graph-kcore",
+    "text-vocab-growth",
+    "analytics-shipping-delay",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles

@@ -316,6 +316,10 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # summary (~365 rows/year — the dq-volume-anomaly bounded class;
     # timeseries.py ts_rolling_median)
     "ts-rolling-median": 1,
+    # two cumulative sums over the ≤VOCAB_SLICES-row slice summary
+    # (bounded by the constant; text_analysis.py text_vocab_growth) —
+    # frame fusion leaves one WindowExec node
+    "text-vocab-growth": 1,
 }
 
 
