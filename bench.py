@@ -230,6 +230,9 @@ HEADLINE = [
     "graph-kcore",
     "text-vocab-growth",
     "analytics-shipping-delay",
+    # round-11 wave 19: interval coalescing, quality-gate waterfall
+    "intervals-coalesce",
+    "curate-filter-funnel",
 ]
 
 

@@ -1351,3 +1351,130 @@ def curate_truncation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV SUM(n_tok)"
         ).alias("loss_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-filter-funnel — first-failing-rule attribution of the quality gate
+# ---------------------------------------------------------------------------
+
+# the Gopher rule chain in gate order (text-gopher-rules' five flags).
+# Funnel semantics: a document is attributed to the FIRST rule that
+# rejects it, so stage counts are the waterfall a curation run reports;
+# tests/test_round11_wave19.py pins stage-vs-flag consistency against
+# text-gopher-rules' own output so the two surfaces cannot drift.
+_FUNNEL_STAGES_DUCK = """
+      CASE WHEN NOT (n_words BETWEEN 50 AND 100000) THEN '1-word-count'
+           WHEN NOT (CAST(n_nonspace AS DOUBLE) / n_words
+                     BETWEEN 3.0 AND 10.0) THEN '2-mean-word-len'
+           WHEN NOT (CAST(n_symbols AS DOUBLE) / n_words <= 0.1)
+             THEN '3-symbol-ratio'
+           WHEN NOT (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
+             THEN '4-alpha-words'
+           WHEN NOT (n_stop_distinct >= 2) THEN '5-stop-words'
+           ELSE '6-keep' END
+"""
+
+
+def _filter_funnel_oracle() -> str:
+    from merl_etl_spark.operators.text_analysis import _GOPHER_STOPS
+
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+    return f"""
+    WITH m AS (
+      SELECT source, string_split(text, ' ') AS words,
+             length(replace(text, ' ', '')) AS n_nonspace,
+             len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols
+      FROM documents WHERE source IS NOT NULL
+    ),
+    c AS (
+      SELECT source, len(words) AS n_words, n_nonspace, n_symbols,
+             len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+               AS n_alpha_words,
+             len(list_distinct(list_filter(words, w -> w IN ({stops}))))
+               AS n_stop_distinct
+      FROM m
+    ),
+    staged AS (
+      SELECT source, {_FUNNEL_STAGES_DUCK} AS stage FROM c
+    ),
+    g AS (
+      SELECT source, stage, CAST(count(*) AS BIGINT) AS n_docs
+      FROM staged GROUP BY 1, 2
+    ),
+    t AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS total FROM g GROUP BY 1)
+    SELECT g.source, g.stage, g.n_docs,
+           CAST(g.n_docs * 1000000 // t.total AS BIGINT) AS stage_ppm
+    FROM g JOIN t USING (source)
+    """
+
+
+@register("curate-filter-funnel", oracle=_filter_funnel_oracle())
+def curate_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate waterfall: every document is attributed to the FIRST
+    Gopher rule that rejects it (text-gopher-rules' five flags, in gate
+    order), per source — the curation-debugging report that says which
+    rule is doing the killing and where (a source whose mass dies at
+    '1-word-count' needs a segmenter, not a better classifier; one dying
+    at '5-stop-words' is probably non-prose).  text-gopher-rules emits
+    the per-document flags; THIS is the rollup a pipeline run actually
+    prints, and the wave-19 pytest pins the two surfaces against each
+    other so the rule chain cannot drift.
+
+    Determinism: the stage label is a CASE over the same rational-vs-
+    literal comparisons the flag query pins; counts and ppm shares are
+    exact integers.
+
+    Scale (100 TB): one scan (the rule expressions are codegen'd array
+    ops), one keyed rollup at (source × 6 stages), a source-grain total
+    join.  Nothing shuffles at document grain."""
+    from merl_etl_spark.operators.text_analysis import _GOPHER_STOPS
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    words = F.split("text", " ")
+    m = docs.select(
+        "source",
+        words.alias("words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_nonspace"
+        ),
+        (
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("#"), F.lit(0)))
+            + F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(r"\.\.\."), F.lit(0))
+            )
+        ).alias("n_symbols"),
+    )
+    c = m.select(
+        "source",
+        F.size("words").cast("long").alias("n_words"),
+        "n_nonspace",
+        "n_symbols",
+        F.size(F.filter("words", lambda w: w.rlike("[a-zA-Z]"))).alias(
+            "n_alpha_words"
+        ),
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    "words",
+                    lambda w: w.isin(*_GOPHER_STOPS),
+                )
+            )
+        ).alias("n_stop_distinct"),
+    )
+    staged = c.select("source", F.expr(_FUNNEL_STAGES_DUCK).alias("stage"))
+    g = staged.groupBy("source", "stage").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    g = cut_lineage(g, eager=False)  # two consumers: rows + totals
+    t = g.groupBy("source").agg(F.sum("n_docs").alias("total"))
+    return g.join(F.broadcast(t), "source").select(
+        "source",
+        "stage",
+        "n_docs",
+        F.expr("n_docs * 1000000 DIV total").alias("stage_ppm"),
+    )

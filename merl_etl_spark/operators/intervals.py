@@ -167,3 +167,137 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(overlap_us).alias("overlap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# intervals-coalesce — merge overlapping intervals (gaps and islands)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "intervals-coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_custkey AS custkey,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o.o_orderdate AS DATE)) AS BIGINT) AS s,
+             greatest(CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(max(l.l_shipdate) AS DATE)) AS BIGINT),
+                      CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o.o_orderdate AS DATE)) AS BIGINT)) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+      GROUP BY 1, o.o_orderkey, o.o_orderdate
+    ),
+    flagged AS (
+      SELECT custkey, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY custkey ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s
+                  THEN 0 ELSE 1 END AS is_start
+      FROM iv
+    ),
+    islands AS (
+      SELECT custkey, s, e,
+             SUM(is_start) OVER (PARTITION BY custkey ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT custkey, island,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             min(s) AS island_s, max(e) AS island_e
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT custkey,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(island_e - island_s + 1) AS BIGINT) AS covered_days,
+           CAST(max(island_e) - min(island_s) + 1 AS BIGINT) AS span_days,
+           CAST(SUM(island_e - island_s + 1) * 1000000
+                // (max(island_e) - min(island_s) + 1) AS BIGINT)
+             AS busy_ppm
+    FROM merged GROUP BY 1
+    """,
+)
+def intervals_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals per key — the gaps-and-islands
+    primitive proper: each order spans [order date, last line shipped],
+    a customer's overlapping orders coalesce into maximal busy periods,
+    and the rollup reports islands, covered days, span, and the busy
+    ratio.  win-sessionize is the POINT-event special case (gap
+    threshold); this is the general interval form (an island stays open
+    while ANY interval covers it — the running-max-of-ends trick, not a
+    lag on start times, which breaks the moment one interval nests
+    inside another).
+
+    Intervals are clamped to e >= s (the fixture contains orders whose
+    last ship date precedes the order date — an inverted interval would
+    make "span" ill-defined; clamping says an order occupies at least
+    its order day).
+
+    Determinism: day ordinals are exact integers; the island flag
+    compares the RUNNING MAX of prior ends (ROWS frame, (s, e)
+    ordering — complete tie-break at the (custkey, s, e) grain since
+    equal-(s, e) rows are interchangeable for coalescing); counts,
+    coverage, and the ppm quotient are pure integers.
+
+    Scale (100 TB): the interval build is the standard co-partitioned
+    fact join + keyed max; both windows partition by custkey (per-key
+    interval counts are customer-bounded); the rollups are map-side
+    combinable.  The naive alternative — joining intervals to a
+    calendar spine to count covered days — multiplies rows by interval
+    length; this never leaves interval grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = (
+        orders.where(F.col("o_orderdate").isNotNull())
+        .join(
+            lineitem.where(F.col("l_shipdate").isNotNull()),
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey",
+            F.datediff(F.to_date("o_orderdate"), epoch).cast("long").alias("s"),
+        )
+        .agg(
+            F.datediff(F.to_date(F.max("l_shipdate")), epoch)
+            .cast("long")
+            .alias("e_raw")
+        )
+        .select("custkey", "s", F.greatest("e_raw", "s").alias("e"))
+    )
+    w_prev = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn(
+        "is_start",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    islands = flagged.withColumn("island", F.sum("is_start").over(w_cum))
+    merged = islands.groupBy("custkey", "island").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("s").alias("island_s"),
+        F.max("e").alias("island_e"),
+    )
+    return merged.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("n_orders").alias("n_orders"),
+        F.sum(F.col("island_e") - F.col("island_s") + 1).alias("covered_days"),
+        (F.max("island_e") - F.min("island_s") + 1).alias("span_days"),
+        F.expr(
+            "SUM(island_e - island_s + 1) * 1000000"
+            " DIV (max(island_e) - min(island_s) + 1)"
+        ).alias("busy_ppm"),
+    )

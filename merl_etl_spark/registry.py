@@ -157,6 +157,9 @@ SWEEP_DEFER: list[str] = [
     "graph-kcore",
     "text-vocab-growth",
     "analytics-shipping-delay",
+    # wave-19 r11 ops (same evidence tier)
+    "intervals-coalesce",
+    "curate-filter-funnel",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles

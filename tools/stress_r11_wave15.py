@@ -162,6 +162,38 @@ def main():
             QUERIES["dq-embedding-norms"](spark, SF),
         )
         forced("fn-bit-suite 10M events", QUERIES["fn-bit-suite"](spark, SF))
+        forced(
+            "agg-variance-exact 500k docs",
+            QUERIES["agg-variance-exact"](spark, SF),
+        )
+        forced(
+            "sample-poisson-bootstrap 500k docs x 16 reps",
+            QUERIES["sample-poisson-bootstrap"](spark, SF),
+        )
+        forced(
+            "text-vocab-growth 500k docs",
+            QUERIES["text-vocab-growth"](spark, SF),
+        )
+        forced(
+            "graph-kcore 500k-vector kNN graph",
+            QUERIES["graph-kcore"](spark, SF),
+        )
+        # dq-benford-digits / analytics-shipping-delay read orders+lineitem:
+        # sf0.1 fixture scale (the per-row work is a projection; the 100x
+        # behavior is the same one keyed rollup)
+        forced("dq-benford-digits sf0.1", QUERIES["dq-benford-digits"](spark, SF))
+        forced(
+            "analytics-shipping-delay sf0.1",
+            QUERIES["analytics-shipping-delay"](spark, SF),
+        )
+        forced(
+            "intervals-coalesce sf0.1",
+            QUERIES["intervals-coalesce"](spark, SF),
+        )
+        forced(
+            "curate-filter-funnel 500k docs",
+            QUERIES["curate-filter-funnel"](spark, SF),
+        )
     finally:
         for m, fn in zip(mods, saved):
             m.load_table = fn
