@@ -469,7 +469,7 @@ _VAR_EXPR = (
     SELECT source, n_docs, sx AS sum_chars, min_chars, max_chars,
            CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
            round({_VAR_EXPR}, 6) AS var_chars,
-           round(sqrt({_VAR_EXPR}), 6) AS std_chars
+           round(sqrt(greatest({_VAR_EXPR}, CAST(0 AS DOUBLE))), 6) AS std_chars
     FROM m
     """,
 )
@@ -484,7 +484,9 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     money sums exist to prevent, pinned here for second moments.  (Σx²
     of chars fits int64 to ~2·10⁶ average-length docs per 10⁹-doc
     source; a production build widens the moment sums to DECIMAL(38,0)
-    with zero change to the formula.)
+    with zero change to the formula; sqrt is clamped at 0 because the
+    textbook form can round to a tiny negative once the moments pass
+    2^53 — Spark would return NaN and DuckDB would RAISE.)
 
     Scale (100 TB): one scan, one keyed aggregate at source
     cardinality.  Nothing else."""
@@ -506,5 +508,5 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_chars",
         "CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars",
         f"round({_VAR_EXPR}, 6) AS var_chars",
-        f"round(sqrt({_VAR_EXPR}), 6) AS std_chars",
+        f"round(sqrt(greatest({_VAR_EXPR}, CAST(0 AS DOUBLE))), 6) AS std_chars",
     )

@@ -234,17 +234,32 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id").isNotNull()
     )
+    from merl_etl_spark.operators.dedup import md5_bucket_spark
+
     reps = docs.select(
         "doc_id",
         "n_chars",
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICATES - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICATES - 1))).alias(
+            "b_i"
+        ),
+    ).select(
+        "doc_id",
+        "n_chars",
+        # cast to long: sequence(int, int) explodes as int32, and the
+        # oracle's generate_series is int64 — the driver's arrow-dtype
+        # gate rejects exactly this width drift (cast in a separate
+        # select: a generator cannot be nested inside expressions)
+        F.col("b_i").cast("long").alias("b"),
     )
-    # Spark spells the identical coin: conv(substr(md5(...),1,8),16,10)%1000
-    coin_spark = (
-        "pmod(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|boot',"
-        " CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT), 1000)"
+    # the single-sourced md5 coin (dedup's bucket twins), as a column
+    coin = md5_bucket_spark(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("|boot"), F.col("b").cast("string")
+        ),
+        1000,
     )
-    w = F.expr(_boot_weight_sql(f"({coin_spark})"))
+    reps = reps.withColumn("coin", coin)
+    w = F.expr(_boot_weight_sql("coin"))
     return (
         reps.select(F.col("b").alias("replicate"), w.alias("w"), "n_chars")
         .groupBy("replicate")

@@ -1265,6 +1265,9 @@ def curate_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+    from merl_etl_spark.lineage import cut_lineage
+
+    c = cut_lineage(c, eager=False)  # two consumers: rows + the max
     t = c.agg(F.max("n_docs").alias("target"))
     return c.crossJoin(F.broadcast(t)).select(
         "lang",

@@ -1536,7 +1536,6 @@ def dq_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): one component explode (linear flatMap) + one
     map-side-combinable keyed sum per vector + a band rollup at ≤64
     rows.  No join, no window, no pair anywhere."""
-    from merl_etl_spark.operators.quality import fixed_point_components
     from merl_etl_spark.operators.similarity import ASSIGN_FP_SCALE
 
     emb = load_table(spark, sf_dir, "embeddings")

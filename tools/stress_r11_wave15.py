@@ -1,6 +1,7 @@
 #!/usr/bin/env python
-"""Round-11 waves 12-15 stress: the twelve new operators at the standing
-100x scales — 10M events, 500k documents, 500k x 64d vectors.
+"""Round-11 waves 12-19 stress: every operator the round added, at the
+standing 100x scales — 10M events, 500k documents, 500k x 64d vectors
+(orders/lineitem readers run at sf0.1 fixture scale, labeled so).
 Self-provisioning (the stress_r11 convention); timings are
 hash-sum-forced.
 
@@ -94,9 +95,11 @@ def main():
     import merl_etl_spark.functions.scalar_queries as scalar_queries
     import merl_etl_spark.operators.aggregates as aggregates
     import merl_etl_spark.operators.analytics as analytics
+    import merl_etl_spark.operators.curation as curation
     import merl_etl_spark.operators.curation_ext as curation_ext
     import merl_etl_spark.operators.graph as graph
     import merl_etl_spark.operators.profiling as profiling
+    import merl_etl_spark.operators.intervals as intervals
     import merl_etl_spark.operators.quality as quality
     import merl_etl_spark.operators.similarity as similarity
     import merl_etl_spark.operators.text_analysis as text_analysis
@@ -106,8 +109,10 @@ def main():
         scalar_queries,
         aggregates,
         analytics,
+        curation,
         curation_ext,
         graph,
+        intervals,
         profiling,
         quality,
         similarity,
