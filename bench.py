@@ -233,6 +233,9 @@ HEADLINE = [
     # round-11 wave 19: interval coalescing, quality-gate waterfall
     "intervals-coalesce",
     "curate-filter-funnel",
+    # round-11 wave 20: exact Pearson moments, kNN degree assortativity
+    "agg-corr-exact",
+    "graph-assortativity",
 ]
 
 

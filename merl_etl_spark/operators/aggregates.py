@@ -510,3 +510,85 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_VAR_EXPR}, 6) AS var_chars",
         f"round(sqrt(greatest({_VAR_EXPR}, CAST(0 AS DOUBLE))), 6) AS std_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg-corr-exact — deterministic Pearson correlation from integer moments
+# ---------------------------------------------------------------------------
+
+
+def corr_from_moments(n: str, sx: str, sy: str, sxx: str, syy: str, sxy: str) -> str:
+    """Pearson r over six exact integer moment columns — ONE formula
+    string shared by agg-corr-exact and graph-assortativity (and any
+    future bivariate op) so the divisions-first shape (magnitudes never
+    exceed the inputs; see _VAR_EXPR) and the degenerate-variance guard
+    can never drift between consumers.  NULL when either variance is 0
+    (constant column) — both engines agree on the CASE, where a bare
+    0/0 would be NaN in Spark and an error in DuckDB."""
+    nd = f"CAST({n} AS DOUBLE)"
+    mx = f"(CAST({sx} AS DOUBLE) / {nd})"
+    my = f"(CAST({sy} AS DOUBLE) / {nd})"
+    vx = f"(CAST({sxx} AS DOUBLE) / {nd} - {mx} * {mx})"
+    vy = f"(CAST({syy} AS DOUBLE) / {nd} - {my} * {my})"
+    cov = f"(CAST({sxy} AS DOUBLE) / {nd} - {mx} * {my})"
+    return (
+        f"CASE WHEN {vx} > CAST(0 AS DOUBLE) AND {vy} > CAST(0 AS DOUBLE)"
+        f" THEN {cov} / sqrt({vx} * {vy}) ELSE NULL END"
+    )
+
+
+_CORR_DOC = corr_from_moments("n_docs", "sx", "sy", "sxx", "syy", "sxy")
+
+
+@register(
+    "agg-corr-exact",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+      FROM documents WHERE source IS NOT NULL
+    ),
+    m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM b GROUP BY 1
+    )
+    SELECT source, n_docs, round({_CORR_DOC}, 6) AS corr_chars_tokens
+    FROM m
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson correlation between document length in chars
+    and in whitespace tokens, computed from six exact integer moments
+    with ONE shared IEEE formula (corr_from_moments) rounded once — the
+    bivariate sibling of agg-variance-exact, and the same argument:
+    corr() builtins accumulate floats in partition order and change
+    answers across shuffles; moment sums are exact and order-free.
+
+    Scale (100 TB): one scan, one keyed aggregate at source
+    cardinality.  The moments reuse the Σx² headroom analysis on
+    _VAR_EXPR (DECIMAL(38,0) widening is the production escape hatch,
+    formula unchanged)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    b = docs.select(
+        "source",
+        F.col("n_chars").alias("x"),
+        F.size(F.split("text", " ")).cast("long").alias("y"),
+    )
+    m = b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return m.selectExpr(
+        "source", "n_docs", f"round({_CORR_DOC}, 6) AS corr_chars_tokens"
+    )

@@ -926,3 +926,109 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph-assortativity — degree correlation of the kNN graph
+# ---------------------------------------------------------------------------
+
+
+def _assortativity_oracle() -> str:
+    from merl_etl_spark.operators.aggregates import corr_from_moments
+    from merl_etl_spark.operators.similarity import _knn_graph_oracle
+
+    corr = corr_from_moments("n_edges", "sx", "sy", "sxx", "syy", "sxy")
+    return f"""
+    WITH knn AS MATERIALIZED ({_knn_graph_oracle()}),
+    und AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM knn
+        UNION ALL SELECT dst, src FROM knn
+      )
+    ),
+    degs AS MATERIALIZED (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1
+    ),
+    pairs AS (
+      SELECT du.deg AS x, dv.deg AS y
+      FROM und e JOIN degs du ON du.node = e.u JOIN degs dv ON dv.node = e.v
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs
+    ),
+    dd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             min(deg) AS min_deg, max(deg) AS max_deg
+      FROM degs
+    )
+    SELECT m.n_edges, dd.n_nodes, dd.min_deg, dd.max_deg,
+           round({corr}, 6) AS assortativity
+    FROM m, dd
+    """
+
+
+@register("graph-assortativity", oracle=_assortativity_oracle())
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the kNN similarity graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over every directed
+    edge — positive means hubs link to hubs (a dense near-dup core
+    recruiting more members), negative means hub-and-spoke (one
+    template document with many unique-ish satellites).  The one-number
+    topology summary that tells a dedup pipeline which clustering
+    regime it is in, computed on the SAME pinned edge substrate as
+    graph-kcore / graph-label-propagation.
+
+    Determinism: degrees and the six moments are exact integers over
+    the pinned kNN edges; the coefficient is corr_from_moments — the
+    shared divisions-first formula with the degenerate-variance NULL
+    guard — rounded once.
+
+    Scale (100 TB): degree is one keyed count; the endpoint join is two
+    equi-joins of the edge list against the |V|-row degree frame
+    (broadcastable); the moments reduce map-side-combinably to ONE row.
+    No window, no pair expansion beyond the edges themselves."""
+    from merl_etl_spark.operators.aggregates import corr_from_moments
+    from merl_etl_spark.operators.similarity import knn_edges
+
+    corr = corr_from_moments("n_edges", "sx", "sy", "sxx", "syy", "sxy")
+    knn = knn_edges(load_table(spark, sf_dir, "embeddings")).select("src", "dst")
+    und = (
+        knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    und = cut_lineage(und, eager=True)
+    degs = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    degs = cut_lineage(degs, eager=False)  # three consumers: 2 joins + census
+    pairs = (
+        und.join(degs.selectExpr("node AS u", "deg AS x"), "u")
+        .join(degs.selectExpr("node AS v", "deg AS y"), "v")
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    dd = degs.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+    )
+    return m.crossJoin(F.broadcast(dd)).selectExpr(
+        "n_edges",
+        "n_nodes",
+        "min_deg",
+        "max_deg",
+        f"round({corr}, 6) AS assortativity",
+    )

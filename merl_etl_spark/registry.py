@@ -160,6 +160,9 @@ SWEEP_DEFER: list[str] = [
     # wave-19 r11 ops (same evidence tier)
     "intervals-coalesce",
     "curate-filter-funnel",
+    # wave-20 r11 ops (same evidence tier)
+    "agg-corr-exact",
+    "graph-assortativity",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles

@@ -199,6 +199,14 @@ def main():
             "curate-filter-funnel 500k docs",
             QUERIES["curate-filter-funnel"](spark, SF),
         )
+        forced(
+            "agg-corr-exact 500k docs",
+            QUERIES["agg-corr-exact"](spark, SF),
+        )
+        forced(
+            "graph-assortativity 500k-vector kNN graph",
+            QUERIES["graph-assortativity"](spark, SF),
+        )
     finally:
         for m, fn in zip(mods, saved):
             m.load_table = fn
