@@ -55,10 +55,17 @@ SWEEP_PRIORITY: list[str] = [
     # SWEEP_DEFER (VERDICT #2) so the head carries no expected-red entry.
     #
     # -- tier 1: r11 churn (code changed since last driver green) --------
-    "sim-centroid-assign",       # broadcast-codebook argmin rewrite
+    "sim-centroid-assign",       # broadcast-codebook argmin rewrite (+ the
+                                 # assigned_label_expr extraction, late r11)
     "analytics-rfm-segmentation",  # driver-collected literal cutpoints
     "dq-distribution-drift",     # tie-break NULLS LAST pin
     "layout-bucketed-join",      # superseded-tag cleanup + pid-dir probe
+    # late-r11 churn: int-width output casts found by the strict
+    # arrow-dtype gate, and the knn_edges single-sourcing refactor —
+    # their last driver greens predate those code changes
+    "analytics-cohort-ltv",      # age_months int32→int64 cast
+    "graph-bfs-hops",            # hops int32→int64 cast
+    "sim-knn-graph",             # edge build factored into knn_edges
     # -- tier 1c: NEW r11 operators (never driver-checked) ----------------
     "dq-distribution-psi",       # population-stability index drift score
     "sim-rp-projection",         # exact-integer JL sign projection
@@ -80,9 +87,8 @@ SWEEP_PRIORITY: list[str] = [
     "cdc-scd2-history", "curate-shuffle-index", "curate-url-dedup",
     "dedup-normalized", "dedup-paragraph", "dq-sequence-gaps",
     "profile-dataset-card", "proj-unpivot",
-    "sim-knn-graph", "stream-session-window",
-    "text-bpe-step", "text-fingerprint", "text-ngram-counts",
-    "text-pii-scrub",
+    "stream-session-window",
+    "text-bpe-step", "text-fingerprint",
 ]
 
 # Budget triage (round 11): the prioritized block above is 50 entries, so
@@ -93,6 +99,10 @@ SWEEP_PRIORITY: list[str] = [
 # regression signal) — then the remaining r10-green canaries, then the
 # r8-evidence cohort (stalest after this round's r7 drain).
 SWEEP_DEFER: list[str] = [
+    # displaced from the r7-cohort head block by the late-r11 churn
+    # entries (churn outranks stale-green); first in line for r12
+    "text-ngram-counts",
+    "text-pii-scrub",
     # these eight are r11-new but the head is full at 50 (the 43-query r7
     # drain takes priority per VERDICT r10 #1) — each is 3-SF hash-swept,
     # Python-parity-tested, and /verify-driven locally; they lead the r12
@@ -109,7 +119,6 @@ SWEEP_DEFER: list[str] = [
     # locally, driver-checked from here in r12)
     "agg-bitmap-intersect",
     "analytics-order-percentiles",
-    "analytics-cohort-ltv",
     "sim-ann-recall-eval",
     "graph-jaccard-links",
     "ts-interarrival-hist",
@@ -124,7 +133,6 @@ SWEEP_DEFER: list[str] = [
     "dq-split-leakage",
     "curate-dedup-impact",
     # wave-10 r11 ops (same evidence tier)
-    "graph-bfs-hops",
     "fn-array-suite",
     # wave-11 r11 ops (same evidence tier)
     "agg-bitmap-rollup",
