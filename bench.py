@@ -236,6 +236,8 @@ HEADLINE = [
     # round-11 wave 20: exact Pearson moments, kNN degree assortativity
     "agg-corr-exact",
     "graph-assortativity",
+    # round-11 wave 21: exact source-overlap matrix
+    "dedup-source-overlap",
 ]
 
 

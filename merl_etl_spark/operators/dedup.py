@@ -1277,3 +1277,98 @@ def dedup_lsh_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("noise_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup-source-overlap — exact pairwise source Jaccard over shingle sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup-source-overlap",
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+      SELECT DISTINCT source, unnest({DUCK_SHINGLES}) AS sh
+      FROM documents WHERE source IS NOT NULL
+    ),
+    tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, ta.n AS n_a, tb.n AS n_b, i.n_inter,
+           CAST(i.n_inter * 1000000 // (ta.n + tb.n - i.n_inter) AS BIGINT)
+             AS jaccard_ppm,
+           CAST(i.n_inter * 1000000 // least(ta.n, tb.n) AS BIGINT)
+             AS containment_ppm
+    FROM inter i
+    JOIN tot ta ON ta.source = i.source_a
+    JOIN tot tb ON tb.source = i.source_b
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise source-overlap matrix: for every source pair, the
+    intersection of their distinct 3-gram shingle sets with Jaccard and
+    containment in integer ppm — the planning view over the whole-corpus
+    numbers text-ngram-novelty reports per source (novelty says "this
+    source adds little"; THIS says which other source already has it —
+    mirror detection, crawl-dedup ordering, acquisition overlap
+    pricing).
+
+    Determinism: set cardinalities and integer ppm floor quotients —
+    no floats, no sampling (the MinHash ESTIMATE of this matrix is what
+    dedup-minhash-lsh's signatures would give; here sources are few
+    enough that the exact join is cheaper than the variance argument).
+
+    Scale (100 TB): the (source, shingle) distinct is the novelty scan;
+    the intersection is ONE equi-join of that frame with itself on the
+    shingle key — per-key fan-out is bounded by |sources| (≤ a few
+    hundred in any real corpus), so the join output is Σ_sh
+    (owners choose 2) ≤ |sources|²/2 per shingle key, map-side-combined
+    to the |sources|²-row matrix before the final exchange.  Totals are
+    a keyed count; the assembly joins run on the tiny matrix."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    sh = (
+        docs.withColumn("words", F.split("text", " "))
+        .select("source", F.explode(F.expr(WORDS_SHINGLES)).alias("sh"))
+        .distinct()
+    )
+    sh = cut_lineage(sh, eager=False)  # three consumers: totals + both join sides
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "sh")
+    b = sh.select(F.col("source").alias("source_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(tot.selectExpr("source AS source_a", "n AS n_a")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(tot.selectExpr("source AS source_b", "n AS n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.expr("n_inter * 1000000 DIV (n_a + n_b - n_inter)").alias(
+                "jaccard_ppm"
+            ),
+            F.expr("n_inter * 1000000 DIV least(n_a, n_b)").alias(
+                "containment_ppm"
+            ),
+        )
+    )

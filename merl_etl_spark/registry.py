@@ -171,6 +171,8 @@ SWEEP_DEFER: list[str] = [
     # wave-20 r11 ops (same evidence tier)
     "agg-corr-exact",
     "graph-assortativity",
+    # wave-21 r11 ops (same evidence tier)
+    "dedup-source-overlap",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles

@@ -207,6 +207,10 @@ def main():
             "graph-assortativity 500k-vector kNN graph",
             QUERIES["graph-assortativity"](spark, SF),
         )
+        forced(
+            "dedup-source-overlap 500k docs (19M shingles, 20 sources)",
+            QUERIES["dedup-source-overlap"](spark, SF),
+        )
     finally:
         for m, fn in zip(mods, saved):
             m.load_table = fn
