@@ -238,6 +238,9 @@ HEADLINE = [
     "graph-assortativity",
     # round-11 wave 21: exact source-overlap matrix
     "dedup-source-overlap",
+    # round-11 wave 22: third-moment shape, seasonal strength score
+    "agg-skewness-exact",
+    "analytics-seasonality-strength",
 ]
 
 

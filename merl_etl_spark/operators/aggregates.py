@@ -592,3 +592,82 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.selectExpr(
         "source", "n_docs", f"round({_CORR_DOC}, 6) AS corr_chars_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# agg-skewness-exact — third-moment asymmetry from exact integer moments
+# ---------------------------------------------------------------------------
+
+# population skewness g1 = m3 / m2^(3/2) over the four exact integer
+# moments — the _VAR_EXPR family extended one moment up.  Divisions
+# first; m2^(3/2) spelled m2·sqrt(m2) (sqrt is the driver-green libm
+# class; pow(x, 1.5) is a second transcendental with its own rounding).
+_M2_EXPR = (
+    "(CAST(sxx AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+    " - (CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    " * (CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE)))"
+)
+_M3_EXPR = (
+    "(CAST(sxxx AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+    " - CAST(3 AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    "   * (CAST(sxx AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    " + CAST(2 AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    "   * (CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    "   * (CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE)))"
+)
+_SKEW_EXPR = (
+    f"CASE WHEN {_M2_EXPR} > CAST(0 AS DOUBLE)"
+    f" THEN {_M3_EXPR} / ({_M2_EXPR} * sqrt({_M2_EXPR})) ELSE NULL END"
+)
+
+
+@register(
+    "agg-skewness-exact",
+    oracle=f"""
+    WITH m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sx,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx,
+             CAST(SUM(n_chars * n_chars * n_chars) AS BIGINT) AS sxxx
+      FROM documents WHERE source IS NOT NULL GROUP BY 1
+    )
+    SELECT source, n_docs,
+           round({_M2_EXPR}, 6) AS m2,
+           round({_SKEW_EXPR}, 6) AS skewness
+    FROM m
+    """,
+)
+def agg_skewness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source skewness of the document-length distribution from FOUR
+    exact integer moments — the third-moment sibling of
+    agg-variance-exact, and the shape diagnostic that separates a
+    symmetric length distribution from the long-right-tail one the
+    power-law fit hypothesizes (positive g1 = heavy long-document tail
+    → truncation budgets bite; see curate-truncation-plan).
+
+    Determinism: moment sums are exact integers (Σx³ of char counts
+    fits int64 to ~10⁹ mean-2000-char docs per source; DECIMAL(38,0)
+    is the production widening, formula unchanged); g1 is ONE shared
+    IEEE expression with the zero-variance NULL guard, m2^1.5 spelled
+    m2·sqrt(m2) so only the driver-green sqrt class is touched.
+
+    Scale (100 TB): one scan, one keyed aggregate at source
+    cardinality."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    m = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+        F.sum(
+            F.col("n_chars") * F.col("n_chars") * F.col("n_chars")
+        ).alias("sxxx"),
+    )
+    return m.selectExpr(
+        "source",
+        "n_docs",
+        f"round({_M2_EXPR}, 6) AS m2",
+        f"round({_SKEW_EXPR}, 6) AS skewness",
+    )

@@ -1520,10 +1520,10 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECOMP_HALF = 3
 
 
-@register(
-    "ts-decompose",
-    oracle=f"""
-    WITH counts AS (
+# the gap-filled / windowed / integer-detrended CTE chain ending in
+# ``interior(event_type, day, day_num, n, s7, c7, det_x7)`` — ONE
+# definition shared by the ts-decompose and seasonality-strength oracles
+_DECOMP_INTERIOR_CTES = f"""counts AS (
       SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
       FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
       GROUP BY 1, 2
@@ -1554,7 +1554,60 @@ DECOMP_HALF = 3
     ),
     interior AS (
       SELECT *, 7 * n - s7 AS det_x7 FROM win WHERE c7 = {2 * DECOMP_HALF + 1}
-    ),
+    )"""
+
+
+def decomposed_interior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gap-filled interior frame (event_type, day, day_num, n, s7,
+    det_x7) — Spark twin of _DECOMP_INTERIOR_CTES, shared by
+    ts-decompose and analytics-seasonality-strength."""
+    events = load_table(spark, sf_dir, "events")
+    counts = (
+        events.where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("day"),
+    )
+    dense = (
+        spine.join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day_num"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-DECOMP_HALF, DECOMP_HALF)
+    )
+    return (
+        dense.select(
+            "event_type",
+            "day",
+            "day_num",
+            "n",
+            F.sum("n").over(w).alias("s7"),
+            F.count(F.lit(1)).over(w).alias("c7"),
+        )
+        .where(F.col("c7") == 2 * DECOMP_HALF + 1)
+        .withColumn("det_x7", F.lit(7) * F.col("n") - F.col("s7"))
+    )
+
+
+@register(
+    "ts-decompose",
+    oracle=f"""
+    WITH {_DECOMP_INTERIOR_CTES},
     season AS (
       SELECT event_type, day_num % 7 AS dow7,
              CAST(count(*) AS BIGINT) AS m,
@@ -1598,47 +1651,7 @@ def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     run at that bounded summary grain, partitioned by event_type (the
     ts-gap-fill physics) — series count × series length is the unit of
     work, never event rows."""
-    events = load_table(spark, sf_dir, "events")
-    counts = (
-        events.where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    bounds = counts.groupBy("event_type").agg(
-        F.min("day").alias("dmin"), F.max("day").alias("dmax")
-    )
-    spine = bounds.select(
-        "event_type",
-        F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("day"),
-    )
-    dense = (
-        spine.join(counts, ["event_type", "day"], "left")
-        .select(
-            "event_type",
-            "day",
-            F.datediff("day", F.lit("1970-01-01").cast("date"))
-            .cast("long")
-            .alias("day_num"),
-            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-        )
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day_num")
-        .rangeBetween(-DECOMP_HALF, DECOMP_HALF)
-    )
-    interior = (
-        dense.select(
-            "event_type",
-            "day",
-            "day_num",
-            "n",
-            F.sum("n").over(w).alias("s7"),
-            F.count(F.lit(1)).over(w).alias("c7"),
-        )
-        .where(F.col("c7") == 2 * DECOMP_HALF + 1)
-        .withColumn("det_x7", F.lit(7) * F.col("n") - F.col("s7"))
-    )
+    interior = decomposed_interior(spark, sf_dir)
     from merl_etl_spark.lineage import cut_lineage
 
     # two consumers (season rollup + output join) of the bounded
@@ -1667,4 +1680,127 @@ def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "residual"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics-seasonality-strength — Hyndman F_s from the decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics-seasonality-strength",
+    oracle=f"""
+    WITH {_DECOMP_INTERIOR_CTES},
+    tot AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(SUM(det_x7) AS BIGINT) AS sxd,
+             CAST(SUM(det_x7 * det_x7) AS BIGINT) AS sxxd
+      FROM interior GROUP BY 1
+    ),
+    grp AS (
+      SELECT event_type, day_num % 7 AS dow7,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(SUM(det_x7) AS BIGINT) AS sdet,
+             CAST(SUM(det_x7 * det_x7) AS BIGINT) AS ssq
+      FROM interior GROUP BY 1, 2
+    ),
+    terms AS (
+      -- per-dow residual sum of squares, scaled: Σ_i (det_i·m − sdet)²
+      -- / m = m·ssq − sdet² all integer, then ONE division frozen at
+      -- 6 dp so the cross-dow sum is exact and order-free
+      SELECT event_type,
+             CAST(round(CAST(m * ssq - sdet * sdet AS DOUBLE)
+                        / CAST(m AS DOUBLE), 6) AS DECIMAL(28,6)) AS term
+      FROM grp
+    ),
+    rsum AS (
+      SELECT event_type, CAST(SUM(term) AS DOUBLE) AS ssr FROM terms GROUP BY 1
+    ),
+    v AS (
+      SELECT t.event_type, t.n_days,
+             (CAST(t.sxxd AS DOUBLE) / CAST(t.n_days AS DOUBLE)
+              - (CAST(t.sxd AS DOUBLE) / CAST(t.n_days AS DOUBLE))
+                * (CAST(t.sxd AS DOUBLE) / CAST(t.n_days AS DOUBLE)))
+               / CAST(49 AS DOUBLE) AS var_det,
+             r.ssr / (CAST(49 AS DOUBLE) * CAST(t.n_days AS DOUBLE))
+               AS var_resid
+      FROM tot t JOIN rsum r USING (event_type)
+    )
+    SELECT event_type, n_days,
+           round(var_det, 6) AS var_detrended,
+           round(var_resid, 6) AS var_residual,
+           CASE WHEN var_det > CAST(0 AS DOUBLE)
+                THEN round(greatest(CAST(1 AS DOUBLE) - var_resid / var_det,
+                                    CAST(0 AS DOUBLE)), 6)
+                ELSE NULL END AS seasonal_strength
+    FROM v
+    """,
+)
+def analytics_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength score per series (Hyndman & Athanasopoulos,
+    fpp3 §4.5): F_s = max(0, 1 − Var(residual)/Var(detrended)) over the
+    SAME gap-filled integer detrending ts-decompose ships
+    (decomposed_interior / _DECOMP_INTERIOR_CTES — single-sourced).
+    F_s ≈ 1 means the weekday rhythm explains the detrended variation
+    (forecast with the seasonal profile); F_s ≈ 0 means the rhythm is
+    noise (don't) — the one-number triage over ts-decompose's 120-row
+    detail.
+
+    Determinism: per-dow residual mass collapses algebraically to the
+    integer m·Σdet² − (Σdet)² (no per-row residuals), divided once by m
+    and frozen at 6 dp so the cross-dow sum is an exact decimal;
+    variances are IEEE expressions of exact integers; the ratio is
+    guarded and rounded once.  (det² sums fit int64 to ~10⁹-event days;
+    DECIMAL(38,0) is the production widening.)
+
+    Scale (100 TB): everything runs on the bounded (type × day)
+    interior summary — two keyed rollups (type, type × 7) and a 5-row
+    assembly join."""
+    interior = decomposed_interior(spark, sf_dir)
+    from merl_etl_spark.lineage import cut_lineage
+
+    interior = cut_lineage(interior, eager=False)  # two rollup consumers
+    tot = interior.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("det_x7").alias("sxd"),
+        F.sum(F.col("det_x7") * F.col("det_x7")).alias("sxxd"),
+    )
+    grp = interior.groupBy(
+        F.col("event_type").alias("g_event_type"),
+        (F.col("day_num") % 7).alias("dow7"),
+    ).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("det_x7").alias("sdet"),
+        F.sum(F.col("det_x7") * F.col("det_x7")).alias("ssq"),
+    )
+    terms = grp.select(
+        "g_event_type",
+        F.expr(
+            "CAST(round(CAST(m * ssq - sdet * sdet AS DOUBLE)"
+            " / CAST(m AS DOUBLE), 6) AS DECIMAL(28,6))"
+        ).alias("term"),
+    )
+    rsum = terms.groupBy(F.col("g_event_type").alias("event_type")).agg(
+        F.sum("term").cast("double").alias("ssr")
+    )
+    v = tot.join(rsum, "event_type").selectExpr(
+        "event_type",
+        "n_days",
+        "(CAST(sxxd AS DOUBLE) / CAST(n_days AS DOUBLE)"
+        " - (CAST(sxd AS DOUBLE) / CAST(n_days AS DOUBLE))"
+        "   * (CAST(sxd AS DOUBLE) / CAST(n_days AS DOUBLE)))"
+        " / CAST(49 AS DOUBLE) AS var_det",
+        "ssr / (CAST(49 AS DOUBLE) * CAST(n_days AS DOUBLE)) AS var_resid",
+    )
+    return v.selectExpr(
+        "event_type",
+        "n_days",
+        "round(var_det, 6) AS var_detrended",
+        "round(var_resid, 6) AS var_residual",
+        "CASE WHEN var_det > CAST(0 AS DOUBLE)"
+        " THEN round(greatest(CAST(1 AS DOUBLE) - var_resid / var_det,"
+        "                     CAST(0 AS DOUBLE)), 6)"
+        " ELSE NULL END AS seasonal_strength",
     )

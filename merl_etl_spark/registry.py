@@ -173,6 +173,9 @@ SWEEP_DEFER: list[str] = [
     "graph-assortativity",
     # wave-21 r11 ops (same evidence tier)
     "dedup-source-overlap",
+    # wave-22 r11 ops (same evidence tier)
+    "agg-skewness-exact",
+    "analytics-seasonality-strength",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles

@@ -211,6 +211,14 @@ def main():
             "dedup-source-overlap 500k docs (19M shingles, 20 sources)",
             QUERIES["dedup-source-overlap"](spark, SF),
         )
+        forced(
+            "agg-skewness-exact 500k docs",
+            QUERIES["agg-skewness-exact"](spark, SF),
+        )
+        forced(
+            "analytics-seasonality-strength 10M events",
+            QUERIES["analytics-seasonality-strength"](spark, SF),
+        )
     finally:
         for m, fn in zip(mods, saved):
             m.load_table = fn
