@@ -458,15 +458,18 @@ _VAR_EXPR = (
     "agg-variance-exact",
     oracle=f"""
     WITH m AS (
+      -- moment sums and the per-row square widened past int64 (HUGEINT
+      -- here, DECIMAL in Spark — r11 ADVICE: non-ANSI Spark wraps int64
+      -- silently where DuckDB raises; widened, both are exact to 10^38)
       SELECT source,
              CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(SUM(n_chars) AS BIGINT) AS sx,
-             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx,
              CAST(min(n_chars) AS BIGINT) AS min_chars,
              CAST(max(n_chars) AS BIGINT) AS max_chars
       FROM documents WHERE source IS NOT NULL GROUP BY 1
     )
-    SELECT source, n_docs, sx AS sum_chars, min_chars, max_chars,
+    SELECT source, n_docs, CAST(sx AS BIGINT) AS sum_chars, min_chars, max_chars,
            CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
            round({_VAR_EXPR}, 6) AS var_chars,
            round(sqrt(greatest({_VAR_EXPR}, CAST(0 AS DOUBLE))), 6) AS std_chars
@@ -481,29 +484,32 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative everyone writes first, var_samp()/stddev() builtins,
     accumulates FLOATS in partition order and is unreproducible across
     shuffles, engines, and reruns — the same class of bug the decimal
-    money sums exist to prevent, pinned here for second moments.  (Σx²
-    of chars fits int64 to ~2·10⁶ average-length docs per 10⁹-doc
-    source; a production build widens the moment sums to DECIMAL(38,0)
-    with zero change to the formula; sqrt is clamped at 0 because the
-    textbook form can round to a tiny negative once the moments pass
-    2^53 — Spark would return NaN and DuckDB would RAISE.)
+    money sums exist to prevent, pinned here for second moments.  The
+    moment sums and the per-row square run WIDENED — DECIMAL here,
+    HUGEINT in the oracle (r11 ADVICE: Σx² passes int64 near 2·10⁶
+    average-length docs per 10⁹-doc source, and non-ANSI Spark wraps
+    silently where DuckDB raises; widened, both engines are exact to
+    10³⁸ and Spark nulls loudly past that).  sqrt is clamped at 0
+    because the textbook form can round to a tiny negative once the
+    moments pass 2^53 — Spark would return NaN and DuckDB would RAISE.
 
     Scale (100 TB): one scan, one keyed aggregate at source
     cardinality.  Nothing else."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("source").isNotNull()
     )
+    x19 = F.col("n_chars").cast("decimal(19,0)")
     m = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sx"),
-        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+        F.sum(x19).alias("sx"),
+        F.sum(x19 * x19).alias("sxx"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
     return m.selectExpr(
         "source",
         "n_docs",
-        "sx AS sum_chars",
+        "CAST(sx AS BIGINT) AS sum_chars",
         "min_chars",
         "max_chars",
         "CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars",
@@ -549,12 +555,15 @@ _CORR_DOC = corr_from_moments("n_docs", "sx", "sy", "sxx", "syy", "sxy")
       FROM documents WHERE source IS NOT NULL
     ),
     m AS (
+      -- moment sums and per-row products widened past int64 (HUGEINT
+      -- here, DECIMAL in Spark — see agg-variance-exact)
       SELECT source,
              CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
       FROM b GROUP BY 1
     )
     SELECT source, n_docs, round({_CORR_DOC}, 6) AS corr_chars_tokens
@@ -570,16 +579,16 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers across shuffles; moment sums are exact and order-free.
 
     Scale (100 TB): one scan, one keyed aggregate at source
-    cardinality.  The moments reuse the Σx² headroom analysis on
-    _VAR_EXPR (DECIMAL(38,0) widening is the production escape hatch,
-    formula unchanged)."""
+    cardinality.  Moment sums and per-row products run widened —
+    DECIMAL here, HUGEINT in the oracle (r11 ADVICE; see
+    agg-variance-exact) — with the shared formula unchanged."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("source").isNotNull()
     )
     b = docs.select(
         "source",
-        F.col("n_chars").alias("x"),
-        F.size(F.split("text", " ")).cast("long").alias("y"),
+        F.col("n_chars").cast("decimal(19,0)").alias("x"),
+        F.size(F.split("text", " ")).cast("decimal(19,0)").alias("y"),
     )
     m = b.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -625,11 +634,16 @@ _SKEW_EXPR = (
     "agg-skewness-exact",
     oracle=f"""
     WITH m AS (
+      -- the cube is the first thing to pass int64 (a 2·10⁶-char doc
+      -- cubes to 8·10¹⁸ in ONE row) — per-row products and the moment
+      -- sums run HUGEINT here, DECIMAL in Spark (r11 ADVICE; see
+      -- agg-variance-exact)
       SELECT source,
              CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(SUM(n_chars) AS BIGINT) AS sx,
-             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx,
-             CAST(SUM(n_chars * n_chars * n_chars) AS BIGINT) AS sxxx
+             CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars * n_chars)
+                  AS HUGEINT) AS sxxx
       FROM documents WHERE source IS NOT NULL GROUP BY 1
     )
     SELECT source, n_docs,
@@ -646,24 +660,25 @@ def agg_skewness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-law fit hypothesizes (positive g1 = heavy long-document tail
     → truncation budgets bite; see curate-truncation-plan).
 
-    Determinism: moment sums are exact integers (Σx³ of char counts
-    fits int64 to ~10⁹ mean-2000-char docs per source; DECIMAL(38,0)
-    is the production widening, formula unchanged); g1 is ONE shared
-    IEEE expression with the zero-variance NULL guard, m2^1.5 spelled
-    m2·sqrt(m2) so only the driver-green sqrt class is touched.
+    Determinism: moment sums are exact integers, and both the per-row
+    cube and the sums run WIDENED — DECIMAL here, HUGEINT in the oracle
+    (r11 ADVICE: a single 2·10⁶-char doc cubes past int64, and non-ANSI
+    Spark wraps silently where DuckDB raises; widened, both engines are
+    exact to 10³⁸, formula unchanged); g1 is ONE shared IEEE expression
+    with the zero-variance NULL guard, m2^1.5 spelled m2·sqrt(m2) so
+    only the driver-green sqrt class is touched.
 
     Scale (100 TB): one scan, one keyed aggregate at source
     cardinality."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("source").isNotNull()
     )
+    x19 = F.col("n_chars").cast("decimal(19,0)")
     m = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sx"),
-        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
-        F.sum(
-            F.col("n_chars") * F.col("n_chars") * F.col("n_chars")
-        ).alias("sxxx"),
+        F.sum(x19).alias("sx"),
+        F.sum(x19 * x19).alias("sxx"),
+        F.sum(x19 * x19 * x19).alias("sxxx"),
     )
     return m.selectExpr(
         "source",

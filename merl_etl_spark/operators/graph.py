@@ -954,11 +954,16 @@ def _assortativity_oracle() -> str:
       FROM und e JOIN degs du ON du.node = e.u JOIN degs dv ON dv.node = e.v
     ),
     m AS (
+      -- moment sums / per-row degree products widened past int64
+      -- (HUGEINT here, DECIMAL in Spark — see agg-variance-exact):
+      -- hub in-degrees are corpus-bounded, not k-bounded, so deg² rows
+      -- can pass int64 on a near-dup-core graph
       SELECT CAST(count(*) AS BIGINT) AS n_edges,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
       FROM pairs
     ),
     dd AS (
@@ -1010,7 +1015,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         und.join(degs.selectExpr("node AS u", "deg AS x"), "u")
         .join(degs.selectExpr("node AS v", "deg AS y"), "v")
-        .select("x", "y")
+        # widened moments (DECIMAL here, HUGEINT in the oracle — hub
+        # in-degrees are corpus-bounded, so deg products can pass int64)
+        .select(
+            F.col("x").cast("decimal(19,0)").alias("x"),
+            F.col("y").cast("decimal(19,0)").alias("y"),
+        )
     )
     m = pairs.agg(
         F.count(F.lit(1)).alias("n_edges"),

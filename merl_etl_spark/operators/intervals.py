@@ -174,6 +174,52 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def coalesce_islands(iv: DataFrame) -> DataFrame:
+    """The island engine behind intervals-coalesce, factored out so tests
+    can drive it on synthetic interval sets (r11 ADVICE: the nested-
+    interval regression must exercise THIS window chain, not a Python
+    replica).  Input: (custkey, s, e) integer intervals with e >= s.
+    Output: the per-key rollup (custkey, n_islands, n_orders,
+    covered_days, span_days, busy_ppm).
+
+    The island flag compares each start against the RUNNING MAX of all
+    prior ends (ROWS frame over (s, e) ordering) — a lag on start times
+    alone splits wrongly the moment one interval nests inside another."""
+    w_prev = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn(
+        "is_start",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    islands = flagged.withColumn("island", F.sum("is_start").over(w_cum))
+    merged = islands.groupBy("custkey", "island").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("s").alias("island_s"),
+        F.max("e").alias("island_e"),
+    )
+    return merged.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("n_orders").alias("n_orders"),
+        F.sum(F.col("island_e") - F.col("island_s") + 1).alias("covered_days"),
+        (F.max("island_e") - F.min("island_s") + 1).alias("span_days"),
+        F.expr(
+            "SUM(island_e - island_s + 1) * 1000000"
+            " DIV (max(island_e) - min(island_s) + 1)"
+        ).alias("busy_ppm"),
+    )
+
+
+
 @register(
     "intervals-coalesce",
     oracle="""
@@ -269,35 +315,4 @@ def intervals_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("custkey", "s", F.greatest("e_raw", "s").alias("e"))
     )
-    w_prev = (
-        Window.partitionBy("custkey")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_cum = (
-        Window.partitionBy("custkey")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    flagged = iv.withColumn(
-        "is_start",
-        F.when(F.max("e").over(w_prev) >= F.col("s"), F.lit(0)).otherwise(
-            F.lit(1)
-        ),
-    )
-    islands = flagged.withColumn("island", F.sum("is_start").over(w_cum))
-    merged = islands.groupBy("custkey", "island").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.min("s").alias("island_s"),
-        F.max("e").alias("island_e"),
-    )
-    return merged.groupBy("custkey").agg(
-        F.count(F.lit(1)).alias("n_islands"),
-        F.sum("n_orders").alias("n_orders"),
-        F.sum(F.col("island_e") - F.col("island_s") + 1).alias("covered_days"),
-        (F.max("island_e") - F.min("island_s") + 1).alias("span_days"),
-        F.expr(
-            "SUM(island_e - island_s + 1) * 1000000"
-            " DIV (max(island_e) - min(island_s) + 1)"
-        ).alias("busy_ppm"),
-    )
+    return coalesce_islands(iv)

@@ -663,7 +663,7 @@ def doc_shard_col() -> F.Column:
     WITH sharded AS (
       SELECT {DOC_SHARD_DUCK} AS shard_id,
              n_chars
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ),
     per_shard AS (
       SELECT shard_id,
@@ -705,7 +705,12 @@ def layout_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     total broadcast back across them.  No sort, no window, no
     repartition of the corpus itself — the plan is decided from metadata
     mass, the text column is never read."""
-    docs = load_table(spark, sf_dir, "documents")
+    # doc_id IS NOT NULL: same guard as layout-compaction-plan (r11 ADVICE —
+    # the two views of "the same files" must agree on mass; a NULL doc_id
+    # hashes to a NULL shard here while the compactor silently drops it)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
     per_shard = (
         docs.groupBy(doc_shard_col().alias("shard_id"))
         .agg(

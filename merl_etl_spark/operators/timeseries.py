@@ -1693,25 +1693,32 @@ def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_DECOMP_INTERIOR_CTES},
     tot AS (
+      -- det² widened per-row (HUGEINT / Spark DECIMAL): 7·(daily volume)
+      -- squared passes int64 near 3·10⁹ events/day — inside the target
+      -- regime, so the widening is load-bearing, not belt-and-braces
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n_days,
-             CAST(SUM(det_x7) AS BIGINT) AS sxd,
-             CAST(SUM(det_x7 * det_x7) AS BIGINT) AS sxxd
+             CAST(SUM(CAST(det_x7 AS HUGEINT)) AS HUGEINT) AS sxd,
+             CAST(SUM(CAST(det_x7 AS HUGEINT) * det_x7) AS HUGEINT) AS sxxd
       FROM interior GROUP BY 1
     ),
     grp AS (
       SELECT event_type, day_num % 7 AS dow7,
              CAST(count(*) AS BIGINT) AS m,
-             CAST(SUM(det_x7) AS BIGINT) AS sdet,
-             CAST(SUM(det_x7 * det_x7) AS BIGINT) AS ssq
+             CAST(SUM(CAST(det_x7 AS HUGEINT)) AS HUGEINT) AS sdet,
+             CAST(SUM(CAST(det_x7 AS HUGEINT) * det_x7) AS HUGEINT) AS ssq
       FROM interior GROUP BY 1, 2
     ),
     terms AS (
       -- per-dow residual sum of squares, scaled: Σ_i (det_i·m − sdet)²
       -- / m = m·ssq − sdet² all integer, then ONE division frozen at
-      -- 6 dp so the cross-dow sum is exact and order-free
+      -- 6 dp so the cross-dow sum is exact and order-free.  Products
+      -- widened past int64 (HUGEINT here, DECIMAL(38,0) in Spark — r11
+      -- ADVICE: int64 products wrap silently in non-ANSI Spark while
+      -- DuckDB raises; both engines are exact to 10^38 now)
       SELECT event_type,
-             CAST(round(CAST(m * ssq - sdet * sdet AS DOUBLE)
+             CAST(round(CAST(CAST(m AS HUGEINT) * ssq
+                             - CAST(sdet AS HUGEINT) * sdet AS DOUBLE)
                         / CAST(m AS DOUBLE), 6) AS DECIMAL(28,6)) AS term
       FROM grp
     ),
@@ -1752,8 +1759,11 @@ def analytics_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFram
     integer m·Σdet² − (Σdet)² (no per-row residuals), divided once by m
     and frozen at 6 dp so the cross-dow sum is an exact decimal;
     variances are IEEE expressions of exact integers; the ratio is
-    guarded and rounded once.  (det² sums fit int64 to ~10⁹-event days;
-    DECIMAL(38,0) is the production widening.)
+    guarded and rounded once.  Moment sums AND products run widened —
+    DECIMAL on the Spark side, HUGEINT in the oracle — because det² and
+    m·ssq−sdet² pass int64 near 3·10⁹ events/day, and non-ANSI Spark
+    would WRAP silently where DuckDB raises (r11 ADVICE); widened, both
+    engines are exact to 10³⁸ and Spark nulls loudly past that.
 
     Scale (100 TB): everything runs on the bounded (type × day)
     interior summary — two keyed rollups (type, type × 7) and a 5-row
@@ -1762,24 +1772,30 @@ def analytics_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFram
     from merl_etl_spark.lineage import cut_lineage
 
     interior = cut_lineage(interior, eager=False)  # two rollup consumers
+    det19 = F.col("det_x7").cast("decimal(19,0)")
     tot = interior.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.sum("det_x7").alias("sxd"),
-        F.sum(F.col("det_x7") * F.col("det_x7")).alias("sxxd"),
+        F.sum(det19).alias("sxd"),
+        F.sum(det19 * det19).alias("sxxd"),
     )
     grp = interior.groupBy(
         F.col("event_type").alias("g_event_type"),
         (F.col("day_num") % 7).alias("dow7"),
     ).agg(
         F.count(F.lit(1)).alias("m"),
-        F.sum("det_x7").alias("sdet"),
-        F.sum(F.col("det_x7") * F.col("det_x7")).alias("ssq"),
+        F.sum(det19).alias("sdet"),
+        F.sum(det19 * det19).alias("ssq"),
     )
+    # moment products widened to DECIMAL(38,0) (HUGEINT on the oracle
+    # side): int64 products of int64 sums wrap silently in non-ANSI
+    # Spark; decimal products null on true overflow instead — loud, and
+    # exact to 10^38 (r11 ADVICE)
     terms = grp.select(
         "g_event_type",
         F.expr(
-            "CAST(round(CAST(m * ssq - sdet * sdet AS DOUBLE)"
-            " / CAST(m AS DOUBLE), 6) AS DECIMAL(28,6))"
+            "CAST(round(CAST(CAST(m AS DECIMAL(19,0)) * ssq"
+            " - sdet * sdet"
+            " AS DOUBLE) / CAST(m AS DOUBLE), 6) AS DECIMAL(28,6))"
         ).alias("term"),
     )
     rsum = terms.groupBy(F.col("g_event_type").alias("event_type")).agg(

@@ -44,138 +44,64 @@ ORACLES: dict[str, str] = {}
 # Queries NOT listed here keep their module registration order and fill the
 # remaining budget.  Update per round: move anything you modify into tier 1.
 SWEEP_PRIORITY: list[str] = [
-    # ROUND 11 (VERDICT r10 "Next round" #1-#4): tier 1 = this round's
-    # churn (the broadcast-codebook centroid rewrite, the single-valued
-    # ntile cutpoints, the drift tie-break null pin, the bucket-tag
-    # housekeeping) + the one new operator; tier 2 = the ENTIRE r7
-    # stale-evidence cohort (43 queries whose latest driver row predates
-    # both the r9 env change and the r10 decimal finding — VERDICT #1);
-    # two canaries stay as env sentinels.  fn-canary-decimal-repr —
-    # hypothesis CONFIRMED by its expected-red r10 row — retires to
-    # SWEEP_DEFER (VERDICT #2) so the head carries no expected-red entry.
+    # ROUND 12: tier 1 = this round's churn (the three r11 ADVICE fixes:
+    # the coalesce_islands extraction, the HUGEINT/DECIMAL moment-product
+    # widening across the exact-moments family, the layout-shard-skew
+    # doc_id null guard); tier 2 = the ENTIRE never-driver-checked r11
+    # cohort (51 queries added in r11 waves 1-22 after the head filled —
+    # every one 3-SF hash-swept + Python-parity-tested locally, but the
+    # driver has never seen them; they ARE the r12 correctness story).
+    # fn-map-suite is the one spill past the 50 budget (pure function
+    # suite, lowest numeric risk) — it leads SWEEP_DEFER.
     #
-    # -- tier 1: r11 churn (code changed since last driver green) --------
-    "sim-centroid-assign",       # broadcast-codebook argmin rewrite (+ the
-                                 # assigned_label_expr extraction, late r11)
-    "analytics-rfm-segmentation",  # driver-collected literal cutpoints
-    "dq-distribution-drift",     # tie-break NULLS LAST pin
-    "layout-bucketed-join",      # superseded-tag cleanup + pid-dir probe
-    # late-r11 churn: int-width output casts found by the strict
-    # arrow-dtype gate, and the knn_edges single-sourcing refactor —
-    # their last driver greens predate those code changes
-    "analytics-cohort-ltv",      # age_months int32→int64 cast
-    "graph-bfs-hops",            # hops int32→int64 cast
-    "sim-knn-graph",             # edge build factored into knn_edges
-    # -- tier 1c: NEW r11 operators (never driver-checked) ----------------
-    "dq-distribution-psi",       # population-stability index drift score
-    "sim-rp-projection",         # exact-integer JL sign projection
-    "agg-bitmap-distinct",       # popcount-exact distinct via bitmap words
-    # -- tier 2: the r7 stale-evidence cohort (VERDICT r10 #1) ------------
-    # numerically-sensitive first, then plumbing
-    "text-lm-score", "ts-twap", "graph-pagerank", "graph-triangles",
-    "agg-countmin", "agg-heavy-hitters", "sample-hash-split",
-    "analytics-retention-cohort", "ts-ohlc-bars",
-    "analytics-basket-affinity", "analytics-customer-distribution",
-    "analytics-disjunctive-filter", "analytics-funnel",
-    "analytics-market-share", "analytics-small-qty-revenue",
-    "win-analytic-suite", "win-frame-suite", "win-streak",
-    "win-cumulative-distinct",
-    "join-asof-blocktime", "join-asof-keyed", "join-asof-tolerance",
-    "join-interval-overlap",
-    "agg-k-anonymity", "agg-mv-merge",
-    "fn-string-suite", "fn-json-suite", "fn-regex-suite", "fn-url-suite",
-    "cdc-scd2-history", "curate-shuffle-index", "curate-url-dedup",
-    "dedup-normalized", "dedup-paragraph", "dq-sequence-gaps",
-    "profile-dataset-card", "proj-unpivot",
-    "stream-session-window",
-    "text-bpe-step", "text-fingerprint",
+    # -- tier 1: r12 churn (code changed since last local/driver green) --
+    "intervals-coalesce",        # island chain factored into coalesce_islands
+    "agg-variance-exact",        # moment sums widened DECIMAL/HUGEINT
+    "agg-corr-exact",            # moment sums+products widened
+    "agg-skewness-exact",        # per-row cube + sums widened
+    "analytics-seasonality-strength",  # m·ssq−sdet² widened
+    "graph-assortativity",       # degree moments widened
+    "layout-shard-skew",         # doc_id IS NOT NULL guard (ADVICE parity)
+    # -- tier 2: never-driver-checked r11 operators, wave order ----------
+    "dq-freshness", "sim-pq-encode", "ts-cusum-changepoint",
+    "curate-canonical-keep", "dq-profile-drift",
+    "analytics-decayed-engagement", "analytics-new-returning",
+    "curate-mixture-sample",
+    "agg-bitmap-intersect", "analytics-order-percentiles",
+    "sim-ann-recall-eval", "graph-jaccard-links", "ts-interarrival-hist",
+    "analytics-revenue-concentration", "dedup-lsh-precision-eval",
+    "text-readability",
+    "agg-rolling-distinct-bitmap", "sim-pq-adc-topk",
+    "dq-split-leakage", "curate-dedup-impact",
+    "fn-array-suite",
+    "agg-bitmap-rollup", "ts-rolling-median",
+    "analytics-ab-test", "sim-kmeans-update",
+    "ts-decompose", "graph-label-propagation", "layout-compaction-plan",
+    "analytics-powerlaw-fit", "agg-argmax-suite",
+    "dq-split-leakage-near", "curate-upsample-plan", "text-ngram-novelty",
+    "curate-truncation-plan", "dq-embedding-norms", "fn-bit-suite",
+    "dq-benford-digits", "sample-poisson-bootstrap",
+    "graph-kcore", "text-vocab-growth", "analytics-shipping-delay",
+    "curate-filter-funnel",
+    "dedup-source-overlap",
 ]
 
-# Budget triage (round 11): the prioritized block above is 50 entries, so
+# Budget triage (round 12): the prioritized block above is 50 entries, so
 # this defer list registers immediately after it (first in line for the
-# r12 sweep).  It leads with fn-canary-decimal-repr — the PERMANENT env
-# sentinel for the r10 finding (the driver environment cannot value-hash
-# DECIMAL output columns; its red row is EXPECTED and opt-in, never a
-# regression signal) — then the remaining r10-green canaries, then the
-# r8-evidence cohort (stalest after this round's r7 drain).
+# r13 sweep).  It leads with fn-map-suite (the one never-checked r11 op
+# the 50 budget couldn't fit), then the two r7-stale text ops displaced
+# in r11, then fn-canary-decimal-repr — the PERMANENT env sentinel for
+# the r10 finding (the driver environment cannot value-hash DECIMAL
+# output columns; its red row is EXPECTED and opt-in, never a regression
+# signal) — then the remaining r10-green canaries, then the r8-evidence
+# cohort (the stalest green tier).
 SWEEP_DEFER: list[str] = [
-    # displaced from the r7-cohort head block by the late-r11 churn
-    # entries (churn outranks stale-green); first in line for r12
+    # never-driver-checked r11 op, spilled by the 50 budget (pure
+    # function suite, lowest numeric risk of the cohort)
+    "fn-map-suite",
+    # displaced from the r11 head by late-r11 churn; r7-stale evidence
     "text-ngram-counts",
     "text-pii-scrub",
-    # these eight are r11-new but the head is full at 50 (the 43-query r7
-    # drain takes priority per VERDICT r10 #1) — each is 3-SF hash-swept,
-    # Python-parity-tested, and /verify-driven locally; they lead the r12
-    # driver seed from here
-    "dq-freshness",
-    "sim-pq-encode",
-    "ts-cusum-changepoint",
-    "curate-canonical-keep",
-    "dq-profile-drift",
-    "analytics-decayed-engagement",
-    "analytics-new-returning",
-    "curate-mixture-sample",
-    # wave-6 r11 ops (same status: 3-SF hash-swept + Python-parity-tested
-    # locally, driver-checked from here in r12)
-    "agg-bitmap-intersect",
-    "analytics-order-percentiles",
-    "sim-ann-recall-eval",
-    "graph-jaccard-links",
-    "ts-interarrival-hist",
-    # wave-7 r11 ops (same evidence tier)
-    "analytics-revenue-concentration",
-    "dedup-lsh-precision-eval",
-    "text-readability",
-    # wave-8 r11 ops (same evidence tier)
-    "agg-rolling-distinct-bitmap",
-    "sim-pq-adc-topk",
-    # wave-9 r11 ops (same evidence tier)
-    "dq-split-leakage",
-    "curate-dedup-impact",
-    # wave-10 r11 ops (same evidence tier)
-    "fn-array-suite",
-    # wave-11 r11 ops (same evidence tier)
-    "agg-bitmap-rollup",
-    "ts-rolling-median",
-    # wave-12 r11 ops (same evidence tier)
-    "analytics-ab-test",
-    "sim-kmeans-update",
-    "layout-shard-skew",
-    # wave-13 r11 ops (same evidence tier)
-    "ts-decompose",
-    "graph-label-propagation",
-    "layout-compaction-plan",
-    # wave-14 r11 ops (same evidence tier)
-    "analytics-powerlaw-fit",
-    "fn-map-suite",
-    "agg-argmax-suite",
-    # wave-15 r11 ops (same evidence tier)
-    "dq-split-leakage-near",
-    "curate-upsample-plan",
-    "text-ngram-novelty",
-    # wave-16 r11 ops (same evidence tier)
-    "curate-truncation-plan",
-    "dq-embedding-norms",
-    "fn-bit-suite",
-    # wave-17 r11 ops (same evidence tier)
-    "dq-benford-digits",
-    "agg-variance-exact",
-    "sample-poisson-bootstrap",
-    # wave-18 r11 ops (same evidence tier)
-    "graph-kcore",
-    "text-vocab-growth",
-    "analytics-shipping-delay",
-    # wave-19 r11 ops (same evidence tier)
-    "intervals-coalesce",
-    "curate-filter-funnel",
-    # wave-20 r11 ops (same evidence tier)
-    "agg-corr-exact",
-    "graph-assortativity",
-    # wave-21 r11 ops (same evidence tier)
-    "dedup-source-overlap",
-    # wave-22 r11 ops (same evidence tier)
-    "agg-skewness-exact",
-    "analytics-seasonality-strength",
     "fn-canary-decimal-repr",    # DELIBERATE decimal surface — expected red
     # the full canary split is r10-green (freshest evidence in the
     # registry); it re-arms from here whenever a numeric class wobbles

@@ -71,13 +71,27 @@ def test_intervals_coalesce_matches_python_merge(spark, sf_dir):
 def test_intervals_coalesce_nested_interval_regression(spark):
     """A long interval fully containing later short ones must stay ONE
     island — the case a lag-on-start implementation splits wrongly
-    (running max of ends is the correct flag)."""
-    df = spark.createDataFrame(
-        [(1, 100, 10, 50), (1, 101, 12, 15), (1, 102, 20, 22), (1, 103, 60, 61)],
-        "custkey long, okey long, s long, e long",
-    )
-    islands = _python_coalesce([(r.s, r.e) for r in df.collect()])
+    (running max of ends is the correct flag).  Drives the PRODUCTION
+    window chain (coalesce_islands) on the synthetic set and checks it
+    against the Python replica (r11 ADVICE: the regression must pin the
+    operator, not the test helper)."""
+    from merl_etl_spark.operators.intervals import coalesce_islands
+
+    raw = [(1, 10, 50), (1, 12, 15), (1, 20, 22), (1, 60, 61)]
+    df = spark.createDataFrame(raw, "custkey long, s long, e long")
+    islands = _python_coalesce([(s, e) for _, s, e in raw])
     assert len(islands) == 2  # [10,50] swallows both short ones; [60,61] apart
+
+    rows = coalesce_islands(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    covered = sum(e - s + 1 for s, e, _ in islands)
+    span = islands[-1][1] - islands[0][0] + 1
+    assert r.n_islands == len(islands) == 2
+    assert r.n_orders == len(raw)
+    assert r.covered_days == covered
+    assert r.span_days == span
+    assert r.busy_ppm == covered * 1_000_000 // span
 
 
 def test_intervals_coalesce_islands_vary(spark, sf_dir):
