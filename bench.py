@@ -241,6 +241,10 @@ HEADLINE = [
     # round-11 wave 22: third-moment shape, seasonal strength score
     "agg-skewness-exact",
     "analytics-seasonality-strength",
+    # round-12 wave 1: CC census, fourth moment, deterministic reservoir
+    "graph-clustering-coefficient",
+    "agg-kurtosis-exact",
+    "sample-reservoir",
 ]
 
 

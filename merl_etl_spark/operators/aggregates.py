@@ -686,3 +686,89 @@ def agg_skewness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_M2_EXPR}, 6) AS m2",
         f"round({_SKEW_EXPR}, 6) AS skewness",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg-kurtosis-exact — fourth-moment tail weight from exact integer moments
+# ---------------------------------------------------------------------------
+
+# excess kurtosis g2 = m4 / m2² − 3 over five exact integer moments —
+# the _VAR_EXPR family extended to the fourth moment.  Divisions first
+# (every factor is ≤ max |x|⁴ / n, never a cross-multiplied square of a
+# sum); the mean appears as the single shared subexpression sx/n.
+_MEAN_EXPR = "(CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+_M4_EXPR = (
+    f"(CAST(sxxxx AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+    f" - CAST(4 AS DOUBLE) * {_MEAN_EXPR}"
+    f"   * (CAST(sxxx AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    f" + CAST(6 AS DOUBLE) * {_MEAN_EXPR} * {_MEAN_EXPR}"
+    f"   * (CAST(sxx AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    f" - CAST(3 AS DOUBLE) * {_MEAN_EXPR} * {_MEAN_EXPR}"
+    f"   * {_MEAN_EXPR} * {_MEAN_EXPR})"
+)
+_KURT_EXPR = (
+    f"CASE WHEN {_M2_EXPR} > CAST(0 AS DOUBLE)"
+    f" THEN {_M4_EXPR} / ({_M2_EXPR} * {_M2_EXPR}) - CAST(3 AS DOUBLE)"
+    f" ELSE NULL END"
+)
+
+
+@register(
+    "agg-kurtosis-exact",
+    oracle=f"""
+    WITH m AS (
+      -- per-row x⁴ passes int64 at ~56k chars in ONE row — every power
+      -- and every moment sum runs HUGEINT here, DECIMAL in Spark (the
+      -- agg-variance-exact widening discipline)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars * n_chars)
+                  AS HUGEINT) AS sxxx,
+             CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars)
+                  AS HUGEINT) AS sxxxx
+      FROM documents WHERE source IS NOT NULL GROUP BY 1
+    )
+    SELECT source, n_docs,
+           round({_M2_EXPR}, 6) AS m2,
+           round({_KURT_EXPR}, 6) AS kurtosis
+    FROM m
+    """,
+)
+def agg_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source excess kurtosis of the document-length distribution
+    from FIVE exact integer moments — the fourth-moment closure of the
+    exact-moments family (variance → skewness → this), and the tail-
+    weight diagnostic curation actually acts on: g2 ≈ 0 means Gaussian-
+    ish lengths (length filters cut noise), large positive g2 means the
+    mass sits in a narrow band with extreme outliers (length filters cut
+    a TINY doc count but a huge token share — budget with
+    curate-truncation-plan instead).
+
+    Determinism: per-row powers AND the moment sums run widened —
+    DECIMAL(38,0) here, HUGEINT in the oracle — because x⁴ passes int64
+    at ~56k chars in one row (the lowest overflow ceiling in the family;
+    non-ANSI Spark would wrap silently where DuckDB raises); g2 is ONE
+    shared IEEE expression, divisions first, with the zero-variance NULL
+    guard, rounded once at the boundary.
+
+    Scale (100 TB): one scan, one map-side-combinable keyed aggregate at
+    source cardinality.  Nothing else."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    x19 = F.col("n_chars").cast("decimal(19,0)")
+    m = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(x19).alias("sx"),
+        F.sum(x19 * x19).alias("sxx"),
+        F.sum(x19 * x19 * x19).alias("sxxx"),
+        F.sum(x19 * x19 * x19 * x19).alias("sxxxx"),
+    )
+    return m.selectExpr(
+        "source",
+        "n_docs",
+        f"round({_M2_EXPR}, 6) AS m2",
+        f"round({_KURT_EXPR}, 6) AS kurtosis",
+    )

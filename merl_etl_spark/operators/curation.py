@@ -272,3 +272,75 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sample-reservoir — exact-k-per-stratum deterministic reservoir
+# ---------------------------------------------------------------------------
+
+# reservoir size per source.  A sizing dial (how many docs each QA
+# eyeball batch gets), not a correctness knob.
+RESERVOIR_K = 25
+
+
+@register(
+    "sample-reservoir",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ('0x' || substr(md5(doc_id::VARCHAR || '|resv-seed'), 1, 15))::BIGINT
+               AS rkey
+      FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY rkey, doc_id) AS BIGINT) AS slot
+      FROM keyed
+    )
+    SELECT source, slot, doc_id, n_chars
+    FROM ranked WHERE slot <= {RESERVOIR_K}
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum reservoir sample: each source contributes its
+    {RESERVOIR_K} documents with the smallest salted content-stable hash
+    — a uniform without-replacement draw that is REPLAYABLE (reruns,
+    backfills, and any engine pick the same documents, unlike
+    rand()-based reservoirs) and INCREMENTAL (new data can only displace
+    old picks by hashing lower; no reshuffle of survivors).  The
+    fixed-count sibling of sample-stratified's fixed-rate filter — rate
+    sampling scales the sample WITH the stratum, this pins the QA/eyeball
+    batch size per source regardless of stratum skew.
+
+    The hash keys doc_id (the id IS the replay contract here — a QA
+    queue keys follow-ups by id); the 15-hex-digit prefix (60 bits)
+    makes collisions negligible and the (rkey, doc_id) tie-break makes
+    them harmless.
+
+    Scale (100 TB): the rank filter is a WindowGroupLimit — Spark pushes
+    the k-limit below the shuffle, so every map partition forwards at
+    most {RESERVOIR_K} rows per source and the per-source sort never
+    materializes the stratum (the filter-topk-rank physics, re-used as a
+    sampler).  Output is sources × k rows."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
+    from pyspark.sql.window import Window
+
+    rkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|resv-seed"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("source").orderBy("rkey", "doc_id")
+    return (
+        docs.select("source", "doc_id", "n_chars", rkey.alias("rkey"))
+        .withColumn("slot", F.row_number().over(w).cast("long"))
+        .where(F.col("slot") <= RESERVOIR_K)
+        .select("source", "slot", "doc_id", "n_chars")
+    )

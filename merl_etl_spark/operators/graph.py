@@ -1042,3 +1042,112 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_deg",
         f"round({corr}, 6) AS assortativity",
     )
+
+
+# ---------------------------------------------------------------------------
+# graph-clustering-coefficient — local CC census of the kNN graph
+# ---------------------------------------------------------------------------
+
+
+def _clustering_oracle() -> str:
+    from merl_etl_spark.operators.similarity import _knn_graph_oracle
+
+    return f"""
+    WITH knn AS MATERIALIZED ({_knn_graph_oracle()}),
+    und AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM knn
+        UNION ALL SELECT dst, src FROM knn
+      )
+    ),
+    degs AS MATERIALIZED (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1
+    ),
+    tri AS (
+      SELECT e1.u AS node, CAST(count(*) AS BIGINT) AS n_tri
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.u AND e1.v < e2.v
+      JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+      GROUP BY 1
+    ),
+    node_cc AS (
+      SELECT d.node, d.deg, COALESCE(t.n_tri, CAST(0 AS BIGINT)) AS n_tri
+      FROM degs d LEFT JOIN tri t ON t.node = d.node
+    )
+    SELECT deg,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(n_tri) AS BIGINT) AS n_closed,
+           CAST(count(*) * deg * (deg - 1) // 2 AS BIGINT) AS n_wedges,
+           CASE WHEN deg >= 2
+                THEN round(CAST(2 AS DOUBLE) * CAST(SUM(n_tri) AS DOUBLE)
+                           / (CAST(count(*) AS DOUBLE) * CAST(deg AS DOUBLE)
+                              * CAST(deg - 1 AS DOUBLE)), 6)
+                ELSE NULL END AS mean_cc
+    FROM node_cc GROUP BY deg
+    """
+
+
+@register("graph-clustering-coefficient", oracle=_clustering_oracle())
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient census of the kNN similarity graph
+    (Watts & Strogatz 1998): per node, the fraction of its neighbor
+    pairs that are themselves connected, rolled up by degree class.
+    High mean CC at high degree = cliquish near-dup cores (the SemDeDup
+    "template family" signature); low CC = star-shaped hubs (one
+    canonical doc with many satellites that are NOT mutual near-dups) —
+    the micro-structure dial that assortativity (a single global number)
+    cannot see.  Runs on the SAME pinned sim-knn-graph edge substrate as
+    kcore / LPA / assortativity.
+
+    Spark-first shape: wedges are ONE self-equi-join of the symmetric
+    edge list on the center node (p < q halves the expansion); closure
+    is ONE more equi-join probing the (p, q) pair against the edge list
+    itself.  No window, no pair explosion beyond wedge mass Σ deg² —
+    which a kNN graph bounds by construction (out-degree ≤ K; the
+    exact wedge mass is emitted as n_wedges so a hub-skewed in-degree
+    regime is VISIBLE in the output, the dial being KNN_K).  The census
+    collapses to max-degree-bounded cardinality before output.
+
+    Determinism: triangle counts are exact integers over the pinned
+    edge list; within a degree class every node has the same wedge
+    count deg·(deg−1)/2, so the mean of per-node ratios collapses to
+    the exact integer ratio 2·Σtri / (n·deg·(deg−1)) — ONE IEEE
+    division per output row, rounded once."""
+    from merl_etl_spark.operators.similarity import knn_edges
+
+    knn = knn_edges(load_table(spark, sf_dir, "embeddings")).select("src", "dst")
+    und = (
+        knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    und = cut_lineage(und, eager=True)  # three consumers: degs + 2 wedge legs
+    degs = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    wedges = (
+        und.selectExpr("u AS node", "v AS p")
+        .join(und.selectExpr("u AS node", "v AS q"), "node")
+        .where(F.col("p") < F.col("q"))
+    )
+    closed = wedges.join(und.selectExpr("u AS p", "v AS q"), ["p", "q"])
+    tri = closed.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    node_cc = degs.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+    )
+    return node_cc.groupBy("deg").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("n_tri").alias("n_closed"),
+        F.expr("CAST(count(1) * deg * (deg - 1) DIV 2 AS BIGINT)").alias(
+            "n_wedges"
+        ),
+        F.expr(
+            "CASE WHEN deg >= 2"
+            " THEN round(CAST(2 AS DOUBLE) * CAST(SUM(n_tri) AS DOUBLE)"
+            "            / (CAST(count(1) AS DOUBLE) * CAST(deg AS DOUBLE)"
+            "               * CAST(deg - 1 AS DOUBLE)), 6)"
+            " ELSE NULL END"
+        ).alias("mean_cc"),
+    )

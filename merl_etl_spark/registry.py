@@ -99,6 +99,11 @@ SWEEP_DEFER: list[str] = [
     # never-driver-checked r11 op, spilled by the 50 budget (pure
     # function suite, lowest numeric risk of the cohort)
     "fn-map-suite",
+    # r12-wave-1 ops (3-SF hash-swept + Python-parity-tested locally;
+    # driver-checked from here once the r11 cohort drains)
+    "graph-clustering-coefficient",
+    "agg-kurtosis-exact",
+    "sample-reservoir",
     # displaced from the r11 head by late-r11 churn; r7-stale evidence
     "text-ngram-counts",
     "text-pii-scrub",
