@@ -245,6 +245,9 @@ HEADLINE = [
     "graph-clustering-coefficient",
     "agg-kurtosis-exact",
     "sample-reservoir",
+    # round-12 wave 2: source JSD matrix, header-vs-detail reconciliation
+    "text-source-divergence",
+    "dq-reconciliation",
 ]
 
 

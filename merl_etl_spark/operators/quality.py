@@ -1624,3 +1624,119 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dev_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq-reconciliation — header-vs-detail balance audit (orders vs lineitem)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq-reconciliation",
+    oracle="""
+    WITH rec AS (
+      -- recomputed order total from the lines, exact decimal all the
+      -- way: extprice(12,6) × (1−disc)(7,6) pinned at (19,12), × 
+      -- (1+tax)(7,6) → (26,18); SUM widens within engine caps and the
+      -- per-order total is an exact rational identical in any engine
+      SELECT l_orderkey AS okey,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,6))
+                      * (1 - CAST(l_discount AS DECIMAL(7,6)))
+                      AS DECIMAL(19,12))
+                 * (1 + CAST(l_tax AS DECIMAL(7,6)))) AS recomputed
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o.o_orderstatus AS orderstatus,
+             CAST(o.o_totalprice AS DECIMAL(12,6)) AS header,
+             r.recomputed,
+             CASE WHEN r.recomputed IS NULL THEN NULL
+                  ELSE abs(CAST(o.o_totalprice AS DECIMAL(12,6))
+                           - r.recomputed) END AS absdiff
+      FROM orders o LEFT JOIN rec r ON r.okey = o.o_orderkey
+    )
+    SELECT orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_no_lines,
+           CAST(SUM(CASE WHEN absdiff IS NOT NULL
+                         AND absdiff > CAST(0.005 AS DECIMAL(4,3))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+           CAST(CAST(SUM(header) AS DECIMAL(38,6)) AS DOUBLE) AS sum_header,
+           round(CAST(COALESCE(SUM(recomputed), 0) AS DOUBLE), 2)
+             AS sum_recomputed,
+           round(CAST(COALESCE(SUM(absdiff), 0) AS DOUBLE), 2)
+             AS sum_absdiff,
+           round(CAST(COALESCE(max(absdiff), 0) AS DOUBLE), 2) AS max_absdiff
+    FROM j GROUP BY 1
+    """,
+)
+def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: recompute each order's total from
+    its lines (Σ extprice·(1−discount)·(1+tax), the TPC-H charge
+    formula), diff against the stored header total, and roll the audit
+    up per order status — orders with no lines, mismatch counts beyond
+    a half-cent tolerance, and the absolute-drift mass/max.  The
+    double-entry audit every warehouse runs between a summary table and
+    its fact source after a backfill: dq-referential checks the KEYS
+    line up, this checks the MONEY does.
+
+    Determinism: the recomputed charge is exact decimal end-to-end with
+    explicitly pinned intermediate scales — (12,6)×(7,6) pinned at
+    (19,12) before the second product, because the engines' decimal
+    width-growth rules differ and an unpinned chain either overflows
+    DuckDB's 38-digit multiply or triggers Spark's precision-loss
+    truncation; pinned, every per-order total is the same exact
+    rational in both engines.  Sums of decimals are exact and
+    order-free; each output is rounded or cast ONCE at the boundary.
+
+    Scale (100 TB): one map-side-combinable keyed aggregate at order
+    grain (co-partitioned with the join key), one equi-join against the
+    header table, one status-grain rollup.  No window, no collect; AQE
+    handles the orderkey skew the fixture doesn't have."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    charge = (
+        (
+            F.col("l_extendedprice").cast("decimal(12,6)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(7,6)"))
+        ).cast("decimal(19,12)")
+        * (F.lit(1) + F.col("l_tax").cast("decimal(7,6)"))
+    )
+    rec = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.sum(charge).alias("recomputed")
+    )
+    header = F.col("o_totalprice").cast("decimal(12,6)")
+    j = orders.join(rec, orders["o_orderkey"] == rec["okey"], "left").select(
+        F.col("o_orderstatus").alias("orderstatus"),
+        header.alias("header"),
+        "recomputed",
+        F.when(
+            F.col("recomputed").isNull(), F.lit(None)
+        ).otherwise(F.abs(header - F.col("recomputed"))).alias("absdiff"),
+    )
+    return j.groupBy("orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("recomputed").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_no_lines"),
+        F.sum(
+            F.when(
+                F.col("absdiff").isNotNull()
+                & (F.col("absdiff") > F.lit(0.005).cast("decimal(4,3)")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+        F.sum("header").cast("decimal(38,6)").cast("double").alias("sum_header"),
+        F.round(F.coalesce(F.sum("recomputed"), F.lit(0)).cast("double"), 2).alias(
+            "sum_recomputed"
+        ),
+        F.round(F.coalesce(F.sum("absdiff"), F.lit(0)).cast("double"), 2).alias(
+            "sum_absdiff"
+        ),
+        F.round(F.coalesce(F.max("absdiff"), F.lit(0)).cast("double"), 2).alias(
+            "max_absdiff"
+        ),
+    )

@@ -1092,3 +1092,171 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_new_words").over(cum).alias("cum_vocab"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text-source-divergence — pairwise Jensen–Shannon divergence of sources
+# ---------------------------------------------------------------------------
+
+# vocabulary size for the divergence estimate: top-V words by global
+# count.  A resolution dial (bigger V = finer distributional fingerprint
+# at linearly more summary rows), not a correctness knob.
+JSD_VOCAB = 150
+
+
+@register(
+    "text-source-divergence",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT source, w FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+      ) WHERE w <> ''
+    ),
+    vocab AS MATERIALIZED (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM tok GROUP BY w
+        ORDER BY c DESC, w LIMIT {JSD_VOCAB}
+      )
+    ),
+    counts AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok JOIN vocab USING (w) GROUP BY 1, 2
+    ),
+    srcs AS (SELECT DISTINCT source FROM tok),
+    grid AS (
+      SELECT s.source, v.w, COALESCE(c.c, CAST(0 AS BIGINT)) AS c
+      FROM srcs s CROSS JOIN vocab v
+      LEFT JOIN counts c ON c.source = s.source AND c.w = v.w
+    ),
+    tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM grid GROUP BY 1),
+    g AS (SELECT grid.source, grid.w, grid.c, tots.t
+          FROM grid JOIN tots USING (source)),
+    pairs AS (
+      -- smoothed-probability ratio as INTEGER ln arguments:
+      -- p_a/m = 2A/(A+B) with A=(ca+1)(tb+V), B=(cb+1)(ta+V) —
+      -- widened HUGEINT (token totals × counts pass int64 at corpus
+      -- scale; Spark runs the same products in DECIMAL)
+      SELECT a.source AS source_a, b.source AS source_b, a.w,
+             a.c AS ca, a.t AS ta, b.c AS cb, b.t AS tb,
+             CAST(a.c + 1 AS HUGEINT) * (b.t + {JSD_VOCAB}) AS ia,
+             CAST(b.c + 1 AS HUGEINT) * (a.t + {JSD_VOCAB}) AS ib
+      FROM g a JOIN g b ON a.w = b.w AND a.source < b.source
+    ),
+    terms AS (
+      -- the three ln()s have integer arguments (the driver-green
+      -- curate-dsir class), each rounded ONCE to 6 dp and frozen as
+      -- DECIMAL before the exact combination; the per-word JS term is
+      -- frozen once more so the cross-word sum is an exact decimal
+      SELECT source_a, source_b,
+             CAST(round(
+               ((CAST(ca + 1 AS DOUBLE) / CAST(ta + {JSD_VOCAB} AS DOUBLE))
+               * CAST(CAST(round(ln(2 * ia), 6) AS DECIMAL(18,6))
+                      - CAST(round(ln(ia + ib), 6) AS DECIMAL(18,6))
+                      AS DOUBLE)
+               + (CAST(cb + 1 AS DOUBLE) / CAST(tb + {JSD_VOCAB} AS DOUBLE))
+               * CAST(CAST(round(ln(2 * ib), 6) AS DECIMAL(18,6))
+                      - CAST(round(ln(ia + ib), 6) AS DECIMAL(18,6))
+                      AS DOUBLE)
+             ) / CAST(2 AS DOUBLE)
+             , 6) AS DECIMAL(18,6)) AS term
+      FROM pairs
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(SUM(term) AS DOUBLE) AS jsd
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between per-source unigram
+    distributions over the global top-{JSD_VOCAB} vocabulary — the
+    source-similarity matrix a mixture designer reads BEFORE setting
+    weights (two sources with jsd ≈ 0 are redundant; upweighting both
+    double-counts one distribution), and the lexical complement to
+    dedup-source-overlap's exact doc-level matrix: overlap sees shared
+    DOCUMENTS, this sees shared LANGUAGE with zero shared docs.
+    JSD is symmetric and bounded [0, ln 2], so the matrix needs no
+    direction bookkeeping (emitted once per unordered pair).
+
+    Determinism (the proven curate-dsir / dq-distribution-psi ln
+    discipline): add-1-smoothed probability ratios are rearranged so
+    every ln argument is an exact INTEGER — p_a/m = 2A/(A+B) with
+    A = (c_a+1)(T_b+V), B = (c_b+1)(T_a+V), widened HUGEINT/DECIMAL —
+    each ln rounded ONCE to 6 dp and frozen as decimal; the JS ÷2 is a
+    DOUBLE halving (exact — exponent decrement, no rounding) applied
+    INSIDE the per-word term before its single 6 dp freeze, so the
+    cross-word sum is an exact order-free decimal and the output is its
+    bare double cast.  (Halving after the sum-round put one pair on a
+    round-half boundary where the engines' tie directions differ.)
+
+    Scale (100 TB): token counts collapse to (source × vocab) grain in
+    one map-side-combinable pass; the grid is a broadcast cross of two
+    bounded summaries (distinct sources × top-V literal-limited vocab);
+    the pair expansion is |sources|²·V rows of SUMMARY, never corpus.
+    The corpus-sized work is exactly one tokenize+count scan."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    from merl_etl_spark.lineage import cut_lineage
+
+    tok = cut_lineage(tok, eager=False)  # two consumers: vocab + counts
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(JSD_VOCAB)
+        .select("w")
+    )
+    counts = (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    srcs = tok.select("source").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .join(counts, ["source", "w"], "left")
+        .select(
+            "source", "w", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+        )
+    )
+    grid = cut_lineage(grid, eager=False)  # two consumers: totals + pairs
+    tots = grid.groupBy("source").agg(F.sum("c").alias("t"))
+    g = grid.join(F.broadcast(tots), "source")
+    a = g.selectExpr("source AS source_a", "w", "c AS ca", "t AS ta")
+    b = g.selectExpr("source AS source_b", "w", "c AS cb", "t AS tb")
+    pairs = a.join(b, "w").where(F.col("source_a") < F.col("source_b"))
+    V = JSD_VOCAB
+    pairs = pairs.selectExpr(
+        "source_a",
+        "source_b",
+        "ca",
+        "ta",
+        "cb",
+        "tb",
+        f"CAST(ca + 1 AS DECIMAL(19,0)) * CAST(tb + {V} AS DECIMAL(19,0)) AS ia",
+        f"CAST(cb + 1 AS DECIMAL(19,0)) * CAST(ta + {V} AS DECIMAL(19,0)) AS ib",
+    )
+    terms = pairs.selectExpr(
+        "source_a",
+        "source_b",
+        f"""CAST(round(
+          ((CAST(ca + 1 AS DOUBLE) / CAST(ta + {V} AS DOUBLE))
+          * CAST(CAST(round(ln(CAST(2 * ia AS DOUBLE)), 6) AS DECIMAL(18,6))
+                 - CAST(round(ln(CAST(ia + ib AS DOUBLE)), 6) AS DECIMAL(18,6))
+                 AS DOUBLE)
+          + (CAST(cb + 1 AS DOUBLE) / CAST(tb + {V} AS DOUBLE))
+          * CAST(CAST(round(ln(CAST(2 * ib AS DOUBLE)), 6) AS DECIMAL(18,6))
+                 - CAST(round(ln(CAST(ia + ib AS DOUBLE)), 6) AS DECIMAL(18,6))
+                 AS DOUBLE)
+          ) / CAST(2 AS DOUBLE)
+        , 6) AS DECIMAL(18,6)) AS term""",
+    )
+    return terms.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("term").cast("double").alias("jsd"),
+    )

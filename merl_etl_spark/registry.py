@@ -104,6 +104,9 @@ SWEEP_DEFER: list[str] = [
     "graph-clustering-coefficient",
     "agg-kurtosis-exact",
     "sample-reservoir",
+    # r12-wave-2 ops (same local-evidence tier)
+    "text-source-divergence",
+    "dq-reconciliation",
     # displaced from the r11 head by late-r11 churn; r7-stale evidence
     "text-ngram-counts",
     "text-pii-scrub",
