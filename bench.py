@@ -248,6 +248,9 @@ HEADLINE = [
     # round-12 wave 2: source JSD matrix, header-vs-detail reconciliation
     "text-source-divergence",
     "dq-reconciliation",
+    # round-12 wave 3: Matryoshka truncation eval, two-phase anneal mixture
+    "sim-matryoshka-eval",
+    "curate-anneal-schedule",
 ]
 
 

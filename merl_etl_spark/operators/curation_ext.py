@@ -1481,3 +1481,163 @@ def curate_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.expr("n_docs * 1000000 DIV total").alias("stage_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-anneal-schedule — two-phase mixture with a quality-gated anneal
+# ---------------------------------------------------------------------------
+
+# anneal-phase share of the total token budget, and its (flatter)
+# temperature.  Midtraining shape: ~90% of tokens follow the standard
+# temperature mixture; the last ~10% re-draw from above-average-quality
+# sources only, at a flatter alpha (closer to uniform over survivors).
+ANNEAL_BUDGET_PCT = 10
+ANNEAL_ALPHA = 0.3
+
+
+def _anneal_oracle() -> str:
+    funnel = _filter_funnel_oracle()
+    return f"""
+    WITH {MIX_WEIGHT_CTES},
+    fun AS MATERIALIZED ({funnel}),
+    keep AS (SELECT source, stage_ppm AS keep_ppm FROM fun
+             WHERE stage = '6-keep'),
+    gk AS (
+      SELECT CAST(SUM(CASE WHEN stage = '6-keep' THEN n_docs ELSE 0 END)
+                  * 1000000 // SUM(n_docs) AS BIGINT) AS global_keep_ppm
+      FROM fun
+    ),
+    base AS (
+      SELECT w.source, w.n_tokens, w.weight,
+             COALESCE(k.keep_ppm, CAST(0 AS BIGINT)) AS keep_ppm,
+             g.global_keep_ppm,
+             CAST(w.total * (100 - {ANNEAL_BUDGET_PCT}) // 100 AS BIGINT)
+               AS b_pre,
+             CAST(w.total * {ANNEAL_BUDGET_PCT} // 100 AS BIGINT) AS b_ann,
+             CAST(round(pow(w.share, {ANNEAL_ALPHA}), 6) AS DECIMAL(18,6))
+               AS pw
+      FROM w LEFT JOIN keep k ON k.source = w.source CROSS JOIN gk g
+    ),
+    e AS (
+      SELECT *, keep_ppm >= global_keep_ppm AS eligible FROM base
+    ),
+    n AS (
+      SELECT *, SUM(CASE WHEN eligible THEN pw END) OVER () AS norm FROM e
+    ),
+    alloc AS (
+      SELECT source, n_tokens, keep_ppm, eligible AS anneal_eligible,
+             weight AS pre_weight,
+             CAST(floor(weight * CAST(b_pre AS DOUBLE)) AS BIGINT)
+               AS pre_tokens,
+             CASE WHEN eligible
+                  THEN round(CAST(pw AS DOUBLE) / CAST(norm AS DOUBLE), 6)
+                  END AS anneal_weight,
+             CASE WHEN eligible
+                  THEN CAST(floor(round(CAST(pw AS DOUBLE)
+                                        / CAST(norm AS DOUBLE), 6)
+                                  * CAST(b_ann AS DOUBLE)) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS anneal_tokens
+      FROM n
+    )
+    SELECT source, n_tokens, keep_ppm, anneal_eligible, pre_weight,
+           pre_tokens, anneal_weight, anneal_tokens,
+           CAST(floor(CAST(pre_tokens + anneal_tokens AS DOUBLE)
+                      * CAST(1000000 AS DOUBLE)
+                      / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS epochs_ppm
+    FROM alloc
+    """
+
+
+@register("curate-anneal-schedule", oracle=_anneal_oracle())
+def curate_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase training-mixture schedule (the midtraining/anneal shape:
+    a long pretrain phase on the temperature mixture, then a short
+    anneal on high-quality data only): phase 1 allocates
+    {100 - ANNEAL_BUDGET_PCT}% of the corpus token budget by the PINNED
+    curate-mixture-weights temperature weights; phase 2 allocates the
+    remaining {ANNEAL_BUDGET_PCT}% at the flatter alpha={ANNEAL_ALPHA}
+    restricted to sources whose Gopher keep rate (the PINNED
+    curate-filter-funnel '6-keep' share) is at or above the corpus-wide
+    rate.  epochs_ppm = allocated/available tokens per source — the
+    repetition factor the data loader actually needs (>10⁶ means that
+    source repeats within the run).
+
+    Composition, not re-derivation: the weight table is
+    mixture_weight_frame / MIX_WEIGHT_CTES and the quality gate is
+    curate-filter-funnel's own output — both already single-sourced per
+    engine, so this schedule CANNOT drift from the surfaces it cites.
+
+    Determinism: the anneal pow() (driver-green class) is rounded once
+    and FROZEN as decimal before the eligible-sum normalizer (exact,
+    order-free); token allocations are floor(weight × integer budget)
+    where both factors are engine-identical doubles (budgets stay under
+    2^53 to ~9·10¹⁵ tokens — document past that); epochs_ppm is one
+    shared floor expression.  NULL-source docs keep their mixture row
+    (the unattributed shard is schedulable mass) but never pass the
+    quality gate (the funnel audits attributed sources only).
+
+    Scale (100 TB): both substrates are one corpus scan each collapsing
+    to source grain; everything here joins and windows |sources|-row
+    summaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    mw = mixture_weight_frame(docs)
+    funnel = curate_filter_funnel(spark, sf_dir)
+    from merl_etl_spark.lineage import cut_lineage
+
+    funnel = cut_lineage(funnel, eager=False)  # two consumers: keep + global
+    keep = funnel.where(F.col("stage") == "6-keep").select(
+        "source", F.col("stage_ppm").alias("keep_ppm")
+    )
+    gk = funnel.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN stage = '6-keep' THEN n_docs ELSE 0 END)"
+            " * 1000000 DIV SUM(n_docs) AS BIGINT)"
+        ).alias("global_keep_ppm")
+    )
+    base = (
+        mw.join(keep, "source", "left")
+        .crossJoin(F.broadcast(gk))
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "weight",
+            "COALESCE(keep_ppm, CAST(0 AS BIGINT)) AS keep_ppm",
+            "global_keep_ppm",
+            f"CAST(total * (100 - {ANNEAL_BUDGET_PCT}) DIV 100 AS BIGINT) AS b_pre",
+            f"CAST(total * {ANNEAL_BUDGET_PCT} DIV 100 AS BIGINT) AS b_ann",
+            f"CAST(round(pow(share, {ANNEAL_ALPHA}), 6) AS DECIMAL(18,6)) AS pw",
+        )
+        .withColumn("eligible", F.col("keep_ppm") >= F.col("global_keep_ppm"))
+    )
+    n = base.withColumn(
+        "norm",
+        F.sum(F.when(F.col("eligible"), F.col("pw"))).over(Window.partitionBy()),
+    )
+    alloc = n.selectExpr(
+        "source",
+        "n_tokens",
+        "keep_ppm",
+        "eligible AS anneal_eligible",
+        "weight AS pre_weight",
+        "CAST(floor(weight * CAST(b_pre AS DOUBLE)) AS BIGINT) AS pre_tokens",
+        "CASE WHEN eligible"
+        " THEN round(CAST(pw AS DOUBLE) / CAST(norm AS DOUBLE), 6)"
+        " END AS anneal_weight",
+        "CASE WHEN eligible"
+        " THEN CAST(floor(round(CAST(pw AS DOUBLE) / CAST(norm AS DOUBLE), 6)"
+        "                 * CAST(b_ann AS DOUBLE)) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS anneal_tokens",
+    )
+    return alloc.selectExpr(
+        "source",
+        "n_tokens",
+        "keep_ppm",
+        "anneal_eligible",
+        "pre_weight",
+        "pre_tokens",
+        "anneal_weight",
+        "anneal_tokens",
+        "CAST(floor(CAST(pre_tokens + anneal_tokens AS DOUBLE)"
+        " * CAST(1000000 AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS BIGINT)"
+        " AS epochs_ppm",
+    )

@@ -1703,3 +1703,106 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim-matryoshka-eval — prefix-dimension retrieval agreement (MRL check)
+# ---------------------------------------------------------------------------
+
+# prefix length for the truncated arm.  The Matryoshka dial: production
+# serves the short prefix (cheaper index, faster scan) iff this eval
+# says its top-k agrees with the full vector.
+MRL_PREFIX = 16
+
+
+@register(
+    "sim-matryoshka-eval",
+    oracle=f"""
+    WITH e AS ({DUCK_EMB}),
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {SIM_NQUERY}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, e.v) AS fs,
+             list_cosine_similarity(q.v[1:{MRL_PREFIX}],
+                                    e.v[1:{MRL_PREFIX}]) AS ps
+      FROM q JOIN e ON q.query_id <> e.vec_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY fs DESC, neighbor_id ASC) AS rf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ps DESC, neighbor_id ASC) AS rp
+      FROM scored
+    )
+    SELECT query_id,
+           CAST({MRL_PREFIX} AS BIGINT) AS prefix_dims,
+           CAST(SUM(CASE WHEN rf <= {SIM_TOPK} AND rp <= {SIM_TOPK}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           CAST(SUM(CASE WHEN rf <= {SIM_TOPK} AND rp <= {SIM_TOPK}
+                    THEN 1 ELSE 0 END) * 1000000 // {SIM_TOPK} AS BIGINT)
+             AS recall_ppm
+    FROM r GROUP BY 1
+    """,
+)
+def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation eval (Kusupati et al. 2022): per query, the
+    overlap between exact cosine top-{SIM_TOPK} under the FULL embedding
+    and under its first {MRL_PREFIX} dimensions — the measurement that
+    decides whether the serving index can store the cheap prefix (4× 
+    smaller, 4× faster scans) without losing retrieval quality.  The
+    dimension-axis sibling of sim-ann-recall-eval (which measures the
+    candidate-generation axis) and sim-pq-adc-topk (the quantization
+    axis): together the three quantify every lossy lever a vector index
+    pulls.
+
+    Both arms are brute-force over the {SIM_NQUERY}-query contract set
+    (the sim-topk-cosine pattern: corpus never shuffles, scoring is a
+    map over a broadcast query set, per-query top-k is bounded rank) —
+    ONE scored frame carries both similarity columns, so the corpus is
+    scanned once and the two rankings are windows over the same rows.
+
+    Determinism: both cosines are the shared in-order double formula
+    (list_cosine_similarity / COS_EXPR agree bit-for-bit — the pinned
+    sim-topk-cosine substrate); ranks tie-break on neighbor_id; the
+    emitted columns are pure integers, no float surface at all."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < SIM_NQUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+        )
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("qv", "nv").alias("fs"),
+            cosine(
+                f"slice(qv, 1, {MRL_PREFIX})", f"slice(nv, 1, {MRL_PREFIX})"
+            ).alias("ps"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("fs").desc(), F.col("neighbor_id").asc()
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("ps").desc(), F.col("neighbor_id").asc()
+    )
+    r = scored.select(
+        "query_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    hit = F.when((F.col("rf") <= SIM_TOPK) & (F.col("rp") <= SIM_TOPK), 1).otherwise(0)
+    return r.groupBy("query_id").agg(
+        F.lit(MRL_PREFIX).cast("long").alias("prefix_dims"),
+        F.sum(hit).cast("long").alias("hits"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN rf <= {SIM_TOPK} AND rp <= {SIM_TOPK}"
+            f" THEN 1 ELSE 0 END) * 1000000 DIV {SIM_TOPK} AS BIGINT)"
+        ).alias("recall_ppm"),
+    )

@@ -107,6 +107,9 @@ SWEEP_DEFER: list[str] = [
     # r12-wave-2 ops (same local-evidence tier)
     "text-source-divergence",
     "dq-reconciliation",
+    # r12-wave-3 ops (same local-evidence tier)
+    "sim-matryoshka-eval",
+    "curate-anneal-schedule",
     # displaced from the r11 head by late-r11 churn; r7-stale evidence
     "text-ngram-counts",
     "text-pii-scrub",

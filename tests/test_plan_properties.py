@@ -93,6 +93,10 @@ _BOUNDED_NESTED_LOOP_OK = {
     # its exact ground truth (same bounded query-set broadcast); the
     # candidate arm is a bucket equi-join, hits/counts keyed aggregates
     "sim-ann-recall-eval",
+    # both arms (full-dim and prefix-dim cosine) are the sim-topk-cosine
+    # bounded query-set broadcast over ONE shared scored frame; the
+    # per-query rankings are query-partitioned windows
+    "sim-matryoshka-eval",
 }
 
 
@@ -139,6 +143,10 @@ _UNBOUNDED_BNLJ_MARKER_OK = {
     # aggregate bounded, but the pair fan-out is |feeds|², not data
     # (freq.py agg_bitmap_intersect)
     "agg-bitmap-intersect",
+    # broadcast side = the SIM_NQUERY-row query set (vec_id < 5 filter
+    # over the embeddings scan) scored against the corpus — the
+    # sim-topk-cosine contract, one broadcast for both cosine arms
+    "sim-matryoshka-eval",
 }
 
 _BNLJ_BOUNDED_MARKERS = {
@@ -320,6 +328,11 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # (bounded by the constant; text_analysis.py text_vocab_growth) —
     # frame fusion leaves one WindowExec node
     "text-vocab-growth": 1,
+    # two |sources|-row normalizers: the embedded curate-mixture-weights
+    # temperature normalizer plus the anneal arm's eligible-sum — both
+    # over the bounded source-grain summary (curation_ext.py
+    # curate_anneal_schedule)
+    "curate-anneal-schedule": 2,
 }
 
 
