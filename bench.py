@@ -251,6 +251,9 @@ HEADLINE = [
     # round-12 wave 3: Matryoshka truncation eval, two-phase anneal mixture
     "sim-matryoshka-eval",
     "curate-anneal-schedule",
+    # round-12 wave 4: MAD anomaly census, YoY revenue bridge
+    "ts-anomaly-mad",
+    "analytics-revenue-bridge",
 ]
 
 

@@ -1975,3 +1975,138 @@ def analytics_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("delay_d").alias("min_days"),
         F.max("delay_d").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics-revenue-bridge — price/volume decomposition between periods
+# ---------------------------------------------------------------------------
+
+# the two comparison periods (full calendar years in the fixture's
+# shipdate range).  A reporting dial: production parameterizes these.
+BRIDGE_Y1 = 1996
+BRIDGE_Y2 = 1997
+
+
+@register(
+    "analytics-revenue-bridge",
+    oracle=f"""
+    WITH y AS (
+      SELECT p.p_brand AS brand,
+             year(l.l_shipdate) AS yr,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6))
+               AS q,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,6))
+                           * (1 - CAST(l.l_discount AS DECIMAL(7,6)))
+                           AS DECIMAL(19,12))) AS DECIMAL(38,12)) AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(l.l_shipdate) IN ({BRIDGE_Y1}, {BRIDGE_Y2})
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT brand,
+             CAST(COALESCE(max(CASE WHEN yr = {BRIDGE_Y1} THEN q END), 0)
+                  AS DECIMAL(38,6)) AS q1,
+             CAST(COALESCE(max(CASE WHEN yr = {BRIDGE_Y2} THEN q END), 0)
+                  AS DECIMAL(38,6)) AS q2,
+             CAST(COALESCE(max(CASE WHEN yr = {BRIDGE_Y1} THEN r END), 0)
+                  AS DECIMAL(38,12)) AS r1,
+             CAST(COALESCE(max(CASE WHEN yr = {BRIDGE_Y2} THEN r END), 0)
+                  AS DECIMAL(38,12)) AS r2
+      FROM y GROUP BY 1
+    )
+    SELECT brand,
+           round(CAST(r1 AS DOUBLE), 2) AS rev_y1,
+           round(CAST(r2 AS DOUBLE), 2) AS rev_y2,
+           round(CAST(r2 - r1 AS DOUBLE), 2) AS delta,
+           round(CAST(q1 AS DOUBLE), 2) AS qty_y1,
+           round(CAST(q2 AS DOUBLE), 2) AS qty_y2,
+           CASE WHEN q1 > 0 AND q2 > 0 THEN
+             round((CAST(q2 AS DOUBLE) - CAST(q1 AS DOUBLE))
+                   * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)), 2)
+             END AS volume_effect,
+           CASE WHEN q1 > 0 AND q2 > 0 THEN
+             round((CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+                    - CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+                   * CAST(q2 AS DOUBLE), 2)
+             END AS price_effect
+    FROM w
+    """,
+)
+def analytics_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge per part brand: ΔR decomposed into
+    a volume effect ΔQ·p₁ and a price effect Δp·Q₂ (the exact two-term
+    split: p₁ΔQ + Q₂Δp = ΔR when both periods trade) — the
+    finance-review "waterfall" that says whether a brand's revenue move
+    came from selling MORE or from selling DEARER.  Brands absent from
+    a period report the raw deltas with NULL effects (new/discontinued
+    lines have no meaningful unit-price comparison).
+
+    Determinism: period revenue/quantity are exact decimal sums
+    (discount product pinned at (19,12) — the dq-reconciliation scale
+    discipline); the unit prices and effects are IEEE expressions of
+    those exact decimals in identical operand order, each output
+    rounded ONCE.
+
+    Scale (100 TB): the year filter prunes at the scan; one equi-join
+    against the part dimension (broadcastable); ONE map-side-combinable
+    aggregate at (brand × 2) grain; the pivot and bridge arithmetic run
+    on the bounded brand-grain summary."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin(BRIDGE_Y1, BRIDGE_Y2)
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(7,6)"))
+    ).cast("decimal(19,12)")
+    y = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("q"),
+            F.sum(rev).cast("decimal(38,12)").alias("r"),
+        )
+    )
+    w = y.groupBy("brand").agg(
+        F.coalesce(
+            F.max(F.when(F.col("yr") == BRIDGE_Y1, F.col("q"))), F.lit(0)
+        )
+        .cast("decimal(38,6)")
+        .alias("q1"),
+        F.coalesce(
+            F.max(F.when(F.col("yr") == BRIDGE_Y2, F.col("q"))), F.lit(0)
+        )
+        .cast("decimal(38,6)")
+        .alias("q2"),
+        F.coalesce(
+            F.max(F.when(F.col("yr") == BRIDGE_Y1, F.col("r"))), F.lit(0)
+        )
+        .cast("decimal(38,12)")
+        .alias("r1"),
+        F.coalesce(
+            F.max(F.when(F.col("yr") == BRIDGE_Y2, F.col("r"))), F.lit(0)
+        )
+        .cast("decimal(38,12)")
+        .alias("r2"),
+    )
+    return w.selectExpr(
+        "brand",
+        "round(CAST(r1 AS DOUBLE), 2) AS rev_y1",
+        "round(CAST(r2 AS DOUBLE), 2) AS rev_y2",
+        "round(CAST(r2 - r1 AS DOUBLE), 2) AS delta",
+        "round(CAST(q1 AS DOUBLE), 2) AS qty_y1",
+        "round(CAST(q2 AS DOUBLE), 2) AS qty_y2",
+        "CASE WHEN q1 > 0 AND q2 > 0 THEN"
+        " round((CAST(q2 AS DOUBLE) - CAST(q1 AS DOUBLE))"
+        "       * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)), 2)"
+        " END AS volume_effect",
+        "CASE WHEN q1 > 0 AND q2 > 0 THEN"
+        " round((CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)"
+        "        - CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))"
+        "       * CAST(q2 AS DOUBLE), 2)"
+        " END AS price_effect",
+    )

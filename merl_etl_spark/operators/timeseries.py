@@ -1820,3 +1820,176 @@ def analytics_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFram
         "                     CAST(0 AS DOUBLE)), 6)"
         " ELSE NULL END AS seasonal_strength",
     )
+
+
+# ---------------------------------------------------------------------------
+# ts-anomaly-mad — robust (median/MAD) day-volume outlier census
+# ---------------------------------------------------------------------------
+
+# flag threshold: |x − median| > 3σ-equivalent = 3 × 1.4826 × MAD, kept
+# as the exact integer comparison 20000·|D| > 44478·MAD4 (see below).
+MAD_K_MILLI = 4448  # 3 × 1.4826 ≈ 4.4478, for display only
+
+
+@register(
+    "ts-anomaly-mad",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n, day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM d
+    ),
+    med AS (
+      -- exact low+high median pair: med2 = 2 × median (integer)
+      SELECT event_type,
+             CAST(max(nd) AS BIGINT) AS n_days,
+             CAST(max(CASE WHEN rn = (nd + 1) // 2 THEN n END)
+                  + max(CASE WHEN rn = (nd + 2) // 2 THEN n END)
+                  AS BIGINT) AS med2
+      FROM r GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.n,
+             abs(2 * d.n - m.med2) AS dev2   -- = 2·|n − median|, integer
+      FROM d JOIN med m USING (event_type)
+    ),
+    rd AS (
+      SELECT event_type, day, n, dev2,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dev2, day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM dev
+    ),
+    mad AS (
+      -- mad4 = 2 × median(dev2) = 4 × MAD (integer)
+      SELECT event_type,
+             CAST(max(CASE WHEN rn = (nd + 1) // 2 THEN dev2 END)
+                  + max(CASE WHEN rn = (nd + 2) // 2 THEN dev2 END)
+                  AS BIGINT) AS mad4
+      FROM rd GROUP BY 1
+    ),
+    flagged AS (
+      -- outlier ⟺ |n − med| > 3·1.4826·MAD ⟺ 20000·dev2 > 44478·mad4
+      -- (both sides exact integers; 1.4826 enters as the literal 14826)
+      SELECT v.event_type, v.day, v.n, v.dev2, m.mad4,
+             CASE WHEN 20000 * v.dev2 > 44478 * m.mad4
+                  THEN 1 ELSE 0 END AS is_outlier
+      FROM dev v JOIN mad m USING (event_type)
+    )
+    SELECT f.event_type,
+           md.n_days, md.med2, f.mad4,
+           CAST(SUM(f.is_outlier) AS BIGINT) AS n_outliers,
+           CAST(max(f.dev2) AS BIGINT) AS worst_dev2,
+           min(CASE WHEN f.dev2 = wd.w THEN strftime(f.day, '%Y-%m-%d') END)
+             AS worst_day
+    FROM flagged f
+    JOIN med md USING (event_type)
+    JOIN (SELECT event_type, max(dev2) AS w FROM flagged GROUP BY 1) wd
+      USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust day-volume anomaly census per event type: exact median and
+    exact MAD (median absolute deviation) of the daily counts, days
+    flagged where |n − median| exceeds 3σ-equivalent (3 × 1.4826 × MAD)
+    — the outlier detector that, unlike agg-anomaly-zscore's mean/σ,
+    does not let the anomaly inflate its own threshold (one 100× spike
+    moves a mean dramatically, a median not at all).  The standard
+    volume-monitor escalation: z-score pages on drift, MAD pages on
+    spikes.
+
+    Determinism: everything is integer — the exact medians use the
+    low+high rank-pair convention (med2 = 2·median, mad4 = 4·MAD, both
+    integers; percentile_disc rank selection exactly as
+    analytics-order-percentiles), and the threshold comparison
+    20000·dev2 > 44478·mad4 keeps the 1.4826 constant in integer
+    arithmetic.  worst_day ties resolve to the lexicographically first
+    date; no float appears anywhere.
+
+    Scale (100 TB): the fact table collapses to (type × day) grain in
+    ONE map-side-combinable pass (the ts-gap-fill physics); both median
+    rankings are windows over that bounded summary partitioned by
+    event_type (~365 rows/series-year), never over events."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    from merl_etl_spark.lineage import cut_lineage
+    from pyspark.sql.window import Window
+
+    d = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    d = cut_lineage(d, eager=False)  # two consumers: median rank + dev join
+    w_rank = Window.partitionBy("event_type").orderBy("n", "day")
+    w_cnt = Window.partitionBy("event_type")
+    r = d.select(
+        "event_type",
+        "n",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("nd"),
+    )
+    med = r.groupBy("event_type").agg(
+        F.max("nd").cast("long").alias("n_days"),
+        (
+            F.max(F.expr("CASE WHEN rn = (nd + 1) DIV 2 THEN n END"))
+            + F.max(F.expr("CASE WHEN rn = (nd + 2) DIV 2 THEN n END"))
+        )
+        .cast("long")
+        .alias("med2"),
+    )
+    dev = d.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        F.abs(F.lit(2) * F.col("n") - F.col("med2")).alias("dev2"),
+    )
+    dev = cut_lineage(dev, eager=False)  # two consumers: MAD rank + flags
+    w_rank2 = Window.partitionBy("event_type").orderBy("dev2", "day")
+    rd = dev.select(
+        "event_type",
+        "dev2",
+        F.row_number().over(w_rank2).alias("rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("nd"),
+    )
+    mad = rd.groupBy("event_type").agg(
+        (
+            F.max(F.expr("CASE WHEN rn = (nd + 1) DIV 2 THEN dev2 END"))
+            + F.max(F.expr("CASE WHEN rn = (nd + 2) DIV 2 THEN dev2 END"))
+        )
+        .cast("long")
+        .alias("mad4"),
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        "dev2",
+        "mad4",
+        F.expr(
+            "CASE WHEN 20000 * dev2 > 44478 * mad4 THEN 1 ELSE 0 END"
+        ).alias("is_outlier"),
+    )
+    wd = flagged.groupBy("event_type").agg(F.max("dev2").alias("w"))
+    return (
+        flagged.join(F.broadcast(med.select("event_type", "n_days", "med2")), "event_type")
+        .join(F.broadcast(wd), "event_type")
+        .groupBy("event_type", "n_days", "med2", "mad4")
+        .agg(
+            F.sum("is_outlier").cast("long").alias("n_outliers"),
+            F.max("dev2").cast("long").alias("worst_dev2"),
+            F.min(
+                F.when(
+                    F.col("dev2") == F.col("w"),
+                    F.date_format("day", "yyyy-MM-dd"),
+                )
+            ).alias("worst_day"),
+        )
+    )

@@ -110,6 +110,9 @@ SWEEP_DEFER: list[str] = [
     # r12-wave-3 ops (same local-evidence tier)
     "sim-matryoshka-eval",
     "curate-anneal-schedule",
+    # r12-wave-4 ops (same local-evidence tier)
+    "ts-anomaly-mad",
+    "analytics-revenue-bridge",
     # displaced from the r11 head by late-r11 churn; r7-stale evidence
     "text-ngram-counts",
     "text-pii-scrub",
