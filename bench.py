@@ -254,6 +254,9 @@ HEADLINE = [
     # round-12 wave 4: MAD anomaly census, YoY revenue bridge
     "ts-anomaly-mad",
     "analytics-revenue-bridge",
+    # round-12 wave 5: token-budget selection, struct-function pin
+    "curate-budget-select",
+    "fn-struct-suite",
 ]
 
 

@@ -643,3 +643,69 @@ def fn_bit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("shl3").cast("long").alias("max_shl3"),
         F.max("shr4").cast("long").alias("max_shr4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn-struct-suite — StructType build/access/serialize against a JSON oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn-struct-suite",
+    oracle="""
+    SELECT o_orderkey AS okey,
+           struct_pack(k := o_orderkey, st := o_orderstatus).k AS field_k,
+           struct_pack(k := o_orderkey, st := o_orderstatus).st AS field_st,
+           to_json(struct_pack(k := o_orderkey,
+                               st := o_orderstatus,
+                               pr := o_orderpriority,
+                               tags := [o_orderstatus, o_orderpriority]))
+             AS js,
+           json_extract_string(
+             to_json(struct_pack(k := o_orderkey, st := o_orderstatus)),
+             '$.st') AS rt_st,
+           CAST(json_extract(
+             to_json(struct_pack(k := o_orderkey, st := o_orderstatus)),
+             '$.k') AS BIGINT) AS rt_k,
+           (struct_pack(a := o_orderkey, b := o_orderstatus)
+            = struct_pack(a := o_orderkey, b := o_orderstatus)) AS eq_self
+    FROM orders
+    """,
+)
+def fn_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructType surface pin: build (named_struct), field access,
+    JSON serialization (to_json — including a nested string array),
+    JSON round-trip extraction (get_json_object for both string and
+    integer fields), and struct equality — pinned against DuckDB's
+    struct_pack / to_json / json_extract twins so serialization-format
+    drift (key order, string escaping, numeric rendering) is caught by
+    hash.  The JSON fields stay integer/string-typed: float rendering
+    is the one axis the formats genuinely disagree on, and every
+    operator that serializes structs in this engine (sinks, lineage
+    tags) does so over int/string fields.
+
+    Scale: pure per-row column expressions — codegen'd, no shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    s2 = F.expr("named_struct('k', o_orderkey, 'st', o_orderstatus)")
+    return orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.expr("named_struct('k', o_orderkey, 'st', o_orderstatus).k").alias(
+            "field_k"
+        ),
+        F.expr("named_struct('k', o_orderkey, 'st', o_orderstatus).st").alias(
+            "field_st"
+        ),
+        F.to_json(
+            F.expr(
+                "named_struct('k', o_orderkey, 'st', o_orderstatus,"
+                " 'pr', o_orderpriority,"
+                " 'tags', array(o_orderstatus, o_orderpriority))"
+            )
+        ).alias("js"),
+        F.get_json_object(F.to_json(s2), "$.st").alias("rt_st"),
+        F.get_json_object(F.to_json(s2), "$.k").cast("long").alias("rt_k"),
+        F.expr(
+            "named_struct('a', o_orderkey, 'b', o_orderstatus)"
+            " = named_struct('a', o_orderkey, 'b', o_orderstatus)"
+        ).alias("eq_self"),
+    )

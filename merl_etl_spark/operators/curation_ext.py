@@ -1641,3 +1641,197 @@ def curate_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * CAST(1000000 AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS BIGINT)"
         " AS epochs_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-budget-select — quality-first selection under a token budget
+# ---------------------------------------------------------------------------
+
+# per-source keep budget as a percent of that source's own token mass,
+# and the score-band width for the scalable two-pass selection.  Both
+# are dials: the budget is policy, the band width trades boundary-band
+# size against band-summary cardinality.
+BUDGET_PCT = 30
+BUDGET_BAND_MILLI = 1000
+
+
+def _budget_select_oracle() -> str:
+    from merl_etl_spark.operators.text_analysis import (
+        READ_METRICS_DUCK,
+        flesch_score_expr,
+    )
+
+    score = flesch_score_expr("//")
+    return f"""
+    WITH m AS (
+      SELECT source, doc_id, {READ_METRICS_DUCK}
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    sc AS (
+      SELECT source, doc_id, n_words AS n_tokens,
+             GREATEST({score}, 0) AS score
+      FROM m
+    ),
+    bud AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_tokens) * {BUDGET_PCT} // 100 AS BIGINT) AS budget_tokens
+      FROM sc GROUP BY 1
+    ),
+    r AS (
+      SELECT source, doc_id, n_tokens, score,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY score DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sc
+    ),
+    j AS (SELECT r.*, b.budget_tokens FROM r JOIN bud b USING (source)),
+    cut AS (
+      SELECT source,
+             CAST(max(score) // {BUDGET_BAND_MILLI} AS BIGINT) AS cut_band
+      FROM j WHERE cum > budget_tokens GROUP BY 1
+    ),
+    kept AS (
+      SELECT j.source,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tokens_kept,
+             CAST(COALESCE(SUM(CASE WHEN score // {BUDGET_BAND_MILLI}
+                                         = c.cut_band THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_boundary_kept
+      FROM j LEFT JOIN cut c USING (source)
+      WHERE cum <= budget_tokens GROUP BY 1
+    )
+    SELECT b.source, b.total_tokens, b.budget_tokens,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+           CAST(COALESCE(k.tokens_kept, 0) * 1000000 // b.total_tokens
+                AS BIGINT) AS kept_ppm,
+           c.cut_band,
+           CAST(COALESCE(k.n_boundary_kept, 0) AS BIGINT) AS n_boundary_kept
+    FROM bud b
+    LEFT JOIN kept k ON k.source = b.source
+    LEFT JOIN cut c ON c.source = b.source
+    """
+
+
+@register("curate-budget-select", oracle=_budget_select_oracle())
+def curate_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first selection under a token budget — THE core curation
+    action: per source, keep the maximal prefix of documents in
+    descending quality order (the PINNED text-readability Flesch score,
+    clamped at 0; ties on doc_id) whose running token mass stays within
+    {BUDGET_PCT}% of the source's tokens.  Reports the kept mass, the
+    cut band, and how many survivors sit ON the boundary band (the
+    docs a ±1-point score change would swap).
+
+    Spark-first two-pass shape (the oracle states the naive
+    single-window semantics; the plan never runs it): pass 1 rolls doc
+    mass up to (source × score-band) — ≤207 bands at
+    {BUDGET_BAND_MILLI} milli-points — and a BOUNDED window over that
+    summary finds each source's boundary band and its token prefix;
+    pass 2 ranks ONLY the boundary band's documents (a per-source
+    partition that is one band wide, not the source) against the
+    remaining budget.  Equivalence to the naive order holds because
+    the band is a monotone function of the score (scores clamped ≥ 0 —
+    floor-division direction never disagrees between engines), so
+    (band DESC, score DESC, doc_id) IS (score DESC, doc_id).
+
+    Determinism: scores, bands, budgets, and running masses are pure
+    integers; the keep rule cum ≤ budget is an integer comparison;
+    kept_ppm is floor-division.  No float anywhere.
+
+    Scale (100 TB): one metric scan; one map-side-combinable rollup to
+    band grain; bounded band-summary windows; doc-grain ranking only
+    inside the single boundary band per source."""
+    from merl_etl_spark.operators.text_analysis import (
+        flesch_score_expr,
+        readability_metrics,
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    m = readability_metrics(docs, "source", "doc_id")
+    sc = m.select(
+        "source",
+        "doc_id",
+        F.col("n_words").alias("n_tokens"),
+        F.greatest(F.expr(flesch_score_expr("DIV")), F.lit(0)).alias("score"),
+    )
+    sc = cut_lineage(sc, eager=False)  # consumers: budgets, bands, boundary
+    bud = sc.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr(f"CAST(SUM(n_tokens) * {BUDGET_PCT} DIV 100 AS BIGINT)").alias(
+            "budget_tokens"
+        ),
+    )
+    band = F.expr(f"score DIV {BUDGET_BAND_MILLI}")
+    bands = sc.groupBy("source", band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tok"),
+    )
+    w_desc = (
+        Window.partitionBy("source")
+        .orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bands = bands.withColumn("bcum", F.sum("tok").over(w_desc)).join(
+        F.broadcast(bud), "source"
+    )
+    bands = cut_lineage(bands, eager=False)  # consumers: cut + full-kept
+    cut = (
+        bands.where(F.col("bcum") > F.col("budget_tokens"))
+        .groupBy("source")
+        .agg(F.max("band").cast("long").alias("cut_band"))
+    )
+    full_kept = (
+        bands.join(F.broadcast(cut), "source", "left")
+        .where(F.col("cut_band").isNull() | (F.col("band") > F.col("cut_band")))
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("nf"),
+            F.sum("tok").alias("tf"),
+        )
+    )
+    # boundary-band prefix (tokens already committed above the band)
+    pb = (
+        bands.join(F.broadcast(cut), "source")
+        .where(F.col("band") == F.col("cut_band"))
+        .select(
+            "source",
+            "cut_band",
+            (F.col("bcum") - F.col("tok")).alias("prefix_tok"),
+            "budget_tokens",
+        )
+    )
+    bdocs = sc.withColumn("band", band).join(
+        F.broadcast(pb.withColumnRenamed("cut_band", "band")),
+        ["source", "band"],
+    )
+    w_doc = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bk = (
+        bdocs.withColumn("dcum", F.sum("n_tokens").over(w_doc))
+        .where(F.col("prefix_tok") + F.col("dcum") <= F.col("budget_tokens"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("nb"), F.sum("n_tokens").alias("tb"))
+    )
+    out = (
+        bud.join(full_kept, "source", "left")
+        .join(bk, "source", "left")
+        .join(cut, "source", "left")
+    )
+    return out.selectExpr(
+        "source",
+        "total_tokens",
+        "budget_tokens",
+        "CAST(COALESCE(nf, 0) + COALESCE(nb, 0) AS BIGINT) AS n_kept",
+        "CAST(COALESCE(tf, 0) + COALESCE(tb, 0) AS BIGINT) AS tokens_kept",
+        "CAST((COALESCE(tf, 0) + COALESCE(tb, 0)) * 1000000"
+        " DIV total_tokens AS BIGINT) AS kept_ppm",
+        "cut_band",
+        "CAST(COALESCE(nb, 0) AS BIGINT) AS n_boundary_kept",
+    )

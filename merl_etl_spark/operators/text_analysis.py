@@ -833,36 +833,66 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "text-readability",
-    oracle=r"""
-    WITH m AS (
-      SELECT doc_id,
+def flesch_score_expr(div: str) -> str:
+    """The integer milli-point Flesch formula over columns n_words /
+    n_sentences / n_syllables — ONE definition parameterized on the
+    engine's floor-division spelling (Spark ``DIV``, DuckDB ``//``; all
+    operands here are positive, where the two spellings agree).  Shared
+    by text-readability and curate-budget-select so the score a budget
+    selection ranks by is provably the score the readability op reports."""
+    return (
+        f"206835 - (1015 * (n_words * 1000 {div} n_sentences)) {div} 1000"
+        f" - (84600 * (n_syllables * 1000 {div} n_words)) {div} 1000"
+    )
+
+
+READ_METRICS_DUCK = """
              len(string_split(text, ' ')) AS n_words,
              GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
              GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
                AS n_syllables
-      FROM documents WHERE text IS NOT NULL
+"""
+
+
+def readability_metrics(docs: DataFrame, *carry: str) -> DataFrame:
+    """Spark twin of READ_METRICS_DUCK: per-doc (carry..., n_words,
+    n_sentences, n_syllables) over non-null text."""
+    return docs.where(F.col("text").isNotNull()).select(
+        *carry,
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        ).cast("bigint").alias("n_sentences"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+            F.lit(1),
+        ).cast("bigint").alias("n_syllables"),
     )
-    SELECT doc_id, n_words, n_sentences, n_syllables,
-           n_words * 1000 // n_sentences AS wps_milli,
-           n_syllables * 1000 // n_words AS spw_milli,
-           206835 - (1015 * (n_words * 1000 // n_sentences)) // 1000
-                  - (84600 * (n_syllables * 1000 // n_words)) // 1000
-             AS score_milli,
+
+
+@register(
+    "text-readability",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, {READ_METRICS_DUCK}
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sc AS (
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             n_words * 1000 // n_sentences AS wps_milli,
+             n_syllables * 1000 // n_words AS spw_milli,
+             {flesch_score_expr('//')} AS score_milli
+      FROM m
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables, wps_milli, spw_milli,
+           score_milli,
            CASE
-             WHEN 206835 - (1015 * (n_words * 1000 // n_sentences)) // 1000
-                         - (84600 * (n_syllables * 1000 // n_words)) // 1000
-                  >= 90000 THEN 'very-easy'
-             WHEN 206835 - (1015 * (n_words * 1000 // n_sentences)) // 1000
-                         - (84600 * (n_syllables * 1000 // n_words)) // 1000
-                  >= 60000 THEN 'standard'
-             WHEN 206835 - (1015 * (n_words * 1000 // n_sentences)) // 1000
-                         - (84600 * (n_syllables * 1000 // n_words)) // 1000
-                  >= 30000 THEN 'difficult'
+             WHEN score_milli >= 90000 THEN 'very-easy'
+             WHEN score_milli >= 60000 THEN 'standard'
+             WHEN score_milli >= 30000 THEN 'difficult'
              ELSE 'very-difficult'
            END AS band
-    FROM m
+    FROM sc
     """,
 )
 def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,22 +912,9 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan, three regexp counts and pure integer arithmetic
     per row — fully codegen'd, embarrassingly parallel, no shuffle at
     all (the sim-rp-projection class)."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    m = docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
-        F.greatest(
-            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
-        ).cast("bigint").alias("n_sentences"),
-        F.greatest(
-            F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
-            F.lit(1),
-        ).cast("bigint").alias("n_syllables"),
-    )
-    score = F.expr(
-        "206835 - (1015 * (n_words * 1000 DIV n_sentences)) DIV 1000"
-        " - (84600 * (n_syllables * 1000 DIV n_words)) DIV 1000"
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    m = readability_metrics(docs, "doc_id")
+    score = F.expr(flesch_score_expr("DIV"))
     return m.select(
         "doc_id",
         "n_words",

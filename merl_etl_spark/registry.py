@@ -113,6 +113,9 @@ SWEEP_DEFER: list[str] = [
     # r12-wave-4 ops (same local-evidence tier)
     "ts-anomaly-mad",
     "analytics-revenue-bridge",
+    # r12-wave-5 ops (same local-evidence tier)
+    "curate-budget-select",
+    "fn-struct-suite",
     # displaced from the r11 head by late-r11 churn; r7-stale evidence
     "text-ngram-counts",
     "text-pii-scrub",
