@@ -257,6 +257,9 @@ HEADLINE = [
     # round-12 wave 5: token-budget selection, struct-function pin
     "curate-budget-select",
     "fn-struct-suite",
+    # round-12 wave 6: PQ recall eval, distinctive-terms report
+    "sim-pq-recall-eval",
+    "text-distinctive-terms",
 ]
 
 

@@ -1806,3 +1806,96 @@ def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN 1 ELSE 0 END) * 1000000 DIV {SIM_TOPK} AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim-pq-recall-eval — measured recall of the PQ/ADC search tier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim-pq-recall-eval",
+    oracle=f"""
+    WITH {_pq_cte_stack()},
+    qlut AS (
+      SELECT q.vec_id AS query_id, q.m, c.c_label,
+             CAST(SUM((abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)
+                 * (abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)) AS BIGINT)
+               AS d2
+      FROM (SELECT * FROM comp WHERE vec_id < {SIM_NQUERY}) q
+      JOIN cen c USING (dim)
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT l.query_id, b.vec_id,
+             CAST(SUM(l.d2) AS BIGINT) AS adc_dist
+      FROM best b JOIN qlut l ON l.m = b.m AND l.c_label = b.c_label
+      GROUP BY 1, 2
+    ),
+    adck AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, vec_id) AS rnk
+        FROM adc
+      ) WHERE rnk <= {SIM_TOPK}
+    ),
+    ev AS ({DUCK_EMB}),
+    qe AS (SELECT vec_id AS query_id, v FROM ev WHERE vec_id < {SIM_NQUERY}),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qe.query_id, ev.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qe.query_id
+                                  ORDER BY list_cosine_similarity(qe.v, ev.v)
+                                           DESC, ev.vec_id ASC) AS rnk
+        FROM qe JOIN ev ON qe.query_id <> ev.vec_id
+      ) WHERE rnk <= {SIM_TOPK}
+    )
+    SELECT e.query_id,
+           CAST(count(a.vec_id) AS BIGINT) AS hits,
+           CAST(count(a.vec_id) * 1000000 // {SIM_TOPK} AS BIGINT)
+             AS recall_ppm
+    FROM exact e
+    LEFT JOIN adck a ON a.query_id = e.query_id AND a.vec_id = e.neighbor_id
+    GROUP BY 1
+    """,
+)
+def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@{SIM_TOPK} of the PQ/ADC search tier against the
+    exact brute-force ground truth — the number an index operator reads
+    before trading 4-byte codes for 256-byte vectors.  Completes the
+    lossy-lever measurement triple: sim-ann-recall-eval scores the
+    candidate-generation axis (sign-LSH), sim-matryoshka-eval the
+    dimension axis (prefix truncation), THIS the quantization axis
+    (PQ codes + asymmetric distance).
+
+    Both arms are the PINNED registered pipelines imported verbatim —
+    sim_pq_adc_topk's ADC ranking and sim-topk-cosine's exact scorer —
+    so this eval can never drift from what those queries actually
+    return; the oracle composes the same two CTE stacks.
+
+    Determinism: ADC distances are exact integers (the shared PQ_TERM
+    quantized metric), exact ranks tie-break on vec_id, hits and
+    recall_ppm are pure integers.
+
+    Scale (100 TB): the ADC arm is the stored-code scan sim-pq-adc-topk
+    pins (bytes, not floats); the exact arm is the documented
+    brute-force baseline over the bounded query set; the hit join is a
+    {SIM_TOPK}·{SIM_NQUERY}-row equi-join."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    adck = sim_pq_adc_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("cand_id")
+    )
+    exact = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(
+        adck,
+        (exact["query_id"] == adck["query_id"])
+        & (exact["neighbor_id"] == adck["cand_id"]),
+        "left",
+    ).select(exact["query_id"].alias("qid"), adck["cand_id"])
+    return hits.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("cand_id").cast("long").alias("hits"),
+        F.expr(f"CAST(count(cand_id) * 1000000 DIV {SIM_TOPK} AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )

@@ -1121,10 +1121,11 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSD_VOCAB = 150
 
 
-@register(
-    "text-source-divergence",
-    oracle=f"""
-    WITH tok AS MATERIALIZED (
+# the (source × top-V vocab) count grid — ONE definition per engine,
+# shared by text-source-divergence and text-distinctive-terms so the
+# vocabulary, the zero-fill, and the per-source totals cannot drift
+# between the two distributional surfaces.
+SOURCE_GRID_CTES = f"""tok AS MATERIALIZED (
       SELECT source, w FROM (
         SELECT source, unnest(string_split(text, ' ')) AS w
         FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
@@ -1148,7 +1149,51 @@ JSD_VOCAB = 150
     ),
     tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM grid GROUP BY 1),
     g AS (SELECT grid.source, grid.w, grid.c, tots.t
-          FROM grid JOIN tots USING (source)),
+          FROM grid JOIN tots USING (source))"""
+
+
+def source_word_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of SOURCE_GRID_CTES' final ``g``: (source, w, c, t) —
+    the zero-filled (source × top-JSD_VOCAB-word) count grid with
+    per-source vocab-restricted token totals."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    from merl_etl_spark.lineage import cut_lineage
+
+    tok = cut_lineage(tok, eager=False)  # two consumers: vocab + counts
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(JSD_VOCAB)
+        .select("w")
+    )
+    counts = (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    srcs = tok.select("source").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .join(counts, ["source", "w"], "left")
+        .select(
+            "source", "w", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+        )
+    )
+    grid = cut_lineage(grid, eager=False)  # two consumers: totals + body
+    tots = grid.groupBy("source").agg(F.sum("c").alias("t"))
+    return grid.join(F.broadcast(tots), "source")
+
+
+@register(
+    "text-source-divergence",
+    oracle=f"""
+    WITH {SOURCE_GRID_CTES},
     pairs AS (
       -- smoothed-probability ratio as INTEGER ln arguments:
       -- p_a/m = 2A/(A+B) with A=(ca+1)(tb+V), B=(cb+1)(ta+V) —
@@ -1212,38 +1257,7 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded summaries (distinct sources × top-V literal-limited vocab);
     the pair expansion is |sources|²·V rows of SUMMARY, never corpus.
     The corpus-sized work is exactly one tokenize+count scan."""
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull() & F.col("source").isNotNull()
-    )
-    tok = docs.select(
-        "source", F.explode(F.split("text", " ")).alias("w")
-    ).where(F.col("w") != "")
-    from merl_etl_spark.lineage import cut_lineage
-
-    tok = cut_lineage(tok, eager=False)  # two consumers: vocab + counts
-    vocab = (
-        tok.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), F.col("w").asc())
-        .limit(JSD_VOCAB)
-        .select("w")
-    )
-    counts = (
-        tok.join(F.broadcast(vocab), "w")
-        .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    srcs = tok.select("source").distinct()
-    grid = (
-        srcs.crossJoin(F.broadcast(vocab))
-        .join(counts, ["source", "w"], "left")
-        .select(
-            "source", "w", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
-        )
-    )
-    grid = cut_lineage(grid, eager=False)  # two consumers: totals + pairs
-    tots = grid.groupBy("source").agg(F.sum("c").alias("t"))
-    g = grid.join(F.broadcast(tots), "source")
+    g = source_word_grid(spark, sf_dir)
     a = g.selectExpr("source AS source_a", "w", "c AS ca", "t AS ta")
     b = g.selectExpr("source AS source_b", "w", "c AS cb", "t AS tb")
     pairs = a.join(b, "w").where(F.col("source_a") < F.col("source_b"))
@@ -1276,4 +1290,103 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("term").cast("double").alias("jsd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text-distinctive-terms — per-source characteristic vocabulary (log-odds)
+# ---------------------------------------------------------------------------
+
+# terms reported per source
+DISTINCT_TOPK = 10
+
+
+@register(
+    "text-distinctive-terms",
+    oracle=f"""
+    WITH {SOURCE_GRID_CTES},
+    tt AS (SELECT CAST(SUM(t) AS BIGINT) AS t_all FROM tots),
+    cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS c_all FROM g GROUP BY 1),
+    sc AS (
+      -- smoothed log-odds of the word in-source vs rest-of-corpus:
+      -- ln((c+1)/(t+V)) − ln((r+1)/(t_rest+V)), every ln argument an
+      -- exact INTEGER (the curate-dsir discipline), each rounded once
+      -- and frozen as decimal before the exact combination
+      SELECT g.source, g.w, g.c,
+             CAST(cw.c_all - g.c AS BIGINT) AS c_rest,
+             CAST(CAST(round(ln(g.c + 1), 6) AS DECIMAL(18,6))
+                  - CAST(round(ln(g.t + {JSD_VOCAB}), 6) AS DECIMAL(18,6))
+                  - CAST(round(ln(cw.c_all - g.c + 1), 6) AS DECIMAL(18,6))
+                  + CAST(round(ln(tt.t_all - g.t + {JSD_VOCAB}), 6)
+                         AS DECIMAL(18,6)) AS DECIMAL(20,6)) AS lo
+      FROM g JOIN cw USING (w) CROSS JOIN tt
+    )
+    SELECT source, rnk, w AS term, c AS c_in, c_rest,
+           CAST(lo AS DOUBLE) AS log_odds
+    FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY source
+                                        ORDER BY lo DESC, w ASC) AS BIGINT)
+                  AS rnk
+      FROM sc
+    ) WHERE rnk <= {DISTINCT_TOPK}
+    """,
+)
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic vocabulary: the top-{DISTINCT_TOPK}
+    words by smoothed log-odds of appearing in the source vs the rest
+    of the corpus — the \"what IS this source\" report a mixture
+    designer reads next to text-source-divergence's one-number
+    distances (JSD says src3 and src7 differ; THIS says src3 is the one
+    full of 'transaction'/'ledger').  Computed on the SAME pinned
+    (source × top-{JSD_VOCAB}) grid, so the two surfaces can never
+    disagree about the vocabulary.
+
+    Determinism: the log-odds rearranges to four INTEGER-argument ln()s
+    (add-1 smoothing; rest-of-corpus counts are exact integer
+    complements), each rounded once and frozen as decimal before the
+    exact combination — the score column is the bare double cast of
+    that decimal; ranks tie-break on the word.
+
+    Scale (100 TB): everything beyond the one tokenize+count scan runs
+    at (sources × vocab) summary grain; the per-source top-k is a
+    WindowGroupLimit over that bounded grid."""
+    from pyspark.sql.window import Window
+
+    g = source_word_grid(spark, sf_dir)
+    from merl_etl_spark.lineage import cut_lineage
+
+    g = cut_lineage(g, eager=False)  # two consumers: word totals + body
+    tt = g.groupBy("source").agg(F.max("t").alias("t")).agg(
+        F.sum("t").cast("long").alias("t_all")
+    )
+    cw = g.groupBy("w").agg(F.sum("c").cast("long").alias("c_all"))
+    V = JSD_VOCAB
+    sc = (
+        g.join(cw, "w")
+        .crossJoin(F.broadcast(tt))
+        .selectExpr(
+            "source",
+            "w",
+            "c",
+            "CAST(c_all - c AS BIGINT) AS c_rest",
+            f"""CAST(CAST(round(ln(CAST(c + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
+                 - CAST(round(ln(CAST(t + {V} AS DOUBLE)), 6) AS DECIMAL(18,6))
+                 - CAST(round(ln(CAST(c_all - c + 1 AS DOUBLE)), 6)
+                        AS DECIMAL(18,6))
+                 + CAST(round(ln(CAST(t_all - t + {V} AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS DECIMAL(20,6)) AS lo""",
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("lo").desc(), F.col("w").asc())
+    return (
+        sc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= DISTINCT_TOPK)
+        .select(
+            "source",
+            "rnk",
+            F.col("w").alias("term"),
+            F.col("c").alias("c_in"),
+            "c_rest",
+            F.col("lo").cast("double").alias("log_odds"),
+        )
     )

@@ -116,6 +116,9 @@ SWEEP_DEFER: list[str] = [
     # r12-wave-5 ops (same local-evidence tier)
     "curate-budget-select",
     "fn-struct-suite",
+    # r12-wave-6 ops (same local-evidence tier)
+    "sim-pq-recall-eval",
+    "text-distinctive-terms",
     # displaced from the r11 head by late-r11 churn; r7-stale evidence
     "text-ngram-counts",
     "text-pii-scrub",

@@ -97,6 +97,10 @@ _BOUNDED_NESTED_LOOP_OK = {
     # bounded query-set broadcast over ONE shared scored frame; the
     # per-query rankings are query-partitioned windows
     "sim-matryoshka-eval",
+    # composes the pinned sim-pq-adc-topk (bounded codebook broadcasts)
+    # and sim-topk-cosine (bounded query-set broadcast) arms verbatim;
+    # its own hit join is an equi-join on (query, neighbor)
+    "sim-pq-recall-eval",
 }
 
 
@@ -147,6 +151,8 @@ _UNBOUNDED_BNLJ_MARKER_OK = {
     # over the embeddings scan) scored against the corpus — the
     # sim-topk-cosine contract, one broadcast for both cosine arms
     "sim-matryoshka-eval",
+    # embeds the sim-topk-cosine exact arm (same query-set broadcast)
+    "sim-pq-recall-eval",
 }
 
 _BNLJ_BOUNDED_MARKERS = {
