@@ -260,6 +260,9 @@ HEADLINE = [
     # round-12 wave 6: PQ recall eval, distinctive-terms report
     "sim-pq-recall-eval",
     "text-distinctive-terms",
+    # round-12 wave 7: cluster purity/NMI, returned-revenue report
+    "sim-cluster-nmi",
+    "analytics-returned-revenue",
 ]
 
 

@@ -2110,3 +2110,78 @@ def analytics_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       * CAST(q2 AS DOUBLE), 2)"
         " END AS price_effect",
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics-returned-revenue — Q10-style lost revenue from returned items
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics-returned-revenue",
+    oracle="""
+    WITH ret AS (
+      SELECT o.o_custkey,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,6))
+                           * (1 - CAST(l.l_discount AS DECIMAL(7,6)))
+                           AS DECIMAL(19,12))) AS DECIMAL(38,12)) AS lost,
+             CAST(count(*) AS BIGINT) AS n_ret_lines
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r.n_ret_lines) AS BIGINT) AS n_ret_lines,
+           round(CAST(SUM(r.lost) AS DOUBLE), 2) AS lost_revenue,
+           round(CAST(max(r.lost) AS DOUBLE), 2) AS worst_customer_loss
+    FROM ret r
+    JOIN customer c ON c.c_custkey = r.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+    """,
+)
+def analytics_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item revenue report: revenue lost to
+    'R'-flagged lineitems, rolled up customer → nation — the churn-risk
+    report (which markets are returning the most, and how concentrated
+    the loss is in single accounts via the worst-customer column).
+
+    Determinism: lost revenue is the exact decimal discount product
+    (pinned (19,12) — the shared dq-reconciliation scale discipline)
+    summed order-insensitively; boundary rounds once per column.
+
+    Scale (100 TB): the returnflag filter pushes to the lineitem scan;
+    the fact collapses to customer grain BEFORE touching dimensions
+    (map-side combinable, customer-cardinality output); nation
+    broadcasts; customer⋈summary is an equi-join Catalyst plans as SMJ
+    or broadcast by actual size."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lost = (
+        F.col("l_extendedprice").cast("decimal(12,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(7,6)"))
+    ).cast("decimal(19,12)")
+    ret = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(lost).cast("decimal(38,12)").alias("lost"),
+            F.count(F.lit(1)).alias("n_ret_lines"),
+        )
+    )
+    return (
+        ret.join(c, ret["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_ret_lines").cast("long").alias("n_ret_lines"),
+            F.round(F.sum("lost").cast("double"), 2).alias("lost_revenue"),
+            F.round(F.max("lost").cast("double"), 2).alias(
+                "worst_customer_loss"
+            ),
+        )
+    )

@@ -1099,20 +1099,26 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot see.  Runs on the SAME pinned sim-knn-graph edge substrate as
     kcore / LPA / assortativity.
 
-    Spark-first shape: wedges are ONE self-equi-join of the symmetric
-    edge list on the center node (p < q halves the expansion); closure
-    is ONE more equi-join probing the (p, q) pair against the edge list
-    itself.  No window, no pair explosion beyond wedge mass Σ deg² —
-    which a kNN graph bounds by construction (out-degree ≤ K; the
-    exact wedge mass is emitted as n_wedges so a hub-skewed in-degree
-    regime is VISIBLE in the output, the dial being KNN_K).  The census
-    collapses to max-degree-bounded cardinality before output.
+    Spark-first shape — DEGREE-ORIENTED (compact-forward) triangle
+    mining: every undirected edge is oriented from its (deg, id)-lower
+    endpoint, wedges are built only from ORIENTED out-adjacency, and
+    each triangle is found exactly ONCE at its minimal vertex, then
+    exploded to credit all three corners.  This caps the wedge mass at
+    Σ d⁺(u)² ≈ O(|E|^1.5) instead of the unoriented Σ deg(u)², which a
+    hub node's in-degree makes quadratic — the r12 stress measured the
+    unoriented form at 305 s on the 500k-vector graph precisely because
+    every hub generated its full deg² wedge set from BOTH directions;
+    orientation sends hub-incident wedges to the low-degree endpoints.
+    All equi-joins, no window; the exact wedge mass is still emitted as
+    n_wedges so a hub-skewed regime stays VISIBLE in the output.
 
     Determinism: triangle counts are exact integers over the pinned
-    edge list; within a degree class every node has the same wedge
-    count deg·(deg−1)/2, so the mean of per-node ratios collapses to
-    the exact integer ratio 2·Σtri / (n·deg·(deg−1)) — ONE IEEE
-    division per output row, rounded once."""
+    edge list (orientation changes where a triangle is FOUND, never
+    how many times each node is credited — pinned against the
+    unoriented oracle); within a degree class every node has the same
+    wedge count deg·(deg−1)/2, so the mean of per-node ratios
+    collapses to the exact integer ratio 2·Σtri / (n·deg·(deg−1)) —
+    ONE IEEE division per output row, rounded once."""
     from merl_etl_spark.operators.similarity import knn_edges
 
     knn = knn_edges(load_table(spark, sf_dir, "embeddings")).select("src", "dst")
@@ -1121,17 +1127,34 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .distinct()
     )
-    und = cut_lineage(und, eager=True)  # three consumers: degs + 2 wedge legs
+    und = cut_lineage(und, eager=True)  # consumers: degs + orientation
     degs = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    wedges = (
-        und.selectExpr("u AS node", "v AS p")
-        .join(und.selectExpr("u AS node", "v AS q"), "node")
-        .where(F.col("p") < F.col("q"))
+    degs = cut_lineage(degs, eager=False)  # consumers: orient ×2 + output
+    oriented = (
+        und.join(degs.selectExpr("node AS u", "deg AS du"), "u")
+        .join(degs.selectExpr("node AS v", "deg AS dv"), "v")
+        .where(F.expr("struct(du, u) < struct(dv, v)"))
+        .select("u", "v", "dv")
     )
-    closed = wedges.join(und.selectExpr("u AS p", "v AS q"), ["p", "q"])
-    tri = closed.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    oriented = cut_lineage(oriented, eager=True)  # wedge legs + closure probe
+    wedges = (
+        oriented.selectExpr("u", "v AS p", "dv AS dp")
+        .join(oriented.selectExpr("u", "v AS q", "dv AS dq"), "u")
+        .where(F.expr("struct(dp, p) < struct(dq, q)"))
+        .select("u", "p", "q")
+    )
+    closed = wedges.join(
+        oriented.selectExpr("u AS p", "v AS q"), ["p", "q"]
+    )
+    tri = (
+        closed.select(
+            F.explode(F.array("u", "p", "q")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
     node_cc = degs.join(tri, "node", "left").select(
         "node",
         "deg",

@@ -1899,3 +1899,187 @@ def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim-cluster-nmi — purity + NMI of the nearest-centroid partition
+# ---------------------------------------------------------------------------
+
+
+def _cluster_nmi_oracle() -> str:
+    # the sim-centroid-assign confusion matrix, embedded verbatim as the
+    # substrate (same CTE stack), then information-theoretic quality
+    # scores over its bounded (true × assigned) cells
+    return f"""
+    WITH cap AS (SELECT max(vec_id) // 2 AS cap FROM embeddings),
+    comp AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * {ASSIGN_FP_SCALE}) AS BIGINT) AS vfp
+      FROM embeddings
+    ),
+    cen AS (
+      SELECT label AS c_label, dim,
+             CAST(count(*) AS BIGINT) AS n_ref,
+             CAST(SUM(vfp) AS BIGINT) AS sum_fp
+      FROM comp, cap WHERE vec_id <= cap GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT q.vec_id, q.label AS true_label, c.c_label,
+             SUM((abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)
+                 * (abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)) AS d2
+      FROM (SELECT * FROM comp, cap WHERE vec_id > cap) q
+      JOIN cen c USING (dim)
+      GROUP BY 1, 2, 3
+    ),
+    conf AS (
+      SELECT true_label, assigned_label, CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT vec_id, true_label, c_label AS assigned_label FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, c_label) AS rn
+          FROM dist
+        ) WHERE rn = 1
+      ) GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM conf),
+    a AS (SELECT true_label, CAST(SUM(n) AS BIGINT) AS na FROM conf GROUP BY 1),
+    b AS (SELECT assigned_label, CAST(SUM(n) AS BIGINT) AS nb
+          FROM conf GROUP BY 1),
+    pur AS (
+      SELECT CAST(SUM(mx) AS BIGINT) AS n_majority FROM (
+        SELECT assigned_label, max(n) AS mx FROM conf GROUP BY 1
+      )
+    ),
+    -- every information term is n_cell × (frozen integer-argument lns):
+    -- n_ij·[ln(N·n_ij) − ln(a_i·b_j)] with HUGEINT products, each ln
+    -- rounded once to 6 dp; integer × decimal stays an exact decimal
+    mi AS (
+      SELECT CAST(SUM(c.n * (CAST(round(ln(t.nn * CAST(c.n AS HUGEINT)), 6)
+                                  AS DECIMAL(18,6))
+                             - CAST(round(ln(CAST(a.na AS HUGEINT) * b.nb), 6)
+                                    AS DECIMAL(18,6))))
+                  AS DECIMAL(38,6)) AS mi_sum
+      FROM conf c JOIN a USING (true_label) JOIN b USING (assigned_label)
+      CROSS JOIN tot t
+    ),
+    hx AS (
+      SELECT CAST(SUM(na * (CAST(round(ln(t.nn), 6) AS DECIMAL(18,6))
+                            - CAST(round(ln(na), 6) AS DECIMAL(18,6))))
+                  AS DECIMAL(38,6)) AS h_sum
+      FROM a CROSS JOIN tot t
+    ),
+    hy AS (
+      SELECT CAST(SUM(nb * (CAST(round(ln(t.nn), 6) AS DECIMAL(18,6))
+                            - CAST(round(ln(nb), 6) AS DECIMAL(18,6))))
+                  AS DECIMAL(38,6)) AS h_sum
+      FROM b CROSS JOIN tot t
+    )
+    SELECT t.nn AS n_vectors,
+           CAST((SELECT count(*) FROM conf) AS BIGINT) AS n_cells,
+           CAST(p.n_majority * 1000000 // t.nn AS BIGINT) AS purity_ppm,
+           round(CAST(hx.h_sum AS DOUBLE) / CAST(t.nn AS DOUBLE), 6)
+             AS h_true,
+           round(CAST(hy.h_sum AS DOUBLE) / CAST(t.nn AS DOUBLE), 6)
+             AS h_assigned,
+           round(CAST(mi.mi_sum AS DOUBLE) / CAST(t.nn AS DOUBLE), 6) AS mi,
+           CASE WHEN CAST(hx.h_sum AS DOUBLE) + CAST(hy.h_sum AS DOUBLE)
+                     > CAST(0 AS DOUBLE)
+                THEN round(CAST(2 AS DOUBLE) * CAST(mi.mi_sum AS DOUBLE)
+                           / (CAST(hx.h_sum AS DOUBLE)
+                              + CAST(hy.h_sum AS DOUBLE)), 6)
+                ELSE NULL END AS nmi
+    FROM tot t, pur p, mi, hx, hy
+    """
+
+
+@register("sim-cluster-nmi", oracle=_cluster_nmi_oracle())
+def sim_cluster_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality scores of the nearest-centroid partition against
+    the ground-truth labels: purity (share of vectors in their cell's
+    majority class) and normalized mutual information 2·I/(H_t + H_a) —
+    the two standard numbers an embedding-clustering eval reports, and
+    the one-row triage over sim-centroid-assign's full confusion
+    matrix (which it embeds VERBATIM as its substrate, so the scores
+    can never disagree with the matrix).
+
+    Determinism: purity is pure integers; every entropy/MI term
+    rearranges to n_cell × [ln(integer) − ln(integer)] with the
+    products widened HUGEINT/DECIMAL and each ln rounded once to 6 dp
+    (the curate-dsir class) — integer × frozen-decimal products are
+    exact decimals, so the sums are order-free; the three ÷N and the
+    NMI ratio round once at the boundary.
+
+    Scale (100 TB): the substrate is the sim-centroid-assign path
+    (broadcast codebook, per-row argmin, keyed confusion rollup); the
+    information arithmetic runs on the (labels × cells) bounded matrix.
+    """
+    conf = sim_centroid_assign(spark, sf_dir).select(
+        "true_label", "assigned_label", "n"
+    )
+    conf = cut_lineage(conf, eager=True)  # five bounded consumers
+    tot = conf.agg(F.sum("n").cast("long").alias("nn"))
+    a = conf.groupBy("true_label").agg(F.sum("n").cast("long").alias("na"))
+    b = conf.groupBy("assigned_label").agg(F.sum("n").cast("long").alias("nb"))
+    pur = (
+        conf.groupBy("assigned_label")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("n_majority"))
+    )
+    ln6 = "CAST(round(ln(CAST({x} AS DOUBLE)), 6) AS DECIMAL(18,6))"
+    mi = (
+        conf.join(F.broadcast(a), "true_label")
+        .join(F.broadcast(b), "assigned_label")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(n AS DECIMAL(19,0)) * ("
+            + ln6.format(x="CAST(nn AS DECIMAL(19,0)) * n")
+            + " - "
+            + ln6.format(x="CAST(na AS DECIMAL(19,0)) * nb")
+            + ") AS term"
+        )
+        .agg(F.sum("term").cast("decimal(38,6)").alias("mi_sum"))
+    )
+    hx = (
+        a.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(na AS DECIMAL(19,0)) * ("
+            + ln6.format(x="nn")
+            + " - "
+            + ln6.format(x="na")
+            + ") AS term"
+        )
+        .agg(F.sum("term").cast("decimal(38,6)").alias("hx_sum"))
+    )
+    hy = (
+        b.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(nb AS DECIMAL(19,0)) * ("
+            + ln6.format(x="nn")
+            + " - "
+            + ln6.format(x="nb")
+            + ") AS term"
+        )
+        .agg(F.sum("term").cast("decimal(38,6)").alias("hy_sum"))
+    )
+    cells = conf.agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    out = (
+        tot.crossJoin(F.broadcast(cells))
+        .crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+    )
+    return out.selectExpr(
+        "nn AS n_vectors",
+        "n_cells",
+        "CAST(n_majority * 1000000 DIV nn AS BIGINT) AS purity_ppm",
+        "round(CAST(hx_sum AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS h_true",
+        "round(CAST(hy_sum AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS h_assigned",
+        "round(CAST(mi_sum AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS mi",
+        "CASE WHEN CAST(hx_sum AS DOUBLE) + CAST(hy_sum AS DOUBLE)"
+        "          > CAST(0 AS DOUBLE)"
+        " THEN round(CAST(2 AS DOUBLE) * CAST(mi_sum AS DOUBLE)"
+        "            / (CAST(hx_sum AS DOUBLE) + CAST(hy_sum AS DOUBLE)), 6)"
+        " ELSE NULL END AS nmi",
+    )

@@ -119,6 +119,9 @@ SWEEP_DEFER: list[str] = [
     # r12-wave-6 ops (same local-evidence tier)
     "sim-pq-recall-eval",
     "text-distinctive-terms",
+    # r12-wave-7 ops (same local-evidence tier)
+    "sim-cluster-nmi",
+    "analytics-returned-revenue",
     # displaced from the r11 head by late-r11 churn; r7-stale evidence
     "text-ngram-counts",
     "text-pii-scrub",

@@ -101,6 +101,10 @@ _BOUNDED_NESTED_LOOP_OK = {
     # and sim-topk-cosine (bounded query-set broadcast) arms verbatim;
     # its own hit join is an equi-join on (query, neighbor)
     "sim-pq-recall-eval",
+    # embeds sim-centroid-assign (bounded 1-row cap/codebook broadcasts);
+    # its own additions are scalar-boundary crossJoins of GROUPING-FREE
+    # aggregates over the bounded confusion matrix (all marker-provable)
+    "sim-cluster-nmi",
 }
 
 
