@@ -263,6 +263,9 @@ HEADLINE = [
     # round-12 wave 7: cluster purity/NMI, returned-revenue report
     "sim-cluster-nmi",
     "analytics-returned-revenue",
+    # round-12 wave 8: Q14 promo share, primary-key uniqueness audit
+    "analytics-promo-share",
+    "dq-primary-keys",
 ]
 
 

@@ -2185,3 +2185,88 @@ def analytics_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics-promo-share — Q14-style monthly promotion revenue share
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics-promo-share",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(CAST(l.l_shipdate AS DATE), '%Y-%m') AS month,
+             CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_promo_lines,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(CAST(l.l_extendedprice AS DECIMAL(12,6))
+                                * (1 - CAST(l.l_discount AS DECIMAL(7,6)))
+                                AS DECIMAL(19,12)) ELSE 0 END)
+                  AS DECIMAL(38,12)) AS promo_rev,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,6))
+                           * (1 - CAST(l.l_discount AS DECIMAL(7,6)))
+                           AS DECIMAL(19,12))) AS DECIMAL(38,12)) AS total_rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT month, n_promo_lines, n_lines,
+           round(CAST(promo_rev AS DOUBLE), 2) AS promo_revenue,
+           round(CAST(total_rev AS DOUBLE), 2) AS total_revenue,
+           CAST(floor(CAST(promo_rev AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                      / CAST(total_rev AS DOUBLE)) AS BIGINT) AS promo_ppm
+    FROM m
+    """,
+)
+def analytics_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion effect: the share of monthly revenue
+    carried by PROMO-type parts — the marketing readout that says
+    whether a promotion moved spend or just relabeled it.  Emitted per
+    ship month with line counts and both revenue legs, so the ratio's
+    numerator and denominator are auditable.
+
+    Determinism: both revenue legs are exact decimal sums (the pinned
+    (19,12) discount-product scale); the ppm share is ONE shared
+    floor(double) expression of those exact decimals — identical
+    operands through identical IEEE ops in both engines.  (A decimal
+    floor-division here is the dialect trap: Spark's decimal DIV and
+    DuckDB's decimal // disagree by one ulp on this data.)  The
+    display revenues round once.
+
+    Scale (100 TB): month × promo-flag is ONE map-side-combinable
+    aggregate over the lineitem scan with the part dimension broadcast;
+    output is month cardinality."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull()
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(7,6)"))
+    ).cast("decimal(19,12)")
+    is_promo = F.col("p_type") == "PROMO"
+    m = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.when(is_promo, 1).otherwise(0)).cast("long").alias(
+                "n_promo_lines"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(is_promo, rev).otherwise(F.lit(0)))
+            .cast("decimal(38,12)")
+            .alias("promo_rev"),
+            F.sum(rev).cast("decimal(38,12)").alias("total_rev"),
+        )
+    )
+    return m.selectExpr(
+        "month",
+        "n_promo_lines",
+        "n_lines",
+        "round(CAST(promo_rev AS DOUBLE), 2) AS promo_revenue",
+        "round(CAST(total_rev AS DOUBLE), 2) AS total_revenue",
+        "CAST(floor(CAST(promo_rev AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+        "           / CAST(total_rev AS DOUBLE)) AS BIGINT) AS promo_ppm",
+    )

@@ -1740,3 +1740,97 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_absdiff"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq-primary-keys — uniqueness audit of every table's declared key
+# ---------------------------------------------------------------------------
+
+# the declared primary key per fixture table — the contract this audit
+# checks.  lineitem's key is composite (orderkey, linenumber).
+PK_CONTRACT = [
+    ("region", ["r_regionkey"]),
+    ("nation", ["n_nationkey"]),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+
+def _pk_oracle() -> str:
+    arms = []
+    for table, keys in PK_CONTRACT:
+        key_tuple = ", ".join(keys)
+        null_cond = " OR ".join(f"{k} IS NULL" for k in keys)
+        arms.append(f"""
+    SELECT '{table}' AS table_name,
+           '{key_tuple}' AS key_columns,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE NOT ({null_cond})) AS BIGINT)
+             AS n_keyed_rows,
+           CAST((SELECT count(*) FROM (
+              SELECT 1 FROM {table}
+              WHERE NOT ({null_cond})
+              GROUP BY {key_tuple})) AS BIGINT) AS n_distinct_keys,
+           CAST((SELECT COALESCE(SUM(c - 1), 0) FROM (
+              SELECT count(*) AS c FROM {table}
+              WHERE NOT ({null_cond})
+              GROUP BY {key_tuple}) WHERE c > 1) AS BIGINT)
+             AS n_excess_rows
+    FROM {table}""")
+        arms.append("UNION ALL")
+    return "\n".join(arms[:-1])
+
+
+@register("dq-primary-keys", oracle=_pk_oracle())
+def dq_primary_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across EVERY fixture table against
+    the declared key contract (PK_CONTRACT — including lineitem's
+    composite key): rows, non-null-keyed rows, distinct keys, and the
+    excess-row mass a MERGE/upsert would silently collapse.  The
+    completion of the referential tier: dq-referential checks foreign
+    edges point somewhere, THIS checks the targets are unique — the
+    invariant every sink-upsert operator in the engine assumes.
+
+    Determinism: pure integer counts per table, assembled by unionAll
+    in contract order (hash compare is order-free anyway).
+
+    Scale (100 TB): one map-side-combinable keyed aggregate per table
+    at key grain collapsed to 4 counters — count-distinct is exact via
+    the two-level aggregate, never a global sort; the ten per-table
+    audits are independent jobs Spark schedules concurrently."""
+    out = None
+    for table, keys in PK_CONTRACT:
+        df = load_table(spark, sf_dir, table)
+        keyed = df.where(
+            F.expr(" AND ".join(f"{k} IS NOT NULL" for k in keys))
+        )
+        per_key = keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
+        stats = per_key.agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_keys"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c") - 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_excess_rows"),
+            F.sum("c").cast("long").alias("n_keyed_rows"),
+        )
+        tot = df.agg(F.count(F.lit(1)).alias("n_rows"))
+        arm = (
+            tot.crossJoin(F.broadcast(stats))
+            .select(
+                F.lit(table).alias("table_name"),
+                F.lit(", ".join(keys)).alias("key_columns"),
+                "n_rows",
+                "n_keyed_rows",
+                "n_distinct_keys",
+                "n_excess_rows",
+            )
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out

@@ -122,6 +122,9 @@ SWEEP_DEFER: list[str] = [
     # r12-wave-7 ops (same local-evidence tier)
     "sim-cluster-nmi",
     "analytics-returned-revenue",
+    # r12-wave-8 ops (same local-evidence tier)
+    "analytics-promo-share",
+    "dq-primary-keys",
     # displaced from the r11 head by late-r11 churn; r7-stale evidence
     "text-ngram-counts",
     "text-pii-scrub",
