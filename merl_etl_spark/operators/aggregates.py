@@ -32,6 +32,33 @@ def dec_sum(col: Column) -> Column:
     return F.sum(col.cast(DEC)).cast(DEC_SUM)
 
 
+def net_revenue_spark() -> Column:
+    """The discounted line revenue extendedprice·(1−discount) as an
+    exact decimal with PINNED intermediate scales — (12,6)×(7,6) held at
+    (19,12) — because the engines' decimal width-growth rules differ and
+    an unpinned chain either overflows DuckDB's 38-digit multiply or
+    trips Spark's precision-loss truncation.  ONE definition (with
+    net_revenue_duck as its oracle twin) shared by dq-reconciliation,
+    analytics-revenue-bridge, analytics-returned-revenue, and
+    analytics-promo-share (review r12: the expression pair was
+    hand-rolled in all four, the exact drift class corr_from_moments /
+    knn_edges / md5_bucket_* exist to prevent)."""
+    return (
+        F.col("l_extendedprice").cast("decimal(12,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(7,6)"))
+    ).cast("decimal(19,12)")
+
+
+def net_revenue_duck(prefix: str = "") -> str:
+    """DuckDB twin of net_revenue_spark; ``prefix`` qualifies the
+    lineitem columns (e.g. ``"l."``)."""
+    return (
+        f"CAST(CAST({prefix}l_extendedprice AS DECIMAL(12,6))"
+        f" * (1 - CAST({prefix}l_discount AS DECIMAL(7,6)))"
+        f" AS DECIMAL(19,12))"
+    )
+
+
 @register(
     "agg-max-scalar",
     oracle=f"""

@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from merl_etl_spark.operators.aggregates import dec_sum
+from merl_etl_spark.operators.aggregates import (
+    dec_sum,
+    net_revenue_duck,
+    net_revenue_spark,
+)
 from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
 
@@ -1995,9 +1999,7 @@ BRIDGE_Y2 = 1997
              year(l.l_shipdate) AS yr,
              CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6))
                AS q,
-             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,6))
-                           * (1 - CAST(l.l_discount AS DECIMAL(7,6)))
-                           AS DECIMAL(19,12))) AS DECIMAL(38,12)) AS r
+             CAST(SUM({net_revenue_duck('l.')}) AS DECIMAL(38,12)) AS r
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       WHERE year(l.l_shipdate) IN ({BRIDGE_Y1}, {BRIDGE_Y2})
       GROUP BY 1, 2
@@ -2051,16 +2053,11 @@ def analytics_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the part dimension (broadcastable); ONE map-side-combinable
     aggregate at (brand × 2) grain; the pivot and bridge arithmetic run
     on the bounded brand-grain summary."""
-    from pyspark.sql import functions as F
-
     li = load_table(spark, sf_dir, "lineitem").where(
         F.year("l_shipdate").isin(BRIDGE_Y1, BRIDGE_Y2)
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(12,6)")
-        * (F.lit(1) - F.col("l_discount").cast("decimal(7,6)"))
-    ).cast("decimal(19,12)")
+    rev = net_revenue_spark()
     y = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy(F.col("p_brand").alias("brand"), F.year("l_shipdate").alias("yr"))
@@ -2119,12 +2116,10 @@ def analytics_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "analytics-returned-revenue",
-    oracle="""
+    oracle=f"""
     WITH ret AS (
       SELECT o.o_custkey,
-             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,6))
-                           * (1 - CAST(l.l_discount AS DECIMAL(7,6)))
-                           AS DECIMAL(19,12))) AS DECIMAL(38,12)) AS lost,
+             CAST(SUM({net_revenue_duck('l.')}) AS DECIMAL(38,12)) AS lost,
              CAST(count(*) AS BIGINT) AS n_ret_lines
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
       WHERE l.l_returnflag = 'R'
@@ -2160,10 +2155,7 @@ def analytics_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    lost = (
-        F.col("l_extendedprice").cast("decimal(12,6)")
-        * (F.lit(1) - F.col("l_discount").cast("decimal(7,6)"))
-    ).cast("decimal(19,12)")
+    lost = net_revenue_spark()
     ret = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_custkey")
@@ -2194,20 +2186,16 @@ def analytics_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "analytics-promo-share",
-    oracle="""
+    oracle=f"""
     WITH m AS (
       SELECT strftime(CAST(l.l_shipdate AS DATE), '%Y-%m') AS month,
              CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_promo_lines,
              CAST(count(*) AS BIGINT) AS n_lines,
              CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                      THEN CAST(CAST(l.l_extendedprice AS DECIMAL(12,6))
-                                * (1 - CAST(l.l_discount AS DECIMAL(7,6)))
-                                AS DECIMAL(19,12)) ELSE 0 END)
+                      THEN {net_revenue_duck('l.')} ELSE 0 END)
                   AS DECIMAL(38,12)) AS promo_rev,
-             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,6))
-                           * (1 - CAST(l.l_discount AS DECIMAL(7,6)))
-                           AS DECIMAL(19,12))) AS DECIMAL(38,12)) AS total_rev
+             CAST(SUM({net_revenue_duck('l.')}) AS DECIMAL(38,12)) AS total_rev
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       WHERE l.l_shipdate IS NOT NULL
       GROUP BY 1
@@ -2242,10 +2230,7 @@ def analytics_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").isNotNull()
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(12,6)")
-        * (F.lit(1) - F.col("l_discount").cast("decimal(7,6)"))
-    ).cast("decimal(19,12)")
+    rev = net_revenue_spark()
     is_promo = F.col("p_type") == "PROMO"
     m = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])

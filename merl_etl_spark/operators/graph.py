@@ -1087,46 +1087,13 @@ def _clustering_oracle() -> str:
     """
 
 
-@register("graph-clustering-coefficient", oracle=_clustering_oracle())
-def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local clustering coefficient census of the kNN similarity graph
-    (Watts & Strogatz 1998): per node, the fraction of its neighbor
-    pairs that are themselves connected, rolled up by degree class.
-    High mean CC at high degree = cliquish near-dup cores (the SemDeDup
-    "template family" signature); low CC = star-shaped hubs (one
-    canonical doc with many satellites that are NOT mutual near-dups) —
-    the micro-structure dial that assortativity (a single global number)
-    cannot see.  Runs on the SAME pinned sim-knn-graph edge substrate as
-    kcore / LPA / assortativity.
-
-    Spark-first shape — DEGREE-ORIENTED (compact-forward) triangle
-    mining: every undirected edge is oriented from its (deg, id)-lower
-    endpoint, wedges are built only from ORIENTED out-adjacency, and
-    each triangle is found exactly ONCE at its minimal vertex, then
-    exploded to credit all three corners.  This caps the wedge mass at
-    Σ d⁺(u)² ≈ O(|E|^1.5) instead of the unoriented Σ deg(u)², which a
-    hub node's in-degree makes quadratic — the r12 stress measured the
-    unoriented form at 305 s on the 500k-vector graph precisely because
-    every hub generated its full deg² wedge set from BOTH directions;
-    orientation sends hub-incident wedges to the low-degree endpoints.
-    All equi-joins, no window; the exact wedge mass is still emitted as
-    n_wedges so a hub-skewed regime stays VISIBLE in the output.
-
-    Determinism: triangle counts are exact integers over the pinned
-    edge list (orientation changes where a triangle is FOUND, never
-    how many times each node is credited — pinned against the
-    unoriented oracle); within a degree class every node has the same
-    wedge count deg·(deg−1)/2, so the mean of per-node ratios
-    collapses to the exact integer ratio 2·Σtri / (n·deg·(deg−1)) —
-    ONE IEEE division per output row, rounded once."""
-    from merl_etl_spark.operators.similarity import knn_edges
-
-    knn = knn_edges(load_table(spark, sf_dir, "embeddings")).select("src", "dst")
-    und = (
-        knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .distinct()
-    )
+def clustering_census(und: DataFrame) -> DataFrame:
+    """The oriented-wedge census engine behind
+    graph-clustering-coefficient, factored so tests can drive it on
+    synthetic edge sets (review r12: the triangle regression must
+    exercise THIS orientation/closure chain, not a Python replica —
+    the coalesce_islands rule).  Input: symmetric, distinct (u, v)
+    undirected edges.  Output: the per-degree census."""
     und = cut_lineage(und, eager=True)  # consumers: degs + orientation
     degs = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -1174,3 +1141,46 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE NULL END"
         ).alias("mean_cc"),
     )
+
+
+@register("graph-clustering-coefficient", oracle=_clustering_oracle())
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient census of the kNN similarity graph
+    (Watts & Strogatz 1998): per node, the fraction of its neighbor
+    pairs that are themselves connected, rolled up by degree class.
+    High mean CC at high degree = cliquish near-dup cores (the SemDeDup
+    "template family" signature); low CC = star-shaped hubs (one
+    canonical doc with many satellites that are NOT mutual near-dups) —
+    the micro-structure dial that assortativity (a single global number)
+    cannot see.  Runs on the SAME pinned sim-knn-graph edge substrate as
+    kcore / LPA / assortativity.
+
+    Spark-first shape — DEGREE-ORIENTED (compact-forward) triangle
+    mining: every undirected edge is oriented from its (deg, id)-lower
+    endpoint, wedges are built only from ORIENTED out-adjacency, and
+    each triangle is found exactly ONCE at its minimal vertex, then
+    exploded to credit all three corners.  This caps the wedge mass at
+    Σ d⁺(u)² ≈ O(|E|^1.5) instead of the unoriented Σ deg(u)², which a
+    hub node's in-degree makes quadratic — the r12 stress measured the
+    unoriented form at 305 s on the 500k-vector graph precisely because
+    every hub generated its full deg² wedge set from BOTH directions;
+    orientation sends hub-incident wedges to the low-degree endpoints.
+    All equi-joins, no window; the exact wedge mass is still emitted as
+    n_wedges so a hub-skewed regime stays VISIBLE in the output.
+
+    Determinism: triangle counts are exact integers over the pinned
+    edge list (orientation changes where a triangle is FOUND, never
+    how many times each node is credited — pinned against the
+    unoriented oracle); within a degree class every node has the same
+    wedge count deg·(deg−1)/2, so the mean of per-node ratios
+    collapses to the exact integer ratio 2·Σtri / (n·deg·(deg−1)) —
+    ONE IEEE division per output row, rounded once."""
+    from merl_etl_spark.operators.similarity import knn_edges
+
+    knn = knn_edges(load_table(spark, sf_dir, "embeddings")).select("src", "dst")
+    und = (
+        knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    return clustering_census(und)

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from merl_etl_spark.operators.aggregates import net_revenue_duck, net_revenue_spark
 from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
 
@@ -1633,16 +1634,14 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq-reconciliation",
-    oracle="""
+    oracle=f"""
     WITH rec AS (
       -- recomputed order total from the lines, exact decimal all the
       -- way: extprice(12,6) × (1−disc)(7,6) pinned at (19,12), × 
       -- (1+tax)(7,6) → (26,18); SUM widens within engine caps and the
       -- per-order total is an exact rational identical in any engine
       SELECT l_orderkey AS okey,
-             SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,6))
-                      * (1 - CAST(l_discount AS DECIMAL(7,6)))
-                      AS DECIMAL(19,12))
+             SUM({net_revenue_duck()}
                  * (1 + CAST(l_tax AS DECIMAL(7,6)))) AS recomputed
       FROM lineitem GROUP BY 1
     ),
@@ -1696,12 +1695,8 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles the orderkey skew the fixture doesn't have."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    charge = (
-        (
-            F.col("l_extendedprice").cast("decimal(12,6)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(7,6)"))
-        ).cast("decimal(19,12)")
-        * (F.lit(1) + F.col("l_tax").cast("decimal(7,6)"))
+    charge = net_revenue_spark() * (
+        F.lit(1) + F.col("l_tax").cast("decimal(7,6)")
     )
     rec = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
         F.sum(charge).alias("recomputed")
@@ -1818,7 +1813,9 @@ def dq_primary_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("n_excess_rows"),
-            F.sum("c").cast("long").alias("n_keyed_rows"),
+            # coalesce: an all-NULL-key table (the pathology this audit
+            # exists for) sums an EMPTY frame — NULL here, 0 in the oracle
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_keyed_rows"),
         )
         tot = df.agg(F.count(F.lit(1)).alias("n_rows"))
         arm = (

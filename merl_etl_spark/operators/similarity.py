@@ -1372,6 +1372,36 @@ def _pq_cte_stack() -> str:
     )"""
 
 
+def _pq_adc_rank_ctes() -> str:
+    """The ADC search CTE block (qlut / adc / adck) over _pq_cte_stack's
+    comp/cen/best — ONE definition shared by sim-pq-adc-topk and
+    sim-pq-recall-eval so the LUT metric, the distance fold, and the
+    tie-break cannot drift between the operator and the eval that
+    claims to pin it (review r12)."""
+    return f"""qlut AS (
+      SELECT q.vec_id AS query_id, q.m, c.c_label,
+             CAST(SUM((abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)
+                 * (abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)) AS BIGINT)
+               AS d2
+      FROM (SELECT * FROM comp WHERE vec_id < {SIM_NQUERY}) q
+      JOIN cen c USING (dim)
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT l.query_id, b.vec_id,
+             CAST(SUM(l.d2) AS BIGINT) AS adc_dist
+      FROM best b JOIN qlut l ON l.m = b.m AND l.c_label = b.c_label
+      GROUP BY 1, 2
+    ),
+    adck AS (
+      SELECT query_id, vec_id, adc_dist, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, vec_id) AS rnk
+        FROM adc
+      ) WHERE rnk <= {SIM_TOPK}
+    )"""
+
+
 @register(
     "sim-pq-encode",
     oracle=f"""
@@ -1485,26 +1515,8 @@ def _pq_encode_frames(spark: SparkSession, sf_dir: str):
     "sim-pq-adc-topk",
     oracle=f"""
     WITH {_pq_cte_stack()},
-    qlut AS (
-      SELECT q.vec_id AS query_id, q.m, c.c_label,
-             CAST(SUM((abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)
-                 * (abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)) AS BIGINT)
-               AS d2
-      FROM (SELECT * FROM comp WHERE vec_id < {SIM_NQUERY}) q
-      JOIN cen c USING (dim)
-      GROUP BY 1, 2, 3
-    ),
-    adc AS (
-      SELECT l.query_id, b.vec_id,
-             CAST(SUM(l.d2) AS BIGINT) AS adc_dist
-      FROM best b JOIN qlut l ON l.m = b.m AND l.c_label = b.c_label
-      GROUP BY 1, 2
-    )
-    SELECT query_id, vec_id, adc_dist, rnk FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY adc_dist, vec_id) AS rnk
-      FROM adc
-    ) WHERE rnk <= {SIM_TOPK}
+    {_pq_adc_rank_ctes()}
+    SELECT query_id, vec_id, adc_dist, rnk FROM adck
     """,
 )
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1817,37 +1829,21 @@ def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim-pq-recall-eval",
     oracle=f"""
     WITH {_pq_cte_stack()},
-    qlut AS (
-      SELECT q.vec_id AS query_id, q.m, c.c_label,
-             CAST(SUM((abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)
-                 * (abs(q.vfp * c.n_ref - c.sum_fp) // c.n_ref)) AS BIGINT)
-               AS d2
-      FROM (SELECT * FROM comp WHERE vec_id < {SIM_NQUERY}) q
-      JOIN cen c USING (dim)
-      GROUP BY 1, 2, 3
-    ),
-    adc AS (
-      SELECT l.query_id, b.vec_id,
-             CAST(SUM(l.d2) AS BIGINT) AS adc_dist
-      FROM best b JOIN qlut l ON l.m = b.m AND l.c_label = b.c_label
-      GROUP BY 1, 2
-    ),
-    adck AS (
-      SELECT query_id, vec_id FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY adc_dist, vec_id) AS rnk
-        FROM adc
-      ) WHERE rnk <= {SIM_TOPK}
-    ),
+    {_pq_adc_rank_ctes()},
     ev AS ({DUCK_EMB}),
     qe AS (SELECT vec_id AS query_id, v FROM ev WHERE vec_id < {SIM_NQUERY}),
     exact AS (
+      -- ground truth over the CODED corpus only (vec_id > cap): the ADC
+      -- arm can only return vectors that HAVE codes, so an unrestricted
+      -- ground truth would charge index COVERAGE to the quantizer
+      -- (review r12: a lossless quantizer could never reach 10^6 ppm)
       SELECT query_id, neighbor_id FROM (
         SELECT qe.query_id, ev.vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY qe.query_id
                                   ORDER BY list_cosine_similarity(qe.v, ev.v)
                                            DESC, ev.vec_id ASC) AS rnk
         FROM qe JOIN ev ON qe.query_id <> ev.vec_id
+        CROSS JOIN cap WHERE ev.vec_id > cap.cap
       ) WHERE rnk <= {SIM_TOPK}
     )
     SELECT e.query_id,
@@ -1861,17 +1857,23 @@ def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@{SIM_TOPK} of the PQ/ADC search tier against the
-    exact brute-force ground truth — the number an index operator reads
-    before trading 4-byte codes for 256-byte vectors.  Completes the
-    lossy-lever measurement triple: sim-ann-recall-eval scores the
-    candidate-generation axis (sign-LSH), sim-matryoshka-eval the
-    dimension axis (prefix truncation), THIS the quantization axis
-    (PQ codes + asymmetric distance).
+    exact cosine ground truth over the CODED corpus — the number an
+    index operator reads before trading 256-byte vectors for 8-byte
+    codes.  Completes the lossy-lever measurement triple:
+    sim-ann-recall-eval scores the candidate-generation axis (sign-LSH),
+    sim-matryoshka-eval the dimension axis (prefix truncation), THIS the
+    quantization axis (PQ codes + asymmetric distance).
 
-    Both arms are the PINNED registered pipelines imported verbatim —
-    sim_pq_adc_topk's ADC ranking and sim-topk-cosine's exact scorer —
-    so this eval can never drift from what those queries actually
-    return; the oracle composes the same two CTE stacks.
+    The ground truth ranks only vectors that HAVE codes (the held-out
+    half, vec_id > cap) — the ADC arm cannot return an uncoded vector,
+    so an unrestricted ground truth would conflate quantization loss
+    with index coverage and put a structural ceiling under every
+    query's recall (review r12).  A lossless quantizer scores exactly
+    10⁶ ppm under this definition.
+
+    The ADC arm is the PINNED sim-pq-adc-topk pipeline imported
+    verbatim (Spark) / its shared _pq_adc_rank_ctes block (oracle), so
+    the eval can never drift from what the search operator returns.
 
     Determinism: ADC distances are exact integers (the shared PQ_TERM
     quantized metric), exact ranks tie-break on vec_id, hits and
@@ -1881,12 +1883,32 @@ def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins (bytes, not floats); the exact arm is the documented
     brute-force baseline over the bounded query set; the hit join is a
     {SIM_TOPK}·{SIM_NQUERY}-row equi-join."""
-    from pyspark.sql import functions as F  # noqa: F811
-
     adck = sim_pq_adc_topk(spark, sf_dir).select(
         "query_id", F.col("vec_id").alias("cand_id")
     )
-    exact = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cap = emb.agg(F.expr("CAST(max(vec_id) DIV 2 AS BIGINT)").alias("cap"))
+    q = emb.filter(F.col("vec_id") < SIM_NQUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    coded = (
+        emb.crossJoin(F.broadcast(cap))
+        .where(F.col("vec_id") > F.col("cap"))
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    )
+    from pyspark.sql import Window
+
+    scored = coded.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("cos_sim", cosine("qv", "nv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= SIM_TOPK)
+        .select("query_id", "neighbor_id")
+    )
     hits = exact.join(
         adck,
         (exact["query_id"] == adck["query_id"])

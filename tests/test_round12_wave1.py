@@ -78,25 +78,38 @@ def test_clustering_coefficient_bounds(spark, sf_dir):
         assert 0 <= r.n_closed <= r.n_wedges
 
 
-def test_clustering_triangle_regression():
-    """A hand-built graph: triangle {a,b,c} plus pendant d on a.
-    The per-node closed-wedge counts the census sums must match the
-    textbook answer: one triangle through each of a, b, c; none at d."""
-    edges = {("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
-             ("b", "c"), ("c", "b"), ("a", "d"), ("d", "a")}
-    adj = defaultdict(set)
-    for u, v in edges:
-        adj[u].add(v)
-    tri = {
-        u: sum(
-            1
-            for i, p in enumerate(sorted(ns))
-            for q in sorted(ns)[i + 1 :]
-            if (p, q) in edges
-        )
-        for u, ns in adj.items()
-    }
-    assert tri == {"a": 1, "b": 1, "c": 1, "d": 0}
+def test_clustering_triangle_regression(spark):
+    """A hand-built graph — triangle {a,b,c} plus pendant d on a —
+    driven through the PRODUCTION oriented-wedge census
+    (clustering_census; review r12: the regression must exercise the
+    struct(deg,id) orientation and closure chain, not a Python replica).
+    Textbook answer: one triangle through each of a, b, c; none at d;
+    so deg-3 node a has cc 1/3, the deg-2 nodes b,c have cc 1, and the
+    pendant's degree class reports NULL."""
+    from merl_etl_spark.operators.graph import clustering_census
+
+    edges = {("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")}
+    sym = sorted(edges | {(v, u) for u, v in edges})
+    und = spark.createDataFrame(sym, "u string, v string")
+    rows = {r.deg: r for r in clustering_census(und).collect()}
+    # deg 3: node a alone — 1 closed of 3 wedges
+    assert rows[3].n_nodes == 1
+    assert rows[3].n_closed == 1
+    assert rows[3].n_wedges == 3
+    assert rows[3].mean_cc == round(1 / 3, 6)
+    # deg 2: b and c — each fully closed
+    assert rows[2].n_nodes == 2
+    assert rows[2].n_closed == 2
+    assert rows[2].n_wedges == 2
+    assert rows[2].mean_cc == 1.0
+    # deg 1: the pendant — no wedges, NULL cc
+    assert rows[1].n_nodes == 1
+    assert rows[1].n_closed == 0
+    assert rows[1].n_wedges == 0
+    assert rows[1].mean_cc is None
+    # an inverted orientation comparison would double- or zero-count:
+    # total corner credits must be 3 × (number of triangles)
+    assert sum(r.n_closed for r in rows.values()) == 3
 
 
 # ---------------------------------------------------------------------------

@@ -22,17 +22,31 @@ load_all()
 
 
 def test_pq_recall_matches_its_substrates(spark, sf_dir):
-    """The eval must equal |adc_topk ∩ exact_topk| computed from the two
-    registered queries' OWN outputs — drift in either substrate or in
-    the hit join fails here."""
+    """The eval must equal |adc_topk ∩ exact_topk-over-CODED-corpus|: the
+    ADC arm from sim-pq-adc-topk's OWN output, the ground truth replayed
+    in numpy over the held-out half only (vec_id > cap — the review-r12
+    coverage restriction: ADC cannot return uncoded vectors)."""
+    import numpy as np
+
     from merl_etl_spark.operators.similarity import SIM_NQUERY, SIM_TOPK
 
     adc = defaultdict(set)
     for r in QUERIES["sim-pq-adc-topk"](spark, sf_dir).collect():
         adc[r.query_id].add(r.vec_id)
-    exact = defaultdict(set)
-    for r in QUERIES["sim-topk-cosine"](spark, sf_dir).collect():
-        exact[r.query_id].add(r.neighbor_id)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    cap = max(vecs) // 2
+    exact = {}
+    for qid in range(SIM_NQUERY):
+        q = vecs[qid]
+        scored = []
+        for nid, v in vecs.items():
+            if nid == qid or nid <= cap:
+                continue
+            cos = float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+            scored.append((-cos, nid))
+        scored.sort()
+        exact[qid] = {nid for _, nid in scored[:SIM_TOPK]}
     rows = {r.query_id: r for r in QUERIES["sim-pq-recall-eval"](spark, sf_dir).collect()}
     assert set(rows) == set(range(SIM_NQUERY))
     for qid, r in rows.items():

@@ -140,6 +140,23 @@ def main():
             "text-distinctive-terms 500k docs",
             QUERIES["text-distinctive-terms"](spark, SF),
         )
+        # wave 7
+        forced(
+            "sim-cluster-nmi 500k vecs", QUERIES["sim-cluster-nmi"](spark, SF)
+        )
+        forced(
+            "analytics-returned-revenue sf0.1 lineitem (fixture scale)",
+            QUERIES["analytics-returned-revenue"](spark, SF),
+        )
+        # wave 8
+        forced(
+            "analytics-promo-share sf0.1 lineitem (fixture scale)",
+            QUERIES["analytics-promo-share"](spark, SF),
+        )
+        forced(
+            "dq-primary-keys (events/docs/vecs 100x; TPC-H at sf0.1)",
+            QUERIES["dq-primary-keys"](spark, SF),
+        )
         # seasonality (widened moment products)
         forced(
             "analytics-seasonality-strength 10M events",
