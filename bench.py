@@ -266,6 +266,9 @@ HEADLINE = [
     # round-12 wave 8: Q14 promo share, primary-key uniqueness audit
     "analytics-promo-share",
     "dq-primary-keys",
+    # round-12 wave 9: LSH S-curve sheet, tokenizer fertility
+    "dedup-lsh-curve",
+    "text-tokenizer-fertility",
 ]
 
 

@@ -1372,3 +1372,80 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup-lsh-curve — the banding S-curve design table
+# ---------------------------------------------------------------------------
+
+# candidate configurations to tabulate: (rows-per-band r, bands b).
+# The deployed minhash tier is (2, N_BANDS=4) — its row is the one the
+# other rows contextualize.  Pure-math table; a tuning DIAL sheet.
+LSH_CURVE_CONFIGS = [(2, 4), (4, 4), (2, 8), (4, 8), (8, 8), (4, 16)]
+# Jaccard-similarity grid (percent) the curve is evaluated on
+LSH_CURVE_GRID = [10, 20, 30, 40, 50, 60, 70, 80, 90, 95]
+
+
+def _lsh_curve_oracle() -> str:
+    rows = []
+    for r, b in LSH_CURVE_CONFIGS:
+        for s in LSH_CURVE_GRID:
+            rows.append(f"({r}, {b}, {s})")
+    values = ", ".join(rows)
+    return f"""
+    WITH cfg(r, b, s_pct) AS (VALUES {values})
+    SELECT CAST(r AS BIGINT) AS rows_per_band,
+           CAST(b AS BIGINT) AS n_bands,
+           CAST(s_pct AS BIGINT) AS jaccard_pct,
+           CAST(r * b AS BIGINT) AS n_hashes,
+           -- P(candidate) = 1 − (1 − s^r)^b, each pow rounded ONCE to
+           -- 9 dp before the next stage so the two engines' libm pow
+           -- (the driver-green canary class) composes identically
+           round(1 - pow(1 - round(pow(CAST(s_pct AS DOUBLE)
+                                       / CAST(100 AS DOUBLE),
+                                       CAST(r AS DOUBLE)), 9),
+                         CAST(b AS DOUBLE)), 6) AS p_candidate
+    FROM cfg
+    """
+
+
+@register("dedup-lsh-curve", oracle=_lsh_curve_oracle())
+def dedup_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH banding S-curve P(candidate) = 1 − (1 − s^r)^b
+    tabulated over candidate (rows-per-band, bands) configurations and
+    a Jaccard grid — the design sheet that says where each config's
+    detection threshold (~(1/b)^(1/r)) sits and how sharp its cutoff
+    is, read BEFORE re-tuning N_BANDS on a new corpus.  The deployed
+    dedup-minhash-lsh config (r=2, b=4) is one of the tabulated rows;
+    the others are the standard alternatives a capacity review weighs
+    (more hashes = sharper curve = more index cost).
+
+    Unlike every other query this one reads NO table — it is the
+    engine's one pure-computation surface, and exists precisely so the
+    tuning constants' semantics are driver-pinned rather than folklore.
+
+    Determinism: the two pow() calls (the driver-green canary class)
+    compose through ONE intermediate 9-dp rounding so both engines'
+    libm results are re-quantized before reuse; the outer value rounds
+    once at 6 dp.
+
+    Scale: a |configs|×|grid| literal table — there is nothing to
+    scale; it exists at the driver."""
+    cfg = spark.createDataFrame(
+        [
+            (r, b, s)
+            for r, b in LSH_CURVE_CONFIGS
+            for s in LSH_CURVE_GRID
+        ],
+        "r long, b long, s_pct long",
+    )
+    return cfg.selectExpr(
+        "r AS rows_per_band",
+        "b AS n_bands",
+        "s_pct AS jaccard_pct",
+        "CAST(r * b AS BIGINT) AS n_hashes",
+        "round(1 - pow(1 - round(pow(CAST(s_pct AS DOUBLE)"
+        "                            / CAST(100 AS DOUBLE),"
+        "                            CAST(r AS DOUBLE)), 9),"
+        "              CAST(b AS DOUBLE)), 6) AS p_candidate",
+    )

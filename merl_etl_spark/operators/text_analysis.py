@@ -1390,3 +1390,75 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lo").cast("double").alias("log_odds"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text-tokenizer-fertility — BPE-ish tokens per whitespace word
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text-tokenizer-fertility",
+    oracle=r"""
+    WITH m AS (
+      SELECT lang, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS re,
+             CAST(length(text) AS BIGINT) AS ch
+      FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(re) AS BIGINT) AS n_re_tokens,
+           CAST(SUM(re) * 1000 // SUM(ws) AS BIGINT) AS fertility_milli,
+           CAST(SUM(ch) * 1000 // SUM(re) AS BIGINT) AS chars_per_token_milli
+    FROM m GROUP BY 1, 2
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (lang × source): BPE-ish regex tokens per
+    whitespace word (and chars per token) — the standard tokenizer-eval
+    metric that prices a corpus in MODEL tokens rather than words.  A
+    language whose fertility runs 2× pays 2× the compute per word and
+    halves its effective context window; the mixture designer reads
+    this next to curate-mixture-weights' raw token shares (which this
+    table converts between).  Uses text-tokens' exact pretokenizer
+    regex (letter runs / digit runs / single punctuation), rolled up —
+    the corpus-level complement to that per-doc surface.
+
+    Determinism: pure integer counts and milli-unit floor divisions.
+
+    Scale (100 TB): one scan (codegen'd regexp counts), one
+    map-side-combinable rollup at (lang × source) cardinality."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    m = docs.select(
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("ws"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("re"),
+        F.length("text").cast("long").alias("ch"),
+    )
+    return m.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").cast("long").alias("n_ws_tokens"),
+        F.sum("re").cast("long").alias("n_re_tokens"),
+        F.expr("CAST(SUM(re) * 1000 DIV SUM(ws) AS BIGINT)").alias(
+            "fertility_milli"
+        ),
+        F.expr("CAST(SUM(ch) * 1000 DIV SUM(re) AS BIGINT)").alias(
+            "chars_per_token_milli"
+        ),
+    )

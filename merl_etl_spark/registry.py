@@ -125,6 +125,9 @@ SWEEP_DEFER: list[str] = [
     # r12-wave-8 ops (same local-evidence tier)
     "analytics-promo-share",
     "dq-primary-keys",
+    # r12-wave-9 ops (same local-evidence tier)
+    "dedup-lsh-curve",
+    "text-tokenizer-fertility",
     # displaced from the r11 head by late-r11 churn; r7-stale evidence
     "text-ngram-counts",
     "text-pii-scrub",
