@@ -269,6 +269,8 @@ HEADLINE = [
     # round-12 wave 9: LSH S-curve sheet, tokenizer fertility
     "dedup-lsh-curve",
     "text-tokenizer-fertility",
+    # round-12 wave 10: monthly growth table
+    "analytics-monthly-growth",
 ]
 
 

@@ -2255,3 +2255,86 @@ def analytics_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(CAST(promo_rev AS DOUBLE) * CAST(1000000 AS DOUBLE)"
         "           / CAST(total_rev AS DOUBLE)) AS BIGINT) AS promo_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics-monthly-growth — MoM / YoY growth over exact month revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics-monthly-growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT month, n_orders, revenue,
+             lag(revenue, 1) OVER (ORDER BY month) AS prev_m,
+             lag(revenue, 12) OVER (ORDER BY month) AS prev_y
+      FROM m
+    )
+    SELECT month, n_orders, revenue,
+           CASE WHEN prev_m > CAST(0 AS DOUBLE)
+                THEN CAST(floor((revenue - prev_m) * CAST(1000000 AS DOUBLE)
+                                / prev_m) AS BIGINT) END AS mom_ppm,
+           CASE WHEN prev_y > CAST(0 AS DOUBLE)
+                THEN CAST(floor((revenue - prev_y) * CAST(1000000 AS DOUBLE)
+                                / prev_y) AS BIGINT) END AS yoy_ppm
+    FROM w
+    """,
+)
+def analytics_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monthly growth table every revenue dashboard opens with:
+    order revenue per calendar month with month-over-month and
+    year-over-year deltas in ppm — lag(1) and lag(12) over the month
+    series, NULL where no comparison period exists.
+
+    Determinism: month revenue is an exact decimal sum cast once to
+    double (unscaled < 2^53 far past these SFs); both growth ratios are
+    ONE shared floor(double) expression over those exact-valued doubles
+    (the promo-share rule — decimal floor-division is an ulp trap).
+
+    Scale (100 TB): the fact collapses to month grain in one map-side-
+    combinable pass; the lag window is UNPARTITIONED but runs over the
+    month-cardinality summary (~84 rows for the 7-year fixture, ~a few
+    hundred for any realistic retention window) — the dq-volume-anomaly
+    bounded-summary class, pinned in the plan-gate allowlist."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    )
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("revenue"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("month")
+    g = m.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.lag("revenue", 1).over(w).alias("prev_m"),
+        F.lag("revenue", 12).over(w).alias("prev_y"),
+    )
+    return g.selectExpr(
+        "month",
+        "n_orders",
+        "revenue",
+        "CASE WHEN prev_m > CAST(0 AS DOUBLE)"
+        " THEN CAST(floor((revenue - prev_m) * CAST(1000000 AS DOUBLE)"
+        "                 / prev_m) AS BIGINT) END AS mom_ppm",
+        "CASE WHEN prev_y > CAST(0 AS DOUBLE)"
+        " THEN CAST(floor((revenue - prev_y) * CAST(1000000 AS DOUBLE)"
+        "                 / prev_y) AS BIGINT) END AS yoy_ppm",
+    )

@@ -128,6 +128,8 @@ SWEEP_DEFER: list[str] = [
     # r12-wave-9 ops (same local-evidence tier)
     "dedup-lsh-curve",
     "text-tokenizer-fertility",
+    # r12-wave-10 op (same local-evidence tier)
+    "analytics-monthly-growth",
     # displaced from the r11 head by late-r11 churn; r7-stale evidence
     "text-ngram-counts",
     "text-pii-scrub",

@@ -343,6 +343,10 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # over the bounded source-grain summary (curation_ext.py
     # curate_anneal_schedule)
     "curate-anneal-schedule": 2,
+    # lag(1)/lag(12) over the month-cardinality revenue summary (~84
+    # rows for the 7-year fixture — the dq-volume-anomaly bounded
+    # class; analytics.py analytics_monthly_growth)
+    "analytics-monthly-growth": 1,
 }
 
 
