@@ -157,6 +157,11 @@ def main():
             "dq-primary-keys (events/docs/vecs 100x; TPC-H at sf0.1)",
             QUERIES["dq-primary-keys"](spark, SF),
         )
+        # wave 10
+        forced(
+            "analytics-monthly-growth sf0.1 orders (fixture scale)",
+            QUERIES["analytics-monthly-growth"](spark, SF),
+        )
         # seasonality (widened moment products)
         forced(
             "analytics-seasonality-strength 10M events",
