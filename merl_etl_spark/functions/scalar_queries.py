@@ -417,18 +417,27 @@ def _canary_repr_sql(prefix: str) -> str:
     return rows
 
 
-@register("fn-canary-decimal-repr", oracle=_canary_repr_sql("drepr_"))
 def fn_canary_decimal_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representation-layer canary: pure DECIMAL literals and exact
     decimal arithmetic — negative values, zero, NULL, a subtraction-
     widened negative, an integer-weighted product — with NO doubles and
     NO transcendentals anywhere.  All four r9-red queries emitted decimal
-    columns holding negative/NULL values; if THIS query goes red in the
-    driver env, the divergence is in how decimals are materialized or
-    hashed (engine version / arrow conversion), not in any math, and
-    every decimal-surface oracle needs migrating.  Green here + red
-    transcendental classes = libm divergence confirmed."""
+    columns holding negative/NULL values; its r10 driver row went red
+    EXACTLY as predicted, confirming the divergence is in how the driver
+    env materializes/hashes decimals, not in any math — the finding that
+    established the no-DECIMAL-surfaces output rule.
+
+    RETIRED from the driver registry in r13 (VERDICT r12 task #5): its
+    diagnostic job is done, and keeping a known-red row made the driver
+    surface not-green-by-construction.  The decimal-boundary rule it
+    established stays pinned by tests/test_no_decimal_surfaces.py (no
+    registered query may emit DECIMAL) and the Spark-vs-DuckDB parity
+    check in tests/test_round9_ops.py, which still drives THIS function
+    directly."""
     return spark.sql(_canary_repr_sql("drepr_"))
+
+
+fn_canary_decimal_repr.oracle_sql = _canary_repr_sql("drepr_")
 
 
 @register("fn-canary-double-repr", oracle=_canary_repr_sql("fprepr_"))

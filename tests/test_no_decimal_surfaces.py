@@ -15,9 +15,14 @@ arrow decimal conversion), so the repo-wide determinism rule is:
     routes the same cast through VARCHAR when unscaled digits can
     exceed 2^53), STRING (exact decimal text), or integers.
 
-``fn-canary-decimal-repr`` is the one deliberate exception: it pins the
-repr-layer divergence itself, and its driver red/green bit is the
-direct test of this hypothesis.
+``fn-canary-decimal-repr`` — the repr-layer probe that ESTABLISHED this
+rule by going driver-red exactly as predicted in r10 — was retired from
+the driver registry in r13 (VERDICT r12 task #5: its diagnostic job is
+done; a permanently-red registered row kept the driver surface from
+being green-by-construction).  The probe function itself survives
+unregistered and is still pinned analytically in tests/test_round9_ops
+and driven against DuckDB here, so the registry gate below now holds
+with NO exceptions.
 """
 
 from __future__ import annotations
@@ -26,19 +31,15 @@ from merl_etl_spark.registry import QUERIES, load_all
 
 load_all()
 
-# the one query ALLOWED to emit decimals: the repr-layer probe
-ALLOWED_DECIMAL_SURFACES = {"fn-canary-decimal-repr"}
-
 
 def test_no_query_emits_decimal_columns(spark, sf_dir):
     """Schema-only pass over every registered query (no execution): any
     DECIMAL column at the output boundary will silently go driver-red
     regardless of values — fail it here with the offending columns
-    named."""
+    named.  No exceptions: the one deliberate decimal surface was
+    retired from the registry in r13."""
     offenders: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
-        if name in ALLOWED_DECIMAL_SURFACES:
-            continue
         df = fn(spark, sf_dir)
         dec_cols = [
             f.name

@@ -178,9 +178,16 @@ def test_canary_repr_classes(spark, sf_dir):
     change can ever flip the driver row."""
     from decimal import Decimal
 
+    # fn-canary-decimal-repr was retired from the driver registry in r13
+    # (its r10 red row proved the driver env cannot hash DECIMAL output —
+    # job done); the probe function survives unregistered and this pin
+    # drives it directly so the repr contract stays tested locally.
+    from merl_etl_spark.functions.scalar_queries import fn_canary_decimal_repr
+
+    assert "fn-canary-decimal-repr" not in QUERIES
     dec = {
         r["case_id"]: r["val"]
-        for r in QUERIES["fn-canary-decimal-repr"](spark, sf_dir).collect()
+        for r in fn_canary_decimal_repr(spark, sf_dir).collect()
     }
     assert dec["drepr_neg"] == Decimal("-0.847298")
     assert dec["drepr_sub_neg"] == Decimal("-0.847298")
