@@ -271,6 +271,12 @@ HEADLINE = [
     "text-tokenizer-fertility",
     # round-12 wave 10: monthly growth table
     "analytics-monthly-growth",
+    # round-13 wave 1: Zipf rank-frequency fit + Q11-style value concentration
+    "text-zipf-fit",
+    "analytics-important-stock",
+    # round-13 wave 2: CCNet LM-score tertiles + feed temporal coverage
+    "curate-ccnet-buckets",
+    "dq-temporal-coverage",
 ]
 
 

@@ -2338,3 +2338,107 @@ def analytics_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN CAST(floor((revenue - prev_y) * CAST(1000000 AS DOUBLE)"
         "                 / prev_y) AS BIGINT) END AS yoy_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics-important-stock — TPC-H Q11 shape: per-nation value concentration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics-important-stock",
+    oracle=f"""
+    WITH v AS (
+      SELECT n.n_name AS nation, l.l_partkey AS partkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(SUM({net_revenue_duck('l.')}) AS DECIMAL(38,12)) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT nation,
+             CAST(SUM(val) AS DECIMAL(38,12)) AS nation_val,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM v GROUP BY 1
+    )
+    SELECT v.nation, v.partkey, v.n_lines,
+           CAST(round(v.val, 2) AS DOUBLE) AS part_value,
+           CAST(floor(CAST(v.val AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                      / CAST(t.nation_val AS DOUBLE)) AS BIGINT) AS share_ppm,
+           2 * (1000000 // t.n_parts) AS cutoff_ppm
+    FROM v JOIN tot t ON t.nation = v.nation
+    WHERE CAST(floor(CAST(v.val AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                     / CAST(t.nation_val AS DOUBLE)) AS BIGINT)
+          >= 2 * (1000000 // t.n_parts)
+    """,
+)
+def analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape over the fixture's tables (no partsupp): which
+    parts concentrate a nation's supply value — per-(nation, part) net
+    revenue vs the nation total, keeping parts whose value share is at
+    least TWICE the uniform share (Q11's `value > fraction * total`
+    HAVING, with the fraction derived from the nation's own part count
+    the way Q11 scales its 0.0001/SF — a fixed ppm would keep everything
+    at small SF and nothing at large).
+
+    Determinism: both value legs are exact decimal sums at the pinned
+    (19,12) net-revenue scale; the share and the comparison are ONE
+    shared floor(double) expression of those exact decimals (the
+    promo-share dialect rule — decimal DIV vs // differ by an ulp); the
+    cutoff is pure integer arithmetic (`//` and Spark `DIV` agree on
+    positive integers).  part_value rounds AT DECIMAL GRAIN —
+    round(decimal, 2), half-away in both engines — before the exact
+    double cast.  Two traps found here this round: round(CAST(x AS
+    DOUBLE), 2) resolves a .xx5 sum via the shortest-repr path in Spark
+    but binary arithmetic in DuckDB (off by a cent), and DuckDB's
+    decimal→decimal CAST TRUNCATES where Spark's rounds half-up.
+
+    Scale (100 TB): one lineitem scan aggregated to (nation, part) grain
+    map-side; supplier joins on the fact's supp key (AQE picks
+    broadcast at test SF, sort-merge when supplier outgrows the
+    threshold — no hint pinning a 1e9-row broadcast); nation is a
+    25-row broadcast; `tot` is a rollup OF the first aggregate (never a
+    second fact scan), rejoined at summary grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    rev = net_revenue_spark()
+    v = (
+        li.join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("nation", F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(rev).cast("decimal(38,12)").alias("val"),
+        )
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    v = cut_lineage(v, eager=False)  # two consumers: totals + body
+    tot = v.groupBy("nation").agg(
+        F.sum("val").cast("decimal(38,12)").alias("nation_val"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    joined = v.join(F.broadcast(tot), "nation")
+    share = F.expr(
+        "CAST(floor(CAST(val AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+        " / CAST(nation_val AS DOUBLE)) AS BIGINT)"
+    )
+    cutoff = F.expr("2 * (1000000 DIV n_parts)")
+    return (
+        joined.select(
+            "nation",
+            "partkey",
+            "n_lines",
+            F.round(F.col("val"), 2).cast("double").alias("part_value"),
+            share.alias("share_ppm"),
+            cutoff.cast("long").alias("cutoff_ppm"),
+        )
+        .where(F.col("share_ppm") >= F.col("cutoff_ppm"))
+    )

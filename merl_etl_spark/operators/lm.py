@@ -35,11 +35,10 @@ from merl_etl_spark.sources.tables import load_table
 
 _TOKEN_RE = "[a-z]+"
 
-
-@register(
-    "text-lm-score",
-    oracle=f"""
-    WITH toks AS (
+# The per-doc score CTE chain, single-sourced (review-pass rule) so
+# text-lm-score and curate-ccnet-buckets cannot drift: `scores` is
+# (doc_id, n_bigrams, n_hapax, avg_logprob).
+_LM_SCORE_CTES = f"""toks AS MATERIALIZED (
       SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
       FROM (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_RE}') AS l
             FROM documents)
@@ -49,19 +48,28 @@ _TOKEN_RE = "[a-z]+"
              lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
       FROM toks
     ),
-    big AS (SELECT doc_id, w1, w2 FROM bigrams WHERE w2 IS NOT NULL),
+    big AS MATERIALIZED (SELECT doc_id, w1, w2 FROM bigrams WHERE w2 IS NOT NULL),
     cb AS (SELECT w1, w2, count(*) AS c_big FROM big GROUP BY w1, w2),
     cu AS (SELECT w1, count(*) AS c_ctx FROM big GROUP BY w1),
-    v AS (SELECT count(DISTINCT tok) AS vocab FROM toks)
-    SELECT b.doc_id,
-           count(*) AS n_bigrams,
-           count(CASE WHEN cb.c_big = 1 THEN 1 END) AS n_hapax,
-           round(avg(ln(CAST(cb.c_big + 1 AS DOUBLE)
-                        / (cu.c_ctx + (SELECT vocab FROM v)))), 4) AS avg_logprob
-    FROM big b
-    JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
-    JOIN cu ON cu.w1 = b.w1
-    GROUP BY b.doc_id
+    v AS (SELECT count(DISTINCT tok) AS vocab FROM toks),
+    scores AS (
+      SELECT b.doc_id,
+             count(*) AS n_bigrams,
+             count(CASE WHEN cb.c_big = 1 THEN 1 END) AS n_hapax,
+             round(avg(ln(CAST(cb.c_big + 1 AS DOUBLE)
+                          / (cu.c_ctx + (SELECT vocab FROM v)))), 4) AS avg_logprob
+      FROM big b
+      JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+      JOIN cu ON cu.w1 = b.w1
+      GROUP BY b.doc_id
+    )"""
+
+
+@register(
+    "text-lm-score",
+    oracle=f"""
+    WITH {_LM_SCORE_CTES}
+    SELECT doc_id, n_bigrams, n_hapax, avg_logprob FROM scores
     """,
 )
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,6 +78,13 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ln((c(w1,w2)+1) / (c(w1,·)+V))`` averaged over the document's
     bigrams.  Also emits the exact bigram count and the hapax count
     (bigrams occurring exactly once corpus-wide — a burstiness signal)."""
+    return lm_doc_scores(spark, sf_dir)
+
+
+def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _LM_SCORE_CTES' final ``scores``: per-doc
+    (n_bigrams, n_hapax, avg_logprob) under the corpus bigram model —
+    shared by text-lm-score and curate-ccnet-buckets."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -105,5 +120,123 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 4,
             ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# curate-ccnet-buckets — CCNet-style head/middle/tail LM-score tertiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curate-ccnet-buckets",
+    oracle=f"""
+    WITH {_LM_SCORE_CTES},
+    docs_s AS (
+      SELECT s.doc_id, d.source, s.n_bigrams,
+             CAST(round(s.avg_logprob * 10000, 0) AS BIGINT) AS score4
+      FROM scores s JOIN documents d USING (doc_id)
+      WHERE d.source IS NOT NULL
+    ),
+    bands AS (
+      SELECT source, score4, CAST(count(*) AS BIGINT) AS cnt
+      FROM docs_s GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, score4, cnt,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY score4
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cnt,
+             SUM(cnt) OVER (PARTITION BY source) AS n
+      FROM bands
+    ),
+    cuts AS (
+      SELECT source,
+             min(CASE WHEN cum_cnt * 3 >= n THEN score4 END) AS t1,
+             min(CASE WHEN cum_cnt * 3 >= 2 * n THEN score4 END) AS t2
+      FROM cum GROUP BY 1
+    )
+    SELECT d.source,
+           CASE WHEN d.score4 <= c.t1 THEN 'tail'
+                WHEN d.score4 <= c.t2 THEN 'middle'
+                ELSE 'head' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_bigrams) AS BIGINT) AS n_bigrams,
+           min(d.score4) AS lo_score4,
+           max(d.score4) AS hi_score4
+    FROM docs_s d JOIN cuts c USING (source)
+    GROUP BY 1, 2
+    """,
+)
+def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning: per source, split documents into
+    head/middle/tail thirds by their LM score (the curation move behind
+    CCNet/CC-100 — train on the head, sample the middle, drop or
+    down-weight the tail), emitting per-bucket doc counts, token mass,
+    and the score range so a mixture designer can price each tier.
+
+    Cut semantics (pinned): scores are frozen at 4 dp and scaled to the
+    integer `score4` grain; the tertile cut T_k is the smallest score
+    band where the cumulative doc count reaches ⌈k·n/3⌉ (cum*3 >= k·n),
+    and ALL docs tied at a cut band fall in the lower bucket — a
+    threshold rule (CCNet's), not an arbitrary intra-tie split, so both
+    engines bucket identically without a doc-grain sort.
+
+    Scale (100 TB): the corpus-sized work is the bigram model + per-doc
+    score (text-lm-score's exact shape, shared code); bucketing then
+    runs entirely at (source × score4-band) grain — the cumulative
+    window is keyed by source over bands bounded by the SCORE RANGE
+    (≈150k values), corpus-size-independent, which is why the cuts are
+    band thresholds rather than ntile()'s full per-source sort."""
+    scores = lm_doc_scores(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    ).select("doc_id", "source")
+    docs_s = scores.join(docs, "doc_id").selectExpr(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        "CAST(round(avg_logprob * 10000, 0) AS BIGINT) AS score4",
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    docs_s = cut_lineage(docs_s, eager=False)  # two consumers: bands + body
+    bands = docs_s.groupBy("source", "score4").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("score4")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("source")
+    cum = bands.select(
+        "source",
+        "score4",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    cuts = cum.groupBy("source").agg(
+        F.min(
+            F.when(F.col("cum_cnt") * 3 >= F.col("n"), F.col("score4"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("cum_cnt") * 3 >= 2 * F.col("n"), F.col("score4"))
+        ).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("score4") <= F.col("t1"), F.lit("tail"))
+        .when(F.col("score4") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return (
+        docs_s.join(F.broadcast(cuts), "source")
+        .groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.min("score4").alias("lo_score4"),
+            F.max("score4").alias("hi_score4"),
         )
     )

@@ -1831,3 +1831,80 @@ def dq_primary_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionAll(arm)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dq-temporal-coverage — per-feed day coverage, span, and largest gap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq-temporal-coverage",
+    oracle="""
+    WITH days AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    stepped AS (
+      SELECT event_type, d, n_events,
+             d - lag(d) OVER (PARTITION BY event_type ORDER BY d) AS step
+      FROM days
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_covered,
+           CAST(max(d) - min(d) + 1 AS BIGINT) AS span_days,
+           CAST(count(*) * 1000000 // (max(d) - min(d) + 1) AS BIGINT)
+             AS coverage_ppm,
+           CAST(COALESCE(max(step), 1) AS BIGINT) AS max_day_step,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           min(d) AS first_day,
+           max(d) AS last_day
+    FROM stepped GROUP BY 1
+    """,
+)
+def dq_temporal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-coverage audit per event feed: how much of each feed's
+    own [first, last] day span actually has data — covered-day count,
+    coverage ppm, and the largest step between consecutive covered days
+    (1 = gapless; 8 = a week-long hole).  dq-freshness asks "is the feed
+    current NOW?"; this asks "did the backfill actually fill?" — the
+    check that catches a re-ingested feed with a silent three-day hole
+    in the middle, which no head-lag monitor can see.
+
+    Determinism: day ordinals are exact integers; coverage is integer
+    floor-division (DuckDB `//` and Spark `DIV` agree on positive
+    integers); a single-day feed has no steps — max_day_step coalesces
+    to 1 (gapless by definition).
+
+    Scale (100 TB): the corpus-sized work is ONE map-side-combinable
+    aggregate to (feed × day) grain; the lag window is keyed by feed
+    over day rows bounded by the calendar span (value-range bounded,
+    corpus-size independent); the rollup is map-side combinable."""
+    events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    epoch = F.lit("1970-01-01").cast("date")
+    days = events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), epoch).cast("long").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("d")
+    stepped = days.select(
+        "event_type",
+        "d",
+        "n_events",
+        (F.col("d") - F.lag("d").over(w)).alias("step"),
+    )
+    return stepped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_covered"),
+        (F.max("d") - F.min("d") + 1).cast("long").alias("span_days"),
+        F.expr("CAST(count(*) * 1000000 DIV (max(d) - min(d) + 1) AS BIGINT)")
+            .alias("coverage_ppm"),
+        F.coalesce(F.max("step"), F.lit(1)).cast("long").alias("max_day_step"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.min("d").alias("first_day"),
+        F.max("d").alias("last_day"),
+    )

@@ -1462,3 +1462,154 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token_milli"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# text-zipf-fit — Zipf's-law exponent per source (log-log OLS on rank/count)
+# ---------------------------------------------------------------------------
+
+# ranks fitted per source: the fit is a rank-frequency regression on each
+# source's top-ZIPF_RANKS terms (resolution dial — more ranks = deeper
+# tail in the fit at linearly more summary rows, never corpus rows).
+ZIPF_RANKS = 100
+
+# The OLS kernel, single-sourced for both engines (the review-pass rule:
+# never hand-roll a cross-engine expression twice).  Inputs are the
+# per-source EXACT decimal sums sx/sy/sxy/sxx/syy (each per-rank term is
+# an ln() of an INTEGER — the driver-green curate-dsir class — rounded
+# ONCE to 6 dp and frozen as DECIMAL before the order-free decimal sum)
+# and the integer rank count n.  Every output is ONE shared double
+# expression of those identical operands with a single final rounding:
+# the slope is the Zipf exponent (negated so "1.05" reads as the
+# canonical s), the intercept the log-scale, r² the fit quality.
+_ZIPF_FIT_EXPRS = [
+    """round(
+      CAST(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * -1
+    , 6) AS zipf_exponent""",
+    """round(
+      (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    , 6) AS log_scale""",
+    """round(
+      ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+    , 6) AS r2""",
+]
+
+# per-rank freeze: ln(rank) / ln(count) are integer-argument lns, each
+# rounded once and frozen; the cross terms multiply the FROZEN doubles
+# (identical in both engines) and freeze again, so the per-source sums
+# are exact decimals.
+_ZIPF_TERM_EXPRS = [
+    "CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x",
+    "CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y",
+]
+_ZIPF_CROSS_EXPRS = [
+    "CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 6) AS DECIMAL(18,6)) AS xy",
+    "CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)) AS xx",
+    "CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 6) AS DECIMAL(18,6)) AS yy",
+]
+
+
+@register(
+    "text-zipf-fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, w FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+      ) WHERE w <> ''
+    ),
+    counts AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS r
+      FROM counts
+    ),
+    terms AS (
+      SELECT source, {', '.join(_ZIPF_TERM_EXPRS)}
+      FROM ranked WHERE r <= {ZIPF_RANKS}
+    ),
+    crossed AS (
+      SELECT source, x, y, {', '.join(_ZIPF_CROSS_EXPRS)}
+      FROM terms
+    ),
+    sums AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(xy) AS sxy, SUM(xx) AS sxx, SUM(yy) AS syy
+      FROM crossed GROUP BY 1
+    )
+    SELECT source, n AS n_ranks, {', '.join(_ZIPF_FIT_EXPRS)}
+    FROM sums WHERE n >= 10
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS of ln(count) on ln(rank) over each
+    source's top-{ZIPF_RANKS} terms — the corpus-health diagnostic a
+    curation pass reads next to the JSD matrix (a natural-language
+    source fits s ≈ 1 with high r²; boilerplate-heavy or template spam
+    flattens the slope and machine-generated lists break the fit
+    entirely, so a drifting exponent flags a source BEFORE its docs hit
+    quality filters).
+
+    Determinism (the text-source-divergence ln discipline): ranks use a
+    complete (count DESC, word) tie-break, so both engines pick the same
+    top-{ZIPF_RANKS} set; every ln has an INTEGER argument frozen once
+    at 6 dp as DECIMAL; the cross terms multiply the frozen doubles and
+    freeze again, making the per-source OLS sums exact order-free
+    decimals; slope/intercept/r² are single shared double expressions of
+    those sums (each sum's unscaled value stays far below 2^53, so the
+    decimal→double casts are exact in both engines) with ONE final
+    rounding each.
+
+    Scale (100 TB): the corpus-sized work is one tokenize + (source,
+    word) count (map-side combinable); the rank window partitions by
+    source and WindowGroupLimit caps it at {ZIPF_RANKS} rows per source
+    before the fit, so the OLS runs on |sources| × {ZIPF_RANKS} summary
+    rows."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    counts = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    ranked = counts.select(
+        "source", "c", F.row_number().over(w_rank).alias("r")
+    ).where(F.col("r") <= ZIPF_RANKS)
+    terms = ranked.selectExpr("source", *_ZIPF_TERM_EXPRS)
+    crossed = terms.selectExpr("source", "x", "y", *_ZIPF_CROSS_EXPRS)
+    sums = crossed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("yy").alias("syy"),
+    )
+    return sums.where(F.col("n") >= 10).selectExpr(
+        "source", "n AS n_ranks", *_ZIPF_FIT_EXPRS
+    )

@@ -54,7 +54,7 @@ SWEEP_PRIORITY: list[str] = [
     # driver evidence ages past ~4 rounds.
     #
     # -- tier 1: r13 churn (code changed since last driver green) --------
-    # (filled as r13 waves land)
+    "text-lm-score",  # scorer factored into lm_doc_scores; oracle CTE shared
     # -- tier 2: never-driver-checked (fn-map-suite + r12 waves 1-10) ----
     "fn-map-suite",
     "graph-clustering-coefficient", "agg-kurtosis-exact",
@@ -94,7 +94,13 @@ SWEEP_PRIORITY: list[str] = [
 # done, and the decimal-boundary rule it established is pinned by
 # tests/test_no_decimal_surfaces.py + tests/test_round9_ops.py instead.
 SWEEP_DEFER: list[str] = [
-    # (r13-wave ops insert here as waves land)
+    # r13-wave-1 ops (3-SF hash-swept + Python-parity-tested locally;
+    # driver-checked from here once the head drains)
+    "text-zipf-fit",
+    "analytics-important-stock",
+    # r13-wave-2 ops (same local-evidence tier)
+    "curate-ccnet-buckets",
+    "dq-temporal-coverage",
     # r8-evidence cohort, back half (latest driver row is round 8)
     "join-range-interval", "join-semi-top100", "link-fuzzy-match",
     "mm-binary-meta", "mm-binary-simhash", "plan-top100-derive",
