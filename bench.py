@@ -277,6 +277,12 @@ HEADLINE = [
     # round-13 wave 2: CCNet LM-score tertiles + feed temporal coverage
     "curate-ccnet-buckets",
     "dq-temporal-coverage",
+    # round-13 wave 3: PCM window energy + Pareto-frontier skyline
+    "mm-pcm-window-energy",
+    "curate-pareto-frontier",
+    # round-13 wave 4: exact Gini concentration + per-key mode election
+    "analytics-gini-concentration",
+    "agg-group-mode",
 ]
 
 

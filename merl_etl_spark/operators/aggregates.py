@@ -799,3 +799,71 @@ def agg_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_M2_EXPR}, 6) AS m2",
         f"round({_KURT_EXPR}, 6) AS kurtosis",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg-group-mode — exact per-key modal value with total-order tie-break
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg-group-mode",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn,
+             CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_total,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_types
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_event, n AS n_mode, n_total, n_types,
+           CAST(n * 1000000 // n_total AS BIGINT) AS mode_ppm
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user modal event type — the MODE aggregate SQL engines
+    bolt on as a nondeterministic extension, pinned here with a total
+    (count DESC, value ASC) tie-break so both engines always elect the
+    same mode.  Emits the winner, its count, the user's event total and
+    type count, and the mode's ppm share (how dominant the habit is).
+
+    Determinism: the tie-break is total at (user, count, type); all
+    outputs are integers; the ppm is positive-integer floor division
+    (Spark DIV == DuckDB //).
+
+    Scale (100 TB): one map-side-combinable count to (user × type)
+    grain; the election window is keyed by user over at most
+    |event-type| rows (value-range bounded) and Spark caps it with
+    WindowGroupLimit via the rn = 1 filter."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    w_all = Window.partitionBy("user_id")
+    r = c.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.row_number().over(w_rank).alias("rn"),
+        F.sum("n").over(w_all).cast("long").alias("n_total"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_types"),
+    )
+    return r.where(F.col("rn") == 1).selectExpr(
+        "user_id",
+        "event_type AS mode_event",
+        "n AS n_mode",
+        "n_total",
+        "n_types",
+        "CAST(n * 1000000 DIV n_total AS BIGINT) AS mode_ppm",
+    )

@@ -2442,3 +2442,174 @@ def analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("share_ppm") >= F.col("cutoff_ppm"))
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics-gini-concentration — exact per-nation Gini of customer spend
+# ---------------------------------------------------------------------------
+
+# coarse band width in cents ($1000) — the two-level rank decomposition's
+# outer grain; a scale dial, not a correctness knob (the decomposition is
+# exact for ANY width).
+GINI_COARSE_CENTS = 100_000
+
+
+@register(
+    "analytics-gini-concentration",
+    oracle=f"""
+    WITH cust AS (
+      SELECT n.n_name AS nation,
+             CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(38,0)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, o.o_custkey
+    ),
+    fine AS (
+      SELECT nation, cents // {GINI_COARSE_CENTS} AS coarse, cents,
+             CAST(count(*) AS BIGINT) AS n_b
+      FROM cust GROUP BY 1, 2, 3
+    ),
+    coarse AS (
+      SELECT nation, coarse, CAST(SUM(n_b) AS BIGINT) AS n_c
+      FROM fine GROUP BY 1, 2
+    ),
+    coarse_cum AS (
+      SELECT nation, coarse,
+             COALESCE(SUM(n_c) OVER (
+               PARTITION BY nation ORDER BY coarse
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS c_coarse_prev
+      FROM coarse
+    ),
+    ranked AS (
+      SELECT f.nation, f.cents, f.n_b,
+             cc.c_coarse_prev
+             + COALESCE(SUM(f.n_b) OVER (
+                 PARTITION BY f.nation, f.coarse ORDER BY f.cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS c_prev
+      FROM fine f
+      JOIN coarse_cum cc ON cc.nation = f.nation AND cc.coarse = f.coarse
+    ),
+    sums AS (
+      SELECT nation,
+             CAST(SUM(n_b) AS BIGINT) AS n,
+             SUM(CAST(n_b AS HUGEINT) * cents) AS t,
+             SUM(CAST(cents AS HUGEINT)
+                 * (2 * CAST(c_prev AS HUGEINT) * n_b
+                    + CAST(n_b AS HUGEINT) * (n_b + 1))) AS s2
+      FROM ranked GROUP BY 1
+    )
+    SELECT nation, n AS n_customers,
+           CAST(t AS VARCHAR) AS total_cents,
+           CAST(floor((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(CAST(t AS VARCHAR) AS DOUBLE))
+                       - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS gini_ppm
+    FROM sums
+    """,
+)
+def analytics_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer spend per nation — the revenue-
+    concentration scalar next to analytics-revenue-concentration's
+    top-k shares (Gini reads the WHOLE Lorenz curve: 0 = everyone spends
+    alike, →1 = a few customers carry the nation).
+
+    Exact-at-scale rank decomposition (the budget-select two-pass idea
+    applied to G = (2·Σrᵢxᵢ)/(n·Σx) − (n+1)/n): within a tie-band all x
+    are equal, so Σrᵢxᵢ needs only each band's count and its EXCLUSIVE
+    preceding count — computed in two levels (coarse $1000 bands per
+    nation, then exact-cents bands within each coarse band) so no window
+    ever sorts more than one coarse band's distinct values.  Σ2rx is
+    accumulated as 2·Σrx to stay integral (n_b(n_b+1) is always even).
+
+    Determinism: spend is exact integer cents (double→DECIMAL(18,2) is
+    exact on 2-dp money); every sum is integer/HUGEINT/DECIMAL(38,0);
+    total_cents is emitted as STRING (can exceed 2^53 at scale) and the
+    s2 ppm is ONE shared floor(double) expression with the oracle's
+    HUGEINT→double casts routed through VARCHAR (DuckDB's direct cast
+    is not correctly rounded past 2^53).
+
+    Scale (100 TB): one fact aggregate to customer grain (keyed by
+    custkey), one map to (nation, band) grain; both windows are keyed —
+    nation × coarse-band at the outer level, coarse-band contents at the
+    inner — so the 25-nation skew never concentrates a full nation's
+    customers into one sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    cust = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("nation", "o_custkey")
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                " AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    fine = cust.groupBy(
+        "nation",
+        F.expr(f"cents DIV {GINI_COARSE_CENTS}").alias("coarse"),
+        "cents",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    from merl_etl_spark.lineage import cut_lineage
+
+    fine = cut_lineage(fine, eager=False)  # two consumers: coarse + ranked
+    coarse = fine.groupBy("nation", "coarse").agg(
+        F.sum("n_b").cast("long").alias("n_c")
+    )
+    w_coarse = (
+        Window.partitionBy("nation")
+        .orderBy("coarse")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    coarse_cum = coarse.select(
+        "nation",
+        "coarse",
+        F.coalesce(F.sum("n_c").over(w_coarse), F.lit(0)).alias("c_coarse_prev"),
+    )
+    w_fine = (
+        Window.partitionBy("nation", "coarse")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        fine.join(coarse_cum, ["nation", "coarse"])
+        .select(
+            "nation",
+            "cents",
+            "n_b",
+            (
+                F.col("c_coarse_prev")
+                + F.coalesce(F.sum("n_b").over(w_fine), F.lit(0))
+            ).alias("c_prev"),
+        )
+    )
+    sums = ranked.groupBy("nation").agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum(F.expr("CAST(n_b AS DECIMAL(38,0)) * cents")).alias("t"),
+        F.sum(
+            F.expr(
+                "CAST(cents AS DECIMAL(38,0))"
+                " * (2 * CAST(c_prev AS DECIMAL(19,0)) * n_b"
+                "    + CAST(n_b AS DECIMAL(19,0)) * (n_b + 1))"
+            )
+        ).alias("s2"),
+    )
+    return sums.selectExpr(
+        "nation",
+        "n AS n_customers",
+        "CAST(CAST(t AS DECIMAL(38,0)) AS STRING) AS total_cents",
+        """CAST(floor((CAST(s2 AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+                       - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS gini_ppm""",
+    )

@@ -1835,3 +1835,98 @@ def curate_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cut_band",
         "CAST(COALESCE(nb, 0) AS BIGINT) AS n_boundary_kept",
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-pareto-frontier — two-objective skyline per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curate-pareto-frontier",
+    oracle="""
+    WITH obj AS (
+      SELECT doc_id, source,
+             CAST(length(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(length(list_distinct(list_filter(string_split(text, ' '),
+                                                   x -> x <> '')))
+                  AS BIGINT) AS n_distinct
+      FROM documents
+      WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    o AS (SELECT * FROM obj WHERE n_tokens > 0),
+    bands AS (
+      SELECT source, n_distinct, max(n_tokens) AS band_max
+      FROM o GROUP BY 1, 2
+    ),
+    dom AS (
+      SELECT source, n_distinct,
+             max(band_max) OVER (
+               PARTITION BY source ORDER BY n_distinct DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_above
+      FROM bands
+    )
+    SELECT o.doc_id, o.source, o.n_tokens, o.n_distinct
+    FROM o JOIN dom ON dom.source = o.source
+                   AND dom.n_distinct = o.n_distinct
+    WHERE dom.best_above IS NULL OR dom.best_above <= o.n_tokens
+    """,
+)
+def curate_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-objective skyline per source: the documents not strictly
+    dominated on (token count, distinct-token count) — a doc is dropped
+    only if some other doc in its source beats it on BOTH length and
+    lexical diversity.  This is the classic Pareto-frontier selection a
+    curation pass runs when two quality axes trade off (longer docs
+    repeat themselves; diverse docs run short) and a scalar weighting
+    would bake in an arbitrary exchange rate.
+
+    Dominance test at BAND grain (the skyline trick that avoids the
+    quadratic all-pairs check): group docs by n_distinct, keep each
+    band's max n_tokens, and a doc is dominated iff the running max of
+    band maxima over STRICTLY HIGHER n_distinct exceeds its n_tokens —
+    exact strict semantics (ties on either axis never dominate), pure
+    integers end to end.
+
+    Scale (100 TB): the corpus-sized work is one tokenize + doc-grain
+    objective computation (a map) and one (source × n_distinct) band
+    rollup; the dominance window is keyed by source over bands bounded
+    by the VALUE RANGE of n_distinct (vocabulary-bounded, corpus-size
+    independent); the final filter is an equi-join of docs against the
+    band verdicts."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    o = docs.select(
+        "doc_id",
+        "source",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+    ).where(F.col("n_tokens") > 0)
+    from merl_etl_spark.lineage import cut_lineage
+
+    o = cut_lineage(o, eager=False)  # two consumers: bands + final filter
+    bands = o.groupBy("source", "n_distinct").agg(
+        F.max("n_tokens").alias("band_max")
+    )
+    w_above = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_distinct").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dom = bands.select(
+        "source",
+        "n_distinct",
+        F.max("band_max").over(w_above).alias("best_above"),
+    )
+    return (
+        o.join(F.broadcast(dom), ["source", "n_distinct"])
+        .where(
+            F.col("best_above").isNull()
+            | (F.col("best_above") <= F.col("n_tokens"))
+        )
+        .select("doc_id", "source", "n_tokens", "n_distinct")
+    )

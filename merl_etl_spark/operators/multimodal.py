@@ -356,3 +356,138 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((n + 63) / 64).cast("bigint")).cast("bigint").alias("total_frames"),
         F.max(n).alias("max_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm-pcm-window-energy — audio-style sliding-window energy over raw bytes
+# ---------------------------------------------------------------------------
+
+PCM_WIN = 256  # samples per analysis window
+PCM_HOP = 128  # hop size (50% overlap) — the standard STFT framing
+
+PCM_SCHEMA = (
+    "doc_id long, n_samples long, n_frames long,"
+    " peak_frame long, peak_energy long, total_energy long"
+)
+
+
+def pcm_window_energy_plan(df: DataFrame) -> DataFrame:
+    """Audio-windowing plumbing: mapInPandas over (doc_id, payload)
+    batches, each payload read as unsigned-8-bit PCM, framed into
+    {PCM_WIN}-sample windows every {PCM_HOP} samples (50% overlap), and
+    reduced to exact integer energy statistics — the VAD/loudness shape
+    of an audio pipeline, with the decode step being a raw byte
+    reinterpretation (numpy, zero-copy) instead of a stub.
+
+    Peak tie-break: numpy argmax returns the FIRST maximal frame —
+    matching the oracle's min(frame) rule exactly."""
+    import numpy as np
+
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "n_frames",
+                "peak_frame", "peak_energy", "total_energy",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = np.frombuffer(bytes(payload), np.uint8).astype(np.int64) - 128
+                n = len(s)
+                if n == 0:
+                    continue
+                e = s * s
+                csum = np.concatenate([[0], np.cumsum(e)])
+                nf = (n - 1) // PCM_HOP + 1
+                starts = np.arange(nf, dtype=np.int64) * PCM_HOP
+                ends = np.minimum(starts + PCM_WIN, n)
+                fe = csum[ends] - csum[starts]
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["n_frames"].append(nf)
+                out["peak_frame"].append(int(fe.argmax()))
+                out["peak_energy"].append(int(fe.max()))
+                out["total_energy"].append(int(csum[-1]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, schema=PCM_SCHEMA)
+
+
+@register(
+    "mm-pcm-window-energy",
+    oracle=f"""
+    WITH a AS MATERIALIZED (
+      SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents
+      WHERE text IS NOT NULL
+        AND octet_length(encode(text)) = length(text)
+        AND octet_length(encode(text)) > 0
+    ),
+    fr AS (
+      SELECT doc_id, n, text,
+             unnest(generate_series(CAST(0 AS BIGINT), (n - 1) // {PCM_HOP}))
+               AS f
+      FROM a
+    ),
+    samp AS (
+      SELECT doc_id, n, f,
+             ord(substr(text, CAST(p AS INT), 1)) - 128 AS s
+      FROM (
+        SELECT doc_id, n, f, text,
+               unnest(generate_series(f * {PCM_HOP} + 1,
+                                      least(f * {PCM_HOP} + {PCM_WIN}, n)))
+                 AS p
+        FROM fr
+      )
+    ),
+    fe AS (
+      SELECT doc_id, n, f,
+             CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS e
+      FROM samp GROUP BY 1, 2, 3
+    ),
+    pk AS (SELECT doc_id, max(e) AS peak_energy FROM fe GROUP BY 1),
+    tot AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(ord(substr(text, CAST(p AS INT), 1)) - 128
+                           AS BIGINT)
+                      * (ord(substr(text, CAST(p AS INT), 1)) - 128))
+                  AS BIGINT) AS total_energy
+      FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS p FROM a)
+      GROUP BY 1
+    )
+    SELECT fe.doc_id,
+           CAST(min(fe.n) AS BIGINT) AS n_samples,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(min(CASE WHEN fe.e = pk.peak_energy THEN fe.f END)
+                AS BIGINT) AS peak_frame,
+           CAST(pk.peak_energy AS BIGINT) AS peak_energy,
+           CAST(min(tot.total_energy) AS BIGINT) AS total_energy
+    FROM fe
+    JOIN pk USING (doc_id)
+    JOIN tot USING (doc_id)
+    GROUP BY fe.doc_id, pk.peak_energy
+    """,
+)
+def mm_pcm_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window energy over byte-stream 'audio': each (ASCII-
+    checked) payload is read as u8 PCM, framed {PCM_WIN}/{PCM_HOP}
+    (50% overlap), and reduced to per-doc loudness statistics — sample
+    count, frame count, the peak frame (first-max tie rule) with its
+    energy, and the total energy.  The exact shape of a voice-activity /
+    loudness-normalization pass: per-batch numpy with a cumulative-sum
+    framing trick (O(n), no per-frame rescan), Arrow in and out.
+
+    Determinism: everything is exact int64 (centered samples, squared
+    sums); the ASCII filter makes byte==char so the DuckDB oracle can
+    express the same samples with substr/ord.
+
+    Scale (100 TB): a pure map — payloads never shuffle; the kernel is
+    O(bytes) per batch via the cumsum; output is doc-grain.  The oracle's
+    per-sample explosion is fixture-only (the operator never does it)."""
+    from merl_etl_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ascii_only = binary_docs(spark, sf_dir).filter(
+        (F.octet_length(F.col("payload"))
+         == F.length(F.col("payload").cast("string")))
+        & (F.octet_length(F.col("payload")) > 0)
+    )
+    return pcm_window_energy_plan(ascii_only.select("doc_id", "payload"))

@@ -101,6 +101,12 @@ SWEEP_DEFER: list[str] = [
     # r13-wave-2 ops (same local-evidence tier)
     "curate-ccnet-buckets",
     "dq-temporal-coverage",
+    # r13-wave-3 ops (same local-evidence tier)
+    "mm-pcm-window-energy",
+    "curate-pareto-frontier",
+    # r13-wave-4 ops (same local-evidence tier)
+    "analytics-gini-concentration",
+    "agg-group-mode",
     # r8-evidence cohort, back half (latest driver row is round 8)
     "join-range-interval", "join-semi-top100", "link-fuzzy-match",
     "mm-binary-meta", "mm-binary-simhash", "plan-top100-derive",
