@@ -283,6 +283,11 @@ HEADLINE = [
     # round-13 wave 4: exact Gini concentration + per-key mode election
     "analytics-gini-concentration",
     "agg-group-mode",
+    # round-13 wave 5: partition-key advisor + window-function suite
+    "layout-partition-advisor",
+    "fn-window-suite",
+    # round-13 wave 6: sweep-line peak concurrency
+    "analytics-peak-concurrency",
 ]
 
 

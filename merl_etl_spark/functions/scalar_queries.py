@@ -718,3 +718,61 @@ def fn_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             " = named_struct('a', o_orderkey, 'b', o_orderstatus)"
         ).alias("eq_self"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn-window-suite — the ranking / navigation window-function surface
+# ---------------------------------------------------------------------------
+
+# A fixed literal grid WITH TIES (grp 1: x = 10,10,20,30,30,30) so rank
+# vs dense_rank vs percent_rank/cume_dist peer semantics are actually
+# exercised, plus a second partition to pin partition isolation.  The
+# SAME text runs in both engines (the canary-class pattern).
+_WINDOW_SUITE_SQL = """
+    WITH grid AS (
+      SELECT 1 AS grp, 1 AS id, 10 AS x
+      UNION ALL SELECT 1, 2, 10
+      UNION ALL SELECT 1, 3, 20
+      UNION ALL SELECT 1, 4, 30
+      UNION ALL SELECT 1, 5, 30
+      UNION ALL SELECT 1, 6, 30
+      UNION ALL SELECT 2, 1, 5
+      UNION ALL SELECT 2, 2, 7
+      UNION ALL SELECT 2, 3, 7
+      UNION ALL SELECT 2, 4, 9
+    )
+    SELECT grp, id, x,
+           row_number() OVER (PARTITION BY grp ORDER BY x, id) AS rn,
+           rank() OVER (PARTITION BY grp ORDER BY x) AS rnk,
+           dense_rank() OVER (PARTITION BY grp ORDER BY x) AS drnk,
+           percent_rank() OVER (PARTITION BY grp ORDER BY x) AS pct_rank,
+           cume_dist() OVER (PARTITION BY grp ORDER BY x) AS cume,
+           ntile(3) OVER (PARTITION BY grp ORDER BY x, id) AS tile3,
+           lag(x, 1, -1) OVER (PARTITION BY grp ORDER BY x, id) AS lag_x,
+           lead(x, 1, -1) OVER (PARTITION BY grp ORDER BY x, id) AS lead_x,
+           first_value(x) OVER (PARTITION BY grp ORDER BY x, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS first_x,
+           last_value(x) OVER (PARTITION BY grp ORDER BY x, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_x,
+           nth_value(x, 2) OVER (PARTITION BY grp ORDER BY x, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS nth2_x
+    FROM grid
+"""
+
+
+@register("fn-window-suite", oracle=_WINDOW_SUITE_SQL)
+def fn_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface suite: row_number / rank / dense_rank /
+    percent_rank / cume_dist / ntile / lag+lead with defaults /
+    first_value / last_value / nth_value, evaluated over a fixed literal
+    grid WITH TIES so peer-group semantics (rank gaps, dense packing,
+    the (r-1)/(n-1) and cume m/n rationals) are pinned, from the SAME
+    SQL text in both engines.  percent_rank/cume_dist emit exact IEEE
+    rationals (small-integer divisions — identical in any engine);
+    everything else is integers.  Rank-family windows order by x alone
+    (ties are the point); navigation windows carry the (x, id) total
+    order.  Fixture-independent, zero shuffles beyond the 10-row grid."""
+    return spark.sql(_WINDOW_SUITE_SQL)

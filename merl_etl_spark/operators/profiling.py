@@ -830,3 +830,101 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("shard_id").alias("last_shard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# layout-partition-advisor — choose-your-partition-key planning table
+# ---------------------------------------------------------------------------
+
+# rows-per-value floor below which a candidate value is a "small file"
+# risk (it would produce an undersized partition at write time)
+ADVISOR_SMALL_ROWS = 50
+
+
+@register(
+    "layout-partition-advisor",
+    oracle=f"""
+    WITH cand AS (
+      SELECT 'documents.source' AS candidate, source AS v FROM documents
+        WHERE source IS NOT NULL
+      UNION ALL
+      SELECT 'documents.lang', lang FROM documents WHERE lang IS NOT NULL
+      UNION ALL
+      SELECT 'events.event_type', event_type FROM events
+        WHERE event_type IS NOT NULL
+      UNION ALL
+      SELECT 'events.day', strftime(CAST(ts AS DATE), '%Y-%m-%d')
+      FROM events WHERE ts IS NOT NULL
+    ),
+    per_value AS (
+      SELECT candidate, v, CAST(count(*) AS BIGINT) AS n
+      FROM cand GROUP BY 1, 2
+    )
+    SELECT candidate,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           CAST(min(n) AS BIGINT) AS min_rows,
+           CAST(floor(CAST(max(n) AS DOUBLE) * count(*)
+                      * CAST(1000000 AS DOUBLE) / SUM(n)) AS BIGINT)
+             AS skew_ppm,
+           CAST(count(CASE WHEN n < {ADVISOR_SMALL_ROWS} THEN 1 END)
+                AS BIGINT) AS n_small_values
+    FROM per_value GROUP BY 1
+    """,
+)
+def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key advisor: for each candidate partition column, the
+    cardinality / balance / small-file profile that decides whether it
+    can be a physical partition key — value count (too many = small
+    files, too few = no pruning), the hottest value's skew relative to
+    a uniform spread (max·k/total, in ppm; 1e6 = perfectly balanced),
+    and how many values would produce undersized partitions.  This is
+    the table an engineer reads BEFORE writing `partitionBy(...)` on a
+    100 TB table; layout-partition-prune measures pruning AFTER a choice,
+    this ranks the choices.
+
+    Determinism: pure integer counts; the skew ratio is ONE shared
+    floor(double) expression (the promo-share rule — and it also keeps
+    max·k·1e6 from overflowing int64 at scale).
+
+    Scale (100 TB): one map-side-combinable count per candidate column
+    (the UNION ALL is per-column scans of the same files — column-pruned
+    parquet reads, no joins, no windows); the advisor output is
+    4 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    cand = (
+        docs.where(F.col("source").isNotNull())
+        .select(F.lit("documents.source").alias("candidate"),
+                F.col("source").alias("v"))
+        .unionAll(
+            docs.where(F.col("lang").isNotNull()).select(
+                F.lit("documents.lang"), F.col("lang"))
+        )
+        .unionAll(
+            events.where(F.col("event_type").isNotNull()).select(
+                F.lit("events.event_type"), F.col("event_type"))
+        )
+        .unionAll(
+            events.where(F.col("ts").isNotNull()).select(
+                F.lit("events.day"),
+                F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        )
+    )
+    per_value = cand.groupBy("candidate", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return per_value.groupBy("candidate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").alias("max_rows"),
+        F.min("n").alias("min_rows"),
+        F.expr(
+            "CAST(floor(CAST(max(n) AS DOUBLE) * count(*)"
+            " * CAST(1000000 AS DOUBLE) / SUM(n)) AS BIGINT)"
+        ).alias("skew_ppm"),
+        F.sum(
+            F.when(F.col("n") < ADVISOR_SMALL_ROWS, 1).otherwise(0)
+        ).cast("long").alias("n_small_values"),
+    )

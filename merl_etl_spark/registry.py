@@ -107,6 +107,11 @@ SWEEP_DEFER: list[str] = [
     # r13-wave-4 ops (same local-evidence tier)
     "analytics-gini-concentration",
     "agg-group-mode",
+    # r13-wave-5 ops (same local-evidence tier)
+    "layout-partition-advisor",
+    "fn-window-suite",
+    # r13-wave-6 op (same local-evidence tier)
+    "analytics-peak-concurrency",
     # r8-evidence cohort, back half (latest driver row is round 8)
     "join-range-interval", "join-semi-top100", "link-fuzzy-match",
     "mm-binary-meta", "mm-binary-simhash", "plan-top100-derive",

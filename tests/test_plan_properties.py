@@ -293,6 +293,11 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # seam lag over the one-row-per-bucket min/max summary (quality.py
     # dq_sequence_gaps) — same bounded-carry pattern
     "dq-sequence-gaps": 1,
+    # r13: one carry window over HOUR-BUCKET sweep-line summaries (one
+    # row per hour with any session start/end — calendar-bounded, ~8.8k
+    # rows/data-year; intervals.analytics_peak_concurrency): the same
+    # bounded-carry pattern as curate-shuffle-index
+    "analytics-peak-concurrency": 1,
     # r10: the three global ntile(4) sorts were replaced by the scalable
     # exact-ntile (range-bucket by percentile_approx cutpoints → ranked
     # in parallel → broadcast offsets; analytics._exact_ntile_scalable);
