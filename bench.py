@@ -288,6 +288,8 @@ HEADLINE = [
     "fn-window-suite",
     # round-13 wave 6: sweep-line peak concurrency
     "analytics-peak-concurrency",
+    # round-13 wave 7: per-source dataset card
+    "curate-dataset-card",
 ]
 
 

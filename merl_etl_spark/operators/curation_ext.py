@@ -1930,3 +1930,109 @@ def curate_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "n_tokens", "n_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# curate-dataset-card — per-source dataset-card summary row
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curate-dataset-card",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang, md5(text) AS h,
+             CAST(length(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS BIGINT) AS toks,
+             CAST(octet_length(encode(text)) AS BIGINT) AS chars
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    base AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS n_tokens,
+             CAST(SUM(chars) AS BIGINT) AS n_bytes,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM d GROUP BY 1
+    ),
+    lc AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM d WHERE lang IS NOT NULL GROUP BY 1, 2
+    ),
+    top_lang AS (
+      SELECT source, lang, n FROM (
+        SELECT source, lang, n,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, lang) AS rn
+        FROM lc
+      ) WHERE rn = 1
+    )
+    SELECT b.source, b.n_docs, b.n_tokens, b.n_bytes,
+           b.n_unique_texts, b.n_langs,
+           t.lang AS top_lang,
+           CAST(t.n * 1000000 // b.n_docs AS BIGINT) AS top_lang_ppm,
+           CAST((b.n_docs - b.n_unique_texts) * 1000000 // b.n_docs
+                AS BIGINT) AS dup_ppm,
+           CAST(b.n_bytes // b.n_docs AS BIGINT) AS avg_bytes
+    FROM base b JOIN top_lang t USING (source)
+    """,
+)
+def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card row a corpus release ships per source: volume
+    (docs / tokens / bytes), exact-duplicate rate (md5-distinct), the
+    language profile (count + dominant language with its share), and
+    mean doc size — the summary every mixture/curation decision starts
+    from, computed in one pass instead of five notebook cells.
+
+    Determinism: counts and md5-distinct are exact; the language
+    election reuses the agg-group-mode total tie-break (count DESC,
+    lang ASC); shares are positive-integer floor divisions.
+
+    Scale (100 TB): one corpus scan to (source, lang, hash, sizes)
+    grain; the distinct-hash count is a keyed two-level aggregate; the
+    language election window is keyed by source over at most |langs|
+    rows.  Output is |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    d = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(words).cast("long").alias("toks"),
+        F.octet_length("text").cast("long").alias("chars"),
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    d = cut_lineage(d, eager=False)  # two consumers: base + lang election
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.sum("chars").cast("long").alias("n_bytes"),
+        F.countDistinct("h").cast("long").alias("n_unique_texts"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    lc = d.where(F.col("lang").isNotNull()).groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("lang").asc()
+    )
+    top_lang = (
+        lc.select("source", "lang", "n", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        base.join(F.broadcast(top_lang), "source")
+        .selectExpr(
+            "source", "n_docs", "n_tokens", "n_bytes",
+            "n_unique_texts", "n_langs",
+            "lang AS top_lang",
+            "CAST(n * 1000000 DIV n_docs AS BIGINT) AS top_lang_ppm",
+            "CAST((n_docs - n_unique_texts) * 1000000 DIV n_docs"
+            " AS BIGINT) AS dup_ppm",
+            "CAST(n_bytes DIV n_docs AS BIGINT) AS avg_bytes",
+        )
+    )

@@ -379,34 +379,59 @@ def pcm_window_energy_plan(df: DataFrame) -> DataFrame:
     of an audio pipeline, with the decode step being a raw byte
     reinterpretation (numpy, zero-copy) instead of a stub.
 
-    Peak tie-break: numpy argmax returns the FIRST maximal frame —
-    matching the oracle's min(frame) rule exactly."""
+    Peak tie-break: the first maximal frame wins — matching the oracle's
+    min(frame) rule exactly.
+
+    The kernel is vectorized across the WHOLE Arrow batch, not per doc
+    (the r13 stress found the per-doc loop spending ~70µs/doc of numpy
+    call overhead at 500k docs): one global cumsum over the batch's
+    concatenated samples, frame windows as flat index arrays (frames
+    never cross doc boundaries, so absolute indexing into the global
+    cumsum is exact), and per-doc reductions via ufunc.reduceat."""
     import numpy as np
 
     def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
-            out = {k: [] for k in (
-                "doc_id", "n_samples", "n_frames",
-                "peak_frame", "peak_energy", "total_energy",
-            )}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = np.frombuffer(bytes(payload), np.uint8).astype(np.int64) - 128
-                n = len(s)
-                if n == 0:
-                    continue
-                e = s * s
-                csum = np.concatenate([[0], np.cumsum(e)])
-                nf = (n - 1) // PCM_HOP + 1
-                starts = np.arange(nf, dtype=np.int64) * PCM_HOP
-                ends = np.minimum(starts + PCM_WIN, n)
-                fe = csum[ends] - csum[starts]
-                out["doc_id"].append(doc_id)
-                out["n_samples"].append(n)
-                out["n_frames"].append(nf)
-                out["peak_frame"].append(int(fe.argmax()))
-                out["peak_energy"].append(int(fe.max()))
-                out["total_energy"].append(int(csum[-1]))
-            yield pd.DataFrame(out)
+            payloads = [bytes(p) for p in pdf["payload"]]
+            doc_ids = pdf["doc_id"].to_numpy()
+            lens = np.fromiter(
+                (len(p) for p in payloads), np.int64, len(payloads)
+            )
+            keep = lens > 0
+            if not keep.any():
+                continue
+            if not keep.all():
+                payloads = [p for p, k in zip(payloads, keep) if k]
+                doc_ids, lens = doc_ids[keep], lens[keep]
+            n_docs = len(payloads)
+            s = np.frombuffer(b"".join(payloads), np.uint8).astype(np.int64) - 128
+            e = s * s
+            c = np.zeros(len(e) + 1, np.int64)
+            np.cumsum(e, out=c[1:])
+            doc_off = np.zeros(n_docs + 1, np.int64)
+            np.cumsum(lens, out=doc_off[1:])
+            nf = (lens - 1) // PCM_HOP + 1
+            fr_off = np.zeros(n_docs, np.int64)
+            np.cumsum(nf[:-1], out=fr_off[1:])
+            f_doc = np.repeat(np.arange(n_docs), nf)
+            f_local = np.arange(int(nf.sum()), dtype=np.int64) - fr_off[f_doc]
+            starts = doc_off[f_doc] + f_local * PCM_HOP
+            ends = np.minimum(starts + PCM_WIN, doc_off[f_doc] + lens[f_doc])
+            fe = c[ends] - c[starts]
+            peak_e = np.maximum.reduceat(fe, fr_off)
+            # first frame reaching the per-doc max (the min(f) tie rule)
+            masked = np.where(fe == peak_e[f_doc], f_local, np.int64(2**62))
+            peak_f = np.minimum.reduceat(masked, fr_off)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "n_samples": lens,
+                    "n_frames": nf,
+                    "peak_frame": peak_f,
+                    "peak_energy": peak_e,
+                    "total_energy": c[doc_off[1:]] - c[doc_off[:-1]],
+                }
+            )
 
     return df.mapInPandas(kernel, schema=PCM_SCHEMA)
 

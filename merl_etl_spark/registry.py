@@ -112,6 +112,8 @@ SWEEP_DEFER: list[str] = [
     "fn-window-suite",
     # r13-wave-6 op (same local-evidence tier)
     "analytics-peak-concurrency",
+    # r13-wave-7 op (same local-evidence tier)
+    "curate-dataset-card",
     # r8-evidence cohort, back half (latest driver row is round 8)
     "join-range-interval", "join-semi-top100", "link-fuzzy-match",
     "mm-binary-meta", "mm-binary-simhash", "plan-top100-derive",
