@@ -429,11 +429,12 @@ def fn_canary_decimal_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     RETIRED from the driver registry in r13 (VERDICT r12 task #5): its
     diagnostic job is done, and keeping a known-red row made the driver
-    surface not-green-by-construction.  The decimal-boundary rule it
-    established stays pinned by tests/test_no_decimal_surfaces.py (no
-    registered query may emit DECIMAL) and the Spark-vs-DuckDB parity
-    check in tests/test_round9_ops.py, which still drives THIS function
-    directly."""
+    surface not-green-by-construction.  Coverage after retirement:
+    tests/test_no_decimal_surfaces.py pins the boundary rule (no
+    registered query may emit DECIMAL) AND still value-compares THIS
+    function against `oracle_sql` below in DuckDB (local engines hash
+    decimals consistently — only the driver env cannot);
+    tests/test_round9_ops.py pins the Spark output analytically."""
     return spark.sql(_canary_repr_sql("drepr_"))
 
 
@@ -742,12 +743,15 @@ _WINDOW_SUITE_SQL = """
       UNION ALL SELECT 2, 4, 9
     )
     SELECT grp, id, x,
-           row_number() OVER (PARTITION BY grp ORDER BY x, id) AS rn,
-           rank() OVER (PARTITION BY grp ORDER BY x) AS rnk,
-           dense_rank() OVER (PARTITION BY grp ORDER BY x) AS drnk,
+           CAST(row_number() OVER (PARTITION BY grp ORDER BY x, id)
+                AS BIGINT) AS rn,
+           CAST(rank() OVER (PARTITION BY grp ORDER BY x) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY grp ORDER BY x)
+                AS BIGINT) AS drnk,
            percent_rank() OVER (PARTITION BY grp ORDER BY x) AS pct_rank,
            cume_dist() OVER (PARTITION BY grp ORDER BY x) AS cume,
-           ntile(3) OVER (PARTITION BY grp ORDER BY x, id) AS tile3,
+           CAST(ntile(3) OVER (PARTITION BY grp ORDER BY x, id)
+                AS BIGINT) AS tile3,
            lag(x, 1, -1) OVER (PARTITION BY grp ORDER BY x, id) AS lag_x,
            lead(x, 1, -1) OVER (PARTITION BY grp ORDER BY x, id) AS lead_x,
            first_value(x) OVER (PARTITION BY grp ORDER BY x, id

@@ -424,7 +424,12 @@ def analytics_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.select((F.col("e_us") + 1).alias("tsu"), F.lit(-1).alias("d"))
     )
     by_ts = deltas.groupBy("tsu").agg(F.sum("d").cast("long").alias("nd"))
-    bucket = F.expr(f"tsu DIV {CONC_BUCKET_US}")
+    # FLOOR division (pmod form), not DIV: Spark DIV truncates toward
+    # zero where the oracle's // floors — they disagree on any pre-1970
+    # instant, and raw timestamps are not structurally positive
+    bucket = F.expr(
+        f"(tsu - pmod(tsu, {CONC_BUCKET_US})) DIV {CONC_BUCKET_US}"
+    )
     w_intra = (
         Window.partitionBy("bucket")
         .orderBy("tsu")
@@ -452,7 +457,11 @@ def analytics_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("intra_peak")
         ).alias("bucket_peak"),
     )
-    day = F.expr(f"CAST(bucket * {CONC_BUCKET_US} DIV 86400000000 AS BIGINT)")
+    day = F.expr(
+        f"CAST((bucket * {CONC_BUCKET_US}"
+        f" - pmod(bucket * {CONC_BUCKET_US}, 86400000000))"
+        " DIV 86400000000 AS BIGINT)"
+    )
     return carried.groupBy(day.alias("day_ord")).agg(
         F.max("bucket_peak").cast("long").alias("peak_concurrency"),
         F.sum("n_points").cast("long").alias("n_change_points"),

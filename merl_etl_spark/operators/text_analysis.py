@@ -1495,7 +1495,13 @@ _ZIPF_FIT_EXPRS = [
       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
     , 6) AS log_scale""",
-    """round(
+    # r2's y-variance leg CAN be exactly zero (a source whose top-ranked
+    # counts are all equal freezes every y identically) — Spark's
+    # non-ANSI 0/0 yields NULL where DuckDB yields NaN, so the guard is
+    # shared: a degenerate fit reports r2 = NULL in both engines.
+    """CASE WHEN CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0 THEN NULL
+    ELSE round(
       ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
        * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -1504,7 +1510,7 @@ _ZIPF_FIT_EXPRS = [
           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-    , 6) AS r2""",
+    , 6) END AS r2""",
 ]
 
 # per-rank freeze: ln(rank) / ln(count) are integer-argument lns, each

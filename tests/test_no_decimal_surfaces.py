@@ -52,3 +52,22 @@ def test_no_query_emits_decimal_columns(spark, sf_dir):
         f"queries emitting DECIMAL output columns (driver-unhashable): "
         f"{offenders}"
     )
+
+
+def test_retired_decimal_canary_still_parity_checked(spark, sf_dir):
+    """The retired probe keeps its cross-engine evidence: drive the
+    unregistered fn_canary_decimal_repr against its DuckDB oracle with
+    the same value-level compare the sweep uses.  This is the parity the
+    de-registration removed from the driver surface — re-established
+    here so the decimal repr contract stays tested LOCALLY (where both
+    engines hash decimals consistently; it is only the external driver
+    env that cannot)."""
+    from merl_etl_spark.functions.scalar_queries import fn_canary_decimal_repr
+    from tests.oracle_check import compare, duck_run
+
+    assert "fn-canary-decimal-repr" not in QUERIES
+    compare(
+        fn_canary_decimal_repr(spark, sf_dir),
+        duck_run(sf_dir, fn_canary_decimal_repr.oracle_sql),
+        "fn-canary-decimal-repr (retired probe)",
+    )

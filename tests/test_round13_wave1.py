@@ -59,14 +59,19 @@ def _zipf_replay(spark, sf_dir):
         fsxy, fsxx, fsyy = float(sxy), float(sxx), float(syy)
         den = fn * fsxx - fsx * fsx
         slope = (fn * fsxy - fsx * fsy) / den
+        y_var = fn * fsyy - fsy * fsy  # exactly 0 when all counts tie
         out[source] = {
             "n_ranks": n,
             "zipf_exponent": float(_rq(slope * -1)),
             "log_scale": float(_rq((fsy * fsxx - fsx * fsxy) / den)),
-            "r2": float(
-                _rq(
-                    ((fn * fsxy - fsx * fsy) * (fn * fsxy - fsx * fsy))
-                    / (den * (fn * fsyy - fsy * fsy))
+            "r2": (
+                None
+                if y_var <= 0
+                else float(
+                    _rq(
+                        ((fn * fsxy - fsx * fsy) * (fn * fsxy - fsx * fsy))
+                        / (den * y_var)
+                    )
                 )
             ),
         }
@@ -205,3 +210,26 @@ def test_important_stock_threshold_semantics(spark, sf_dir):
         sum(r.share_ppm for r in parts) < 1_000_000
         for parts in by_nation.values()
     ), "threshold never filtered anything — cutoff too low for fixture"
+
+
+def test_zipf_fit_degenerate_all_tied_counts_reports_null_r2(spark):
+    """A source whose top terms ALL have equal counts has zero y-variance
+    — the r2 guard must emit NULL identically in both engines (Spark's
+    non-ANSI 0/0 is NULL, DuckDB's is NaN — the shared CASE removes the
+    divergence).  Twelve distinct words, one occurrence each."""
+    import tempfile
+
+    from merl_etl_spark.operators.text_analysis import text_zipf_fit
+
+    text = " ".join(f"w{i:02d}" for i in range(12))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(1, text, "flat", "en")],
+            "doc_id long, text string, source string, lang string",
+        ).write.parquet(f"{tmp}/documents.parquet")
+        rows = text_zipf_fit(spark, tmp).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_ranks == 12
+    assert r.r2 is None
+    assert r.zipf_exponent == 0.0  # flat counts: slope exactly 0

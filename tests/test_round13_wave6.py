@@ -23,9 +23,15 @@ def _replay(spark, sf_dir):
         .select("user_id", "ts", "event_id")
         .collect()
     )
+    import datetime as _dt
+
+    epoch = _dt.datetime(1970, 1, 1)
+    one_us = _dt.timedelta(microseconds=1)
     by_user = defaultdict(list)
     for r in ev:
-        us = int(r.ts.timestamp() * 1_000_000)
+        # exact integer microseconds (timedelta // timedelta is exact;
+        # .timestamp()*1e6 is a float round-trip that can be off by 1us)
+        us = (r.ts - epoch) // one_us
         by_user[r.user_id].append((us, r.event_id))
     deltas: dict[int, int] = defaultdict(int)
     for rows in by_user.values():
@@ -115,7 +121,6 @@ def test_peak_concurrency_bucket_boundary_carry(spark):
 
     from merl_etl_spark.operators.intervals import analytics_peak_concurrency
 
-    rows = [(i, f"2024-03-02 06:{0:02d}:00", 1) for i in [0]]
     rows = []
     eid = 0
     # long session: 06:00 .. 09:00, events every 25 min (gap < 30 min)

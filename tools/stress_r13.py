@@ -136,6 +136,11 @@ def main():
             "analytics-peak-concurrency 10M events",
             QUERIES["analytics-peak-concurrency"](spark, SF),
         )
+        # wave 7
+        forced(
+            "curate-dataset-card 500k docs",
+            QUERIES["curate-dataset-card"](spark, SF),
+        )
     finally:
         for m, fn in zip(mods, saved):
             m.load_table = fn
