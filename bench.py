@@ -290,6 +290,8 @@ HEADLINE = [
     "analytics-peak-concurrency",
     # round-13 wave 7: per-source dataset card
     "curate-dataset-card",
+    # round-13 wave 8: 80/20 crossing point
+    "analytics-pareto-8020",
 ]
 
 

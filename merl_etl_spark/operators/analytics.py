@@ -2453,11 +2453,10 @@ def analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact for ANY width).
 GINI_COARSE_CENTS = 100_000
 
-
-@register(
-    "analytics-gini-concentration",
-    oracle=f"""
-    WITH cust AS (
+# The per-customer spend base, single-sourced for the concentration
+# family (gini + pareto-8020): (nation, cents) with cents exact integer
+# money.  The oracle twin is _SPEND_CTES below.
+_SPEND_CTES = """cust AS (
       SELECT n.n_name AS nation,
              CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
                   AS DECIMAL(38,0)) AS BIGINT) AS cents
@@ -2465,7 +2464,36 @@ GINI_COARSE_CENTS = 100_000
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
       GROUP BY 1, o.o_custkey
-    ),
+    )"""
+
+
+def customer_spend_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SPEND_CTES' ``cust``: one row per (nation,
+    customer) with total spend in exact integer cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("nation", "o_custkey")
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                " AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+
+
+@register(
+    "analytics-gini-concentration",
+    oracle=f"""
+    WITH {_SPEND_CTES},
     fine AS (
       SELECT nation, cents // {GINI_COARSE_CENTS} AS coarse, cents,
              CAST(count(*) AS BIGINT) AS n_b
@@ -2537,24 +2565,7 @@ def analytics_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation × coarse-band at the outer level, coarse-band contents at the
     inner — so the 25-nation skew never concentrates a full nation's
     customers into one sort."""
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
-    nation = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", F.col("n_name").alias("nation")
-    )
-    cust = (
-        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
-        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
-        .groupBy("nation", "o_custkey")
-        .agg(
-            F.expr(
-                "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
-                " AS DECIMAL(38,0)) AS BIGINT)"
-            ).alias("cents")
-        )
-    )
+    cust = customer_spend_cents(spark, sf_dir)
     fine = cust.groupBy(
         "nation",
         F.expr(f"cents DIV {GINI_COARSE_CENTS}").alias("coarse"),
@@ -2612,4 +2623,157 @@ def analytics_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
                        - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE))
                       * CAST(1000000 AS DOUBLE)) AS BIGINT) AS gini_ppm""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics-pareto-8020 — how many top customers cover 80% of spend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics-pareto-8020",
+    oracle=f"""
+    WITH {_SPEND_CTES},
+    ranked AS (
+      -- fixture-scale naive form: per-customer cumulative from the top
+      -- (the operator uses the band decomposition); custkey order
+      -- inside a tied cents band does not affect the crossing count
+      SELECT nation, cents,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY cents DESC) AS rn,
+             SUM(CAST(cents AS HUGEINT)) OVER (
+               PARTITION BY nation ORDER BY cents DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cust
+    ),
+    tot AS (
+      SELECT nation,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             SUM(CAST(cents AS HUGEINT)) AS total
+      FROM cust GROUP BY 1
+    ),
+    crossing AS (
+      SELECT r.nation,
+             CAST(min(r.rn) AS BIGINT) AS n_top,
+             min(r.cum) FILTER (WHERE 10 * r.cum >= 8 * t.total) AS covered
+      FROM ranked r JOIN tot t USING (nation)
+      WHERE 10 * r.cum >= 8 * t.total
+      GROUP BY 1
+    )
+    SELECT t.nation, t.n_customers, c.n_top,
+           CAST(c.n_top * 1000000 // t.n_customers AS BIGINT) AS top_ppm,
+           CAST(floor(CAST(CAST(c.covered AS VARCHAR) AS DOUBLE)
+                      * CAST(1000000 AS DOUBLE)
+                      / CAST(CAST(t.total AS VARCHAR) AS DOUBLE))
+                AS BIGINT) AS covered_ppm
+    FROM tot t JOIN crossing c USING (nation)
+    """,
+)
+def analytics_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 readout per nation: the SMALLEST number of top-spending
+    customers whose combined spend reaches 80% of the nation total, as a
+    count, a share of the customer base (ppm), and the exact coverage at
+    the crossing — the "how concentrated is revenue, in heads" companion
+    to the Gini scalar (same spend base, single-sourced).
+
+    Exact-at-scale crossing (the gini tie-band decomposition run from
+    the TOP): per (nation, cents) band, the EXCLUSIVE prefix count and
+    spend above the band (two keyed windows — coarse $1000 bands, then
+    exact cents within); the crossing band is the one whose inclusive
+    prefix first reaches 8·total ≤ 10·cum (pure integer-decimal
+    comparison, no division), and the heads needed inside it are
+    j = ⌈(8·total − 10·prev)/(10·cents)⌉ via integral-decimal DIV
+    (exact: scale-0 operands — the fractional-decimal DIV/// ulp trap
+    does not apply).  Ties need no order: every customer in the band
+    spends the same.
+
+    Determinism: integer cents; HUGEINT/DECIMAL(38,0) widening;
+    covered_ppm is ONE shared floor(double) with VARCHAR-routed oracle
+    casts past 2^53; top_ppm is positive-integer floor division.
+
+    Scale (100 TB): same shape as analytics-gini-concentration — fact
+    aggregate to customer grain, then band-grain windows only."""
+    cust = customer_spend_cents(spark, sf_dir)
+    fine = cust.groupBy(
+        "nation",
+        F.expr(f"cents DIV {GINI_COARSE_CENTS}").alias("coarse"),
+        "cents",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    from merl_etl_spark.lineage import cut_lineage
+
+    fine = cut_lineage(fine, eager=False)  # consumers: coarse + ranked + tot
+    coarse = fine.groupBy("nation", "coarse").agg(
+        F.sum("n_b").cast("long").alias("n_c"),
+        F.sum(F.expr("CAST(n_b AS DECIMAL(38,0)) * cents")).alias("t_c"),
+    )
+    w_coarse = (
+        Window.partitionBy("nation")
+        .orderBy(F.col("coarse").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    coarse_cum = coarse.select(
+        "nation",
+        "coarse",
+        F.coalesce(F.sum("n_c").over(w_coarse), F.lit(0)).alias("c_above"),
+        F.coalesce(
+            F.sum("t_c").over(w_coarse), F.lit(0).cast("decimal(38,0)")
+        ).alias("t_above"),
+    )
+    w_fine = (
+        Window.partitionBy("nation", "coarse")
+        .orderBy(F.col("cents").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = fine.join(coarse_cum, ["nation", "coarse"]).select(
+        "nation",
+        "cents",
+        "n_b",
+        (
+            F.col("c_above")
+            + F.coalesce(F.sum("n_b").over(w_fine), F.lit(0))
+        ).alias("c_prev"),
+        (
+            F.col("t_above")
+            + F.coalesce(
+                F.sum(F.expr("CAST(n_b AS DECIMAL(38,0)) * cents")).over(w_fine),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+        ).alias("t_prev"),
+    )
+    tot = cust.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("total"),
+    )
+    crossing = (
+        ranked.join(F.broadcast(tot), "nation")
+        .where(
+            # inclusive prefix reaches 80% AND exclusive prefix does not:
+            # THE crossing band (pure decimal-integer comparisons)
+            (
+                F.expr("10 * (t_prev + CAST(n_b AS DECIMAL(38,0)) * cents)")
+                >= F.expr("8 * total")
+            )
+            & (F.expr("10 * t_prev") < F.expr("8 * total"))
+        )
+        .selectExpr(
+            "nation",
+            "n_customers",
+            "total",
+            # heads needed inside the band: ceil((8T - 10·prev) / (10x))
+            # as integral-decimal DIV (scale-0 operands -> exact)
+            "c_prev + CAST((8 * total - 10 * t_prev + 10 * cents - 1)"
+            " DIV (10 * cents) AS BIGINT) AS n_top",
+            "t_prev + CAST((8 * total - 10 * t_prev + 10 * cents - 1)"
+            " DIV (10 * cents) AS DECIMAL(38,0))"
+            " * cents AS covered",
+        )
+    )
+    return crossing.selectExpr(
+        "nation",
+        "n_customers",
+        "n_top",
+        "CAST(n_top * 1000000 DIV n_customers AS BIGINT) AS top_ppm",
+        """CAST(floor(CAST(covered AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                      / CAST(total AS DOUBLE)) AS BIGINT) AS covered_ppm""",
     )

@@ -114,6 +114,8 @@ SWEEP_DEFER: list[str] = [
     "analytics-peak-concurrency",
     # r13-wave-7 op (same local-evidence tier)
     "curate-dataset-card",
+    # r13-wave-8 op (same local-evidence tier; shares the gini spend base)
+    "analytics-pareto-8020",
     # r8-evidence cohort, back half (latest driver row is round 8)
     "join-range-interval", "join-semi-top100", "link-fuzzy-match",
     "mm-binary-meta", "mm-binary-simhash", "plan-top100-derive",

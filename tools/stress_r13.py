@@ -141,6 +141,11 @@ def main():
             "curate-dataset-card 500k docs",
             QUERIES["curate-dataset-card"](spark, SF),
         )
+        # wave 8
+        forced(
+            "analytics-pareto-8020 sf0.1 orders (fixture scale)",
+            QUERIES["analytics-pareto-8020"](spark, SF),
+        )
     finally:
         for m, fn in zip(mods, saved):
             m.load_table = fn
