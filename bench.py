@@ -292,6 +292,9 @@ HEADLINE = [
     "curate-dataset-card",
     # round-13 wave 8: 80/20 crossing point
     "analytics-pareto-8020",
+    # round-13 wave 9: aggregate-function surface + IQR fences
+    "fn-agg-suite",
+    "dq-iqr-outliers",
 ]
 
 

@@ -780,3 +780,50 @@ def fn_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ties are the point); navigation windows carry the (x, id) total
     order.  Fixture-independent, zero shuffles beyond the 10-row grid."""
     return spark.sql(_WINDOW_SUITE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# fn-agg-suite — the filtered/ordered aggregate surface
+# ---------------------------------------------------------------------------
+
+# Literal grid: x UNIQUE within each group (max_by/min_by are
+# nondeterministic under argument ties — keep them off tie inputs by
+# construction), ODD group sizes (median interpolation never triggers),
+# one group whose FILTER matches nothing (NULL sum leg).
+_AGG_SUITE_SQL = """
+    WITH grid AS (
+      SELECT 1 AS grp, 1 AS id, 10 AS x, 'a' AS tag
+      UNION ALL SELECT 1, 2, 30, 'b'
+      UNION ALL SELECT 1, 3, 20, 'a'
+      UNION ALL SELECT 1, 4, 5, 'b'
+      UNION ALL SELECT 1, 5, 40, 'a'
+      UNION ALL SELECT 2, 6, 7, 'c'
+      UNION ALL SELECT 2, 7, 9, 'c'
+      UNION ALL SELECT 2, 8, 3, 'd'
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE x >= 10) AS BIGINT) AS n_big,
+           CAST(count(DISTINCT tag) AS BIGINT) AS n_tags,
+           bool_and(x > 2) AS all_gt2,
+           bool_or(x > 25) AS any_gt25,
+           CAST(max_by(id, x) AS BIGINT) AS id_of_max_x,
+           CAST(min_by(id, x) AS BIGINT) AS id_of_min_x,
+           CAST(median(x) AS DOUBLE) AS med_x,
+           CAST(sum(x) FILTER (WHERE tag = 'a') AS BIGINT) AS sum_tag_a,
+           CAST(avg(x) FILTER (WHERE x >= 10) AS DOUBLE) AS avg_big
+    FROM grid GROUP BY 1
+"""
+
+
+@register("fn-agg-suite", oracle=_AGG_SUITE_SQL)
+def fn_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-function surface suite: FILTER-clause aggregates,
+    bool_and/bool_or, max_by/min_by (argument-ordered selection),
+    count(DISTINCT), exact-position median, and a NULL-producing
+    filtered sum — from the SAME SQL text in both engines over a fixed
+    literal grid.  Grid discipline: unique x per group (max_by under
+    ties is engine-arbitrary), odd group sizes (median never
+    interpolates), avg legs restricted to exact small-integer rationals.
+    Fixture-independent; zero shuffles beyond the 8-row grid."""
+    return spark.sql(_AGG_SUITE_SQL)

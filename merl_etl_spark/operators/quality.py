@@ -1908,3 +1908,125 @@ def dq_temporal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("first_day"),
         F.max("d").alias("last_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq-iqr-outliers — exact quartile fences per feed, at value-band grain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq-iqr-outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cv
+      FROM events WHERE value IS NOT NULL
+    ),
+    bands AS (
+      SELECT event_type, cv, CAST(count(*) AS BIGINT) AS n_b
+      FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cv, n_b,
+             SUM(n_b) OVER (PARTITION BY event_type ORDER BY cv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             SUM(n_b) OVER (PARTITION BY event_type) AS n
+      FROM bands
+    ),
+    quartiles AS (
+      SELECT event_type,
+             CAST(min(n) AS BIGINT) AS n,
+             min(CASE WHEN 4 * c >= n THEN cv END) AS q1,
+             min(CASE WHEN 2 * c >= n THEN cv END) AS med,
+             min(CASE WHEN 4 * c >= 3 * n THEN cv END) AS q3
+      FROM cum GROUP BY 1
+    )
+    SELECT q.event_type, q.n, q.q1, q.med, q.q3,
+           (q.q3 - q.q1) AS iqr_centi,
+           CAST(SUM(CASE WHEN 2 * b.cv < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                         THEN b.n_b ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN 2 * b.cv > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                         THEN b.n_b ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CASE WHEN 2 * b.cv < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                          OR 2 * b.cv > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                         THEN b.n_b ELSE 0 END) * 1000000 // q.n AS BIGINT)
+             AS outlier_ppm
+    FROM quartiles q JOIN bands b USING (event_type)
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per event feed: exact lower-quartile /
+    median / upper-quartile of the value distribution (type-1 order
+    statistics at centi-unit grain), the IQR, and how many events fall
+    outside the classic 1.5×IQR fences — the distribution-shape
+    complement to agg-anomaly-zscore (fences are median-based and spike-
+    robust; z-scores are mean-based and spike-sensitive).
+
+    Determinism: values are frozen ONCE to integer centi-units
+    (round(value·100) — identical IEEE input in both engines); each
+    quartile is the smallest band whose cumulative count reaches
+    ⌈k·n/4⌉ (pure integer comparisons, the ccnet-buckets cut rule); the
+    fences are doubled (2v vs 2q1 − 3·iqr) so 1.5×IQR stays integral.
+
+    Scale (100 TB): one map-side-combinable count to (feed ×
+    centi-value) band grain; the cumulative window is keyed by feed
+    over bands bounded by the VALUE RANGE, corpus-size independent; the
+    fence count re-joins bands (not events) against the 4-number
+    summary."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = events.select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cv"),
+    )
+    bands = v.groupBy("event_type", "cv").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    from merl_etl_spark.lineage import cut_lineage
+
+    bands = cut_lineage(bands, eager=False)  # consumers: quartiles + fences
+    from pyspark.sql.window import Window
+
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = bands.select(
+        "event_type",
+        "cv",
+        "n_b",
+        F.sum("n_b").over(w_cum).alias("c"),
+        F.sum("n_b").over(w_all).alias("n"),
+    )
+    quartiles = cum.groupBy("event_type").agg(
+        F.min("n").cast("long").alias("n"),
+        F.min(F.when(4 * F.col("c") >= F.col("n"), F.col("cv"))).alias("q1"),
+        F.min(F.when(2 * F.col("c") >= F.col("n"), F.col("cv"))).alias("med"),
+        F.min(F.when(4 * F.col("c") >= 3 * F.col("n"), F.col("cv"))).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    low = 2 * F.col("cv") < 2 * F.col("q1") - 3 * iqr
+    high = 2 * F.col("cv") > 2 * F.col("q3") + 3 * iqr
+    return (
+        quartiles.join(bands, "event_type")
+        .groupBy(
+            "event_type",
+            "n",
+            "q1",
+            "med",
+            "q3",
+            iqr.alias("iqr_centi"),
+        )
+        .agg(
+            F.sum(F.when(low, F.col("n_b")).otherwise(0)).cast("long").alias("n_low"),
+            F.sum(F.when(high, F.col("n_b")).otherwise(0)).cast("long").alias("n_high"),
+            F.expr(
+                "CAST(SUM(CASE WHEN 2 * cv < 2 * q1 - 3 * (q3 - q1)"
+                "            OR 2 * cv > 2 * q3 + 3 * (q3 - q1)"
+                "          THEN n_b ELSE 0 END) * 1000000 DIV min(n) AS BIGINT)"
+            ).alias("outlier_ppm"),
+        )
+    )

@@ -116,6 +116,9 @@ SWEEP_DEFER: list[str] = [
     "curate-dataset-card",
     # r13-wave-8 op (same local-evidence tier; shares the gini spend base)
     "analytics-pareto-8020",
+    # r13-wave-9 ops (same local-evidence tier)
+    "fn-agg-suite",
+    "dq-iqr-outliers",
     # r8-evidence cohort, back half (latest driver row is round 8)
     "join-range-interval", "join-semi-top100", "link-fuzzy-match",
     "mm-binary-meta", "mm-binary-simhash", "plan-top100-derive",

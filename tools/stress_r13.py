@@ -146,6 +146,12 @@ def main():
             "analytics-pareto-8020 sf0.1 orders (fixture scale)",
             QUERIES["analytics-pareto-8020"](spark, SF),
         )
+        # wave 9
+        forced("fn-agg-suite (literal grid)", QUERIES["fn-agg-suite"](spark, SF))
+        forced(
+            "dq-iqr-outliers 10M events",
+            QUERIES["dq-iqr-outliers"](spark, SF),
+        )
     finally:
         for m, fn in zip(mods, saved):
             m.load_table = fn
