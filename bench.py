@@ -295,6 +295,8 @@ HEADLINE = [
     # round-13 wave 9: aggregate-function surface + IQR fences
     "fn-agg-suite",
     "dq-iqr-outliers",
+    # round-13 wave 10: the Lorenz curve behind the Gini scalar
+    "analytics-lorenz-deciles",
 ]
 
 

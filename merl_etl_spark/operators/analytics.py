@@ -2777,3 +2777,150 @@ def analytics_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         """CAST(floor(CAST(covered AS DOUBLE) * CAST(1000000 AS DOUBLE)
                       / CAST(total AS DOUBLE)) AS BIGINT) AS covered_ppm""",
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics-lorenz-deciles — the Lorenz curve behind the Gini scalar
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics-lorenz-deciles",
+    oracle=f"""
+    WITH {_SPEND_CTES},
+    numbered AS (
+      SELECT nation, cents,
+             row_number() OVER (PARTITION BY nation ORDER BY cents) AS rn
+      FROM cust
+    ),
+    ranked AS (
+      -- fixture-scale naive form: per-customer ascending cumulative
+      SELECT nation, cents, rn,
+             SUM(CAST(cents AS HUGEINT)) OVER (
+               PARTITION BY nation ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM numbered
+    ),
+    tot AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(cents AS HUGEINT)) AS total
+      FROM cust GROUP BY 1
+    ),
+    deciles AS (
+      SELECT t.nation, d.decile, t.n, t.total,
+             -- bottom m = ceil(decile * n / 10) customers
+             CAST((d.decile * t.n + 9) // 10 AS BIGINT) AS m
+      FROM tot t CROSS JOIN (
+        SELECT unnest(generate_series(1, 10)) AS decile
+      ) d
+    )
+    SELECT dd.nation, CAST(dd.decile AS BIGINT) AS decile, dd.m,
+           CAST(floor(CAST(CAST(r.cum AS VARCHAR) AS DOUBLE)
+                      * CAST(1000000 AS DOUBLE)
+                      / CAST(CAST(dd.total AS VARCHAR) AS DOUBLE))
+                AS BIGINT) AS cum_share_ppm
+    FROM deciles dd JOIN ranked r
+      ON r.nation = dd.nation AND r.rn = dd.m
+    """,
+)
+def analytics_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve at decile resolution per nation: for each k/10 of
+    the customer base (poorest first), the share of total spend that
+    bottom slice carries — the CURVE whose area the Gini scalar
+    summarizes (analytics-gini-concentration), emitted as 10 exact
+    points so a dashboard can draw inequality instead of quoting it.
+
+    Exact-at-scale: ascending tie-band decomposition (the pareto-8020
+    machinery mirrored): per (nation, cents) band, the exclusive prefix
+    count c_prev and spend t_prev below it (coarse $1000 bands, then
+    exact cents — all windows keyed and band-bounded); the bottom-m
+    cumulative spend is t_prev + (m − c_prev)·cents at the band
+    containing ascending rank m (ties interchangeable — all band
+    members spend the same), with m = ⌈k·n/10⌉ joined from a literal
+    10-row decile grid.
+
+    Determinism: integer cents; DECIMAL(38,0)/HUGEINT widening; the
+    share is ONE shared floor(double) with VARCHAR-routed oracle casts
+    past 2^53; m is positive-integer ceil by (a+9) floor-div 10.
+
+    Scale (100 TB): the fact collapses to customer grain once (shared
+    customer_spend_cents); everything after runs at band grain × a
+    10-row broadcast grid."""
+    cust = customer_spend_cents(spark, sf_dir)
+    fine = cust.groupBy(
+        "nation",
+        F.expr(f"cents DIV {GINI_COARSE_CENTS}").alias("coarse"),
+        "cents",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    from merl_etl_spark.lineage import cut_lineage
+
+    fine = cut_lineage(fine, eager=False)  # consumers: coarse + ranked + tot
+    coarse = fine.groupBy("nation", "coarse").agg(
+        F.sum("n_b").cast("long").alias("n_c"),
+        F.sum(F.expr("CAST(n_b AS DECIMAL(38,0)) * cents")).alias("t_c"),
+    )
+    w_coarse = (
+        Window.partitionBy("nation")
+        .orderBy("coarse")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    coarse_cum = coarse.select(
+        "nation",
+        "coarse",
+        F.coalesce(F.sum("n_c").over(w_coarse), F.lit(0)).alias("c_below"),
+        F.coalesce(
+            F.sum("t_c").over(w_coarse), F.lit(0).cast("decimal(38,0)")
+        ).alias("t_below"),
+    )
+    w_fine = (
+        Window.partitionBy("nation", "coarse")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = fine.join(coarse_cum, ["nation", "coarse"]).select(
+        "nation",
+        "cents",
+        "n_b",
+        (
+            F.col("c_below")
+            + F.coalesce(F.sum("n_b").over(w_fine), F.lit(0))
+        ).alias("c_prev"),
+        (
+            F.col("t_below")
+            + F.coalesce(
+                F.sum(F.expr("CAST(n_b AS DECIMAL(38,0)) * cents")).over(w_fine),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+        ).alias("t_prev"),
+    )
+    tot = cust.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("total"),
+    )
+    grid = spark.range(1, 11).select(F.col("id").alias("decile"))
+    deciles = tot.crossJoin(F.broadcast(grid)).select(
+        "nation",
+        "decile",
+        "n",
+        "total",
+        F.expr("CAST((decile * n + 9) DIV 10 AS BIGINT)").alias("m"),
+    )
+    # the band containing ascending rank m: c_prev < m <= c_prev + n_b
+    # (the 10-rows-per-nation decile grid broadcasts; bands never do)
+    return (
+        ranked.join(F.broadcast(deciles), "nation")
+        .where(
+            (F.col("c_prev") < F.col("m"))
+            & (F.col("m") <= F.col("c_prev") + F.col("n_b"))
+        )
+        .selectExpr(
+            "nation",
+            "CAST(decile AS BIGINT) AS decile",
+            "m",
+            """CAST(floor(CAST(t_prev + CAST(m - c_prev AS DECIMAL(38,0))
+                               * cents AS DOUBLE)
+                          * CAST(1000000 AS DOUBLE)
+                          / CAST(total AS DOUBLE)) AS BIGINT)
+               AS cum_share_ppm""",
+        )
+    )

@@ -119,6 +119,8 @@ SWEEP_DEFER: list[str] = [
     # r13-wave-9 ops (same local-evidence tier)
     "fn-agg-suite",
     "dq-iqr-outliers",
+    # r13-wave-10 op (same local-evidence tier; the curve behind gini)
+    "analytics-lorenz-deciles",
     # r8-evidence cohort, back half (latest driver row is round 8)
     "join-range-interval", "join-semi-top100", "link-fuzzy-match",
     "mm-binary-meta", "mm-binary-simhash", "plan-top100-derive",

@@ -182,6 +182,11 @@ def _bnlj_offenders(df) -> list:
         nm = node.getClass().getSimpleName()
         if nm in _BNLJ_BOUNDED_MARKERS or nm == "ReusedExchangeExec":
             return True
+        # a literal-bounds Range (spark.range(k)) is bounded BY ITS OWN
+        # PLAN NODE — accept only small ones (a grid/spine, not a
+        # smuggled big side)
+        if nm == "RangeExec" and int(str(node.numElements())) <= 10_000:
+            return True
         if nm in _BNLJ_AGG_NODES and node.groupingExpressions().isEmpty():
             return True
         it = node.children().iterator()

@@ -152,6 +152,11 @@ def main():
             "dq-iqr-outliers 10M events",
             QUERIES["dq-iqr-outliers"](spark, SF),
         )
+        # wave 10
+        forced(
+            "analytics-lorenz-deciles sf0.1 orders (fixture scale)",
+            QUERIES["analytics-lorenz-deciles"](spark, SF),
+        )
     finally:
         for m, fn in zip(mods, saved):
             m.load_table = fn
