@@ -1,10 +1,22 @@
 #!/usr/bin/env python
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line:
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": <sf>}
+Output contract (round 14 — VERDICT r13 task #2): the driver captures a
+bounded TAIL of stdout, and through r13 the single ever-growing JSON line
+always had its head (metric/value) truncated away, leaving 13 rounds of
+``"parsed": null``.  So the detail now prints FIRST and the parseable
+summary prints LAST:
+
+  line 1 .. n-1:  one small JSON object per query
+                  ``{"query": name, "sec": t}`` (survives partially in
+                  the tail; full copy also written to BENCH_DETAIL.json)
+  final line:     compact headline the driver can always parse whole —
+                  ``{"metric": "...", "value": <total sec>, "unit":
+                  "sec", "sf": <sf>, "n": <query count>, "queries":
+                  {...}}`` with ``queries`` holding ONLY the slowest 25
+                  (the cross-round comparison set; the full map lives in
+                  BENCH_DETAIL.json).
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side collect cost).  Session startup is excluded; per-query times
@@ -318,18 +330,30 @@ def main() -> None:
     for name in HEADLINE:
         run(name)
         times[name] = min(run(name), run(name))
+        # per-query detail streams as it lands — whatever the driver's
+        # stdout-tail window holds is self-describing, and a hang leaves
+        # a trail of what had already finished
+        print(json.dumps({"query": name, "sec": times[name]}), flush=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline operator suite wall-clock",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    summary = {
+        "metric": "headline operator suite wall-clock",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "n": len(times),
+        # only the slowest queries inline — keeps the final line well
+        # inside any tail-capture window so metric/value always parse
+        "queries": dict(
+            sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:25]
+        ),
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as fh:
+        json.dump({**summary, "queries": times}, fh, indent=1, sort_keys=True)
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

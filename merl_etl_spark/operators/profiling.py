@@ -866,8 +866,9 @@ ADVISOR_SMALL_ROWS = 50
            CAST(max(n) AS BIGINT) AS max_rows,
            CAST(min(n) AS BIGINT) AS min_rows,
            CAST(floor(CAST(max(n) AS DOUBLE) * count(*)
-                      * CAST(1000000 AS DOUBLE) / SUM(n)) AS BIGINT)
-             AS skew_ppm,
+                      * CAST(1000000 AS DOUBLE)
+                      / CAST(CAST(SUM(n) AS VARCHAR) AS DOUBLE))
+             AS BIGINT) AS skew_ppm,
            CAST(count(CASE WHEN n < {ADVISOR_SMALL_ROWS} THEN 1 END)
                 AS BIGINT) AS n_small_values
     FROM per_value GROUP BY 1
@@ -886,7 +887,10 @@ def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: pure integer counts; the skew ratio is ONE shared
     floor(double) expression (the promo-share rule — and it also keeps
-    max·k·1e6 from overflowing int64 at scale).
+    max·k·1e6 from overflowing int64 at scale).  The oracle's SUM(n) is
+    HUGEINT in DuckDB, whose implicit →DOUBLE cast is not correctly
+    rounded past 2^53, so it is routed through VARCHAR (the gini/pareto
+    rule); Spark's long→double cast is correctly rounded as-is.
 
     Scale (100 TB): one map-side-combinable count per candidate column
     (the UNION ALL is per-column scans of the same files — column-pruned

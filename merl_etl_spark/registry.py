@@ -44,84 +44,28 @@ ORACLES: dict[str, str] = {}
 # Queries NOT listed here keep their module registration order and fill the
 # remaining budget.  Update per round: move anything you modify into tier 1.
 SWEEP_PRIORITY: list[str] = [
-    # ROUND 13 (VERDICT r12 tasks #1/#2): tier 1 = r13 churn (filled as
-    # this round's code changes land); tier 2 = the 21 never-driver-
-    # checked queries (fn-map-suite + the 20 r12-wave ops — the judge's
-    # own sf0.01 value-hash sweep already passed all 21, so any red here
-    # is a driver-env finding); tier 3 = the stalest greens rotated back
-    # through the head (the two r7-era text ops, then the front of the
-    # r8-evidence cohort, oldest tier in the registry) so no query's
-    # driver evidence ages past ~4 rounds.
+    # ROUND 14 (VERDICT r13 tasks #1/#4): tier 1 = r14 churn — new ops
+    # land here wave-by-wave, plus any query whose code/oracle changed
+    # since its last driver green; tier 2 = the 14 r13-wave queries that
+    # have never had a driver CORRECTNESS row (the r13 judge's value-hash
+    # + dtype sweep cleared all 14 at sf0.01, so a red here would be an
+    # env finding, not logic) — layout-partition-advisor leads because
+    # its oracle changed this round (ADVICE r13: SUM(n) HUGEINT routed
+    # through VARCHAR); tier 3 = the 22-query r8-evidence cohort, the
+    # oldest tier in the registry.  14 + 22 = 36 of the 50 budget; the
+    # r14 waves fill the rest.
     #
-    # -- tier 1: r13 churn (code changed since last driver green) --------
-    "text-lm-score",  # scorer factored into lm_doc_scores; oracle CTE shared
-    # -- tier 2: never-driver-checked (fn-map-suite + r12 waves 1-10) ----
-    "fn-map-suite",
-    "graph-clustering-coefficient", "agg-kurtosis-exact",
-    "sample-reservoir",
-    "text-source-divergence", "dq-reconciliation",
-    "sim-matryoshka-eval", "curate-anneal-schedule",
-    "ts-anomaly-mad", "analytics-revenue-bridge",
-    "curate-budget-select", "fn-struct-suite",
-    "sim-pq-recall-eval", "text-distinctive-terms",
-    "sim-cluster-nmi", "analytics-returned-revenue",
-    "analytics-promo-share", "dq-primary-keys",
-    "dedup-lsh-curve", "text-tokenizer-fertility",
-    "analytics-monthly-growth",
-    # -- tier 3: stale-green rotation (r7 first, then the r8 cohort) -----
-    "text-ngram-counts", "text-pii-scrub",
-    "agg-conditional-flow", "agg-conditional-flow-coalesce",
-    "agg-count-rows", "agg-cube", "agg-greatest-rowwise",
-    "agg-max-scalar", "agg-pivot", "agg-rollup", "agg-running-max",
-    "agg-scalar-rollup", "analytics-markov-transitions",
-    "analytics-pricing-summary", "analytics-regional-volume",
-    "analytics-shipping-priority", "cdc-snapshot-diff",
-    "curate-token-pack", "dedup-incremental", "dedup-substring",
-    "dq-referential", "filter-time-window", "join-asof",
-    "join-asof-forward", "join-cross-1row", "join-outer-anti",
-]
-
-# Budget triage (round 13): the prioritized block above is ~47 entries
-# (headroom left for r13 churn), so this defer list registers immediately
-# after it — first in line for the r14 sweep.  New r13-wave operators
-# insert at the FRONT of this list, wave-labeled (they carry local 3-SF
-# hash + replay-test evidence until the driver reaches them); then the
-# back half of the r8-evidence cohort (the part the 50 budget couldn't
-# fit this round), then the r10-green canary split, which re-arms from
-# here whenever a numeric class wobbles.  fn-canary-decimal-repr is
-# RETIRED from the driver surface (VERDICT r12 task #5): its diagnostic
-# job — proving the driver env cannot value-hash DECIMAL output — is
-# done, and the decimal-boundary rule it established is pinned by
-# tests/test_no_decimal_surfaces.py + tests/test_round9_ops.py instead.
-SWEEP_DEFER: list[str] = [
-    # r13-wave-1 ops (3-SF hash-swept + Python-parity-tested locally;
-    # driver-checked from here once the head drains)
-    "text-zipf-fit",
-    "analytics-important-stock",
-    # r13-wave-2 ops (same local-evidence tier)
-    "curate-ccnet-buckets",
-    "dq-temporal-coverage",
-    # r13-wave-3 ops (same local-evidence tier)
-    "mm-pcm-window-energy",
-    "curate-pareto-frontier",
-    # r13-wave-4 ops (same local-evidence tier)
-    "analytics-gini-concentration",
-    "agg-group-mode",
-    # r13-wave-5 ops (same local-evidence tier)
+    # -- tier 1: r14 churn (new this round / code changed; grows wave by
+    # wave as each new op lands — names are appended when registered) ----
+    # -- tier 2: never-driver-rowed (r13 waves 2-10) ----------------------
     "layout-partition-advisor",
-    "fn-window-suite",
-    # r13-wave-6 op (same local-evidence tier)
-    "analytics-peak-concurrency",
-    # r13-wave-7 op (same local-evidence tier)
-    "curate-dataset-card",
-    # r13-wave-8 op (same local-evidence tier; shares the gini spend base)
-    "analytics-pareto-8020",
-    # r13-wave-9 ops (same local-evidence tier)
-    "fn-agg-suite",
-    "dq-iqr-outliers",
-    # r13-wave-10 op (same local-evidence tier; the curve behind gini)
-    "analytics-lorenz-deciles",
-    # r8-evidence cohort, back half (latest driver row is round 8)
+    "curate-ccnet-buckets", "dq-temporal-coverage",
+    "mm-pcm-window-energy", "curate-pareto-frontier",
+    "analytics-gini-concentration", "agg-group-mode",
+    "fn-window-suite", "analytics-peak-concurrency",
+    "curate-dataset-card", "analytics-pareto-8020",
+    "fn-agg-suite", "dq-iqr-outliers", "analytics-lorenz-deciles",
+    # -- tier 3: the r8-evidence cohort (latest driver row is round 8) ---
     "join-range-interval", "join-semi-top100", "link-fuzzy-match",
     "mm-binary-meta", "mm-binary-simhash", "plan-top100-derive",
     "sample-stratified", "sim-topk-pandas", "sink-insert-ignore-tx",
@@ -130,6 +74,34 @@ SWEEP_DEFER: list[str] = [
     "stream-cursor-resume", "stream-sliding-60m", "stream-tumbling-6h",
     "text-gopher-rules", "text-winnowing", "win-rank-top100",
     "win-sessionize",
+]
+
+# Budget triage (round 14): this defer list registers immediately after
+# the prioritized block — first in line for the r15 sweep.  After r14
+# drains the never-rowed r13 waves and the r8 cohort, the oldest
+# remaining evidence tier is the 44-query r9 cohort (VERDICT r13 task
+# #4), so it fills this list in full, alphabetical within the tier; the
+# r10-green canary split stays at the back and re-arms from here
+# whenever a numeric class wobbles.  Any r14-wave overflow past the 50
+# budget inserts at the FRONT, wave-labeled.
+SWEEP_DEFER: list[str] = [
+    # r9-evidence cohort (latest driver row is round 9)
+    "agg-anomaly-zscore", "agg-approx-sketches", "agg-exact-quantiles",
+    "agg-grouping-sets", "agg-hll-merge", "agg-weighted-median",
+    "analytics-attribution-lasttouch", "analytics-path-mining",
+    "curate-corpus-pipeline", "curate-mixture-weights",
+    "curate-quality-sampling", "curate-softdedup-weights",
+    "dedup-bloom-incremental", "dedup-embedding-clusters",
+    "dedup-embedding-cosine", "dedup-minhash-lsh", "dedup-simhash",
+    "dq-volume-anomaly", "fn-vector-suite", "graph-components",
+    "join-asof-nearest", "join-salted-skew", "layout-partition-prune",
+    "link-golden-record", "mm-feature-extract", "mm-frame-sample",
+    "mm-resize-plan", "sim-ivf-ann", "sim-lsh-bucketed",
+    "sim-topk-cosine", "src-blockcursor-replay", "src-datasource-paged",
+    "src-jsonl-corrupt", "text-bm25", "text-quality", "text-repetition",
+    "text-tfidf", "ts-autocorr", "ts-downsample-lttb", "ts-ewma",
+    "ts-gap-fill", "ts-linear-trend", "ts-moving-stats",
+    "ts-seasonal-profile",
     # the canary split (r10-green, freshest evidence tier)
     "fn-canary-ln-int", "fn-canary-double-repr",
     "fn-canary-ln-ratio", "fn-canary-sqrt", "fn-canary-pow",
