@@ -309,6 +309,8 @@ HEADLINE = [
     "dq-iqr-outliers",
     # round-13 wave 10: the Lorenz curve behind the Gini scalar
     "analytics-lorenz-deciles",
+    # round-14 wave 1: real PNG decode through the mapInPandas seam
+    "mm-png-decode",
 ]
 
 

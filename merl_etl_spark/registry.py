@@ -57,6 +57,7 @@ SWEEP_PRIORITY: list[str] = [
     #
     # -- tier 1: r14 churn (new this round / code changed; grows wave by
     # wave as each new op lands — names are appended when registered) ----
+    "mm-png-decode",  # r14 wave 1: the real PNG codec on the driver surface
     # -- tier 2: never-driver-rowed (r13 waves 2-10) ----------------------
     "layout-partition-advisor",
     "curate-ccnet-buckets", "dq-temporal-coverage",
