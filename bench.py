@@ -311,6 +311,12 @@ HEADLINE = [
     "analytics-lorenz-deciles",
     # round-14 wave 1: real PNG decode through the mapInPandas seam
     "mm-png-decode",
+    # round-14 wave 2: Q4/Q12-shaped exists-semi + two-way conditional
+    "analytics-order-priority",
+    "analytics-ship-delay-priority",
+    # round-14 wave 3: Q7/Q9-shaped nation-pair traffic + profit star
+    "analytics-nation-traffic",
+    "analytics-product-profit",
 ]
 
 

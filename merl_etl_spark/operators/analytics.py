@@ -2924,3 +2924,268 @@ def analytics_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cum_share_ppm""",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-14 wave 2: the TPC-H exists-semi and two-way conditional shapes
+# (Q4 / Q12 analogs — the fixture lineitem has no commit/receipt dates or
+# ship modes, so lateness is defined against the order date and the ship
+# mode dimension becomes the measured delay bucket; the PLAN shapes —
+# correlated-EXISTS-as-semi-join and a large/large join feeding a two-way
+# conditional count — are the point)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics-order-priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def analytics_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check: orders placed in one quarter
+    that had at least one LATE line (shipped >90 days after the order
+    date — the fixture's stand-in for receipt>commit), counted per
+    priority class.  The correlated EXISTS is expressed as a LEFT SEMI
+    join whose condition mixes the equi key with the cross-table date
+    predicate — Spark keeps the equi key as the shuffle hash key and
+    evaluates the date comparison as a post-join filter, so this stays a
+    hash join, never a nested loop.
+
+    Scale (100 TB): the quarter filter prunes orders before the join
+    (predicate pushdown to the parquet scan); the semi join shuffles on
+    orderkey only and short-circuits per matching order (no fan-out);
+    the final agg is 5 groups.  Reference shape: merlin_etl.py has no
+    multi-table SQL — this is §2.H-beyond-reference breadth."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "analytics-ship-delay-priority",
+    oracle="""
+    SELECT CASE
+             WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN '00-30'
+             WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 60 THEN '31-60'
+             WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN '61-90'
+             ELSE '90+'
+           END AS delay_bucket,
+           count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS high_line_count,
+           count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def analytics_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping check: one year of lineitems joined to
+    their orders, bucketed by measured ship delay (the fixture's stand-in
+    for ship mode), with a two-way conditional count splitting
+    urgent/high priorities from the rest — the classic
+    sum(CASE)-twice-over-one-join shape.
+
+    Determinism: counts only.  count(CASE WHEN..THEN 1 END) on the
+    DuckDB side because SUM(int) there is HUGEINT (dtype gate), while
+    Spark's F.count(when(..)) is long on both.
+
+    Scale (100 TB): the shipdate year prunes at the scan; one shuffle
+    join on orderkey (both sides large — sort-merge under AQE); 4 output
+    groups via map-side partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "delay_bucket",
+            F.when(delay <= 30, "00-30")
+            .when(delay <= 60, "31-60")
+            .when(delay <= 90, "61-90")
+            .otherwise("90+"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-14 wave 3: the TPC-H bidirectional-pair and profit-star shapes
+# (Q7 / Q9 analogs — the fixture has no partsupp, so Q9's supply cost is a
+# deterministic fraction of p_retailprice; the plan shapes — a 5-way star
+# with a symmetric nation-pair disjunction, and a part-filtered profit
+# star grouped by (nation, year) — are the point)
+# ---------------------------------------------------------------------------
+
+_TRAFFIC_NATIONS = ("NATION_3", "NATION_7")
+
+
+def _profit_amount_spark() -> "F.Column":
+    """Per-line profit rev−cost with PINNED decimal scales (the
+    net_revenue rule): cost = p_retailprice · l_quantity · 0.1 (the
+    fixture's synthetic supply cost — no partsupp table), every
+    intermediate held at explicit width so Spark's and DuckDB's decimal
+    growth rules cannot diverge.  2dp·int·1dp = 3dp exact, so the
+    (·,18)→(19,12) reductions drop only zeros."""
+    cost = (
+        (
+            F.col("p_retailprice").cast("decimal(12,6)")
+            * F.col("l_quantity").cast("decimal(12,6)")
+        ).cast("decimal(19,12)")
+        * F.lit("0.1").cast("decimal(7,6)")
+    ).cast("decimal(19,12)")
+    return (net_revenue_spark() - cost).cast("decimal(38,12)")
+
+
+def _profit_amount_duck(li: str = "l.", p: str = "p.") -> str:
+    """DuckDB twin of _profit_amount_spark."""
+    return (
+        f"CAST({net_revenue_duck(li)}"
+        f" - CAST(CAST(CAST({p}p_retailprice AS DECIMAL(12,6))"
+        f"        * CAST({li}l_quantity AS DECIMAL(12,6)) AS DECIMAL(19,12))"
+        f"   * CAST(0.1 AS DECIMAL(7,6)) AS DECIMAL(19,12))"
+        f" AS DECIMAL(38,12))"
+    )
+
+
+@register(
+    "analytics-nation-traffic",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(ROUND(SUM({net_revenue_duck('l.')}), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = '{_TRAFFIC_NATIONS[0]}' AND cn.n_name = '{_TRAFFIC_NATIONS[1]}')
+       OR (sn.n_name = '{_TRAFFIC_NATIONS[1]}' AND cn.n_name = '{_TRAFFIC_NATIONS[0]}')
+    GROUP BY 1, 2, 3
+    """,
+)
+def analytics_nation_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style volume shipping: discounted revenue flowing between
+    one nation PAIR in both directions, by supplier nation × customer
+    nation × ship year.  Five-way star with a symmetric disjunctive
+    filter across the two nation dimensions.
+
+    Scale (100 TB): both nation joins BROADCAST (25 rows) so the
+    nation-name filter is applied while the data is still
+    fact-partitioned; the only shuffles are lineitem⋈orders and
+    orders⋈customer on their keys.  Filtering the broadcast nation lists
+    to the pair BEFORE joining (inner join on the 2-row dimension) prunes
+    ~92% of fact rows at the earliest possible stage instead of post-hoc.
+    Revenue is the shared exact-decimal net_revenue pair, rounded at
+    decimal grain then emitted as double."""
+    a, b = _TRAFFIC_NATIONS
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(a, b)
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.round(F.sum(net_revenue_spark()), 2).cast("double").alias("revenue"))
+
+
+@register(
+    "analytics-product-profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(SUM({_profit_amount_duck()}), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit: for every part whose name
+    matches a token, line profit (revenue minus a synthetic supply cost —
+    the fixture has no partsupp) aggregated by supplier nation × order
+    year.  The classic profit star: fact table joined to four dimensions
+    with a selective pattern filter on one of them.
+
+    Scale (100 TB): the p_name LIKE filter reduces part BEFORE its join
+    (Catalyst pushes it below the join; the filtered dimension then
+    qualifies for AQE broadcast at runtime sizes), nation broadcasts
+    explicitly, and the two fact-side shuffles (partkey, orderkey) carry
+    only matching lines.  Profit math is a single shared exact-decimal
+    expression pair (_profit_amount_spark/_duck)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("o_year"),
+    ).agg(
+        F.round(F.sum(_profit_amount_spark()), 2).cast("double").alias("sum_profit")
+    )

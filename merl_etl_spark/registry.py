@@ -58,6 +58,10 @@ SWEEP_PRIORITY: list[str] = [
     # -- tier 1: r14 churn (new this round / code changed; grows wave by
     # wave as each new op lands — names are appended when registered) ----
     "mm-png-decode",  # r14 wave 1: the real PNG codec on the driver surface
+    "analytics-order-priority",  # r14 wave 2: Q4 exists-semi shape
+    "analytics-ship-delay-priority",  # r14 wave 2: Q12 conditional counts
+    "analytics-nation-traffic",  # r14 wave 3: Q7 bidirectional pair star
+    "analytics-product-profit",  # r14 wave 3: Q9 profit star
     # -- tier 2: never-driver-rowed (r13 waves 2-10) ----------------------
     "layout-partition-advisor",
     "curate-ccnet-buckets", "dq-temporal-coverage",

@@ -72,3 +72,173 @@ def test_mm_png_decode_production_plan(spark, sf_dir):
         for r in mm_png_decode(spark, sf_dir).collect()
     )
     assert rows == _PNG_GOLDEN
+
+
+# ---------------------------------------------------------------------------
+# wave 2: Q4/Q12-shaped analytics — pandas replays of the production plans
+# ---------------------------------------------------------------------------
+
+
+def test_order_priority_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    from merl_etl_spark.operators.analytics import analytics_order_priority
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = o[
+        (o.o_orderdate >= pd.Timestamp("1996-07-01"))
+        & (o.o_orderdate < pd.Timestamp("1996-10-01"))
+    ]
+    m = li.merge(
+        o[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    late_keys = set(
+        m.loc[m.l_shipdate > m.o_orderdate + pd.Timedelta(days=90), "o_orderkey"]
+    )
+    expect = (
+        o[o.o_orderkey.isin(late_keys)].groupby("o_orderpriority").size().to_dict()
+    )
+    got = {
+        r.o_orderpriority: r.order_count
+        for r in analytics_order_priority(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the correlated EXISTS must compile to a semi hash join, never a
+    # nested loop (the global BNLJ gate would also catch this)
+    plan = analytics_order_priority(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ship_delay_priority_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    from merl_etl_spark.operators.analytics import analytics_ship_delay_priority
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = li[
+        (li.l_shipdate >= pd.Timestamp("1997-01-01"))
+        & (li.l_shipdate < pd.Timestamp("1998-01-01"))
+    ]
+    m = li.merge(
+        o[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    delay = (m.l_shipdate - m.o_orderdate).dt.days
+    m["delay_bucket"] = pd.cut(
+        delay,
+        bins=[-10**9, 30, 60, 90, 10**9],
+        labels=["00-30", "31-60", "61-90", "90+"],
+    ).astype(str)
+    m["hi"] = m.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    expect = {
+        b: (int(g.hi.sum()), int((~g.hi).sum()))
+        for b, g in m.groupby("delay_bucket")
+    }
+    got = {
+        r.delay_bucket: (r.high_line_count, r.low_line_count)
+        for r in analytics_ship_delay_priority(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# wave 3: Q7/Q9-shaped stars — decimal-exact pandas replays (Decimal math,
+# ROUND_HALF_UP quantize at 2dp — Python round() is banker's and would
+# diverge on ties)
+# ---------------------------------------------------------------------------
+
+
+def _d(x) -> "Decimal":
+    from decimal import Decimal
+
+    return Decimal(repr(float(x)))
+
+
+def test_nation_traffic_decimal_replay(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from merl_etl_spark.operators.analytics import (
+        _TRAFFIC_NATIONS,
+        analytics_nation_traffic,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    s = pd.read_parquet(f"{sf_dir}/supplier.parquet")[["s_suppkey", "s_nationkey"]]
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[["c_custkey", "c_nationkey"]]
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")[["n_nationkey", "n_name"]]
+    m = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n.rename(columns={"n_name": "supp_nation"}), left_on="s_nationkey", right_on="n_nationkey")
+        .merge(
+            n.rename(columns={"n_name": "cust_nation", "n_nationkey": "cn_key"}),
+            left_on="c_nationkey",
+            right_on="cn_key",
+        )
+    )
+    a, b = _TRAFFIC_NATIONS
+    m = m[
+        ((m.supp_nation == a) & (m.cust_nation == b))
+        | ((m.supp_nation == b) & (m.cust_nation == a))
+    ]
+    acc: dict = {}
+    for r in m.itertuples():
+        key = (r.supp_nation, r.cust_nation, r.l_shipdate.year)
+        rev = _d(r.l_extendedprice) * (1 - _d(r.l_discount))
+        acc[key] = acc.get(key, Decimal(0)) + rev
+    expect = {
+        k: float(v.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+        for k, v in acc.items()
+    }
+    got = {
+        (r.supp_nation, r.cust_nation, r.l_year): r.revenue
+        for r in analytics_nation_traffic(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_product_profit_decimal_replay(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from merl_etl_spark.operators.analytics import analytics_product_profit
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    p = pd.read_parquet(f"{sf_dir}/part.parquet")
+    p = p[p.p_name.str.contains("red")][["p_partkey", "p_retailprice"]]
+    s = pd.read_parquet(f"{sf_dir}/supplier.parquet")[["s_suppkey", "s_nationkey"]]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderkey", "o_orderdate"]]
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")[["n_nationkey", "n_name"]]
+    m = (
+        li.merge(p, left_on="l_partkey", right_on="p_partkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(n, left_on="s_nationkey", right_on="n_nationkey")
+    )
+    acc: dict = {}
+    for r in m.itertuples():
+        key = (r.n_name, r.o_orderdate.year)
+        amount = _d(r.l_extendedprice) * (1 - _d(r.l_discount)) - _d(
+            r.p_retailprice
+        ) * _d(r.l_quantity) * Decimal("0.1")
+        acc[key] = acc.get(key, Decimal(0)) + amount
+    expect = {
+        k: float(v.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+        for k, v in acc.items()
+    }
+    got = {
+        (r.nation, r.o_year): r.sum_profit
+        for r in analytics_product_profit(spark, sf_dir).collect()
+    }
+    assert got == expect
