@@ -317,6 +317,12 @@ HEADLINE = [
     # round-14 wave 3: Q7/Q9-shaped nation-pair traffic + profit star
     "analytics-nation-traffic",
     "analytics-product-profit",
+    # round-14 wave 4: Q21/Q22-shaped exists+anti and threshold+anti
+    "analytics-supplier-waiting",
+    "analytics-idle-customers",
+    # round-14 wave 5: Q16/Q18-shaped distinct grid + having-semi
+    "analytics-parts-supplier-breadth",
+    "analytics-large-orders",
 ]
 
 

@@ -3189,3 +3189,300 @@ def analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.round(F.sum(_profit_amount_spark()), 2).cast("double").alias("sum_profit")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-14 wave 4: the TPC-H exists+anti and scalar-threshold-anti shapes
+# (Q21 / Q22 analogs — lateness is ship>order+90d as in wave 2, and Q22's
+# country-code phone prefix becomes the nation dimension; the plan shapes —
+# one fact scanned three ways with EXISTS and NOT EXISTS against itself,
+# and an exact scalar threshold feeding an anti join — are the point)
+# ---------------------------------------------------------------------------
+
+_WAITING_LATE_DAYS = 90
+_IDLE_CUTOFF = "1999-01-01"
+
+
+@register(
+    "analytics-supplier-waiting",
+    oracle=f"""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL {_WAITING_LATE_DAYS} DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL {_WAITING_LATE_DAYS} DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def analytics_supplier_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers-who-kept-orders-waiting: for finished
+    orders, count each supplier's late lines where at least one OTHER
+    supplier shared the order (EXISTS) but no other supplier was also
+    late (NOT EXISTS) — i.e. this supplier alone held the order up.  The
+    fact table is consumed three ways: as the probe, as the EXISTS
+    witness (left-semi), and as the NOT-EXISTS witness (left-anti), both
+    witness joins keyed on orderkey with the supplier-differs predicate
+    evaluated post-hash.
+
+    Scale (100 TB): the orderstatus filter prunes orders at the scan;
+    all three lineitem passes shuffle on the SAME key (orderkey), so AQE
+    reuses the exchange; the semi/anti joins short-circuit per order.
+    No driver-side anything; output ≤ |supplier| rows, totally ordered
+    (numwait DESC, unique name) under TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_WAITING_LATE_DAYS} DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("w_orderkey"), F.col("l_suppkey").alias("w_suppkey")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    sole_blocker = (
+        late.join(
+            l2,
+            (F.col("w_orderkey") == F.col("l_orderkey"))
+            & (F.col("w_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("x_orderkey") == F.col("l_orderkey"))
+            & (F.col("x_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_blocker.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+@register(
+    "analytics-idle-customers",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s,
+             count(*) AS cnt
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name AS nation,
+           count(*) AS numcust,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,2))
+                AS DOUBLE) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey, stats
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * stats.cnt > stats.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{_IDLE_CUTOFF} 00:00:00'
+      )
+    GROUP BY 1
+    """,
+)
+def analytics_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style global-sales-opportunity: customers whose balance
+    beats the mean positive balance but who placed no order since the
+    cutoff, counted and totalled per nation (the fixture's stand-in for
+    the phone country code).  Scalar-aggregate threshold + anti join.
+
+    Determinism: the mean comparison is rewritten exactly —
+    ``bal > sum/cnt  ⟺  bal·cnt > sum`` (cnt > 0) — so no double
+    division ever happens; both engines compare exact decimals and no
+    boundary customer can flip on a ulp.
+
+    Scale (100 TB): the 1-row (sum, cnt) aggregate broadcasts (the
+    BNLJ-walker's 1-row-global-aggregate marker); the anti join shuffles
+    on custkey against date-pruned orders; output is ≤25 nations."""
+    cust = load_table(spark, sf_dir, "customer")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        dec_sum(F.col("c_acctbal")).alias("s"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _IDLE_CUTOFF)
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich = cust.crossJoin(F.broadcast(stats)).filter(
+        F.col("c_acctbal").cast(DEC) * F.col("cnt") > F.col("s")
+    )
+    idle = rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (
+        idle.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum(F.col("c_acctbal"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-14 wave 5: the TPC-H distinct-count-grid and having-semi shapes
+# (Q16 / Q18 analogs — supplier relationships come from lineitem rather
+# than the absent partsupp table, and the excluded-supplier complaint
+# filter becomes the negative-balance flag; the plan shapes — a grouped
+# COUNT(DISTINCT) over an anti-joined fact, and a HAVING-qualified
+# aggregate feeding a semi join back into the detail — are the point)
+# ---------------------------------------------------------------------------
+
+_BREADTH_SIZES = (1, 5, 9, 14, 23, 36, 45, 49)
+_LARGE_ORDER_QTY = 300
+
+
+@register(
+    "analytics-parts-supplier-breadth",
+    oracle=f"""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN ({", ".join(str(s) for s in _BREADTH_SIZES)})
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def analytics_parts_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier breadth: how many DISTINCT suppliers have
+    shipped each (brand, type, size) combination, excluding one brand,
+    one type, and suppliers in the bad-standing list (negative balance —
+    the fixture's stand-in for the complaints filter).  The NOT IN is an
+    anti join against a tiny derived dimension.
+
+    Scale (100 TB): part filters prune before the fact join (and the
+    filtered part side qualifies for AQE broadcast); the bad-supplier
+    list broadcasts for the anti join; COUNT(DISTINCT suppkey) expands
+    to the two-phase distinct aggregate — partial distinct per
+    partition, then one shuffle on the group keys.  Output is the small
+    brand×type×size grid."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(*_BREADTH_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "analytics-large-orders",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_totalprice,
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,0))
+                AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > {_LARGE_ORDER_QTY}
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def analytics_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: orders whose total line
+    quantity clears a threshold (the HAVING-qualified aggregate), semi-
+    joined back into the order/customer/lineitem detail, re-aggregated
+    per order, top 100 by total price.  The two-pass shape — aggregate
+    to find qualifying keys, then rejoin the detail — is the classic
+    Q18 plan.
+
+    Determinism: quantities are integral, so the exact decimal sum is
+    emitted as BIGINT; orderdate formats as a string; ordering is total
+    (totalprice DESC then unique orderkey).
+
+    Scale (100 TB): both lineitem passes and the order join shuffle on
+    orderkey (AQE exchange reuse); the qualifying-key set is tiny
+    (~0.2% of orders) so the IN becomes a broadcastable semi join at
+    runtime; top-100 runs as TakeOrderedAndProject — no global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum(F.col("l_quantity")).alias("q"))
+        .filter(F.col("q") > _LARGE_ORDER_QTY)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(
+            dec_sum(F.col("l_quantity"))
+            .cast("decimal(38,0)")
+            .cast("long")
+            .alias("total_qty")
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

@@ -62,6 +62,10 @@ SWEEP_PRIORITY: list[str] = [
     "analytics-ship-delay-priority",  # r14 wave 2: Q12 conditional counts
     "analytics-nation-traffic",  # r14 wave 3: Q7 bidirectional pair star
     "analytics-product-profit",  # r14 wave 3: Q9 profit star
+    "analytics-supplier-waiting",  # r14 wave 4: Q21 exists+anti self-joins
+    "analytics-idle-customers",  # r14 wave 4: Q22 scalar threshold + anti
+    "analytics-parts-supplier-breadth",  # r14 wave 5: Q16 distinct grid
+    "analytics-large-orders",  # r14 wave 5: Q18 having-semi detail
     # -- tier 2: never-driver-rowed (r13 waves 2-10) ----------------------
     "layout-partition-advisor",
     "curate-ccnet-buckets", "dq-temporal-coverage",

@@ -242,3 +242,151 @@ def test_product_profit_decimal_replay(spark, sf_dir):
         for r in analytics_product_profit(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# wave 4: Q21/Q22-shaped exists/anti plans — pandas replays
+# ---------------------------------------------------------------------------
+
+
+def test_supplier_waiting_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    from merl_etl_spark.operators.analytics import (
+        _WAITING_LATE_DAYS,
+        analytics_supplier_waiting,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    s = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    o = o[o.o_orderstatus == "F"][["o_orderkey", "o_orderdate"]]
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    m["late"] = m.l_shipdate > m.o_orderdate + pd.Timedelta(days=_WAITING_LATE_DAYS)
+    by_order = m.groupby("l_orderkey")
+    n_supp = by_order.l_suppkey.nunique()
+    late_supp = m[m.late].groupby("l_orderkey").l_suppkey.nunique()
+    counts: dict = {}
+    for r in m[m.late].itertuples():
+        multi = n_supp[r.l_orderkey] > 1
+        sole = late_supp[r.l_orderkey] == 1
+        if multi and sole:
+            counts[r.l_suppkey] = counts.get(r.l_suppkey, 0) + 1
+    names = dict(zip(s.s_suppkey, s.s_name))
+    expect = sorted(
+        ((names[k], v) for k, v in counts.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:100]
+    got = [
+        (r.s_name, r.numwait)
+        for r in analytics_supplier_waiting(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_idle_customers_pandas_replay(spark, sf_dir):
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from merl_etl_spark.operators.analytics import (
+        _IDLE_CUTOFF,
+        analytics_idle_customers,
+    )
+
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    pos = [_d(x) for x in c.c_acctbal if x > 0]
+    s, cnt = sum(pos), len(pos)
+    active = set(o.loc[o.o_orderdate >= pd.Timestamp(_IDLE_CUTOFF), "o_custkey"])
+    sel = c[
+        c.apply(lambda r: _d(r.c_acctbal) * cnt > s, axis=1)
+        & ~c.c_custkey.isin(active)
+    ].merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    expect = {
+        name: (len(g), float(sum(_d(x) for x in g.c_acctbal)))
+        for name, g in sel.groupby("n_name")
+    }
+    got = {
+        r.nation: (r.numcust, r.totacctbal)
+        for r in analytics_idle_customers(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert isinstance(s, Decimal)  # the threshold compare stayed exact
+
+
+# ---------------------------------------------------------------------------
+# wave 5: Q16/Q18-shaped distinct-grid and having-semi — pandas replays
+# ---------------------------------------------------------------------------
+
+
+def test_parts_supplier_breadth_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    from merl_etl_spark.operators.analytics import (
+        _BREADTH_SIZES,
+        analytics_parts_supplier_breadth,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    p = pd.read_parquet(f"{sf_dir}/part.parquet")
+    s = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    bad = set(s.loc[s.s_acctbal < 0, "s_suppkey"])
+    p = p[
+        (p.p_brand != "Brand#3")
+        & (p.p_type != "PROMO")
+        & p.p_size.isin(_BREADTH_SIZES)
+    ]
+    m = li[~li.l_suppkey.isin(bad)].merge(
+        p, left_on="l_partkey", right_on="p_partkey"
+    )
+    expect = {
+        key: g.l_suppkey.nunique()
+        for key, g in m.groupby(["p_brand", "p_type", "p_size"])
+    }
+    got = {
+        (r.p_brand, r.p_type, r.p_size): r.supplier_cnt
+        for r in analytics_parts_supplier_breadth(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_large_orders_decimal_replay(spark, sf_dir):
+    import pandas as pd
+
+    from merl_etl_spark.operators.analytics import (
+        _LARGE_ORDER_QTY,
+        analytics_large_orders,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    qty = {}
+    for r in li.itertuples():
+        qty[r.l_orderkey] = qty.get(r.l_orderkey, 0) + _d(r.l_quantity)
+    big = {k for k, v in qty.items() if v > _LARGE_ORDER_QTY}
+    m = o[o.o_orderkey.isin(big)].merge(
+        c, left_on="o_custkey", right_on="c_custkey"
+    )
+    rows = sorted(
+        (
+            (
+                r.c_name,
+                r.c_custkey,
+                r.o_orderkey,
+                pd.Timestamp(r.o_orderdate).strftime("%Y-%m-%d"),
+                _d(r.o_totalprice),
+                int(qty[r.o_orderkey]),
+            )
+            for r in m.itertuples()
+        ),
+        key=lambda t: (-t[4], t[2]),
+    )[:100]
+    expect = [(a, b, c_, d, float(e), f) for a, b, c_, d, e, f in rows]
+    got = [
+        (r.c_name, r.c_custkey, r.o_orderkey, r.o_orderdate, float(r.o_totalprice), r.total_qty)
+        for r in analytics_large_orders(spark, sf_dir).collect()
+    ]
+    assert got == expect
