@@ -323,6 +323,13 @@ HEADLINE = [
     # round-14 wave 5: Q16/Q18-shaped distinct grid + having-semi
     "analytics-parts-supplier-breadth",
     "analytics-large-orders",
+    # round-14 wave 6: Q15/Q2/Q20-shaped max/min join-backs + agg-threshold
+    "analytics-top-supplier",
+    "analytics-min-cost-supplier",
+    "analytics-excess-suppliers",
+    # round-14 wave 7: layout pruning score + integer pitch tracker
+    "layout-skipping-eval",
+    "mm-pcm-autocorr-pitch",
 ]
 
 

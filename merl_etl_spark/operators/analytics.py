@@ -3486,3 +3486,231 @@ def analytics_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-14 wave 6: the TPC-H max-of-aggregate, min-per-group-tie-keep, and
+# nested-agg-threshold-semi shapes (Q15 / Q2 / Q20 analogs — there is no
+# partsupp or revenue view in the fixture, so supplier cost is the minimum
+# observed line price and "available quantity" is the supplier's shipped
+# share of a part; the plan shapes — aggregate ⟶ global-max join-back,
+# two-level min with tie-keeping equality join-back, and an aggregate
+# threshold chain feeding a semi join — are the point)
+# ---------------------------------------------------------------------------
+
+_TOP_SUPP_QUARTER = ("1996-01-01", "1996-04-01")
+_MIN_COST_SIZE = 15
+_MIN_COST_TYPE = "STANDARD"
+_EXCESS_YEAR = ("1997-01-01", "1998-01-01")
+_EXCESS_NATION = "NATION_5"
+
+
+@register(
+    "analytics-top-supplier",
+    oracle=f"""
+    WITH revenue AS MATERIALIZED (
+      SELECT l_suppkey, SUM({net_revenue_duck()}) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_TOP_SUPP_QUARTER[0]} 00:00:00'
+        AND l_shipdate <  TIMESTAMP '{_TOP_SUPP_QUARTER[1]} 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(CAST(ROUND(r.total, 2) AS DECIMAL(38,2)) AS DOUBLE)
+             AS total_revenue
+    FROM revenue r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total = (SELECT max(total) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: quarterly net revenue per supplier,
+    keeping every supplier that achieves the global maximum (the
+    aggregate ⟶ scalar-max ⟶ equality-join-back shape Q15 writes as a
+    view + subquery).  Revenue totals are exact decimals end to end, so
+    the max-equality cannot be split by a double ulp and ties survive
+    identically in both engines.
+
+    Scale (100 TB): the quarter filter prunes the fact scan; one shuffle
+    on suppkey at supplier cardinality; the 1-row max aggregate
+    broadcasts back over the per-supplier totals (the BNLJ walker's
+    1-row-global-aggregate marker); supplier names broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TOP_SUPP_QUARTER[0])
+        & (F.col("l_shipdate") < _TOP_SUPP_QUARTER[1])
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(net_revenue_spark()).alias("total"))
+    best = rev.agg(F.max("total").alias("best"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total") == F.col("best"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total"), 2)
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "analytics-min-cost-supplier",
+    oracle=f"""
+    WITH cost AS MATERIALIZED (
+      SELECT l.l_partkey, l.l_suppkey,
+             min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cost_cents
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size = {_MIN_COST_SIZE} AND p.p_type = '{_MIN_COST_TYPE}'
+      GROUP BY 1, 2
+    ), floor_cost AS MATERIALIZED (
+      SELECT l_partkey, min(cost_cents) AS min_cents
+      FROM cost GROUP BY 1
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name AS nation,
+           c.l_partkey AS p_partkey, p.p_brand, c.cost_cents
+    FROM cost c
+    JOIN floor_cost f
+      ON f.l_partkey = c.l_partkey AND c.cost_cents = f.min_cents
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY s.s_acctbal DESC, s.s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier: for every part in one
+    size/type slice, the supplier(s) whose observed unit price equals the
+    part's minimum (two-level aggregate, then a tie-KEEPING equality
+    join-back — the correlated MIN subquery shape), decorated with
+    supplier standing and nation, top-100 by account balance.
+
+    Determinism: prices compare as integer cents (round(price*100) is
+    exactly representable; no cross-engine double-min drift); ordering
+    (acctbal DESC, name, partkey) is total because each (supplier, part)
+    pair appears once post-aggregate.
+
+    Scale (100 TB): the part slice filters ~1/300 of parts and
+    broadcasts; the fact shuffles once on partkey for both aggregation
+    levels (same key — AQE reuses the exchange for the join-back);
+    supplier and nation broadcast; TakeOrderedAndProject caps output."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_size") == _MIN_COST_SIZE)
+            & (F.col("p_type") == _MIN_COST_TYPE)
+        )
+        .select("p_partkey", "p_brand")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    cost = (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_brand")
+        .agg(F.min("cents").alias("cost_cents"))
+    )
+    floor_cost = cost.groupBy(F.col("l_partkey").alias("f_partkey")).agg(
+        F.min("cost_cents").alias("min_cents")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cost.join(
+            floor_cost,
+            (F.col("l_partkey") == F.col("f_partkey"))
+            & (F.col("cost_cents") == F.col("min_cents")),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "cost_cents",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "analytics-excess-suppliers",
+    oracle=f"""
+    WITH shipped AS MATERIALIZED (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_EXCESS_YEAR[0]} 00:00:00'
+        AND l_shipdate <  TIMESTAMP '{_EXCESS_YEAR[1]} 00:00:00'
+      GROUP BY 1, 2
+    ), part_total AS MATERIALIZED (
+      SELECT l_partkey, CAST(SUM(sq) AS BIGINT) AS tq
+      FROM shipped GROUP BY 1
+    )
+    SELECT s.s_name, count(*) AS dominated_parts
+    FROM shipped sh
+    JOIN part_total pt ON pt.l_partkey = sh.l_partkey
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE 2 * sh.sq > pt.tq
+      AND n.n_name = '{_EXCESS_NATION}'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def analytics_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style excess-share suppliers: suppliers in one nation
+    who shipped MORE THAN HALF of a part's total quantity in a year (the
+    nested aggregate-over-aggregate threshold Q20 writes as availqty >
+    0.5·sum), with how many parts each dominates.  The chain — keyed
+    aggregate, re-aggregate on a prefix of the same key, threshold join
+    — is the shape; the half-share test is 2·sq > tq in integers, no
+    division anywhere.
+
+    Scale (100 TB): the year prunes the scan; both aggregates and the
+    threshold join shuffle on partkey(-prefixed) keys; the nation filter
+    reduces supplier to a broadcastable slice; output ≤ |supplier|."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _EXCESS_YEAR[0])
+        & (F.col("l_shipdate") < _EXCESS_YEAR[1])
+    )
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sq")
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum("sq").cast("long").alias("tq")
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == _EXCESS_NATION
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        shipped.join(part_total, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.lit(2) * F.col("sq") > F.col("tq"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("dominated_parts"))
+        .orderBy("s_name")
+    )

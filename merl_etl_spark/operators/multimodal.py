@@ -630,3 +630,161 @@ def mm_pcm_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.octet_length(F.col("payload")) > 0)
     )
     return pcm_window_energy_plan(ascii_only.select("doc_id", "payload"))
+
+
+# ---------------------------------------------------------------------------
+# mm-pcm-autocorr-pitch — exact-integer periodicity over byte-stream PCM
+# (round 14: the pitch/periodicity half of the audio family; window-energy
+# above is the loudness half)
+# ---------------------------------------------------------------------------
+
+PITCH_PREFIX = 192  # samples analyzed per doc (prefix; bounds oracle cost)
+PITCH_MIN_LAG = 2
+PITCH_MAX_LAG = 33  # inclusive; 32 candidate periods
+
+
+def pcm_autocorr_plan(df: DataFrame) -> DataFrame:
+    """Autocorrelation pitch plumbing: mapInPandas over (doc_id, payload)
+    batches; each payload's first {PITCH_PREFIX} bytes are centered u8
+    PCM, and the dominant period is the lag k in
+    [{PITCH_MIN_LAG}, {PITCH_MAX_LAG}] maximizing the EXACT integer
+    autocorrelation ac(k) = sum_i s[i]*s[i+k] (first-max tie rule —
+    argmax returns the smallest maximizing lag), alongside the exact
+    zero-crossing count — the two classic integer features of a pitch
+    tracker, with no float anywhere.
+
+    Vectorized across the whole Arrow batch: prefixes scatter into one
+    zero-padded (docs x {PITCH_PREFIX}) matrix (row-major mask fill —
+    zero padding contributes nothing to either feature because every
+    product with a pad is 0), then each lag is one elementwise
+    multiply+row-sum over the matrix; no per-doc Python loop."""
+    import numpy as np
+
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        n_lags = PITCH_MAX_LAG - PITCH_MIN_LAG + 1
+        for pdf in batches:
+            payloads = [bytes(p)[:PITCH_PREFIX] for p in pdf["payload"]]
+            doc_ids = pdf["doc_id"].to_numpy()
+            m = np.fromiter((len(p) for p in payloads), np.int64, len(payloads))
+            keep = m > 0
+            if not keep.any():
+                continue
+            if not keep.all():
+                payloads = [p for p, k in zip(payloads, keep) if k]
+                doc_ids, m = doc_ids[keep], m[keep]
+            n_docs = len(payloads)
+            flat = np.frombuffer(b"".join(payloads), np.uint8).astype(np.int64) - 128
+            mat = np.zeros((n_docs, PITCH_PREFIX), np.int64)
+            mat[np.arange(PITCH_PREFIX)[None, :] < m[:, None]] = flat
+            ac = np.zeros((n_docs, n_lags), np.int64)
+            for j, k in enumerate(range(PITCH_MIN_LAG, PITCH_MAX_LAG + 1)):
+                ac[:, j] = np.einsum("ij,ij->i", mat[:, :-k], mat[:, k:])
+            best = ac.max(axis=1)
+            best_lag = PITCH_MIN_LAG + np.argmax(ac, axis=1)
+            zc = ((mat[:, :-1] * mat[:, 1:]) < 0).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "n_used": m,
+                    "best_lag": best_lag.astype(np.int64),
+                    "best_ac": best,
+                    "zero_crossings": zc,
+                }
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, n_used long, best_lag long, best_ac long, "
+            "zero_crossings long"
+        ),
+    )
+
+
+@register(
+    "mm-pcm-autocorr-pitch",
+    oracle=f"""
+    WITH a AS MATERIALIZED (
+      SELECT doc_id, text,
+             least(CAST(octet_length(encode(text)) AS BIGINT), {PITCH_PREFIX})
+               AS m
+      FROM documents
+      WHERE text IS NOT NULL
+        AND octet_length(encode(text)) = length(text)
+        AND octet_length(encode(text)) > 0
+    ),
+    samp AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(p AS BIGINT) AS p,
+             CAST(ord(substr(text, CAST(p AS INT), 1)) - 128 AS BIGINT) AS s
+      FROM (SELECT doc_id, text, unnest(generate_series(1, m)) AS p FROM a)
+    ),
+    acv AS (
+      SELECT x.doc_id, (y.p - x.p) AS k,
+             CAST(SUM(x.s * y.s) AS BIGINT) AS v
+      FROM samp x
+      JOIN samp y
+        ON y.doc_id = x.doc_id
+       AND y.p BETWEEN x.p + {PITCH_MIN_LAG} AND x.p + {PITCH_MAX_LAG}
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT doc_id, CAST(unnest(generate_series({PITCH_MIN_LAG},
+                                                 {PITCH_MAX_LAG})) AS BIGINT)
+               AS k
+      FROM a
+    ),
+    ac AS (
+      SELECT g.doc_id, g.k, COALESCE(acv.v, 0) AS v
+      FROM grid g LEFT JOIN acv ON acv.doc_id = g.doc_id AND acv.k = g.k
+    ),
+    best AS (
+      SELECT doc_id, max(v) AS best_ac FROM ac GROUP BY 1
+    ),
+    pick AS (
+      SELECT ac.doc_id, min(ac.k) AS best_lag, min(best.best_ac) AS best_ac
+      FROM ac JOIN best ON best.doc_id = ac.doc_id AND ac.v = best.best_ac
+      GROUP BY 1
+    ),
+    zc AS (
+      SELECT x.doc_id,
+             CAST(COALESCE(SUM(CASE WHEN x.s * y.s < 0 THEN 1 END), 0)
+                  AS BIGINT) AS zero_crossings
+      FROM samp x
+      LEFT JOIN samp y ON y.doc_id = x.doc_id AND y.p = x.p + 1
+      GROUP BY 1
+    )
+    SELECT a.doc_id, a.m AS n_used, pick.best_lag, pick.best_ac,
+           zc.zero_crossings
+    FROM a
+    JOIN pick ON pick.doc_id = a.doc_id
+    JOIN zc ON zc.doc_id = a.doc_id
+    """,
+)
+def mm_pcm_autocorr_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-period (pitch) detection over byte-stream 'audio': the
+    first {PITCH_PREFIX} samples of each ASCII-checked payload, exact
+    integer autocorrelation over lags [{PITCH_MIN_LAG},{PITCH_MAX_LAG}],
+    argmax with the first-max tie rule, plus exact zero crossings — the
+    integer core of a pitch tracker / periodicity fingerprint, as a pure
+    map over documents.
+
+    Determinism: every value is an int64 sum of byte products; the tie
+    rule is pinned (smallest maximizing lag); the ASCII filter makes
+    byte==char so the oracle regenerates identical samples with
+    substr/ord.  The oracle's per-sample self-join is fixture-only — the
+    operator never materializes pairs.
+
+    Scale (100 TB): a pure map — payloads never shuffle; the kernel is
+    ~{PITCH_MAX_LAG - PITCH_MIN_LAG + 1} vectorized row-sum passes over
+    a zero-padded batch matrix (bounded at {PITCH_PREFIX} samples/doc);
+    output is doc-grain."""
+    from merl_etl_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ascii_only = binary_docs(spark, sf_dir).filter(
+        (F.octet_length(F.col("payload"))
+         == F.length(F.col("payload").cast("string")))
+        & (F.octet_length(F.col("payload")) > 0)
+    )
+    return pcm_autocorr_plan(ascii_only.select("doc_id", "payload"))

@@ -932,3 +932,207 @@ def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n") < ADVISOR_SMALL_ROWS, 1).otherwise(0)
         ).cast("long").alias("n_small_values"),
     )
+
+
+# ---------------------------------------------------------------------------
+# layout-skipping-eval — quantify Z-ORDER vs time-linear file skipping
+# (round 14: the evaluation half of layout-zorder — same Morton machinery,
+# now scored against a literal query grid)
+# ---------------------------------------------------------------------------
+
+_SKIP_BUCKETS = 64
+_SKIP_BANDS = (0, 3, 6)  # eighth-band indices probed per dimension
+
+
+def _skip_band_bounds(dim_lo: str, dim_hi: str, band: str, dialect: str) -> tuple[str, str]:
+    """Integer bounds of eighth-band ``band`` of [dim_lo, dim_hi]: exact
+    floor division (nonneg spans, so // and div agree)."""
+    div = "//" if dialect == "duck" else "div"
+    span = f"({dim_hi} - {dim_lo} + 1)"
+    lo = f"({dim_lo} + ({span} * {band}) {div} 8)"
+    hi = f"({dim_lo} + ({span} * ({band} + 1)) {div} 8 - 1)"
+    return lo, hi
+
+
+def _skip_oracle() -> str:
+    mlo_u, mhi_u = _skip_band_bounds("b.mn_u", "b.mx_u", "g.ub", "duck")
+    mlo_h, mhi_h = _skip_band_bounds("b.mn_h", "b.mx_h", "g.hb", "duck")
+    return f"""
+    WITH hours AS MATERIALIZED (
+      SELECT user_id, {_DUCK_HOUR} AS hr FROM events
+    ),
+    bounds AS MATERIALIZED (
+      SELECT min(user_id) AS mn_u, max(user_id) AS mx_u,
+             min(hr) AS mn_h, max(hr) AS mx_h
+      FROM hours
+    ),
+    coded AS (
+      SELECT {_scale('h.user_id', 'b.mn_u', 'b.mx_u', 'duck')} AS x,
+             {_scale('h.hr', 'b.mn_h', 'b.mx_h', 'duck')} AS y,
+             h.user_id, h.hr
+      FROM hours h CROSS JOIN bounds b
+    ),
+    zstats AS MATERIALIZED (
+      SELECT ({_morton('x', 'y', 'duck')}) >> {Z_PREFIX_SHIFT} AS bucket,
+             count(*) AS n,
+             min(user_id) AS user_lo, max(user_id) AS user_hi,
+             min(hr) AS hour_lo, max(hr) AS hour_hi
+      FROM coded GROUP BY 1
+    ),
+    linstats AS MATERIALIZED (
+      SELECT ((h.hr - b.mn_h) * {_SKIP_BUCKETS}) // (b.mx_h - b.mn_h + 1)
+               AS bucket,
+             count(*) AS n,
+             min(h.user_id) AS user_lo, max(h.user_id) AS user_hi,
+             min(h.hr) AS hour_lo, max(h.hr) AS hour_hi
+      FROM hours h CROSS JOIN bounds b GROUP BY 1
+    ),
+    stats AS (
+      SELECT 'zorder' AS layout, * FROM zstats
+      UNION ALL
+      SELECT 'linear' AS layout, * FROM linstats
+    ),
+    grid AS (
+      SELECT CAST(ub * 10 + hb AS BIGINT) AS query_id, ub, hb
+      FROM (VALUES {", ".join(f"({u}, {h})" for u in _SKIP_BANDS for h in _SKIP_BANDS)})
+        AS v(ub, hb)
+    ),
+    rects AS (
+      SELECT g.query_id,
+             {mlo_u} AS q_u_lo, {mhi_u} AS q_u_hi,
+             {mlo_h} AS q_h_lo, {mhi_h} AS q_h_hi
+      FROM grid g CROSS JOIN bounds b
+    )
+    SELECT r.query_id, s.layout,
+           count(*) AS touched_buckets,
+           CAST(SUM(s.n) AS BIGINT) AS touched_rows
+    FROM stats s
+    JOIN rects r
+      ON s.user_lo <= r.q_u_hi AND s.user_hi >= r.q_u_lo
+     AND s.hour_lo <= r.q_h_hi AND s.hour_hi >= r.q_h_lo
+    GROUP BY 1, 2
+    """
+
+
+@register("layout-skipping-eval", oracle=_skip_oracle())
+def layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the Z-ORDER layout against a plain time-linear layout on a
+    literal grid of nine rectangular queries (three user bands x three
+    hour bands, each an eighth of the global range): for every (query,
+    layout), how many of the {_SKIP_BUCKETS} file-buckets' min/max
+    bounding boxes intersect the query rectangle — i.e. how many files a
+    stats-pruning reader must open — and how many rows those buckets
+    hold.  The linear layout prunes only on time (user-band queries
+    touch every bucket); Z-ORDER prunes on both dimensions.  This is the
+    measurement that justifies a 100-TB re-cluster: the same bucket
+    bounding boxes layout-zorder emits, scored as a scan-pruning
+    simulation.
+
+    Determinism: all arithmetic is exact integer (band bounds by floor
+    division of nonneg spans; intersection by comparisons); output is 18
+    keyed rows.
+
+    Scale (100 TB): two aggregates over the fact (64-key each, map-side
+    partial), a 1-row bounds broadcast, and a 9-row literal-grid
+    broadcast join against 128 bucket-stat rows — everything after the
+    two fact passes is constant-size."""
+    events = load_table(spark, sf_dir, "events")
+    hours = events.select(
+        "user_id",
+        F.expr(
+            "CAST(floor(CAST(unix_timestamp(ts) AS BIGINT) / 3600.0) AS BIGINT)"
+        ).alias("hr"),
+    )
+    bounds = F.broadcast(
+        hours.agg(
+            F.min("user_id").alias("mn_u"),
+            F.max("user_id").alias("mx_u"),
+            F.min("hr").alias("mn_h"),
+            F.max("hr").alias("mx_h"),
+        )
+    )
+    coded = hours.crossJoin(bounds).select(
+        "user_id",
+        "hr",
+        F.expr(_scale("user_id", "mn_u", "mx_u", "spark")).alias("x"),
+        F.expr(_scale("hr", "mn_h", "mx_h", "spark")).alias("y"),
+    )
+    zstats = (
+        coded.select(
+            "user_id",
+            "hr",
+            F.expr(
+                f"shiftright({_morton('x', 'y', 'spark')}, {Z_PREFIX_SHIFT})"
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("user_id").alias("user_lo"),
+            F.max("user_id").alias("user_hi"),
+            F.min("hr").alias("hour_lo"),
+            F.max("hr").alias("hour_hi"),
+        )
+    )
+    linstats = (
+        hours.crossJoin(bounds)
+        .select(
+            "user_id",
+            "hr",
+            F.expr(
+                f"((hr - mn_h) * {_SKIP_BUCKETS}) div (mx_h - mn_h + 1)"
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("user_id").alias("user_lo"),
+            F.max("user_id").alias("user_hi"),
+            F.min("hr").alias("hour_lo"),
+            F.max("hr").alias("hour_hi"),
+        )
+    )
+    stats = zstats.withColumn("layout", F.lit("zorder")).unionByName(
+        linstats.withColumn("layout", F.lit("linear"))
+    )
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(u).cast("long").alias("ub"),
+                            F.lit(h).cast("long").alias("hb"),
+                        )
+                        for u in _SKIP_BANDS
+                        for h in _SKIP_BANDS
+                    ]
+                )
+            ).alias("g")
+        )
+        .select("g.*")
+    )
+    slo_u, shi_u = _skip_band_bounds("mn_u", "mx_u", "ub", "spark")
+    slo_h, shi_h = _skip_band_bounds("mn_h", "mx_h", "hb", "spark")
+    rects = grid.crossJoin(bounds).select(
+        (F.col("ub") * 10 + F.col("hb")).alias("query_id"),
+        F.expr(slo_u).alias("q_u_lo"),
+        F.expr(shi_u).alias("q_u_hi"),
+        F.expr(slo_h).alias("q_h_lo"),
+        F.expr(shi_h).alias("q_h_hi"),
+    )
+    return (
+        stats.join(
+            F.broadcast(rects),
+            (F.col("user_lo") <= F.col("q_u_hi"))
+            & (F.col("user_hi") >= F.col("q_u_lo"))
+            & (F.col("hour_lo") <= F.col("q_h_hi"))
+            & (F.col("hour_hi") >= F.col("q_h_lo")),
+        )
+        .groupBy("query_id", "layout")
+        .agg(
+            F.count(F.lit(1)).alias("touched_buckets"),
+            F.sum("n").cast("long").alias("touched_rows"),
+        )
+    )

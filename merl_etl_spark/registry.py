@@ -66,6 +66,11 @@ SWEEP_PRIORITY: list[str] = [
     "analytics-idle-customers",  # r14 wave 4: Q22 scalar threshold + anti
     "analytics-parts-supplier-breadth",  # r14 wave 5: Q16 distinct grid
     "analytics-large-orders",  # r14 wave 5: Q18 having-semi detail
+    "analytics-top-supplier",  # r14 wave 6: Q15 max-of-aggregate join-back
+    "analytics-min-cost-supplier",  # r14 wave 6: Q2 min-per-group tie-keep
+    "analytics-excess-suppliers",  # r14 wave 6: Q20 agg-threshold semi chain
+    "layout-skipping-eval",  # r14 wave 7: Z-ORDER vs linear pruning score
+    "mm-pcm-autocorr-pitch",  # r14 wave 7: exact-integer periodicity map
     # -- tier 2: never-driver-rowed (r13 waves 2-10) ----------------------
     "layout-partition-advisor",
     "curate-ccnet-buckets", "dq-temporal-coverage",

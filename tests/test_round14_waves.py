@@ -390,3 +390,226 @@ def test_large_orders_decimal_replay(spark, sf_dir):
         for r in analytics_large_orders(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# wave 6: Q15/Q2/Q20-shaped join-backs — pandas replays
+# ---------------------------------------------------------------------------
+
+
+def test_top_supplier_decimal_replay(spark, sf_dir):
+    import pandas as pd
+
+    from merl_etl_spark.operators.analytics import (
+        _TOP_SUPP_QUARTER,
+        analytics_top_supplier,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    s = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    li = li[
+        (li.l_shipdate >= pd.Timestamp(_TOP_SUPP_QUARTER[0]))
+        & (li.l_shipdate < pd.Timestamp(_TOP_SUPP_QUARTER[1]))
+    ]
+    rev: dict = {}
+    for r in li.itertuples():
+        rev[r.l_suppkey] = rev.get(r.l_suppkey, 0) + _d(r.l_extendedprice) * (
+            1 - _d(r.l_discount)
+        )
+    best = max(rev.values())
+    names = dict(zip(s.s_suppkey, s.s_name))
+    expect = sorted(
+        (k, names[k], float(round(v, 2))) for k, v in rev.items() if v == best
+    )
+    got = [
+        (r.s_suppkey, r.s_name, r.total_revenue)
+        for r in analytics_top_supplier(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_min_cost_supplier_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    from merl_etl_spark.operators.analytics import (
+        _MIN_COST_SIZE,
+        _MIN_COST_TYPE,
+        analytics_min_cost_supplier,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    p = pd.read_parquet(f"{sf_dir}/part.parquet")
+    s = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    p = p[(p.p_size == _MIN_COST_SIZE) & (p.p_type == _MIN_COST_TYPE)]
+    m = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    m["cents"] = (m.l_extendedprice * 100).round().astype("int64")
+    cost = (
+        m.groupby(["l_partkey", "l_suppkey", "p_brand"])
+        .cents.min()
+        .reset_index(name="cost_cents")
+    )
+    floor = cost.groupby("l_partkey").cost_cents.min().rename("min_cents")
+    keep = cost.join(floor, on="l_partkey")
+    keep = keep[keep.cost_cents == keep.min_cents]
+    keep = keep.merge(s, left_on="l_suppkey", right_on="s_suppkey").merge(
+        n, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    rows = sorted(
+        (
+            (r.s_acctbal, r.s_name, r.n_name, r.l_partkey, r.p_brand, r.cost_cents)
+            for r in keep.itertuples()
+        ),
+        key=lambda t: (-t[0], t[1], t[3]),
+    )[:100]
+    got = [
+        (r.s_acctbal, r.s_name, r.nation, r.p_partkey, r.p_brand, r.cost_cents)
+        for r in analytics_min_cost_supplier(spark, sf_dir).collect()
+    ]
+    assert got == rows
+
+
+def test_excess_suppliers_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    from merl_etl_spark.operators.analytics import (
+        _EXCESS_NATION,
+        _EXCESS_YEAR,
+        analytics_excess_suppliers,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    s = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    li = li[
+        (li.l_shipdate >= pd.Timestamp(_EXCESS_YEAR[0]))
+        & (li.l_shipdate < pd.Timestamp(_EXCESS_YEAR[1]))
+    ]
+    li["q"] = li.l_quantity.astype("int64")
+    sp = li.groupby(["l_suppkey", "l_partkey"]).q.sum().reset_index(name="sq")
+    tot = sp.groupby("l_partkey").sq.sum().rename("tq")
+    sp = sp.join(tot, on="l_partkey")
+    dom = sp[2 * sp.sq > sp.tq]
+    nkey = n.loc[n.n_name == _EXCESS_NATION, "n_nationkey"].iloc[0]
+    in_nation = s[s.s_nationkey == nkey]
+    dom = dom.merge(in_nation, left_on="l_suppkey", right_on="s_suppkey")
+    expect = sorted(
+        (name, len(g)) for name, g in dom.groupby("s_name")
+    )
+    got = [
+        (r.s_name, r.dominated_parts)
+        for r in analytics_excess_suppliers(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# wave 7: layout skipping score + integer pitch tracker — pure replays
+# ---------------------------------------------------------------------------
+
+
+def test_pcm_autocorr_pure_python_replay(spark, sf_dir):
+    """Per-doc plain-Python loops (no numpy) must reproduce the
+    batch-vectorized production kernel exactly — argmax tie rule,
+    zero-padding neutrality, and the ASCII filter included."""
+    import pandas as pd
+
+    from merl_etl_spark.operators.multimodal import (
+        PITCH_MAX_LAG,
+        PITCH_MIN_LAG,
+        PITCH_PREFIX,
+        mm_pcm_autocorr_pitch,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    expect = {}
+    for r in docs.itertuples():
+        if r.text is None:
+            continue
+        b = r.text.encode("utf-8", "surrogatepass")
+        if len(b) != len(r.text) or not b:
+            continue  # the ASCII byte==char filter
+        s = [x - 128 for x in b[:PITCH_PREFIX]]
+        m = len(s)
+        best_ac, best_lag = None, None
+        for k in range(PITCH_MIN_LAG, PITCH_MAX_LAG + 1):
+            v = sum(s[i] * s[i + k] for i in range(max(m - k, 0)))
+            if best_ac is None or v > best_ac:
+                best_ac, best_lag = v, k
+        zc = sum(1 for i in range(m - 1) if s[i] * s[i + 1] < 0)
+        expect[r.doc_id] = (m, best_lag, best_ac, zc)
+    got = {
+        r.doc_id: (r.n_used, r.best_lag, r.best_ac, r.zero_crossings)
+        for r in mm_pcm_autocorr_pitch(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_layout_skipping_eval_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    from merl_etl_spark.operators.profiling import (
+        _SKIP_BANDS,
+        _SKIP_BUCKETS,
+        Z_BITS,
+        Z_PREFIX_SHIFT,
+        layout_skipping_eval,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    u = ev.user_id.to_numpy()
+    hr = (ev.ts.astype("datetime64[ns]").astype("int64") // 10**9) // 3600
+    mn_u, mx_u, mn_h, mx_h = u.min(), u.max(), hr.min(), hr.max()
+
+    def scale(v, mn, mx):
+        return ((v - mn) * (1 << Z_BITS)) // (mx - mn + 1)
+
+    def morton(x, y):
+        z = 0
+        for i in range(Z_BITS):
+            z += (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))
+        return z
+
+    import numpy as np
+
+    x, y = scale(u, mn_u, mx_u), scale(hr.to_numpy(), mn_h, mx_h)
+    zb = np.array([morton(a, b) for a, b in zip(x, y)]) >> Z_PREFIX_SHIFT
+    lb = ((hr.to_numpy() - mn_h) * _SKIP_BUCKETS) // (mx_h - mn_h + 1)
+
+    def stats(bucket):
+        df = pd.DataFrame({"b": bucket, "u": u, "h": hr.to_numpy()})
+        g = df.groupby("b")
+        return pd.DataFrame(
+            {
+                "n": g.size(),
+                "ulo": g.u.min(),
+                "uhi": g.u.max(),
+                "hlo": g.h.min(),
+                "hhi": g.h.max(),
+            }
+        )
+
+    layouts = {"zorder": stats(zb), "linear": stats(lb)}
+    span_u, span_h = mx_u - mn_u + 1, mx_h - mn_h + 1
+    expect = {}
+    for ub in _SKIP_BANDS:
+        for hb in _SKIP_BANDS:
+            qulo, quhi = mn_u + span_u * ub // 8, mn_u + span_u * (ub + 1) // 8 - 1
+            qhlo, qhhi = mn_h + span_h * hb // 8, mn_h + span_h * (hb + 1) // 8 - 1
+            for name, st in layouts.items():
+                hit = st[
+                    (st.ulo <= quhi) & (st.uhi >= qulo)
+                    & (st.hlo <= qhhi) & (st.hhi >= qhlo)
+                ]
+                if len(hit):
+                    expect[(ub * 10 + hb, name)] = (len(hit), int(hit.n.sum()))
+    got = {
+        (r.query_id, r.layout): (r.touched_buckets, r.touched_rows)
+        for r in layout_skipping_eval(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the layout story itself: pure user-band queries (hb spans only an
+    # eighth) — z-order must not touch MORE buckets than linear overall
+    z_total = sum(v[0] for (q, n), v in got.items() if n == "zorder")
+    l_total = sum(v[0] for (q, n), v in got.items() if n == "linear")
+    assert z_total <= l_total
