@@ -3652,13 +3652,13 @@ def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH shipped AS MATERIALIZED (
       SELECT l_suppkey, l_partkey,
-             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sq
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '{_EXCESS_YEAR[0]} 00:00:00'
         AND l_shipdate <  TIMESTAMP '{_EXCESS_YEAR[1]} 00:00:00'
       GROUP BY 1, 2
     ), part_total AS MATERIALIZED (
-      SELECT l_partkey, CAST(SUM(sq) AS BIGINT) AS tq
+      SELECT l_partkey, CAST(SUM(sq) AS DECIMAL(38,6)) AS tq
       FROM shipped GROUP BY 1
     )
     SELECT s.s_name, count(*) AS dominated_parts
@@ -3678,7 +3678,9 @@ def analytics_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested aggregate-over-aggregate threshold Q20 writes as availqty >
     0.5·sum), with how many parts each dominates.  The chain — keyed
     aggregate, re-aggregate on a prefix of the same key, threshold join
-    — is the shape; the half-share test is 2·sq > tq in integers, no
+    — is the shape; the half-share test is 2·sq > tq on EXACT decimal
+    sums (dec_sum — not an integer cast, which would silently truncate
+    vs round differently across engines on a non-integral quantity), no
     division anywhere.
 
     Scale (100 TB): the year prunes the scan; both aggregates and the
@@ -3689,10 +3691,10 @@ def analytics_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _EXCESS_YEAR[1])
     )
     shipped = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("sq")
+        dec_sum(F.col("l_quantity")).alias("sq")
     )
     part_total = shipped.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
-        F.sum("sq").cast("long").alias("tq")
+        F.sum("sq").cast("decimal(38,6)").alias("tq")
     )
     nation = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name") == _EXCESS_NATION

@@ -1095,23 +1095,8 @@ def layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = zstats.withColumn("layout", F.lit("zorder")).unionByName(
         linstats.withColumn("layout", F.lit("linear"))
     )
-    grid = (
-        spark.range(1)
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(u).cast("long").alias("ub"),
-                            F.lit(h).cast("long").alias("hb"),
-                        )
-                        for u in _SKIP_BANDS
-                        for h in _SKIP_BANDS
-                    ]
-                )
-            ).alias("g")
-        )
-        .select("g.*")
+    grid = spark.createDataFrame(
+        [(u, h) for u in _SKIP_BANDS for h in _SKIP_BANDS], "ub long, hb long"
     )
     slo_u, shi_u = _skip_band_bounds("mn_u", "mx_u", "ub", "spark")
     slo_h, shi_h = _skip_band_bounds("mn_h", "mx_h", "hb", "spark")

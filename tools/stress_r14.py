@@ -67,15 +67,22 @@ def main():
     for m in mods:
         m.load_table = patched
 
-    def drive(name: str, label: str) -> None:
+    def drive(name: str, label: str, tableless: bool = False) -> None:
+        # STRICT guard: the defining module must carry the PATCHED
+        # load_table.  A missing binding fails too (a module aliasing the
+        # import or routing reads through an unpatched helper would
+        # otherwise run at fixture scale under a 100x label — the exact
+        # silent failure this assertion exists to kill).  Queries that
+        # read no tables at all must say so explicitly via tableless=True.
         fn = QUERIES[name]
         mod = sys.modules[fn.__module__]
         lt = getattr(mod, "load_table", None)
-        if lt is not None and lt is not patched:
+        if not tableless and lt is not patched:
             raise AssertionError(
-                f"{name}: defining module {fn.__module__} has an UNPATCHED "
-                "load_table — it would read fixture-scale data under a "
-                "100x label. Add the module to `mods`."
+                f"{name}: defining module {fn.__module__} does not carry the "
+                "patched load_table — it would read fixture-scale data under "
+                "a 100x label. Add the module to `mods` (or mark the drive "
+                "tableless=True if it genuinely reads no tables)."
             )
         t0 = time.perf_counter()
         df = fn(spark, SF)
