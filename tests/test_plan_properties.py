@@ -36,7 +36,38 @@ CASES = [
     ("dedup-exact", ["HashAggregate"]),
     # per-source cap must keep its map-side Partial group-limit
     ("curate-source-cap", ["WindowGroupLimit", "Partial"]),
+    # r14 TPC-H shapes: the mixed equi+date semi join must stay a hash
+    # join (the date predicate evaluates post-hash, never a nested loop)
+    ("analytics-order-priority", ["BroadcastHashJoin"]),
+    # and every top-100 must run as TakeOrderedAndProject, not a global sort
+    ("analytics-supplier-waiting", ["TakeOrderedAndProject"]),
+    ("analytics-large-orders", ["TakeOrderedAndProject"]),
+    ("analytics-min-cost-supplier", ["TakeOrderedAndProject"]),
 ]
+
+# r14 TPC-H-shaped queries that must never contain an unbounded join
+# strategy: every join is equi (hash/sort-merge); analytics-idle-customers
+# is excluded because its single BroadcastNestedLoopJoin broadcasts the
+# walker-marked 1-row (sum, cnt) aggregate.
+R14_NO_NESTED_LOOP = [
+    "analytics-order-priority",
+    "analytics-ship-delay-priority",
+    "analytics-nation-traffic",
+    "analytics-product-profit",
+    "analytics-supplier-waiting",
+    "analytics-parts-supplier-breadth",
+    "analytics-large-orders",
+    "analytics-top-supplier",
+    "analytics-min-cost-supplier",
+    "analytics-excess-suppliers",
+]
+
+
+@pytest.mark.parametrize("name", R14_NO_NESTED_LOOP)
+def test_r14_tpch_shapes_stay_equi_join_only(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 @pytest.mark.parametrize("name,needles", CASES)
