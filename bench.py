@@ -330,6 +330,8 @@ HEADLINE = [
     # round-14 wave 7: layout pruning score + integer pitch tracker
     "layout-skipping-eval",
     "mm-pcm-autocorr-pitch",
+    # round-14 wave 8: TextRank keywords on the shared pagerank machinery
+    "text-textrank-keywords",
 ]
 
 

@@ -1619,3 +1619,138 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.where(F.col("n") >= 10).selectExpr(
         "source", "n AS n_ranks", *_ZIPF_FIT_EXPRS
     )
+
+
+# ---------------------------------------------------------------------------
+# text-textrank-keywords — TextRank keyword extraction (round 14)
+# (word-adjacency graph + the graph family's integer fixed-point PageRank;
+# the co-occurrence cousin of text-cooccurrence-pmi, composed with
+# operators/graph.py's shared pagerank machinery)
+# ---------------------------------------------------------------------------
+
+TR_VOCAB = 150  # top words by doc frequency admitted as graph nodes
+TR_TOP = 25     # keywords emitted
+
+
+def _textrank_oracle() -> str:
+    from merl_etl_spark.operators.graph import ITERATIONS, SCALE, _iter_sql
+
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    dw AS MATERIALIZED (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest(w) AS w FROM toks)
+      WHERE w <> ''
+    ),
+    vocab AS MATERIALIZED (
+      SELECT w FROM (
+        SELECT w, count(*) AS df FROM dw GROUP BY w
+        ORDER BY df DESC, w LIMIT {TR_VOCAB}
+      )
+    ),
+    adj AS MATERIALIZED (
+      SELECT least(u.p[1], u.p[2]) AS x, greatest(u.p[1], u.p[2]) AS y
+      FROM toks t,
+           LATERAL unnest(list_zip(t.w[1:len(t.w)-1], t.w[2:len(t.w)])) AS u(p)
+      WHERE u.p[1] <> '' AND u.p[2] <> '' AND u.p[1] <> u.p[2]
+    ),
+    edges0 AS MATERIALIZED (
+      SELECT a.x AS src, a.y AS dst, count(*) AS w
+      FROM adj a
+      JOIN vocab vx ON vx.w = a.x
+      JOIN vocab vy ON vy.w = a.y
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst, w FROM edges0
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM edges0
+    ),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM outw),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (
+      SELECT node, CAST({SCALE} // (SELECT n FROM nn) AS BIGINT) AS r
+      FROM nodes
+    ),{",".join(_iter_sql(i) for i in range(1, ITERATIONS + 1))}
+    SELECT node AS keyword, CAST(r AS DOUBLE) / {float(SCALE)} AS pagerank
+    FROM r{ITERATIONS}
+    ORDER BY r DESC, node LIMIT {TR_TOP}
+    """
+
+
+@register("text-textrank-keywords", oracle=_textrank_oracle())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: an undirected word-adjacency graph
+    (consecutive whitespace tokens, both ends in the top-{TR_VOCAB}
+    doc-frequency vocabulary, self-loops dropped, edge weight = corpus
+    adjacency count) ranked by the graph family's fixed-iteration
+    integer PageRank; the top {TR_TOP} words by final rank are the
+    corpus keywords — Mihalcea & Tarau's TextRank, re-expressed on the
+    exact machinery graph-pagerank already pins (×10^12 fixed point,
+    `DIV`≡`//` on all-positive operands, unrolled oracle rounds).
+
+    Determinism: adjacency pairs come from the identical zip-of-slices
+    construction in both engines; ranks are integers until the output
+    boundary (exact doubles below 2^53); (pagerank DESC, keyword) is a
+    total order.
+
+    Scale (100 TB): tokenization is a pure map; the vocabulary cap
+    bounds the graph at {TR_VOCAB} nodes so every PageRank round is a
+    bounded-|V| join against a corpus-derived but vocab-bounded edge
+    list — the same iterate shape as graph-pagerank, with the fact-scale
+    work confined to the one adjacency-count aggregation."""
+    from merl_etl_spark.operators.graph import pagerank
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("w"))
+    )
+    dw = (
+        toks.select("doc_id", F.explode("w").alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    vocab = (
+        dw.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "word")
+        .limit(TR_VOCAB)
+        .select("word")
+    )
+    adj = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("w"), 1, F.size("w") - 1),
+                    F.slice(F.col("w"), 2, F.size("w") - 1),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+        .filter((F.col("a") != "") & (F.col("b") != "") & (F.col("a") != F.col("b")))
+        .select(
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+        )
+    )
+    vx = vocab.select(F.col("word").alias("x"))
+    vy = vocab.select(F.col("word").alias("y"))
+    edges0 = (
+        adj.join(F.broadcast(vx), "x")
+        .join(F.broadcast(vy), "y")
+        .groupBy(F.col("x").alias("src"), F.col("y").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = edges0.unionByName(
+        edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return (
+        pagerank(edges)
+        .select(F.col("node").alias("keyword"), "pagerank")
+        .orderBy(F.col("pagerank").desc(), "keyword")
+        .limit(TR_TOP)
+    )

@@ -99,6 +99,9 @@ SWEEP_PRIORITY: list[str] = [
 # whenever a numeric class wobbles.  Any r14-wave overflow past the 50
 # budget inserts at the FRONT, wave-labeled.
 SWEEP_DEFER: list[str] = [
+    # r14 wave 8 overflow (the 50-head is exactly full; the policy puts
+    # wave overflow at the defer FRONT, first in line for the r15 head)
+    "text-textrank-keywords",  # r14 wave 8: TextRank on the pagerank machinery
     # r9-evidence cohort (latest driver row is round 9)
     "agg-anomaly-zscore", "agg-approx-sketches", "agg-exact-quantiles",
     "agg-grouping-sets", "agg-hll-merge", "agg-weighted-median",

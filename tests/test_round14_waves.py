@@ -613,3 +613,67 @@ def test_layout_skipping_eval_pandas_replay(spark, sf_dir):
     z_total = sum(v[0] for (q, n), v in got.items() if n == "zorder")
     l_total = sum(v[0] for (q, n), v in got.items() if n == "linear")
     assert z_total <= l_total
+
+
+# ---------------------------------------------------------------------------
+# wave 8: TextRank keywords — pure-Python fixed-point replay
+# ---------------------------------------------------------------------------
+
+
+def test_textrank_pure_python_replay(spark, sf_dir):
+    """Plain-dict TextRank (tokenize, vocab cap, adjacency edges,
+    3 integer fixed-point pagerank rounds) must reproduce the production
+    composition exactly — including the vocab tiebreak, self-loop drop,
+    and DIV floor arithmetic."""
+    import pandas as pd
+
+    from merl_etl_spark.operators.graph import DAMPING_PCT, ITERATIONS, SCALE
+    from merl_etl_spark.operators.text_analysis import (
+        TR_TOP,
+        TR_VOCAB,
+        text_textrank_keywords,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    df_count: dict = {}
+    adj: dict = {}
+    for r in docs.itertuples():
+        if r.text is None:
+            continue
+        w = r.text.split(" ")
+        for t in set(w):
+            if t:
+                df_count[t] = df_count.get(t, 0) + 1
+        for a, b in zip(w[:-1], w[1:]):
+            if a and b and a != b:
+                key = (min(a, b), max(a, b))
+                adj[key] = adj.get(key, 0) + 1
+    vocab = set(
+        t for t, _ in sorted(df_count.items(), key=lambda kv: (-kv[1], kv[0]))[:TR_VOCAB]
+    )
+    edges: dict = {}
+    for (x, y), c in adj.items():
+        if x in vocab and y in vocab:
+            edges[(x, y)] = edges.get((x, y), 0) + c
+            edges[(y, x)] = edges.get((y, x), 0) + c
+    outw: dict = {}
+    for (s, _), c in edges.items():
+        outw[s] = outw.get(s, 0) + c
+    nodes = sorted(outw)
+    n = len(nodes)
+    rank = {v: SCALE // n for v in nodes}
+    base = ((100 - DAMPING_PCT) * SCALE) // (100 * n)
+    for _ in range(ITERATIONS):
+        sums = {v: 0 for v in nodes}
+        for (s, d), c in edges.items():
+            sums[d] += (rank[s] * c) // outw[s]
+        rank = {v: base + (DAMPING_PCT * sums[v]) // 100 for v in nodes}
+    expect = sorted(
+        ((k, r / float(SCALE)) for k, r in rank.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:TR_TOP]
+    got = [
+        (r.keyword, r.pagerank)
+        for r in text_textrank_keywords(spark, sf_dir).collect()
+    ]
+    assert got == expect

@@ -61,8 +61,9 @@ def main():
     import merl_etl_spark.operators.multimodal as multimodal
     import merl_etl_spark.operators.profiling as profiling
     import merl_etl_spark.operators.quality as quality
+    import merl_etl_spark.operators.text_analysis as text_analysis
 
-    mods = (analytics, multimodal, profiling, quality)
+    mods = (analytics, multimodal, profiling, quality, text_analysis)
     saved = [m.load_table for m in mods]
     for m in mods:
         m.load_table = patched
@@ -134,6 +135,8 @@ def main():
         # r14 wave 7: layout pruning score (10M events) + pitch tracker
         drive("layout-skipping-eval", "layout-skipping-eval 10M events")
         drive("mm-pcm-autocorr-pitch", "mm-pcm-autocorr-pitch 500k docs")
+        # r14 wave 8
+        drive("text-textrank-keywords", "text-textrank-keywords 500k docs")
         # r13 order-statistic trio, first time at true 100x orders
         drive("analytics-gini-concentration", "analytics-gini-concentration 15M orders")
         drive("analytics-pareto-8020", "analytics-pareto-8020 15M orders")
