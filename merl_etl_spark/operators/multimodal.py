@@ -643,6 +643,46 @@ PITCH_MIN_LAG = 2
 PITCH_MAX_LAG = 33  # inclusive; 32 candidate periods
 
 
+def autocorr_pitch_batch(payloads, doc_ids) -> "pd.DataFrame | None":
+    """One Arrow batch of the autocorrelation pitch kernel (the
+    production computation pcm_autocorr_plan ships to executors): for
+    each payload's first PITCH_PREFIX bytes, exact int64 autocorrelation
+    over lags [PITCH_MIN_LAG, PITCH_MAX_LAG] (first-max argmax) and the
+    exact zero-crossing count.  Returns None when no payload is
+    non-empty."""
+    import numpy as np
+
+    n_lags = PITCH_MAX_LAG - PITCH_MIN_LAG + 1
+    payloads = [bytes(p)[:PITCH_PREFIX] for p in payloads]
+    doc_ids = np.asarray(doc_ids)
+    m = np.fromiter((len(p) for p in payloads), np.int64, len(payloads))
+    keep = m > 0
+    if not keep.any():
+        return None
+    if not keep.all():
+        payloads = [p for p, k in zip(payloads, keep) if k]
+        doc_ids, m = doc_ids[keep], m[keep]
+    n_docs = len(payloads)
+    flat = np.frombuffer(b"".join(payloads), np.uint8).astype(np.int64) - 128
+    mat = np.zeros((n_docs, PITCH_PREFIX), np.int64)
+    mat[np.arange(PITCH_PREFIX)[None, :] < m[:, None]] = flat
+    ac = np.zeros((n_docs, n_lags), np.int64)
+    for j, k in enumerate(range(PITCH_MIN_LAG, PITCH_MAX_LAG + 1)):
+        ac[:, j] = np.einsum("ij,ij->i", mat[:, :-k], mat[:, k:])
+    best = ac.max(axis=1)
+    best_lag = PITCH_MIN_LAG + np.argmax(ac, axis=1)
+    zc = ((mat[:, :-1] * mat[:, 1:]) < 0).sum(axis=1).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "n_used": m,
+            "best_lag": best_lag.astype(np.int64),
+            "best_ac": best,
+            "zero_crossings": zc,
+        }
+    )
+
+
 def pcm_autocorr_plan(df: DataFrame) -> DataFrame:
     """Autocorrelation pitch plumbing: mapInPandas over (doc_id, payload)
     batches; each payload's first {PITCH_PREFIX} bytes are centered u8
@@ -657,40 +697,17 @@ def pcm_autocorr_plan(df: DataFrame) -> DataFrame:
     zero-padded (docs x {PITCH_PREFIX}) matrix (row-major mask fill —
     zero padding contributes nothing to either feature because every
     product with a pad is 0), then each lag is one elementwise
-    multiply+row-sum over the matrix; no per-doc Python loop."""
-    import numpy as np
+    multiply+row-sum over the matrix; no per-doc Python loop.  The batch
+    computation lives in ``autocorr_pitch_batch`` so property tests can
+    drive the PRODUCTION kernel directly on synthetic payloads."""
 
     def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        n_lags = PITCH_MAX_LAG - PITCH_MIN_LAG + 1
         for pdf in batches:
-            payloads = [bytes(p)[:PITCH_PREFIX] for p in pdf["payload"]]
-            doc_ids = pdf["doc_id"].to_numpy()
-            m = np.fromiter((len(p) for p in payloads), np.int64, len(payloads))
-            keep = m > 0
-            if not keep.any():
-                continue
-            if not keep.all():
-                payloads = [p for p, k in zip(payloads, keep) if k]
-                doc_ids, m = doc_ids[keep], m[keep]
-            n_docs = len(payloads)
-            flat = np.frombuffer(b"".join(payloads), np.uint8).astype(np.int64) - 128
-            mat = np.zeros((n_docs, PITCH_PREFIX), np.int64)
-            mat[np.arange(PITCH_PREFIX)[None, :] < m[:, None]] = flat
-            ac = np.zeros((n_docs, n_lags), np.int64)
-            for j, k in enumerate(range(PITCH_MIN_LAG, PITCH_MAX_LAG + 1)):
-                ac[:, j] = np.einsum("ij,ij->i", mat[:, :-k], mat[:, k:])
-            best = ac.max(axis=1)
-            best_lag = PITCH_MIN_LAG + np.argmax(ac, axis=1)
-            zc = ((mat[:, :-1] * mat[:, 1:]) < 0).sum(axis=1).astype(np.int64)
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids,
-                    "n_used": m,
-                    "best_lag": best_lag.astype(np.int64),
-                    "best_ac": best,
-                    "zero_crossings": zc,
-                }
+            out = autocorr_pitch_batch(
+                list(pdf["payload"]), pdf["doc_id"].to_numpy()
             )
+            if out is not None:
+                yield out
 
     return df.mapInPandas(
         kernel,

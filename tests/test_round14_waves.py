@@ -677,3 +677,59 @@ def test_textrank_pure_python_replay(spark, sf_dir):
         for r in text_textrank_keywords(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_autocorr_batch_hypothesis_property():
+    """Hypothesis: the PRODUCTION batch kernel (autocorr_pitch_batch —
+    the exact function pcm_autocorr_plan ships to executors) agrees with
+    a per-doc pure-Python reference on arbitrary byte payloads,
+    including empties, len<min-lag shorts, and constant runs (tie
+    cases)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from merl_etl_spark.operators.multimodal import (
+        PITCH_MAX_LAG,
+        PITCH_MIN_LAG,
+        PITCH_PREFIX,
+        autocorr_pitch_batch,
+    )
+
+    def reference(payload: bytes):
+        s = [x - 128 for x in payload[:PITCH_PREFIX]]
+        m = len(s)
+        best_ac, best_lag = None, None
+        for k in range(PITCH_MIN_LAG, PITCH_MAX_LAG + 1):
+            v = sum(s[i] * s[i + k] for i in range(max(m - k, 0)))
+            if best_ac is None or v > best_ac:
+                best_ac, best_lag = v, k
+        zc = sum(1 for i in range(m - 1) if s[i] * s[i + 1] < 0)
+        return (m, best_lag, best_ac, zc)
+
+    payload_st = st.one_of(
+        st.binary(max_size=PITCH_PREFIX + 40),
+        st.builds(
+            lambda b, n: b * n,
+            st.binary(min_size=1, max_size=4),
+            st.integers(min_value=1, max_value=80),
+        ),  # periodic/constant runs exercise the first-max tie rule
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(payload_st, min_size=1, max_size=8))
+    def prop(payloads):
+        out = autocorr_pitch_batch(payloads, list(range(len(payloads))))
+        got = (
+            {}
+            if out is None
+            else {
+                int(r.doc_id): (r.n_used, r.best_lag, r.best_ac, r.zero_crossings)
+                for r in out.itertuples()
+            }
+        )
+        expect = {
+            i: reference(p) for i, p in enumerate(payloads) if len(p) > 0
+        }
+        assert got == expect
+
+    prop()
