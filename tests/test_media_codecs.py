@@ -204,3 +204,36 @@ def test_decode_frames_real_flag_routes_to_png_decoder(spark):
     assert frames == [raw[i : i + 18] for i in range(0, len(raw), 18)]
     with pytest.raises(PngFormatError):
         decode_frames(b"not a png", real=True)
+
+
+def test_png_roundtrip_hypothesis_fuzz():
+    """Property fuzz over the full encode→decode loop: arbitrary small
+    dimensions, every colour type, arbitrary per-row filter choices, and
+    arbitrary pixel bytes must round-trip exactly (the unfilter
+    recurrences are exact inverses for ALL inputs, not just the
+    deterministic fixtures the goldens pin)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.data())
+    def prop(data):
+        w = data.draw(st.integers(min_value=1, max_value=24), label="w")
+        h = data.draw(st.integers(min_value=1, max_value=12), label="h")
+        c = data.draw(st.sampled_from([1, 3, 4]), label="channels")
+        filters = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=4), min_size=1, max_size=5
+            ),
+            label="filters",
+        )
+        raw = data.draw(
+            st.binary(min_size=w * h * c, max_size=w * h * c), label="pixels"
+        )
+        width, height, channels, pixels = png_decode(
+            png_encode(w, h, raw, channels=c, filter_types=filters)
+        )
+        assert (width, height, channels) == (w, h, c)
+        assert pixels == raw
+
+    prop()
