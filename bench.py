@@ -339,6 +339,13 @@ def main() -> None:
     registry.load_all()
     spark = get_spark("merl_etl_spark_bench")
 
+    # test/debug knob: run only the named queries (comma list).  The
+    # tail-contract pytest uses this to drive the REAL bench process fast.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
+    )
+
     def run(name: str) -> float:
         t0 = time.perf_counter()
         registry.QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
@@ -350,7 +357,7 @@ def main() -> None:
     # transient ambient stalls (GC pause, scheduler contention) that a
     # single sample reads as a query regression (see PERF.md noise band).
     times = {}
-    for name in HEADLINE:
+    for name in headline:
         run(name)
         times[name] = min(run(name), run(name))
         # per-query detail streams as it lands — whatever the driver's
