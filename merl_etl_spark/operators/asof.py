@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from merl_etl_spark.lineage import cut_lineage
 from merl_etl_spark.operators.joins import TS_FMT_DUCK, TS_FMT_SPARK
 from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
@@ -95,7 +96,15 @@ def asof_join_backward(
         .filter(F.col("__rn") == 1)
         .select("__bucket", r_struct.alias("__close"))
     )
-    all_buckets = in_bucket.select("__bucket").distinct().unionByName(
+    # r14 optimization (guide §2.4): ``closing`` has two consumers (the
+    # all-buckets union and the prev join) — uncut, the right side's
+    # bucket-window pipeline executed twice per query; the frame is one
+    # row per bucket, so the cut is bounded.  Left buckets come from the
+    # cheap pre-window ``l_tag`` (a map-side-combinable distinct), not
+    # from ``in_bucket``, so the fact-scale union+window subtree is never
+    # re-entered just to enumerate buckets.
+    closing = cut_lineage(closing, eager=False)
+    all_buckets = l_tag.select("__bucket").distinct().unionByName(
         closing.select("__bucket")
     ).distinct()
     w_carry = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -359,8 +368,14 @@ def asof_join_nearest(
     )
     closing = edges.filter(F.col("__rn_c") == 1).select("__bucket", F.col("__s").alias("__close"))
     opening = edges.filter(F.col("__rn_o") == 1).select("__bucket", F.col("__s").alias("__open"))
+    # r14 optimization (guide §2.4), same shape as asof_join_backward:
+    # closing/opening are 1-row-per-bucket summaries with two consumers
+    # each — cut once; bucket enumeration reads the cheap l_tag distinct
+    # instead of re-entering the fact-scale in_bucket window subtree.
+    closing = cut_lineage(closing, eager=False)
+    opening = cut_lineage(opening, eager=False)
     all_buckets = (
-        in_bucket.select("__bucket")
+        l_tag.select("__bucket")
         .distinct()
         .unionByName(closing.select("__bucket"))
         .distinct()

@@ -436,6 +436,14 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
     The loop runs on the driver but every step is distributed — no edge
     list ever collects.  Convergence is checked with a count aggregate.
     """
+    # r14 optimization (guide §2.4): the symmetrize union below references
+    # ``pairs`` twice — uncut, the caller's whole pair-generation pipeline
+    # (PassJoin fuzzy match / MinHash-LSH / LSH+exact-cosine) executed once
+    # per direction before the edge materialization; link-golden-record
+    # measured its 8.8 s PassJoin stream running twice.  Cut the input once
+    # (projected to just the two key columns so the materialized frame is
+    # as narrow as possible — guide §2.3) and both directions read it back.
+    pairs = cut_lineage(pairs.select(F.col(a), F.col(b)), eager=False)
     edges = (
         pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
         .unionByName(pairs.select(F.col(b).alias("x"), F.col(a).alias("y")))
@@ -467,18 +475,19 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
                     "label"
                 ),
+                # carry the pre-step label so the convergence check is a
+                # filter over THIS materialized frame instead of a second
+                # |V|⋈|V| join per round (r14 optimization, guide §2.4)
+                F.col("label").alias("__prev_label"),
             )
         )
         # truncate lineage: without this, iteration k re-executes all k-1
         # previous joins (quadratic recompute + unbounded plan depth)
         new_labels = cut_lineage(new_labels, eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("label") != F.col("__prev_label")
+        ).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -13,9 +13,12 @@ an equi-join of the rank vector with the edge list on ``src`` (edges
 pre-aggregated per (src, dst); rank vector is |V| rows, broadcastable
 when small, hash-join otherwise) and a groupBy ``dst`` with map-side
 partial sums.  No driver-side state, no collect; |E|-sized data only
-ever moves through equi-joins.  Production note: for many iterations
-each rank frame should be persisted/checkpointed to cut lineage; at 3
-iterations Catalyst handles the composed plan directly.
+ever moves through equi-joins.  The edge list is lineage-cut once
+before the iterate (see :func:`pagerank`) — a composed plan re-executes
+the edge-derivation substrate per unrolled reference, which the r14
+plan audit measured at 120 scans for the 3-iteration TextRank
+composition; the |V|-row rank frames themselves compose fine at 3
+iterations without further cuts.
 
 Cross-engine determinism (the oracle must hash-match): floating-point
 rounding of arbitrary quotients is NOT portable — a first cut that
@@ -57,9 +60,22 @@ def pagerank(edges: DataFrame, iterations: int = ITERATIONS) -> DataFrame:
     if the graph has sinks — a node with no out-edges would leak rank
     mass).  All joins are equi-joins keyed by src/dst; the rank vector
     is |V| rows against |E| edges, the classic iterate-shape that
-    scales by partitioning edges on the join key."""
+    scales by partitioning edges on the join key.
+
+    The edge list and its out-weight rollup are lineage-cut ONCE before
+    the iterate (r14 optimization, guide §2.4/§5): every unrolled
+    iteration references ``edges`` twice (contrib + outw) and ``nodes``
+    once, so a composed plan re-executes the caller's edge-derivation
+    pipeline O(iterations²) times — text-textrank-keywords measured 120
+    parquet scans / 115 Exchanges in one 849-node plan (the whole
+    tokenize→vocab→adjacency substrate re-run per reference).  At 100 TB
+    the substrate is a corpus-scale aggregate; recomputing it per round
+    is the difference between one pass and a dozen.  After the cut the
+    iterations compose over the materialized |E|-row frame only."""
     edges = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+    edges = cut_lineage(edges, eager=True)
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    outw = cut_lineage(outw, eager=False)  # consumers: nodes + every iteration
     nodes = outw.select(F.col("src").alias("node"))
     n_nodes = nodes.count()  # one tiny job; |V| is a plan constant here
 
@@ -252,10 +268,13 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.id_b").alias("z"),
         )
     )
-    node_tris = (
-        tri.select(F.col("x").alias("node"))
-        .unionByName(tri.select(F.col("y").alias("node")))
-        .unionByName(tri.select(F.col("z").alias("node")))
+    # r14 optimization (guide §2.4): credit all three corners via one
+    # explode instead of a 3-way self-union — the union form re-executed
+    # the two triangle-closure joins once per corner (3× the dominant
+    # join work; 12 BroadcastHashJoins in the before-plan, 4 after).
+    # Same multiset of (node) rows, so the census is unchanged.
+    node_tris = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node")
     )
     return (
         node_tris.groupBy("node")
@@ -789,15 +808,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     is fixed and nothing collects to the driver."""
     from pyspark.sql.window import Window
 
-    from merl_etl_spark.operators.similarity import knn_edges
+    from merl_etl_spark.operators.similarity import knn_und_edges
 
-    knn = knn_edges(load_table(spark, sf_dir, "embeddings")).select("src", "dst")
-    und = (
-        knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .distinct()
+    und = cut_lineage(
+        knn_und_edges(load_table(spark, sf_dir, "embeddings")), eager=True
     )
-    und = cut_lineage(und, eager=True)
     nodes = und.select("u").distinct()
     undx = cut_lineage(
         und.unionAll(nodes.select("u", F.col("u").alias("v"))), eager=False
@@ -895,15 +910,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: degrees are exact integers over the pinned
     sim-knn-graph edge substrate; the census collapses
     order-independently."""
-    from merl_etl_spark.operators.similarity import knn_edges
+    from merl_etl_spark.operators.similarity import knn_und_edges
 
-    knn = knn_edges(load_table(spark, sf_dir, "embeddings")).select("src", "dst")
-    und = (
-        knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .distinct()
+    und = cut_lineage(
+        knn_und_edges(load_table(spark, sf_dir, "embeddings")), eager=True
     )
-    und = cut_lineage(und, eager=True)
     surv = und.select(F.col("u").alias("node")).distinct()
     for _ in range(KCORE_ROUNDS):
         deg = (
@@ -998,16 +1009,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcastable); the moments reduce map-side-combinably to ONE row.
     No window, no pair expansion beyond the edges themselves."""
     from merl_etl_spark.operators.aggregates import corr_from_moments
-    from merl_etl_spark.operators.similarity import knn_edges
+    from merl_etl_spark.operators.similarity import knn_und_edges
 
     corr = corr_from_moments("n_edges", "sx", "sy", "sxx", "syy", "sxy")
-    knn = knn_edges(load_table(spark, sf_dir, "embeddings")).select("src", "dst")
-    und = (
-        knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .distinct()
+    und = cut_lineage(
+        knn_und_edges(load_table(spark, sf_dir, "embeddings")), eager=True
     )
-    und = cut_lineage(und, eager=True)
     degs = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -1175,12 +1182,10 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge count deg·(deg−1)/2, so the mean of per-node ratios
     collapses to the exact integer ratio 2·Σtri / (n·deg·(deg−1)) —
     ONE IEEE division per output row, rounded once."""
-    from merl_etl_spark.operators.similarity import knn_edges
+    from merl_etl_spark.operators.similarity import knn_und_edges
 
-    knn = knn_edges(load_table(spark, sf_dir, "embeddings")).select("src", "dst")
-    und = (
-        knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .distinct()
+    # clustering_census cuts the edge frame itself (it fans out to
+    # degrees + orientation), so the substrate arrives uncut here
+    return clustering_census(
+        knn_und_edges(load_table(spark, sf_dir, "embeddings"))
     )
-    return clustering_census(und)

@@ -379,6 +379,12 @@ def link_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p_retailprice").alias("max_retailprice"),
         F.min("p_size").alias("min_size"),
     )
+    # r14 optimization (guide §2.4): g1 has two consumers (the cname
+    # length probe and the final join) — cut the cluster-grain rollup so
+    # the members aggregation runs once, not once per consumer
+    from merl_etl_spark.lineage import cut_lineage
+
+    g1 = cut_lineage(g1, eager=False)
     cname = (
         members.join(g1.select("cluster_id", "max_len"), "cluster_id")
         .filter(F.length("p_name") == F.col("max_len"))

@@ -758,6 +758,13 @@ def knn_edges(emb: DataFrame) -> DataFrame:
     # threshold -2.0 keeps every candidate pair: kNN ranks all candidates,
     # unlike the near-dup tier which only keeps high-similarity pairs
     scored = embedding_cosine_pairs(emb, threshold=-2.0)
+    # r14 optimization (guide §2.4): the symmetrize below references
+    # ``scored`` twice — uncut, the whole LSH-candidate + exact-cosine
+    # pipeline (the dominant cost of every kNN-graph consumer) executed
+    # once per direction.  The scored pair list is candidate-bounded
+    # (capped buckets), so one eager materialization is cheap and every
+    # downstream reference reads it back.
+    scored = cut_lineage(scored, eager=True)
     sym = scored.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos_sim"
     ).unionByName(
@@ -772,6 +779,25 @@ def knn_edges(emb: DataFrame) -> DataFrame:
         sym.withColumn("nn_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("nn_rank") <= KNN_K)
         .select("src", "dst", "nn_rank", "cos_sim")
+    )
+
+
+def knn_und_edges(emb: DataFrame) -> DataFrame:
+    """Distinct symmetric ``(u, v)`` edge set over :func:`knn_edges` —
+    the shared substrate of the graph tier (graph-kcore,
+    graph-label-propagation, graph-assortativity,
+    graph-clustering-coefficient).  r14 optimization (guide §2.4): the
+    directed kNN edge list is lineage-cut ONCE here, so the two
+    symmetrize directions read the materialized ≤k·|V|-row frame instead
+    of each re-running the top-k window + LSH-candidate pipeline (which
+    the un-factored per-query copies did, doubling the substrate cost of
+    all four graph queries).  Callers cut the returned distinct frame
+    themselves when they fan it out to multiple consumers."""
+    knn = cut_lineage(knn_edges(emb).select("src", "dst"), eager=True)
+    return (
+        knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
     )
 
 

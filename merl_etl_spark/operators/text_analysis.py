@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from merl_etl_spark.lineage import cut_lineage
 from merl_etl_spark.operators.dedup import md5_u32_duck, md5_u32_spark, pin_parallelism
 from merl_etl_spark.registry import register
 from merl_etl_spark.sources.tables import load_table
@@ -1722,6 +1723,11 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TR_VOCAB)
         .select("word")
     )
+    # r14 optimization (guide §2.4): vocab feeds TWO broadcast branches
+    # (vx, vy) — uncut, each re-runs the corpus-scale tokenize→explode→
+    # distinct→df pipeline; cut once, the {TR_VOCAB}-row frame is
+    # materialized a single time and both broadcasts read it back.
+    vocab = cut_lineage(vocab, eager=True)
     adj = (
         toks.select(
             F.explode(
