@@ -723,7 +723,17 @@ def candidate_intersections(docs: DataFrame, cand: DataFrame):
         .select("doc_id", F.explode(F.expr(WORDS_SHINGLES)).alias("sh"))
         .distinct()
     )
-    sizes = jsh.groupBy("doc_id").agg(F.countDistinct("sh").alias("n"))
+    # jsh itself is deliberately NOT cut: its three consumers share one
+    # identical distinct-exchange, which AQE's runtime exchange reuse
+    # already dedups, and materializing the corpus×shingles frame was
+    # measured SLOWER (+0.7 s on dedup-containment) than the reuse.  The
+    # |docs|-row ``sizes`` rollup IS cut — callers fan it out to two
+    # join sides, and those subtrees differ, so reuse cannot dedup them
+    # (r14 optimization, guide §2.4).
+    sizes = cut_lineage(
+        jsh.groupBy("doc_id").agg(F.countDistinct("sh").alias("n")),
+        eager=False,
+    )
     a = jsh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = jsh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
     # NOTE: deliberately NOT spread_pairs here — the shingle side of this

@@ -377,6 +377,11 @@ def min_label_propagation(edges: DataFrame, iters: int) -> tuple:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nl"))
         )
+        # (r14 note: a union + keyed-min merge was measured here and
+        # REVERTED — the left join lets AQE broadcast the small
+        # neighbor-min delta and stream the |V| frame without an
+        # exchange, which beat the full |V| re-shuffle the union form
+        # pays; see OPTIMIZATION_r14.md)
         nm = (
             prev.join(nb, "node", "left")
             .select(
@@ -700,6 +705,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("v").alias("node"))
             .agg((F.min("d") + 1).alias("nd"))
         )
+        # (r14 note: a union + keyed-min merge was measured here and
+        # REVERTED — the left join broadcasts the small frontier delta
+        # and streams the distance frame without an exchange; see
+        # OPTIMIZATION_r14.md)
         dist = cut_lineage(
             dist.join(nbr, "node", "left").select(
                 "node",
@@ -806,8 +815,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed count + a per-node argmax — the graph-pagerank physics with
     argmax instead of sum; lineage is cut per round.  The round count
     is fixed and nothing collects to the driver."""
-    from pyspark.sql.window import Window
-
     from merl_etl_spark.operators.similarity import knn_und_edges
 
     und = cut_lineage(
@@ -818,17 +825,24 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.unionAll(nodes.select("u", F.col("u").alias("v"))), eager=False
     )
     lab = nodes.select(F.col("u").alias("node"), F.col("u").alias("label"))
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(LPA_ROUNDS):
         votes = (
             undx.join(lab.withColumnRenamed("node", "v"), "v")
             .groupBy(F.col("u").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # r14 optimization (guide §2.3): the (count DESC, label ASC)
+        # argmax as max_by over struct(c, -label) — a hash aggregate
+        # with map-side partials — instead of a row_number window
+        # (exchange + full in-partition sort) per round.  Labels are
+        # node ids (BIGINT ≥ 0), so max(-label) = min(label) breaks
+        # count ties toward the smallest label, exactly the window's
+        # rn=1 pick; (c, -label) pairs are unique per node, so the
+        # winner is total-ordered in both forms.
         lab = cut_lineage(
-            votes.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "label"),
+            votes.groupBy("node").agg(
+                F.expr("max_by(label, struct(c, -label))").alias("label")
+            ),
             eager=True,
         )
     return lab.groupBy(F.col("label").alias("community")).agg(

@@ -1493,6 +1493,11 @@ def _pq_reference(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("n_ref"), F.sum("vfp").alias("sum_fp"))
         .withColumn("m", F.expr(f"CAST((dim - 1) DIV {PQ_SUBDIM} AS INT)"))
     )
+    # r14 optimization (guide §2.4): per_code is |codewords|×|dims| rows
+    # (bounded, ~1k) but its derivation re-runs the reference-half
+    # component explode per consumer — the encode path reads it for the
+    # codebook AND the ADC path for the LUT join; cut it once.
+    per_code = cut_lineage(per_code, eager=False)
     return emb, cap, per_code
 
 
@@ -1529,6 +1534,12 @@ def _pq_encode_frames(spark: SparkSession, sf_dir: str):
 
     cols = [F.expr(best_for(m)).alias(f"b_{m}") for m in range(PQ_SUBS)]
     staged = q.select("vec_id", F.col("label").alias("true_label"), *cols)
+    # r14 optimization (guide §2.4): staged carries the per-subspace
+    # argmin for every held-out vector — the expensive fold over the
+    # broadcast codebook.  Its consumers (codes explode in the ADC path,
+    # the encode projection, the recall-eval arms) would each re-run the
+    # argmin; cut it once (held-out-half rows, PQ_SUBS structs each).
+    staged = cut_lineage(staged, eager=False)
     return emb, per_code, staged
 
 
