@@ -723,17 +723,16 @@ def candidate_intersections(docs: DataFrame, cand: DataFrame):
         .select("doc_id", F.explode(F.expr(WORDS_SHINGLES)).alias("sh"))
         .distinct()
     )
-    # jsh itself is deliberately NOT cut: its three consumers share one
-    # identical distinct-exchange, which AQE's runtime exchange reuse
-    # already dedups, and materializing the corpus×shingles frame was
-    # measured SLOWER (+0.7 s on dedup-containment) than the reuse.  The
-    # |docs|-row ``sizes`` rollup IS cut — callers fan it out to two
-    # join sides, and those subtrees differ, so reuse cannot dedup them
-    # (r14 optimization, guide §2.4).
-    sizes = cut_lineage(
-        jsh.groupBy("doc_id").agg(F.countDistinct("sh").alias("n")),
-        eager=False,
-    )
+    # r14 note: neither jsh nor sizes is lineage-cut, by MEASUREMENT.
+    # Every consumer subtree here bottoms out at the same jsh
+    # distinct-exchange, which AQE's runtime exchange reuse dedups for
+    # free; a cut opts that subtree OUT of reuse (the checkpointed frame
+    # executes its own copy of the pipeline), measured +0.7 s on
+    # dedup-containment for a jsh cut and +1.5 s on
+    # dedup-lsh-precision-eval for a sizes cut.  cut_lineage is for
+    # DIVERGENT duplicate subtrees and cross-job reuse (iterates),
+    # not for consumers an identical exchange already serves.
+    sizes = jsh.groupBy("doc_id").agg(F.countDistinct("sh").alias("n"))
     a = jsh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = jsh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
     # NOTE: deliberately NOT spread_pairs here — the shingle side of this
