@@ -44,19 +44,40 @@ ORACLES: dict[str, str] = {}
 # Queries NOT listed here keep their module registration order and fill the
 # remaining budget.  Update per round: move anything you modify into tier 1.
 SWEEP_PRIORITY: list[str] = [
-    # ROUND 14 (VERDICT r13 tasks #1/#4): tier 1 = r14 churn — new ops
-    # land here wave-by-wave, plus any query whose code/oracle changed
-    # since its last driver green; tier 2 = the 14 r13-wave queries that
-    # have never had a driver CORRECTNESS row (the r13 judge's value-hash
-    # + dtype sweep cleared all 14 at sf0.01, so a red here would be an
-    # env finding, not logic) — layout-partition-advisor leads because
-    # its oracle changed this round (ADVICE r13: SUM(n) HUGEINT routed
-    # through VARCHAR); tier 3 = the 22-query r8-evidence cohort, the
-    # oldest tier in the registry.  14 + 22 = 36 of the 50 budget; the
-    # r14 waves fill the rest.
+    # ROUND 14 OPTIMIZATION pass re-tier (policy: churn > never-checked >
+    # stale-green; "move anything you modify into tier 1").  Tier 1 = the
+    # 21 queries whose PLANS changed in the optimization round (lineage
+    # cuts / max_by argmax / bucketed cumulative sums — every one
+    # 3-SF-hash-swept and contract-driven green locally, but a driver row
+    # on the OLD plan is stale evidence); tier 2 = the 14 r14-build waves
+    # (new this round — never had a driver CORRECTNESS row); tier 3 = the
+    # 14 r13-wave queries still never driver-rowed, plus the head of the
+    # r8 cohort to fill the 50 budget.  The remaining 21 r8-cohort
+    # queries move to the SWEEP_DEFER front (first in line for r15).
     #
-    # -- tier 1: r14 churn (new this round / code changed; grows wave by
-    # wave as each new op lands — names are appended when registered) ----
+    # -- tier 1: r14-optimization churn (plan changed this round) --------
+    "text-textrank-keywords",  # pagerank substrate cut (115→15 Exchanges)
+    "graph-pagerank",  # same fix at the machinery (33 Exch/80 scans → 13/0)
+    "graph-triangles",  # corner credit via explode (12→4 joins)
+    "graph-label-propagation",  # max_by argmax + shared kNN substrate
+    "graph-kcore",  # shared kNN substrate (knn_und_edges)
+    "graph-assortativity",  # shared kNN substrate
+    "graph-clustering-coefficient",  # shared kNN substrate
+    "sim-knn-graph",  # scored-pairs cut inside knn_edges
+    "join-asof",  # closing cut + l_tag bucket enumeration
+    "join-asof-forward",  # same (asof_join_backward via negation)
+    "join-asof-nearest",  # closing/opening cuts + l_tag buckets
+    "join-asof-tolerance",  # rides asof_join_backward
+    "join-asof-keyed",  # rides asof_join_nearest
+    "link-golden-record",  # CC pair-input cut + g1 cut + convergence fold
+    "dedup-clusters",  # CC pair-input cut
+    "dedup-embedding-clusters",  # CC pair-input cut
+    "curate-semdedup-keep",  # CC pair-input cut (double-cut path)
+    "agg-weighted-median",  # bucketed parallel cumulative sum
+    "sim-pq-encode",  # staged/per-code cuts
+    "sim-pq-adc-topk",  # staged/per-code cuts
+    "sim-pq-recall-eval",  # staged/per-code cuts
+    # -- tier 2: r14-build waves (never driver-rowed) ---------------------
     "mm-png-decode",  # r14 wave 1: the real PNG codec on the driver surface
     "analytics-order-priority",  # r14 wave 2: Q4 exists-semi shape
     "analytics-ship-delay-priority",  # r14 wave 2: Q12 conditional counts
@@ -71,7 +92,7 @@ SWEEP_PRIORITY: list[str] = [
     "analytics-excess-suppliers",  # r14 wave 6: Q20 agg-threshold semi chain
     "layout-skipping-eval",  # r14 wave 7: Z-ORDER vs linear pruning score
     "mm-pcm-autocorr-pitch",  # r14 wave 7: exact-integer periodicity map
-    # -- tier 2: never-driver-rowed (r13 waves 2-10) ----------------------
+    # -- tier 3: never-driver-rowed (r13 waves 2-10) + r8-cohort head ----
     "layout-partition-advisor",
     "curate-ccnet-buckets", "dq-temporal-coverage",
     "mm-pcm-window-energy", "curate-pareto-frontier",
@@ -79,15 +100,7 @@ SWEEP_PRIORITY: list[str] = [
     "fn-window-suite", "analytics-peak-concurrency",
     "curate-dataset-card", "analytics-pareto-8020",
     "fn-agg-suite", "dq-iqr-outliers", "analytics-lorenz-deciles",
-    # -- tier 3: the r8-evidence cohort (latest driver row is round 8) ---
-    "join-range-interval", "join-semi-top100", "link-fuzzy-match",
-    "mm-binary-meta", "mm-binary-simhash", "plan-top100-derive",
-    "sample-stratified", "sim-topk-pandas", "sink-insert-ignore-tx",
-    "sink-upsert-cursor", "sink-upsert-holders", "sink-view",
-    "sort-limit-top10", "sort-movers-multi", "sort-topk-rank100",
-    "stream-cursor-resume", "stream-sliding-60m", "stream-tumbling-6h",
-    "text-gopher-rules", "text-winnowing", "win-rank-top100",
-    "win-sessionize",
+    "join-range-interval",  # r8 cohort head (the rest moved to SWEEP_DEFER)
 ]
 
 # Budget triage (round 14): this defer list registers immediately after
@@ -99,20 +112,29 @@ SWEEP_PRIORITY: list[str] = [
 # whenever a numeric class wobbles.  Any r14-wave overflow past the 50
 # budget inserts at the FRONT, wave-labeled.
 SWEEP_DEFER: list[str] = [
-    # r14 wave 8 overflow (the 50-head is exactly full; the policy puts
-    # wave overflow at the defer FRONT, first in line for the r15 head)
-    "text-textrank-keywords",  # r14 wave 8: TextRank on the pagerank machinery
-    # r9-evidence cohort (latest driver row is round 9)
+    # r8-evidence cohort displaced from the head by the r14-optimization
+    # churn tier (policy: churn outranks stale-green; these 21 are first
+    # in line for the r15 head)
+    "join-semi-top100", "link-fuzzy-match",
+    "mm-binary-meta", "mm-binary-simhash", "plan-top100-derive",
+    "sample-stratified", "sim-topk-pandas", "sink-insert-ignore-tx",
+    "sink-upsert-cursor", "sink-upsert-holders", "sink-view",
+    "sort-limit-top10", "sort-movers-multi", "sort-topk-rank100",
+    "stream-cursor-resume", "stream-sliding-60m", "stream-tumbling-6h",
+    "text-gopher-rules", "text-winnowing", "win-rank-top100",
+    "win-sessionize",
+    # r9-evidence cohort (latest driver row is round 9; entries promoted
+    # to the churn tier above are removed here)
     "agg-anomaly-zscore", "agg-approx-sketches", "agg-exact-quantiles",
-    "agg-grouping-sets", "agg-hll-merge", "agg-weighted-median",
+    "agg-grouping-sets", "agg-hll-merge",
     "analytics-attribution-lasttouch", "analytics-path-mining",
     "curate-corpus-pipeline", "curate-mixture-weights",
     "curate-quality-sampling", "curate-softdedup-weights",
-    "dedup-bloom-incremental", "dedup-embedding-clusters",
+    "dedup-bloom-incremental",
     "dedup-embedding-cosine", "dedup-minhash-lsh", "dedup-simhash",
     "dq-volume-anomaly", "fn-vector-suite", "graph-components",
-    "join-asof-nearest", "join-salted-skew", "layout-partition-prune",
-    "link-golden-record", "mm-feature-extract", "mm-frame-sample",
+    "join-salted-skew", "layout-partition-prune",
+    "mm-feature-extract", "mm-frame-sample",
     "mm-resize-plan", "sim-ivf-ann", "sim-lsh-bucketed",
     "sim-topk-cosine", "src-blockcursor-replay", "src-datasource-paged",
     "src-jsonl-corrupt", "text-bm25", "text-quality", "text-repetition",
