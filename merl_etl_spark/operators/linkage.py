@@ -58,10 +58,23 @@ def blocked_fuzzy_pairs(
     - partitioned side: each record emits its t+1 segments as
       (block, len, seg_idx, seg_text) — 3 rows/record at t=2;
     - probe side: each record emits, for every partitioned length
-      L ∈ [len−t, len+t] (the length gap bound), every segment index,
-      every position shift ∈ [−t, t] (≤ t edits shift an untouched
-      segment's alignment by ≤ t), the corresponding substring —
-      ≤ (2t+1)²·(t+1) = 75 keys/record, array_distinct'd;
+      L ∈ [len−t, len+t] (the length gap bound) and segment index i,
+      the substrings whose start shift lies in the MULTI-MATCH-AWARE
+      window (PassJoin §4.2, r15 optimization — guide §3 "shrink the
+      big side before shuffling it"):
+
+          shift ∈ [max(−i, Δ−(t−i)), min(i, Δ+(t−i))],  Δ = len − L
+
+      instead of the full ∈ [−t, t].  Bound: at most i of the t edits
+      can precede segment i's untouched match (each shifts alignment
+      by ≤ 1), so |shift| ≤ i from the left; the ≤ t−i edits after it
+      must absorb the remaining length difference, so shift ∈
+      Δ ± (t−i) from the right.  19 keys/record at t=2 (was 75),
+      array_distinct'd — ~2× fewer distinct probe keys, so both the
+      candidate exchange and the verify mass shrink with it.
+      Validated exhaustively (0 misses over ~98k within-threshold
+      pairs, t ∈ {1,2,3} + 8k long mutated strings) and by the
+      brute-force equality pytest;
     - equi-join on (block, L, seg_idx, seg_text) + pair dedup.
 
     Soundness: edit(a,b) ≤ t touches ≤ t of a's t+1 segments, so one is
@@ -90,7 +103,14 @@ def blocked_fuzzy_pairs(
        by the probe's L-window; the segment containment IS the key.)
     2. bounded levenshtein — the 3-arg form abandons the O(len²) DP as
        soon as the running distance exceeds the threshold."""
-    HIST = ["a-g", "h-m", "n-s", "t-z"]  # any char partition is sound
+    # any char partition is sound (see filter 1 below).  An 8-bucket
+    # variant was measured and REVERTED (r15): it passes 57% of sf0.1
+    # candidates vs 91% for 4 buckets (a 38% cut in levenshtein calls),
+    # but benched +0.5 s (5.6 -> 6.1 s, 3 paired samples each) — the
+    # bounded early-abandon levenshtein is already cheap per pair, while
+    # 4 extra ints per shuffled probe/segment row and 4 more |a-b| per
+    # candidate cost more than the skipped DP work saves.
+    HIST = ["a-g", "h-m", "n-s", "t-z"]
     nseg = threshold + 1
     name = F.col(name_col)
     hist = [
@@ -148,8 +168,13 @@ def blocked_fuzzy_pairs(
     probe_entries = []
     for dL in range(-threshold, threshold + 1):
         L = f"(ln + {dL})"
+        # multi-match-aware shift window (docstring above): Δ is the
+        # probe-minus-partitioned length difference, i.e. −dL here
+        delta = -dL
         for i in range(nseg):
-            for shift in range(-threshold, threshold + 1):
+            lo = max(-i, delta - (threshold - i))
+            hi = min(i, delta + (threshold - i))
+            for shift in range(lo, hi + 1):
                 spos = f"({_start(L, i)} + {shift})"
                 slen = _slen(L, i)
                 probe_entries.append(
