@@ -73,7 +73,11 @@ def pagerank(edges: DataFrame, iterations: int = ITERATIONS) -> DataFrame:
     is the difference between one pass and a dozen.  After the cut the
     iterations compose over the materialized |E|-row frame only."""
     edges = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
-    edges = cut_lineage(edges, eager=True)
+    # eager=False (r15, ADVICE r14 #2): the nodes.count() below forces
+    # materialization of edges AND outw in one job anyway — an eager cut
+    # here only added a second blocking job per pagerank construction
+    # (and made merely BUILDING the DataFrame run Spark jobs twice).
+    edges = cut_lineage(edges, eager=False)
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     outw = cut_lineage(outw, eager=False)  # consumers: nodes + every iteration
     nodes = outw.select(F.col("src").alias("node"))
@@ -183,6 +187,44 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_EDGE_TOP = 2000
 
 
+def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared co-supply edge census (top-TRI_EDGE_TOP supplier pairs
+    by shared-part count) consumed by graph-triangles,
+    graph-jaccard-links and graph-bfs-hops — one definition so the three
+    queries census the same graph by construction.
+
+    r15 optimization (guide §2.4 "remove shuffles outright" + the
+    spread_pairs bytes-underestimate-work rule): the census used to pay
+    THREE exchanges — distinct on (l_partkey, l_suppkey), the
+    capped_bucket_pairs window on l_partkey, and the pair groupBy — and
+    AQE coalesced the small-bytes distinct exchange onto few cores right
+    before the 8.7M-row pair explode.  One explicit keyed repartition on
+    l_partkey now feeds BOTH the distinct and the window (hash
+    partitioning on l_partkey clusters every (l_partkey, l_suppkey)
+    group and every window partition), removing two exchanges and
+    pinning the explode's parallelism.  Measured at sf0.1: 5 -> 3
+    exchanges, census noop time 2.4 -> 1.1 s, byte-identical edge list.
+
+    The ≤TRI_EDGE_TOP-row result is eager-cut once: every consumer
+    references it 2-4 times (union arms, triangle closure, anti-join)
+    and a TakeOrdered has no exchange for runtime reuse to dedup."""
+    from merl_etl_spark.operators.dedup import capped_bucket_pairs, pin_parallelism
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    su = pin_parallelism(
+        lineitem.select("l_partkey", "l_suppkey"), "l_partkey"
+    ).distinct()
+    edges = (
+        capped_bucket_pairs(su, ["l_partkey"], "l_suppkey")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .orderBy(F.desc("shared"), F.asc("id_a"), F.asc("id_b"))
+        .limit(TRI_EDGE_TOP)
+        .select("id_a", "id_b")
+    )
+    return cut_lineage(edges, eager=True)
+
+
 @register(
     "graph-triangles",
     oracle=f"""
@@ -232,26 +274,13 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fixture cap (1024) is far above the max suppliers-per-part at
     any test SF (41 at sf0.1), so no star-routing fires and the plain
-    all-pairs SQL oracle sees the identical pair set."""
-    from merl_etl_spark.operators.dedup import capped_bucket_pairs
+    all-pairs SQL oracle sees the identical pair set.
 
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    su = lineitem.select("l_partkey", "l_suppkey").distinct()
-    pairs = capped_bucket_pairs(su, ["l_partkey"], "l_suppkey")
-    edges = (
-        pairs.groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .orderBy(F.desc("shared"), F.asc("id_a"), F.asc("id_b"))
-        .limit(TRI_EDGE_TOP)
-        .select("id_a", "id_b")
-    )
-    # the edge list is referenced three times below (e1/e2/e3); without a
-    # materialization barrier Spark re-runs the full pair-mining pipeline
-    # once per reference (no Exchange to reuse above a TakeOrdered) —
-    # 3× the dominant cost for a ≤TRI_EDGE_TOP-row frame.  Same eager
-    # cut as the dedup tier's component iteration (dedup.py:433);
-    # executor-local vs durable per lineage.cut_lineage.
-    edges = cut_lineage(edges, eager=True)
+    The edge list is referenced three times below (e1/e2/e3); without a
+    materialization barrier Spark re-runs the full pair-mining pipeline
+    once per reference (no Exchange to reuse above a TakeOrdered) — the
+    shared census helper cuts it once (see cosupply_edges)."""
+    edges = cosupply_edges(spark, sf_dir)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -392,7 +421,11 @@ def min_label_propagation(edges: DataFrame, iters: int) -> tuple:
         # pointer jump: follow my label to ITS label (nm(nm(v))); the nm
         # frame is referenced twice so cut it — without the cut each
         # round's subtree doubles and the plan is 2^K nodes deep (the
-        # exact blowup the oracle's AS MATERIALIZED guards against)
+        # exact blowup the oracle's AS MATERIALIZED guards against).
+        # (r15: a cut-every-2-rounds variant was measured and REVERTED —
+        # +0.8 s on graph-components in paired noop A/Bs; the duplicated
+        # uncut round body re-executes its broadcast-join work, which
+        # runtime exchange reuse does not dedup.)
         nm = cut_lineage(nm, eager=False)
         cur = (
             nm.alias("a")
@@ -557,21 +590,10 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket (by design — the oracle, not the plan, is what stops
     scaling there).  The capped star path itself is covered by the
     degenerate-corpus pytest of capped_bucket_pairs."""
-    from merl_etl_spark.operators.dedup import capped_bucket_pairs
-
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    su = lineitem.select("l_partkey", "l_suppkey").distinct()
-    edges = (
-        capped_bucket_pairs(su, ["l_partkey"], "l_suppkey")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .orderBy(F.desc("shared"), F.asc("id_a"), F.asc("id_b"))
-        .limit(TRI_EDGE_TOP)
-        .select("id_a", "id_b")
-    )
     # four consumers (both union arms feed und which feeds deg + cn twice,
-    # plus the anti-join) — materialize the ≤TRI_EDGE_TOP-row list once
-    edges = cut_lineage(edges, eager=True)
+    # plus the anti-join) — the shared census helper cuts the
+    # ≤TRI_EDGE_TOP-row list once (see cosupply_edges)
+    edges = cosupply_edges(spark, sf_dir)
     und = edges.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).unionAll(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
@@ -668,19 +690,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: hops are exact integers; the level census collapses
     node sets order-independently (count/min/max)."""
-    from merl_etl_spark.operators.dedup import capped_bucket_pairs
-
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    su = lineitem.select("l_partkey", "l_suppkey").distinct()
-    edges = (
-        capped_bucket_pairs(su, ["l_partkey"], "l_suppkey")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .orderBy(F.desc("shared"), F.asc("id_a"), F.asc("id_b"))
-        .limit(TRI_EDGE_TOP)
-        .select("id_a", "id_b")
-    )
-    edges = cut_lineage(edges, eager=True)
+    edges = cosupply_edges(spark, sf_dir)
     und = cut_lineage(
         edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
             edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
@@ -709,6 +719,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # REVERTED — the left join broadcasts the small frontier delta
         # and streams the distance frame without an exchange; see
         # OPTIMIZATION_r14.md)
+        # eager=False (r15, guide §2.6 "stragglers and idle capacity" /
+        # §1 job-latency): an eager cut per round is a BLOCKING driver
+        # job — 8 sequential job dispatches for this loop alone.  The
+        # lazy cut still truncates the logical plan at build time (the
+        # round frame is referenced twice next round) but materializes
+        # as part of the single covering job, so the whole loop runs as
+        # one job's stage chain instead of 8 barriers.
         dist = cut_lineage(
             dist.join(nbr, "node", "left").select(
                 "node",
@@ -716,7 +733,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("d", "nd"), F.coalesce("nd", "d")
                 ).alias("d"),
             ),
-            eager=True,
+            eager=False,
         )
     return (
         dist.where(F.col("d").isNotNull())
@@ -839,11 +856,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # count ties toward the smallest label, exactly the window's
         # rn=1 pick; (c, -label) pairs are unique per node, so the
         # winner is total-ordered in both forms.
+        # eager=False (r15): the lazy cut still truncates the per-round
+        # plan (lab feeds next round's join) but materializes inside the
+        # single covering job — no per-round blocking driver job (same
+        # change as the BFS loop; guide §1 job-latency)
         lab = cut_lineage(
             votes.groupBy("node").agg(
                 F.expr("max_by(label, struct(c, -label))").alias("label")
             ),
-            eager=True,
+            eager=False,
         )
     return lab.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_nodes"),

@@ -763,7 +763,12 @@ def knn_edges(emb: DataFrame) -> DataFrame:
     # pipeline (the dominant cost of every kNN-graph consumer) executed
     # once per direction.  The scored pair list is candidate-bounded
     # (capped buckets), so one eager materialization is cheap and every
-    # downstream reference reads it back.
+    # downstream reference reads it back.  A lazy-cut variant (ADVICE
+    # r14 "consolidate the stacked cuts") was measured and REVERTED in
+    # r15: +1.3 s across the five substrate consumers (kcore 2.5 -> 3.3,
+    # sim-knn-graph 1.5 -> 1.9) — the two symmetrize arms are separate
+    # stages that race to compute the not-yet-persisted checkpoint RDD
+    # and duplicate the LSH+cosine work the eager cut runs exactly once.
     scored = cut_lineage(scored, eager=True)
     sym = scored.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos_sim"
@@ -792,7 +797,9 @@ def knn_und_edges(emb: DataFrame) -> DataFrame:
     of each re-running the top-k window + LSH-candidate pipeline (which
     the un-factored per-query copies did, doubling the substrate cost of
     all four graph queries).  Callers cut the returned distinct frame
-    themselves when they fan it out to multiple consumers."""
+    themselves when they fan it out to multiple consumers.  (A lazy
+    variant of this cut was measured with the lazy scored cut in r15
+    and reverted with it — see knn_edges.)"""
     knn = cut_lineage(knn_edges(emb).select("src", "dst"), eager=True)
     return (
         knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
