@@ -13,10 +13,18 @@ summary prints LAST:
                   the tail; full copy also written to BENCH_DETAIL.json)
   final line:     compact headline the driver can always parse whole —
                   ``{"metric": "...", "value": <total sec>, "unit":
-                  "sec", "sf": <sf>, "n": <query count>, "queries":
-                  {...}}`` with ``queries`` holding ONLY the slowest 25
-                  (the cross-round comparison set; the full map lives in
-                  BENCH_DETAIL.json).
+                  "sec", "sf": <sf>, "n": <query count>, "cpus": <n>,
+                  "queries": {...}}`` with ``queries`` holding ONLY the
+                  slowest 25 (the cross-round comparison set; the full
+                  map lives in BENCH_DETAIL.json).
+
+r15 measurement fix (VERDICT r14 #2, additions only): the summary and
+detail records now carry ``cpus``, and the full map is ALSO written to
+``BENCH_DETAIL_c<cpus>.json`` — in r14 the driver's 8-core scaling run
+overwrote the 32-core BENCH_DETAIL.json, losing the main run's per-query
+record.  Two consecutive runs at different core counts now leave both
+detail records readable.  No query entry was removed or renamed and the
+timing loop is untouched.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side collect cost).  Session startup is excluded; per-query times
@@ -366,23 +374,27 @@ def main() -> None:
         print(json.dumps({"query": name, "sec": times[name]}), flush=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     summary = {
         "metric": "headline operator suite wall-clock",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "sf": sf_val,
         "n": len(times),
+        "cpus": int(cpus) if cpus.isdigit() else cpus,
         # only the slowest queries inline — keeps the final line well
         # inside any tail-capture window so metric/value always parse
         "queries": dict(
             sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:25]
         ),
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-        "w",
-    ) as fh:
-        json.dump({**summary, "queries": times}, fh, indent=1, sort_keys=True)
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail = json.dumps({**summary, "queries": times}, indent=1, sort_keys=True)
+    # BENCH_DETAIL.json stays (last run, self-describing via "cpus");
+    # the keyed copy survives a later run at a different core count
+    for fname in ("BENCH_DETAIL.json", f"BENCH_DETAIL_c{cpus}.json"):
+        with open(os.path.join(here, fname), "w") as fh:
+            fh.write(detail)
     print(json.dumps(summary), flush=True)
 
 

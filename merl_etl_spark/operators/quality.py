@@ -521,11 +521,25 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-scan predicate rules cannot express.
 
     Scale (100 TB): the child side pre-aggregates to (key, row_count)
-    before any join — the anti-join probes DISTINCT child keys, not
+    before any join — the parent probe sees DISTINCT child keys, not
     child rows, so a 100 B-row fact table joins as its key cardinality;
     parents reduce to distinct-key sets.  Each relation is an
     independent keyed-shuffle pipeline (no cross-relation barrier), and
     orphan totals are exact BIGINT sums of the per-key row counts.
+
+    r15 optimization (guide §2.4): the anti-join + separate-totals form
+    was rewritten as ONE left join + conditional sums (the oracle's own
+    shape).  The old form looked like it shared the child rollup
+    between its two arms, but Catalyst pushes a left-anti join BELOW an
+    aggregate (PushDownLeftSemiAntiJoin) and the isnotnull filter into
+    the scan, so the two arms' exchanges were NOT identical and
+    exchange reuse could never fire: every child table was scanned and
+    key-rolled TWICE per relation (verified in the r15 plan pair — the
+    r14 ledger's "identical exchange, runtime reuse dedups" analysis
+    was wrong for this query).  One arm now does scan -> key rollup ->
+    broadcast-left-join parent keys -> 1-row conditional collapse:
+    10 -> 5 child scans, 25 -> 15 exchanges, BNLJ gone
+    (plans/r15/dq-referential_*; the plan gate pins one-scan-per-table).
     """
     out = None
     for rel, child, ckey, parent, pkey, pfilter in _FK_RELATIONS:
@@ -535,21 +549,27 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
             p = p.filter(F.expr(pfilter))
         pkeys = p.select(F.col(pkey).alias("pk")).distinct()
         ck = c.groupBy(F.col(ckey).alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
-        orphan = (
-            ck.filter(F.col("k").isNotNull())
-            .join(pkeys, F.col("k") == F.col("pk"), "left_anti")
-            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_orphan_rows"))
-        )
-        totals = ck.agg(
-            # coalesce like the oracle: an empty child table must yield
-            # the (0, 0, 0, true) row in BOTH engines
-            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_rows"),
-            F.coalesce(
-                F.sum(F.when(F.col("k").isNull(), F.col("cnt"))), F.lit(0)
-            ).cast("long").alias("n_null_keys"),
-        )
+        # left join against the distinct parent keys (never duplicating:
+        # pk is unique) and collapse with conditional sums — coalesce
+        # like the oracle: an empty child table must yield the
+        # (0, 0, 0, true) row in BOTH engines
         row = (
-            totals.crossJoin(F.broadcast(orphan))
+            ck.join(pkeys, F.col("k") == F.col("pk"), "left")
+            .agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("k").isNull(), F.col("cnt"))), F.lit(0)
+                ).cast("long").alias("n_null_keys"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("k").isNotNull() & F.col("pk").isNull(),
+                            F.col("cnt"),
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("long").alias("n_orphan_rows"),
+            )
             .select(
                 F.lit(rel).alias("relation"),
                 "n_rows",
@@ -1798,36 +1818,55 @@ def dq_primary_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): one map-side-combinable keyed aggregate per table
     at key grain collapsed to 4 counters — count-distinct is exact via
     the two-level aggregate, never a global sort; the ten per-table
-    audits are independent jobs Spark schedules concurrently."""
+    audits are independent subtrees of one unioned job Spark schedules
+    concurrently.
+
+    r15 optimization (guide §2.3/§2.4): each audit used to run THREE
+    aggregates per table — the key-grain rollup, its 1-row collapse, and
+    a SEPARATE full-table count(*) scan crossJoined back in (2 scans +
+    a BroadcastNestedLoopJoin per table, 10 tables).  NULL-keyed rows
+    now ride the SAME key-grain groupBy (a group whose key tuple
+    contains a NULL is flagged un-keyed at the second level, exactly the
+    oracle's NOT(k IS NULL...) split), so every table is one scan + one
+    two-level aggregate and the crossJoin is gone: 20 -> 10 scans,
+    32 -> 21 plan exchanges, no BNLJ (plans/r15/dq-primary-keys_*)."""
     out = None
     for table, keys in PK_CONTRACT:
         df = load_table(spark, sf_dir, table)
-        keyed = df.where(
-            F.expr(" AND ".join(f"{k} IS NOT NULL" for k in keys))
+        per_key = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "keyed",
+                F.expr(" AND ".join(f"{k} IS NOT NULL" for k in keys)),
+            )
         )
-        per_key = keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
-        stats = per_key.agg(
-            F.count(F.lit(1)).cast("long").alias("n_distinct_keys"),
+        arm = per_key.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum(F.when(F.col("keyed"), F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_keyed_rows"),
+            # count(when(...)) counts non-NULLs — keyed groups only; an
+            # all-NULL-key table (the pathology this audit exists for)
+            # yields 0 here and in the oracle
+            F.count(F.when(F.col("keyed"), F.lit(1)))
+            .cast("long")
+            .alias("n_distinct_keys"),
             F.coalesce(
-                F.sum(F.when(F.col("c") > 1, F.col("c") - 1)), F.lit(0)
+                F.sum(
+                    F.when(F.col("keyed") & (F.col("c") > 1), F.col("c") - 1)
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("n_excess_rows"),
-            # coalesce: an all-NULL-key table (the pathology this audit
-            # exists for) sums an EMPTY frame — NULL here, 0 in the oracle
-            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_keyed_rows"),
-        )
-        tot = df.agg(F.count(F.lit(1)).alias("n_rows"))
-        arm = (
-            tot.crossJoin(F.broadcast(stats))
-            .select(
-                F.lit(table).alias("table_name"),
-                F.lit(", ".join(keys)).alias("key_columns"),
-                "n_rows",
-                "n_keyed_rows",
-                "n_distinct_keys",
-                "n_excess_rows",
-            )
+        ).select(
+            F.lit(table).alias("table_name"),
+            F.lit(", ".join(keys)).alias("key_columns"),
+            "n_rows",
+            "n_keyed_rows",
+            "n_distinct_keys",
+            "n_excess_rows",
         )
         out = arm if out is None else out.unionAll(arm)
     return out
