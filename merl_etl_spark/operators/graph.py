@@ -214,10 +214,32 @@ def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = pin_parallelism(
         lineitem.select("l_partkey", "l_suppkey"), "l_partkey"
     ).distinct()
+    # pack the pair into ONE long before the count exchange (guide §2.3
+    # "narrower types / shuffle fewer bytes"): the co-supply pair mass is
+    # quadratic in suppliers-per-part (900M rows at the 100× stress star)
+    # and its distinct-pair cardinality defeats map-side partial
+    # aggregation, so the exchange carries every emission — halving the
+    # key bytes measured 144 -> 113 s on the 100× census (warm
+    # interleaved A/B; edge list byte-identical).  assert_true keeps the
+    # pack LOUD: an id outside [0, 2^32) fails the job instead of
+    # silently aliasing pairs (supplier keys are ints in any TPC-H-shaped
+    # corpus; 2^32 suppliers is far past the fixture contract).
+    pack = 1 << 32
+    guard = (
+        f"assert_true(id_a >= 0 AND id_a < {pack} AND "
+        f"id_b >= 0 AND id_b < {pack}, "
+        f"'cosupply_edges: supplier id outside the 32-bit pack domain')"
+    )
     edges = (
         capped_bucket_pairs(su, ["l_partkey"], "l_suppkey")
-        .groupBy("id_a", "id_b")
+        .select(F.expr(f"ifnull({guard}, id_a * {pack}L + id_b)").alias("p"))
+        .groupBy("p")
         .agg(F.count(F.lit(1)).alias("shared"))
+        .select(
+            F.expr(f"p DIV {pack}L").alias("id_a"),
+            F.expr(f"p % {pack}L").alias("id_b"),
+            "shared",
+        )
         .orderBy(F.desc("shared"), F.asc("id_a"), F.asc("id_b"))
         .limit(TRI_EDGE_TOP)
         .select("id_a", "id_b")
@@ -958,8 +980,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("u").alias("node"))
             .agg(F.count(F.lit(1)).alias("deg"))
         )
+        # eager=False (r15): same per-round-job-latency fix as the BFS
+        # and LPA loops — the lazy cut truncates the plan identically
+        # but drops 8 blocking driver jobs; measured -0.5 s in paired
+        # bench samples (3.2/3.5 vs 3.8/3.9 s)
         surv = cut_lineage(
-            deg.where(F.col("deg") >= KCORE_K).select("node"), eager=True
+            deg.where(F.col("deg") >= KCORE_K).select("node"), eager=False
         )
     core_deg = (
         und.join(surv.withColumnRenamed("node", "u"), "u")

@@ -44,63 +44,50 @@ ORACLES: dict[str, str] = {}
 # Queries NOT listed here keep their module registration order and fill the
 # remaining budget.  Update per round: move anything you modify into tier 1.
 SWEEP_PRIORITY: list[str] = [
-    # ROUND 14 OPTIMIZATION pass re-tier (policy: churn > never-checked >
+    # ROUND 15 OPTIMIZATION pass re-tier (policy: churn > never-checked >
     # stale-green; "move anything you modify into tier 1").  Tier 1 = the
-    # 21 queries whose PLANS changed in the optimization round (lineage
-    # cuts / max_by argmax / bucketed cumulative sums — every one
-    # 3-SF-hash-swept and contract-driven green locally, but a driver row
-    # on the OLD plan is stale evidence); tier 2 = the 14 r14-build waves
-    # (new this round — never had a driver CORRECTNESS row); tier 3 = the
-    # 14 r13-wave queries still never driver-rowed, plus the head of the
-    # r8 cohort to fill the 50 budget.  The remaining 21 r8-cohort
-    # queries move to the SWEEP_DEFER front (first in line for r15).
+    # 12 queries whose plans/internals changed in THIS optimization round
+    # (PassJoin probe windows, the packed one-exchange co-supply census,
+    # lazy per-round cuts, one-pass quality audits, data-derived median
+    # buckets — every one 3-SF-hash-swept and contract-driven green
+    # locally, but a driver row on the OLD plan is stale evidence);
+    # tier 2 = the 21-query r8-evidence cohort the r14 re-tier displaced
+    # to the SWEEP_DEFER front ("first in line for r15" — that promise is
+    # kept here); tier 3 = the head of the r9-evidence cohort to fill the
+    # 50 budget.  The r14-churn/new tiers all got their driver rows in
+    # the r14 CORRECTNESS sample and drop back to registration order.
     #
-    # -- tier 1: r14-optimization churn (plan changed this round) --------
-    "text-textrank-keywords",  # pagerank substrate cut (115→15 Exchanges)
-    "graph-pagerank",  # same fix at the machinery (33 Exch/80 scans → 13/0)
-    "graph-triangles",  # corner credit via explode (12→4 joins)
-    "graph-label-propagation",  # max_by argmax + shared kNN substrate
-    "graph-kcore",  # shared kNN substrate (knn_und_edges)
-    "graph-assortativity",  # shared kNN substrate
-    "graph-clustering-coefficient",  # shared kNN substrate
-    "sim-knn-graph",  # scored-pairs cut inside knn_edges
-    "join-asof",  # closing cut + l_tag bucket enumeration
-    "join-asof-forward",  # same (asof_join_backward via negation)
-    "join-asof-nearest",  # closing/opening cuts + l_tag buckets
-    "join-asof-tolerance",  # rides asof_join_backward
-    "join-asof-keyed",  # rides asof_join_nearest
-    "link-golden-record",  # CC pair-input cut + g1 cut + convergence fold
-    "dedup-clusters",  # CC pair-input cut
-    "dedup-embedding-clusters",  # CC pair-input cut
-    "curate-semdedup-keep",  # CC pair-input cut (double-cut path)
-    "agg-weighted-median",  # bucketed parallel cumulative sum
-    "sim-pq-encode",  # staged/per-code cuts
-    "sim-pq-adc-topk",  # staged/per-code cuts
-    "sim-pq-recall-eval",  # staged/per-code cuts
-    # -- tier 2: r14-build waves (never driver-rowed) ---------------------
-    "mm-png-decode",  # r14 wave 1: the real PNG codec on the driver surface
-    "analytics-order-priority",  # r14 wave 2: Q4 exists-semi shape
-    "analytics-ship-delay-priority",  # r14 wave 2: Q12 conditional counts
-    "analytics-nation-traffic",  # r14 wave 3: Q7 bidirectional pair star
-    "analytics-product-profit",  # r14 wave 3: Q9 profit star
-    "analytics-supplier-waiting",  # r14 wave 4: Q21 exists+anti self-joins
-    "analytics-idle-customers",  # r14 wave 4: Q22 scalar threshold + anti
-    "analytics-parts-supplier-breadth",  # r14 wave 5: Q16 distinct grid
-    "analytics-large-orders",  # r14 wave 5: Q18 having-semi detail
-    "analytics-top-supplier",  # r14 wave 6: Q15 max-of-aggregate join-back
-    "analytics-min-cost-supplier",  # r14 wave 6: Q2 min-per-group tie-keep
-    "analytics-excess-suppliers",  # r14 wave 6: Q20 agg-threshold semi chain
-    "layout-skipping-eval",  # r14 wave 7: Z-ORDER vs linear pruning score
-    "mm-pcm-autocorr-pitch",  # r14 wave 7: exact-integer periodicity map
-    # -- tier 3: never-driver-rowed (r13 waves 2-10) + r8-cohort head ----
-    "layout-partition-advisor",
-    "curate-ccnet-buckets", "dq-temporal-coverage",
-    "mm-pcm-window-energy", "curate-pareto-frontier",
-    "analytics-gini-concentration", "agg-group-mode",
-    "fn-window-suite", "analytics-peak-concurrency",
-    "curate-dataset-card", "analytics-pareto-8020",
-    "fn-agg-suite", "dq-iqr-outliers", "analytics-lorenz-deciles",
-    "join-range-interval",  # r8 cohort head (the rest moved to SWEEP_DEFER)
+    # -- tier 1: r15-optimization churn (plan changed this round) --------
+    "link-golden-record",  # PassJoin multi-match probe windows (75→19 keys)
+    "link-fuzzy-match",  # same fix at the machinery (also r8-cohort stale)
+    "graph-triangles",  # shared packed one-exchange co-supply census
+    "graph-jaccard-links",  # same census (+ audited downstream)
+    "graph-bfs-hops",  # same census + lazy per-round cuts
+    "graph-kcore",  # lazy per-round cuts (8 blocking jobs removed)
+    "graph-label-propagation",  # lazy per-round cuts
+    "graph-pagerank",  # lazy edge cut at construction
+    "text-textrank-keywords",  # rides pagerank's lazy edge cut
+    "dq-primary-keys",  # one-pass two-level audit (crossJoin gone)
+    "dq-referential",  # one-pass left-join rewrite (anti-join pushdown fix)
+    "agg-weighted-median",  # bucket width derived from data bounds
+    # -- tier 2: r8-evidence cohort (displaced by r14's churn tier; the
+    #    r14 defer note promised these the r15 head) ----------------------
+    "join-semi-top100", "mm-binary-meta", "mm-binary-simhash",
+    "plan-top100-derive", "sample-stratified", "sim-topk-pandas",
+    "sink-insert-ignore-tx", "sink-upsert-cursor", "sink-upsert-holders",
+    "sink-view", "sort-limit-top10", "sort-movers-multi",
+    "sort-topk-rank100", "stream-cursor-resume", "stream-sliding-60m",
+    "stream-tumbling-6h", "text-gopher-rules", "text-winnowing",
+    "win-rank-top100", "win-sessionize",
+    # -- tier 3: r9-evidence cohort head (fills the 50 budget) -----------
+    "agg-anomaly-zscore", "agg-approx-sketches", "agg-exact-quantiles",
+    "agg-grouping-sets", "agg-hll-merge",
+    "analytics-attribution-lasttouch", "analytics-path-mining",
+    "curate-corpus-pipeline", "curate-mixture-weights",
+    "curate-quality-sampling", "curate-softdedup-weights",
+    "dedup-bloom-incremental", "dedup-embedding-cosine",
+    "dedup-minhash-lsh", "dedup-simhash", "dq-volume-anomaly",
+    "fn-vector-suite", "graph-components",
 ]
 
 # Budget triage (round 14): this defer list registers immediately after
@@ -112,27 +99,10 @@ SWEEP_PRIORITY: list[str] = [
 # whenever a numeric class wobbles.  Any r14-wave overflow past the 50
 # budget inserts at the FRONT, wave-labeled.
 SWEEP_DEFER: list[str] = [
-    # r8-evidence cohort displaced from the head by the r14-optimization
-    # churn tier (policy: churn outranks stale-green; these 21 are first
-    # in line for the r15 head)
-    "join-semi-top100", "link-fuzzy-match",
-    "mm-binary-meta", "mm-binary-simhash", "plan-top100-derive",
-    "sample-stratified", "sim-topk-pandas", "sink-insert-ignore-tx",
-    "sink-upsert-cursor", "sink-upsert-holders", "sink-view",
-    "sort-limit-top10", "sort-movers-multi", "sort-topk-rank100",
-    "stream-cursor-resume", "stream-sliding-60m", "stream-tumbling-6h",
-    "text-gopher-rules", "text-winnowing", "win-rank-top100",
-    "win-sessionize",
-    # r9-evidence cohort (latest driver row is round 9; entries promoted
-    # to the churn tier above are removed here)
-    "agg-anomaly-zscore", "agg-approx-sketches", "agg-exact-quantiles",
-    "agg-grouping-sets", "agg-hll-merge",
-    "analytics-attribution-lasttouch", "analytics-path-mining",
-    "curate-corpus-pipeline", "curate-mixture-weights",
-    "curate-quality-sampling", "curate-softdedup-weights",
-    "dedup-bloom-incremental",
-    "dedup-embedding-cosine", "dedup-minhash-lsh", "dedup-simhash",
-    "dq-volume-anomaly", "fn-vector-suite", "graph-components",
+    # r9-evidence cohort tail (latest driver row is round 9; the cohort
+    # head was promoted into the r15 tier-3 block above, and the r8
+    # cohort got its promised head slots this round) — first in line for
+    # the r16 sweep
     "join-salted-skew", "layout-partition-prune",
     "mm-feature-extract", "mm-frame-sample",
     "mm-resize-plan", "sim-ivf-ann", "sim-lsh-bucketed",
